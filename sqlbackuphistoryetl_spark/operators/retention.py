@@ -1,0 +1,94 @@
+"""Retention cleanup (SURVEY §2.1 S6 — Utility.CleanupSQLBackupHistoryConsolidated,
+sql:398-423).
+
+Reference: cutoff = max(backup_start_date) older than now-retention,
+then batched ``delete top(500)`` until empty (a lock-pressure tactic —
+no Spark analog needed). Spark has no in-place delete: the engine
+rewrites only the *affected date partitions* (filter + swap). Because
+the sink is partitioned by ``backup_date`` (operators/merge.py), at
+scale this touches exactly the partitions older than the cutoff — the
+analog of the reference's index on backup_start_date (sql:39) — and
+most old partitions are pure directory drops with zero data rewritten.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import PARTITION_COL
+
+
+def retention_cutoff(
+    df: DataFrame,
+    retention_days: int = 180,
+    now: dt.datetime | None = None,
+) -> dt.datetime | None:
+    """max(backup_start_date) among rows older than now - retention_days
+    (sql:406-408). None when nothing is old enough."""
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    threshold = now - dt.timedelta(days=retention_days)
+    row = (
+        df.filter(F.col("backup_start_date") < F.lit(threshold))
+        .agg(F.max("backup_start_date").alias("cutoff"))
+        .first()
+    )
+    return row["cutoff"] if row else None
+
+
+def _partition_dates(target_path: str) -> list[dt.date]:
+    out = []
+    for child in Path(target_path).glob(f"{PARTITION_COL}=*"):
+        try:
+            out.append(dt.date.fromisoformat(child.name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def apply_retention(
+    spark: SparkSession,
+    target_path: str,
+    retention_days: int = 180,
+    now: dt.datetime | None = None,
+) -> int:
+    """Delete rows with backup_start_date < cutoff; returns rows deleted.
+
+    Partition-pruned: dates strictly before the cutoff date are plain
+    directory drops (no data read); only the single boundary partition
+    (cutoff's own date) is rewritten through a temp dir + swap.
+    """
+    df = spark.read.parquet(target_path)
+    cutoff = retention_cutoff(df, retention_days, now)
+    if cutoff is None:
+        return 0
+    cutoff_date = cutoff.date()
+
+    root = Path(target_path)
+    deleted = 0
+
+    # 1. whole-partition drops (date < cutoff date) — no data scanned
+    for d in _partition_dates(target_path):
+        if d < cutoff_date:
+            part_dir = root / f"{PARTITION_COL}={d.isoformat()}"
+            deleted += spark.read.parquet(str(part_dir)).count()
+            shutil.rmtree(part_dir, ignore_errors=True)
+
+    # 2. boundary partition: rewrite rows >= cutoff timestamp
+    boundary = root / f"{PARTITION_COL}={cutoff_date.isoformat()}"
+    if boundary.exists():
+        part = spark.read.parquet(str(boundary))
+        doomed = part.filter(F.col("backup_start_date") < F.lit(cutoff)).count()
+        if doomed > 0:
+            keep = part.filter(F.col("backup_start_date") >= F.lit(cutoff))
+            tmp = root / f"_tmp_retention_{uuid.uuid4().hex}"
+            keep.write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(boundary)
+            tmp.rename(boundary)
+            deleted += doomed
+    return deleted

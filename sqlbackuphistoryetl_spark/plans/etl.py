@@ -1,0 +1,115 @@
+"""ETL run orchestration — entry point 1 (SURVEY §3.1,
+Invoke-SQLBackupHistoryETL.ps1).
+
+Reference lifecycle: scan control table → per-server sequential loop of
+(extract → row-at-a-time load → watermark UPDATE). The engine keeps the
+*recovery semantics* (extract failure ⇒ skip server, watermark
+untouched, retried next run; load failure ⇒ abort run — SURVEY §2.11.6)
+but replaces the sequential loop with a set-based plan:
+
+    union of per-server extracts → ONE dedup + anti-join + append →
+    groupBy(server).max(backup_finish_date) → one control-table upsert
+
+One shuffle-free union, one merge, one watermark write — the shape that
+scales to N servers × 100 TB. LogID is assigned as
+monotonically_increasing_id() + max existing (surrogate only; query
+semantics never depend on its density — SURVEY §1.2 row 1).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import idempotent_append
+from ..sources.extract import REPLAY_BUFFER_MINUTES, extract_backup_history
+from ..sources.readers import SourceTables
+from .watermark import read_source_servers, update_watermarks
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ETLResult:
+    rows_appended: int = 0
+    servers_ok: list[str] = field(default_factory=list)
+    servers_skipped: list[str] = field(default_factory=list)
+
+
+def _with_log_id(spark: SparkSession, batch: DataFrame, target_path: str) -> DataFrame:
+    from ..operators.merge import _sink_exists
+
+    if _sink_exists(spark, target_path):
+        max_id = spark.read.parquet(target_path).agg(F.max("LogID")).first()[0] or 0
+    else:
+        max_id = 0
+    return batch.withColumn(
+        "LogID", (F.monotonically_increasing_id() + F.lit(max_id + 1)).cast("long")
+    )
+
+
+def run_etl(
+    spark: SparkSession,
+    sources: dict[str, SourceTables],
+    control_path: str,
+    target_path: str,
+    replay_buffer_minutes: int = REPLAY_BUFFER_MINUTES,
+) -> ETLResult:
+    """One incremental run over every registered source server."""
+    result = ETLResult()
+    servers = read_source_servers(spark, control_path).collect()
+
+    batches: list[DataFrame] = []
+    min_wm: dt.datetime | None = None
+    for row in servers:
+        name, wm = row["ServerName"], row["LastETLDatetime"]
+        src = sources.get(name)
+        if src is None:
+            log.warning("no source registered for %s — skipping", name)
+            result.servers_skipped.append(name)
+            continue
+        try:
+            batch = extract_backup_history(src, wm, replay_buffer_minutes)
+        except Exception:  # extract failure ⇒ skip server, watermark untouched
+            log.exception("extract failed for %s — skipping", name)
+            result.servers_skipped.append(name)
+            continue
+        batches.append(batch)
+        result.servers_ok.append(name)
+        min_wm = wm if min_wm is None else min(min_wm, wm)
+
+    if not batches:
+        return result
+
+    union = reduce(DataFrame.unionByName, batches)
+    union = _with_log_id(spark, _cast_load_types(union), target_path)
+
+    overlap_start = (
+        min_wm - dt.timedelta(minutes=replay_buffer_minutes) if min_wm else None
+    )
+    # Load failure propagates (aborts the run) — watermarks then stay
+    # put and the next run replays; the idempotent sink absorbs it.
+    result.rows_appended = idempotent_append(
+        spark, union, target_path, overlap_start=overlap_start
+    )
+
+    new_marks = (
+        union.groupBy(F.col("server_name").alias("ServerName"))
+        .agg(F.max("backup_finish_date").alias("MaxETLDateTime"))
+        .filter(F.col("ServerName").isNotNull())
+    )
+    update_watermarks(spark, control_path, new_marks)
+    return result
+
+
+def _cast_load_types(batch: DataFrame) -> DataFrame:
+    """Extract computes sizes as bigint; the table stores int
+    (SURVEY §1.2 'int' row — cast on load)."""
+    return batch.withColumn(
+        "UncompressedSizeMB", F.col("UncompressedSizeMB").cast("int")
+    ).withColumn("CompressedSizeMB", F.col("CompressedSizeMB").cast("int"))

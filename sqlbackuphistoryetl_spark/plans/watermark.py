@@ -1,0 +1,78 @@
+"""Watermark control table (SURVEY §2.1 S1/S5, §2.9).
+
+Mirror of Utility.SQLBackupHistorySourceServers (sql:42-51): one row
+per source server with the high-water mark of backup_finish_date
+successfully ETL'd. Kept as a *manual* table (parquet locally, a JDBC
+table in production) rather than Structured Streaming state — exact
+parity with the reference plus restartability (SURVEY §2.9 row 1).
+
+The keyed UPDATE (Update-LastETLDateTimeForServer.ps1:34-53) becomes a
+set-based upsert: new maxima LEFT-join onto the control table,
+greatest() wins, atomic swap. Updating every server in one write is the
+scalable form of the reference's per-server UPDATE loop.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import SOURCE_SERVERS
+
+
+def read_source_servers(spark: SparkSession, control_path: str) -> DataFrame:
+    """S1 scan: (ServerName, LastETLDatetime)."""
+    return spark.read.schema(SOURCE_SERVERS).parquet(control_path)
+
+
+def init_source_servers(
+    spark: SparkSession,
+    control_path: str,
+    servers: list[str],
+    initial_watermark: dt.datetime | None = None,
+) -> None:
+    """Create the control table. Default watermark = now (UTC), matching
+    the reference's DF_LastETLDatetime getutcdate() default (sql:51)."""
+    wm = initial_watermark or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    df = spark.createDataFrame([(s, wm) for s in servers], SOURCE_SERVERS)
+    df.coalesce(1).write.mode("overwrite").parquet(control_path)
+
+
+def update_watermarks(
+    spark: SparkSession,
+    control_path: str,
+    new_marks: DataFrame,
+) -> None:
+    """Advance LastETLDatetime per server (S5 upsert).
+
+    ``new_marks``: (ServerName, MaxETLDateTime). Servers absent from
+    new_marks keep their mark (empty extract ⇒ watermark untouched,
+    Invoke-SQLBackupHistoryETL.ps1:44-67). Marks only move forward.
+    """
+    current = read_source_servers(spark, control_path)
+    updated = (
+        current.join(F.broadcast(new_marks), "ServerName", "left")
+        .select(
+            "ServerName",
+            F.greatest(
+                F.col("LastETLDatetime"),
+                F.coalesce(F.col("MaxETLDateTime"), F.col("LastETLDatetime")),
+            ).alias("LastETLDatetime"),
+        )
+    )
+    _atomic_overwrite(spark, updated, control_path)
+
+
+def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write-to-temp + directory swap (cannot overwrite a path being read)."""
+    p = Path(path)
+    tmp = p.parent / f"_tmp_{p.name}_{uuid.uuid4().hex}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    if p.exists():
+        shutil.rmtree(p)
+    tmp.rename(p)

@@ -1,0 +1,52 @@
+"""End-to-end ETL run (SURVEY §3.1): extract → merge → watermark."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.plans.etl import run_etl
+from sqlbackuphistoryetl_spark.plans.watermark import init_source_servers, read_source_servers
+from sqlbackuphistoryetl_spark.sources.fixtures import raw_source_tables
+
+
+def test_run_etl_end_to_end(spark, tmp_path):
+    control = str(tmp_path / "control")
+    target = str(tmp_path / "consolidated")
+    sources = {"SQLNODE01": raw_source_tables(spark)}
+    init_source_servers(spark, control, ["SQLNODE01", "SQLNODE_DOWN"],
+                        initial_watermark=dt.datetime(2025, 1, 1, 9, 0))
+
+    r1 = run_etl(spark, sources, control, target)
+    assert r1.servers_ok == ["SQLNODE01"]
+    assert r1.servers_skipped == ["SQLNODE_DOWN"]
+    # watermark 09:00 − 5 min: picks up sets 1-3 (finish ≥ 08:55), not set 4
+    assert r1.rows_appended == 4  # 2 stripes + 1 log + 1 diff
+
+    marks = {r["ServerName"]: r["LastETLDatetime"]
+             for r in read_source_servers(spark, control).collect()}
+    assert marks["SQLNODE01"] == dt.datetime(2025, 1, 1, 12, 5)  # max finish
+    assert marks["SQLNODE_DOWN"] == dt.datetime(2025, 1, 1, 9, 0)  # untouched
+
+    # run 2: pure replay (watermark advanced, 5-min overlap) ⇒ no new rows
+    r2 = run_etl(spark, sources, control, target)
+    assert r2.rows_appended == 0
+    sink = spark.read.parquet(target)
+    assert sink.count() == 4
+    assert sink.select(F.max("LogID")).first()[0] >= 1
+    # loaded rows carry all 18 columns + LogID + partition col
+    assert "DBFileInformation" in sink.columns and "position" in sink.columns
+
+
+def test_empty_server_watermark_untouched(spark, tmp_path):
+    control = str(tmp_path / "control")
+    target = str(tmp_path / "consolidated")
+    sources = {"SQLNODE01": raw_source_tables(spark)}
+    # watermark in the future ⇒ extract yields nothing
+    init_source_servers(spark, control, ["SQLNODE01"],
+                        initial_watermark=dt.datetime(2030, 1, 1))
+    r = run_etl(spark, sources, control, target)
+    assert r.rows_appended == 0
+    marks = read_source_servers(spark, control).collect()
+    assert marks[0]["LastETLDatetime"] == dt.datetime(2030, 1, 1)

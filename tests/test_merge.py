@@ -1,0 +1,65 @@
+"""Idempotent merge sink (SURVEY S4/J6) + retention (S6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark import schema
+from sqlbackuphistoryetl_spark.operators.merge import idempotent_append
+from sqlbackuphistoryetl_spark.operators.retention import apply_retention
+from sqlbackuphistoryetl_spark.sources.fixtures import consolidated_rows
+
+
+def test_replay_inserts_zero_dups(spark, tmp_path):
+    target = str(tmp_path / "consolidated")
+    rows = consolidated_rows()
+    df = spark.createDataFrame(rows, schema.CONSOLIDATED)
+
+    n1 = idempotent_append(spark, df, target)
+    assert n1 == len(rows)
+
+    # full replay + an in-batch duplicate → zero new rows
+    replay = spark.createDataFrame(rows + [rows[0]], schema.CONSOLIDATED)
+    n2 = idempotent_append(spark, replay, target,
+                           overlap_start=dt.datetime(2025, 1, 1, 0, 0))
+    assert n2 == 0
+    assert spark.read.parquet(target).count() == len(rows)
+
+
+def test_partial_overlap_appends_only_new(spark, tmp_path):
+    target = str(tmp_path / "consolidated")
+    rows = consolidated_rows()
+    first, second = rows[:10], rows[8:]  # rows 8-9 overlap
+    idempotent_append(spark, spark.createDataFrame(first, schema.CONSOLIDATED), target)
+    n = idempotent_append(spark, spark.createDataFrame(second, schema.CONSOLIDATED), target,
+                          overlap_start=dt.datetime(2025, 1, 1, 0, 0))
+    assert n == len(second) - 2
+    total = spark.read.parquet(target)
+    assert total.count() == len(rows)
+    # key is unique in the sink
+    key_counts = total.groupBy(*schema.CONSOLIDATED_KEY).count().filter("count > 1")
+    assert key_counts.count() == 0
+
+
+def test_partitioned_by_backup_date(spark, tmp_path):
+    target = tmp_path / "consolidated"
+    df = spark.createDataFrame(consolidated_rows(), schema.CONSOLIDATED)
+    idempotent_append(spark, df, str(target))
+    assert (target / "backup_date=2025-01-01").exists()
+
+
+def test_retention_cleanup(spark, tmp_path):
+    target = str(tmp_path / "consolidated")
+    df = spark.createDataFrame(consolidated_rows(), schema.CONSOLIDATED)
+    idempotent_append(spark, df, target)
+
+    # "now" far in the future: cutoff = max(start) older than now-1d ⇒
+    # everything strictly before that max goes away
+    deleted = apply_retention(spark, target, retention_days=1,
+                              now=dt.datetime(2026, 1, 1))
+    remaining = spark.read.parquet(target)
+    max_start = remaining.agg(F.max("backup_start_date")).first()[0]
+    assert deleted > 0
+    assert remaining.filter(F.col("backup_start_date") < max_start).count() == 0
