@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query materializes fully through the noop sink (no driver-side
+collect cost, no disk write skew) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import __spark_entry__ as entry_mod
+from sqlbackuphistoryetl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "w1_latest_order_per_customer",
+    "w3_tail_two_patch",
+    "j1_region_revenue",
+    "j5_order_lines_json",
+    "j6_watermark_antijoin_dedup",
+    "a6_sorted_stringagg_per_group",
+    "u1_union_distinct_tail",
+    "hourly_event_rollup",
+    "dedup_exact",
+    "text_token_count",
+    "doc_fingerprint",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="sbh-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm-up: JVM/codegen/parquet-footer caches
+    _materialize(qs["a1_watermark_advance"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Near-duplicate detection at corpus scale.
+
+Four tiers, all expressed with JVM-side built-ins (no Python UDFs):
+
+- exact: md5 hash-groupBy (see __spark_entry__.dedup_exact).
+- MinHash + LSH banding: shingle → per-seed min-hash signature →
+  band-bucket join → candidate pairs. Cost is O(docs × shingles) map +
+  one shuffle per stage; the *pair* space is only materialized inside
+  LSH buckets, never the N² cross join.
+- SimHash: token-hash bit aggregation → bucket by bit-bands →
+  Hamming-distance filter via xor/bit_count.
+- exact n-gram Jaccard verification for candidate pairs (the precise
+  re-rank after the approximate recall stage).
+
+Scale notes: every stage is a groupBy/join on bounded keys; skew from
+a hot shingle/band is handled by AQE skew-join; signatures are fixed
+width (num_hashes longs) so shuffle rows are small and dense.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct k-char shingles per doc — computed via sequence+substring
+    (whole-stage codegen; no UDF)."""
+    n_pos = F.greatest(F.lit(1), F.length(text_col) - F.lit(k - 1))
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(F.col(text_col), i, k),
+        )
+    )
+    return df.select(F.col(id_col).alias("_id"), F.explode(shingle_arr).alias("_shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>): per-seed min over xxhash64(seed, shingle)."""
+    shingled = _char_shingles(df, text_col, id_col, shingle_len)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("_shingle"))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = shingled.groupBy("_id").agg(*mins)
+    return sigs.select(
+        "_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with the signature-estimated
+    Jaccard. Pairs only form inside an LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+
+    band_entries = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string"))
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate pairs (precise re-rank).
+
+    array_intersect/array_union on distinct n-gram sets — built-ins only;
+    the join fans each pair to its two docs' gram sets.
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tok = F.size(tokens)
+    grams = F.array_distinct(
+        F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+    gram_df = df.select(F.col(id_col).alias("_gid"), grams.alias("grams"))
+    a = gram_df.alias("ga")
+    b = gram_df.alias("gb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("ga._gid"))
+        .join(b, pairs["id_b"] == F.col("gb._gid"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ga.grams", "gb.grams")).cast("double")
+                / F.size(F.array_union("ga.grams", "gb.grams"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash long): sign-aggregated token-hash bits."""
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = tokens.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = reduce(
+        add,
+        [
+            F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return bit_sums.select("_id", packed.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on any identical bit-band, then
+    exact Hamming ≤ max_hamming via xor + bit_count."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    # bands unrolled statically — shiftright's shift amount must be a
+    # Python int, not a Column
+    banded = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k, queries broadcast against
+  the corpus — the correctness baseline. Dot products via
+  zip_with/aggregate (JVM higher-order functions, no Python).
+- ``rp_lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path.
+  Each vector gets a b-bit sign sketch from deterministic pseudo-random
+  hyperplanes; candidates only form inside matching buckets (optionally
+  multi-probe via band splits), then exact cosine re-ranks.
+
+Scale notes: brute force is O(Q × N) — fine for small Q (broadcast),
+never for Q ≈ N. The LSH variant's shuffle is O(N × bands) rows of
+(id, bucket) — linear, and the per-bucket candidate join is bounded by
+bucket occupancy; skewed buckets are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+def with_cosine(df: DataFrame, left_vec: str, right_vec: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out,
+        _dot(F.col(left_vec), F.col(right_vec))
+        / (_norm(F.col(left_vec)) * _norm(F.col(right_vec))),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine, self excluded).
+
+    Output: query_id, neighbor_id, cosine, rank — deterministic
+    tie-break by neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec"))
+                    / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _rp_sketch(vec, planes: int, dims: int):
+    """b-bit random-hyperplane sign sketch. Plane weights are the
+    deterministic hash h(plane, dim) mapped to [-1, 1] — reproducible
+    across executors with zero data movement."""
+    def weight(p: int, d):
+        h = F.xxhash64(F.lit(p), d)
+        return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
+
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda x, d: (x.cast("double") * weight(p, d)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    band_bits: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one sketch band,
+    exact cosine re-ranks within candidates."""
+    n_bands = planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df, id_alias, vec_alias):
+        sk = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            _rp_sketch(F.col(vec_col), planes, dims).alias("sketch"),
+        )
+        # bands unrolled statically — shiftright needs an int shift amount
+        return sk.select(
+            id_alias,
+            vec_alias,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sketch", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_alias, vec_alias, "bb.band", "bb.bucket")
+
+    qb = banded(queries, "query_id", "q_vec")
+    cb = banded(corpus, "neighbor_id", "c_vec")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    band_bits: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) above a
+    threshold, via the same LSH bucketing (never N²)."""
+    pairs = rp_lsh_topk(
+        corpus, corpus, k=1_000_000, id_col=id_col, vec_col=vec_col,
+        planes=planes, band_bits=band_bits, dims=dims,
+    )
+    return (
+        pairs.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+    )

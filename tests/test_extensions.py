@@ -1,0 +1,105 @@
+"""Quality sanity checks for the training-data-pipeline extensions —
+not just 'runs', but 'finds what it must find'."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_verify,
+    simhash_buckets,
+)
+from sqlbackuphistoryetl_spark.extensions.multimodal import (
+    decode_image,
+    extract_payload_metadata,
+)
+from sqlbackuphistoryetl_spark.extensions.similarity import (
+    brute_force_topk,
+    rp_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "yet another unrelated document mentioning databases and backups"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_dups_not_unrelated(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(docs, min_est_jaccard=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0  # exact dup: identical signatures
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_verify(spark, docs):
+    cand = minhash_lsh_candidates(docs, min_est_jaccard=0.3)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_verify(docs, cand).collect()}
+    assert verified[(1, 2)] == 1.0
+    if (1, 3) in verified:
+        assert 0.5 < verified[(1, 3)] < 1.0
+
+
+def test_simhash_buckets(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_buckets(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: distance 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # nearest to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+        (5, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    out = brute_force_topk(vectors, q, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 5, 3]
+    assert out[0]["cosine"] == pytest.approx(0.99 / (0.99**2 + 0.01) ** 0.5, rel=1e-6)
+
+
+def test_rp_lsh_recalls_close_neighbor(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    out = rp_lsh_topk(vectors, q, k=2, planes=16, band_bits=4, dims=4).collect()
+    # near-identical vectors share sketch bands with overwhelming odds
+    assert out and out[0]["neighbor_id"] == 2
+
+
+def test_multimodal_metadata_plumbing(spark):
+    import hashlib
+
+    rows = [(1, b"hello world", "text/plain"), (2, None, "image/png"),
+            (3, b"\x89PNG...", "image/png")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload", "content_type"])
+    out = {r["doc_id"]: r for r in extract_payload_metadata(df).collect()}
+    assert out[1]["byte_len"] == 11
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert out[1]["decode_status"] == "ok"
+    assert out[2]["byte_len"] is None and out[2]["sha256"] is None
+    assert out[3]["decode_status"] == "stubbed"
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
