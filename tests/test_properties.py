@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY §5.4): generated LSN chains → the
+planner's invariants must hold for ANY valid history."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sqlbackuphistoryetl_spark import schema
+from sqlbackuphistoryetl_spark.plans.chain_all import restore_plan_all
+
+B = Decimal(10) ** 22
+T0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+
+
+@st.composite
+def backup_history(draw):
+    """A random but VALID chain for one database: Full at LSN 0, then a
+    random mix of fulls/diffs/contiguous logs; random stripe counts."""
+    rows = []
+    log_id = 1
+    # One LSN stream (the database's). Fulls/diffs snapshot the stream's
+    # current position WITHOUT breaking the log chain: each log backup
+    # spans [previous log's end, current position] — contiguous with the
+    # previous LOG even when fulls/diffs happened in between (SQL Server
+    # semantics: only log backups consume the log).
+    lsn = 0            # stream position (advances on every event)
+    log_chain_end = 0  # end of the last log backup
+    last_full_lsn = None
+    t = T0
+    n_events = draw(st.integers(min_value=1, max_value=14))
+    for _ in range(n_events):
+        kind = draw(st.sampled_from(["Full", "Diff", "Log", "Log", "Log"]))
+        if last_full_lsn is None:
+            kind = "Full"
+        stripes = draw(st.integers(min_value=1, max_value=3))
+        copy_only = kind == "Full" and draw(st.booleans()) and last_full_lsn is not None
+        t += dt.timedelta(minutes=draw(st.integers(min_value=5, max_value=120)))
+        lsn += draw(st.integers(min_value=1, max_value=40))
+        if kind == "Full":
+            first, last = max(0, lsn - 5), lsn
+            if not copy_only:
+                last_full_lsn = last
+        elif kind == "Diff":
+            first, last = last_full_lsn, lsn
+        else:
+            first, last = log_chain_end, lsn
+            log_chain_end = lsn
+        for s in range(stripes):
+            rows.append(
+                dict(
+                    LogID=log_id,
+                    database_name="dbX",
+                    BackupType=kind,
+                    physical_device_name=f"X:\\bk\\{kind}_{last}_{s}.bak",
+                    backup_start_date=t,
+                    backup_finish_date=t + dt.timedelta(minutes=2),
+                    server_name="SRV1",
+                    ag_name=None,
+                    recovery_model="FULL",
+                    first_lsn=B + first,
+                    last_lsn=B + last,
+                    UncompressedSizeMB=10,
+                    CompressedSizeMB=5,
+                    is_copy_only=copy_only,
+                    encryptor_type=None,
+                    key_algorithm=None,
+                    device_type=2,
+                    position=1,
+                    DBFileInformation=None,
+                )
+            )
+            log_id += 1
+    pit = T0 + dt.timedelta(minutes=draw(st.integers(min_value=30, max_value=2000)))
+    return rows, pit
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(backup_history())
+def test_restore_plan_invariants(spark, case):
+    rows, pit = case
+    hist = spark.createDataFrame(rows, schema.CONSOLIDATED)
+    fulls_before = [
+        r for r in rows
+        if r["BackupType"] == "Full" and r["backup_start_date"] <= pit
+    ]
+    plan = restore_plan_all(hist, pit).orderBy("seq").collect()
+
+    if not fulls_before:
+        assert plan == []
+        return
+    assert plan, "a full exists before PIT ⇒ plan must not be empty"
+
+    # starts with a Full, then ≤1 Diff, then Logs
+    kinds = [r["BackupType"] for r in plan]
+    assert kinds[0] == "Full"
+    assert kinds.count("Full") == 1
+    assert kinds.count("Diff") <= 1
+    if "Diff" in kinds:
+        assert kinds[1] == "Diff"
+
+    # LSNs strictly increase along the chain; each step starts at or
+    # before the previous step's end (restorability)
+    lsns = [r["last_lsn"] for r in plan]
+    assert lsns == sorted(lsns) and len(set(lsns)) == len(lsns)
+    for prev, cur in zip(plan, plan[1:]):
+        assert cur["first_lsn"] <= prev["last_lsn"]
+        assert cur["last_lsn"] > prev["last_lsn"]
+
+    # the chosen full is the LATEST eligible one
+    best_full = max(r["last_lsn"] for r in fulls_before)
+    assert plan[0]["last_lsn"] == best_full
+
+    # logs cover through the PIT when log backups continue past it:
+    # at most one plan log STARTS after the PIT (the tail)
+    post_pit_logs = [
+        r for r in plan
+        if r["BackupType"] == "Log" and r["backup_start_date"] > pit
+    ]
+    assert len(post_pit_logs) <= 1

@@ -1,0 +1,87 @@
+"""Structured Streaming ingest variant (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from sqlbackuphistoryetl_spark import schema
+from sqlbackuphistoryetl_spark.sources.fixtures import consolidated_rows
+from sqlbackuphistoryetl_spark.streaming.ingest import (
+    stream_ingest,
+    streaming_backup_rollup,
+)
+
+# streaming source schema = consolidated with LogID already assigned
+STREAM_SCHEMA = schema.CONSOLIDATED
+
+
+def _write_landing(spark, rows, path, fname):
+    spark.createDataFrame(rows, STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_ingest_dedups_replay(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "consolidated")
+    ckpt = str(tmp_path / "ckpt")
+    rows = consolidated_rows()
+
+    # Watermark delay must tolerate cross-server event-time skew: the
+    # fixture's AG rows are hours "behind" db_sa1's — with the default
+    # 5-minute delay they'd be (correctly) discarded as late data.
+    delay = "30 days"
+
+    # batch 1: first 10 rows
+    _write_landing(spark, rows[:10], landing, "b1")
+    q = stream_ingest(spark, landing, target, ckpt, STREAM_SCHEMA, watermark_delay=delay)
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(target).count() == 10
+
+    # batch 2: overlap (rows 8-9 again) + the rest + an in-batch dup
+    _write_landing(spark, rows[8:] + [rows[8]], landing, "b2")
+    q = stream_ingest(spark, landing, target, ckpt, STREAM_SCHEMA, watermark_delay=delay)
+    q.awaitTermination(120)
+
+    sink = spark.read.parquet(target)
+    assert sink.count() == len(rows)
+    dups = sink.groupBy(*schema.CONSOLIDATED_KEY).count().filter("count > 1")
+    assert dups.count() == 0
+
+
+def test_streaming_rollup_memory_sink(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_landing(spark, consolidated_rows(), landing, "b1")
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(landing)
+    rollup = streaming_backup_rollup(stream, window_duration="1 hour")
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; finalize by checking the
+    # aggregation shape instead on a complete-mode run
+    q2 = (
+        streaming_backup_rollup(
+            spark.readStream.schema(STREAM_SCHEMA).parquet(landing)
+        )
+        .writeStream.format("memory")
+        .queryName("rollup_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    out = spark.sql("select * from rollup_complete").collect()
+    assert out
+    full_hours = {
+        (r["window_start"].hour, r["BackupType"]): r["n_backups"] for r in out
+        if r["server_name"] == "SQLNODE01"
+    }
+    # hour 0 holds the two F1 stripes
+    assert full_hours[(0, "Full")] == 2
