@@ -645,7 +645,124 @@ from events group by 1, 2
 """
 
 
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenization counts (letter runs / digit runs /
+    single punctuation) alongside whitespace tokens."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        bpe_token_count,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+BPE_SQL = r"""
+select doc_id,
+       len(regexp_extract_all(text, '\S+')) as ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bpe_tokens
+from documents
+"""
+
+
+def lang_id_multi(spark, sf_dir):
+    """Multi-language stopword argmax vs the labeled lang column —
+    confusion counts per (truth, prediction)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import predicted_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_MULTI_SQL = r"""
+with hits as (
+  select lang,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in)\b')) as h_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) as h_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) as h_fr,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|en)\b')) as h_es
+  from documents
+)
+select lang,
+       case when h_en > 0 and h_en >= greatest(h_en, h_de, h_fr, h_es) then 'en'
+            when h_de > 0 and h_de >= greatest(h_en, h_de, h_fr, h_es) then 'de'
+            when h_fr > 0 and h_fr >= greatest(h_en, h_de, h_fr, h_es) then 'fr'
+            when h_es > 0 and h_es >= greatest(h_en, h_de, h_fr, h_es) then 'es'
+            else 'other' end as predicted,
+       count(*) as n_docs
+from hits
+group by 1, 2
+"""
+
+
+def p9_fallback_probe(spark, sf_dir):
+    """P9/U2: rowcount-branch fallback — primary filter matches nothing,
+    engine falls back to the alternate predicate (server→AG shape)."""
+    from sqlbackuphistoryetl_spark.operators.fallback import filter_with_fallback
+
+    c = _t(spark, sf_dir, "customer")
+    picked = filter_with_fallback(
+        lambda cond: c.filter(cond),
+        F.col("c_mktsegment") == "NO_SUCH_SEGMENT",
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    return picked.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+P9_SQL = """
+with p as (select * from customer where c_mktsegment = 'NO_SUCH_SEGMENT'),
+     f as (select * from customer where c_mktsegment = 'BUILDING'),
+     chosen as (select * from p
+                union all
+                select * from f where not exists (select 1 from p))
+select c_mktsegment, count(*) as n_rows from chosen group by c_mktsegment
+"""
+
+
+def o5_top2_desc(spark, sf_dir):
+    """O5/W3: TOP(2) ... ORDER BY DESC (the STOPAT target selection)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(2)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+O5_SQL = """
+select o_orderkey, o_orderdate from orders
+order by o_orderdate desc, o_orderkey desc limit 2
+"""
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible)
+
+
+def winnowing_overlap_pairs(spark, sf_dir):
+    """Winnowing-sketch overlap: doc pairs sharing >= 40 fingerprints
+    (position-robust near-dup; threshold sized for the tiny-vocabulary
+    synthetic corpus, where random 7-gram collisions are common).
+    Rolling hashes aren't cross-engine comparable ⇒ rows-only."""
+    from sqlbackuphistoryetl_spark.functions.textfns import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 40)
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -713,8 +830,13 @@ _ORACLES: dict[str, str | None] = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "hourly_event_rollup": HOURLY_SQL,
+    "text_bpe_token_count": BPE_SQL,
+    "lang_id_multi": LANG_MULTI_SQL,
+    "p9_fallback_probe": P9_SQL,
+    "o5_top2_desc": O5_SQL,
     # rows-only (non-SQL-expressible; driver records weaker check):
     "dedup_minhash_lsh": None,
+    "winnowing_overlap_pairs": None,
     "dedup_simhash": None,
     "embedding_cosine_topk": None,
     "multimodal_metadata": None,
@@ -750,6 +872,11 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "hourly_event_rollup": hourly_event_rollup,
+    "text_bpe_token_count": text_bpe_token_count,
+    "lang_id_multi": lang_id_multi,
+    "p9_fallback_probe": p9_fallback_probe,
+    "o5_top2_desc": o5_top2_desc,
+    "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,

@@ -1,0 +1,112 @@
+"""Text-analysis column functions for the training-data pipeline
+(BASELINE.json north star). All JVM-side built-ins except where noted;
+each returns a Column usable in any select/agg.
+
+- token counting: whitespace tokens + a BPE-ish regex segmentation
+- quality scoring: length / punctuation / stopword ratios
+- language ID: per-language stopword hit counts + argmax
+- fingerprinting: normalized md5 + winnowing (k-gram rolling hash with
+  window-min sampling — the MOSS sketch)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "en"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"\S+"), F.lit(0)))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"[^\w\s]"), F.lit(0)))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    words = "|".join(STOPWORDS[lang])
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(text)), F.lit(rf"\b({words})\b"), F.lit(0))
+    )
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """Argmax over per-language stopword hits; deterministic priority
+    order (en, de, fr, es) on ties; 'other' when nothing hits."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("other")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column | str) -> list[Column]:
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(t)
+    n_nonspace = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_nonspace.cast("double") / n_tokens).alias("avg_word_len"),
+        (punct_count(t).cast("double") / n_chars).alias("punct_ratio"),
+        (stopword_hits(t, "en").cast("double") / n_tokens).alias("stopword_ratio"),
+    ]
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """md5 of lowercase, whitespace-collapsed text (exact-dup key)."""
+    return F.md5(F.lower(F.regexp_replace(_c(text), r"\s+", " ")))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document sketch (k-gram rolling hashes, min per sliding
+    window, distinct): (id, fingerprint long) rows. Any shared
+    fingerprint between two docs witnesses a shared k-gram run —
+    position-robust near-dup/plagiarism detection.
+
+    Built-ins only: sequence/transform for the gram hashes, slice +
+    array_min for the windows. Non-SQL-expressible cross-engine (hash
+    algorithms differ) ⇒ rows-only in the oracle gate.
+    """
+    t = F.col(text_col)
+    n_grams = F.greatest(F.lit(1), F.length(t) - F.lit(k - 1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(t, i, k))
+    )
+    n_windows = F.greatest(F.lit(1), F.size(gram_hashes) - F.lit(window - 1))
+    sketch = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(sketch).alias("fingerprint")
+    )
