@@ -159,6 +159,46 @@ def _move_clause(
     return ", \n".join(clauses)
 
 
+#: @Help output (sql:449-480) — parameter docs as data, per the reference.
+RESTORE_SCRIPT_HELP: list[dict[str, object]] = [
+    dict(ID=1, ProcParameters="source_db", Description="Name of source database",
+         IsRequired=True, Example="'MyDB1'", AdditionalInfo="Required parameter"),
+    dict(ID=2, ProcParameters="destination_db", Description="Name of destination database",
+         IsRequired=False, Example="'MyDB1_Restored'",
+         AdditionalInfo="Optional. Defaults to source_db if not provided"),
+    dict(ID=3, ProcParameters="source_db_server",
+         Description="Source machine name. Use if source database is standalone.",
+         IsRequired=True, Example="'SQLQA01'",
+         AdditionalInfo="Provide only one of source_db_server / source_ag_name"),
+    dict(ID=4, ProcParameters="source_ag_name",
+         Description="Source Availability Group name. Use if source database is part of an AG.",
+         IsRequired=True, Example="'AG01'",
+         AdditionalInfo="Provide only one of source_db_server / source_ag_name"),
+    dict(ID=5, ProcParameters="restore_to_time", Description="Restore to point in time",
+         IsRequired=False, Example="'2022-04-27 22:19:20'",
+         AdditionalInfo="Defaults to current UTC time"),
+    dict(ID=6, ProcParameters="restore_data_path",
+         Description="Data path to restore all data files", IsRequired=False,
+         Example="'X:\\MSSQL\\DATA'",
+         AdditionalInfo="Defaults to the data path found in the backup file"),
+    dict(ID=7, ProcParameters="restore_log_path",
+         Description="Log path to restore all log files", IsRequired=False,
+         Example="'Y:\\MSSQL\\LOG'",
+         AdditionalInfo="Defaults to the log path found in the backup file"),
+    dict(ID=8, ProcParameters="file_name_prefix",
+         Description="Prefix added to all restored physical files", IsRequired=False,
+         Example="'Restored_'",
+         AdditionalInfo="Renames MyDBData01.mdf to Restored_MyDBData01.mdf"),
+    dict(ID=9, ProcParameters="help", Description="Return this help table",
+         IsRequired=False, Example="True",
+         AdditionalInfo="Only returns help, does not generate any scripts"),
+]
+
+
+def restore_script_help() -> list[dict[str, object]]:
+    return [dict(r) for r in RESTORE_SCRIPT_HELP]
+
+
 def generate_restore_script(
     consolidated: DataFrame,
     source_db: str,
@@ -169,7 +209,10 @@ def generate_restore_script(
     restore_data_path: str | None = None,
     restore_log_path: str | None = None,
     file_name_prefix: str | None = None,
-) -> RestoreScript:
+    help: bool = False,  # noqa: A002 — mirrors the proc's @Help param
+) -> RestoreScript | list[dict[str, object]]:
+    if help:  # short-circuit before any validation, like the proc (sql:449-480)
+        return restore_script_help()
     if not source_db:
         raise ValueError("Please provide a valid source_db")
     if (source_db_server is None) == (source_ag_name is None):

@@ -126,3 +126,12 @@ def test_to_script_sections(consolidated):
     assert "INITIAL FULL BACKUP RESTORE COMMAND" in text
     assert "DIFF BACKUP RESTORE COMMAND" in text
     assert "LOG BACKUP RESTORE COMMAND" in text
+
+
+def test_help_short_circuits(consolidated):
+    from sqlbackuphistoryetl_spark.plans.restore_script import generate_restore_script
+
+    out = generate_restore_script(consolidated, "", help=True)
+    assert isinstance(out, list) and len(out) == 9
+    assert out[0]["ProcParameters"] == "source_db"
+    assert all({"ID", "Description", "IsRequired", "Example"} <= set(r) for r in out)
