@@ -743,6 +743,157 @@ order by o_orderdate desc, o_orderkey desc limit 2
 """
 
 
+def p3_decimal_lsn_range(spark, sf_dir):
+    """P3: exact range predicate over DECIMAL(25,0) LSN-style keys
+    (sql:225,311,865) — synthesized from integer keys so both engines
+    compute the identical exact decimal."""
+    o = _t(spark, sf_dir, "orders")
+    lsn = (
+        F.col("o_orderkey").cast("decimal(25,0)") * F.lit(1_000_000_000)
+        + F.col("o_custkey")
+    ).cast("decimal(25,0)")
+    return (
+        o.select(lsn.alias("lsn"))
+        .filter(F.col("lsn") > F.lit(3_000_000_000_000_000).cast("decimal(25,0)"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    )
+
+
+P3_SQL = """
+with lsns as (
+  select (o_orderkey::decimal(25,0) * 1000000000 + o_custkey)::decimal(25,0) as lsn
+  from orders)
+select count(*) as n_rows, min(lsn) as min_lsn, max(lsn) as max_lsn
+from lsns where lsn > 3000000000000000::decimal(25,0)
+"""
+
+
+def o1_ordered_chain_page(spark, sf_dir):
+    """O1: ORDER BY asc restore-sequence + page limit (sql:264,1259) —
+    the limit makes ordering semantically visible to the hash gate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+O1_SQL = """
+select o_orderkey, o_orderdate, o_totalprice from orders
+order by o_orderdate, o_orderkey limit 100
+"""
+
+
+def o3_top1_scalar(spark, sf_dir):
+    """O3: TOP(1) scalar pick — first row's value into a variable
+    (sql:719-721,832-833)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_shipdate").desc(), F.col("l_orderkey").desc(),
+                   F.col("l_linenumber").desc())
+        .limit(1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+O3_SQL = """
+select l_orderkey, l_linenumber, l_shipdate from lineitem
+order by l_shipdate desc, l_orderkey desc, l_linenumber desc limit 1
+"""
+
+
+def a2_nonempty_guard(spark, sf_dir):
+    """A2/P10: emptiness guard — `if exists (select top 1 ...)`
+    (sql:674,971; Invoke-SQLBackupHistoryETL.ps1:44)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").agg(
+        (F.count(F.lit(1)) > 0).alias("has_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A2_SQL = """
+select count(*) > 0 as has_rows, count(*) as n_rows
+from events where event_type = 'purchase'
+"""
+
+
+def a5_minmax_loop_bounds(spark, sf_dir):
+    """A5: MIN/MAX loop bounds over the restore sequence
+    (sql:1283-1288)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "click").agg(
+        F.min("event_id").alias("lo_id"), F.max("event_id").alias("hi_id")
+    )
+
+
+A5_SQL = """
+select min(event_id) as lo_id, max(event_id) as hi_id
+from events where event_type = 'click'
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard pairs (bounded id slice — the precise
+    verify stage of the near-dup pipeline, extensions.dedup). At scale
+    the pair space comes from LSH candidates, never an id-slice cross
+    join; the slice keeps the oracle N² bounded."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ids = docs.select(F.col("doc_id").alias("_gid"))
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(b, F.col("a._gid") < F.col("b._gid")).select(
+        F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b")
+    )
+    scored = ngram_jaccard_verify(docs, pairs, text_col="text", id_col="doc_id")
+    return scored.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.05)
+
+
+NGRAM_JACCARD_SQL = r"""
+with toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 500),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks)
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(len(list_intersect(a.g, b.g))::double
+             / len(list_distinct(list_cat(a.g, b.g))), 6) as jaccard
+from grams a join grams b on a.doc_id < b.doc_id
+where round(len(list_intersect(a.g, b.g))::double
+            / len(list_distinct(list_cat(a.g, b.g))), 6) >= 0.05
+"""
+
+
+EMBEDDING_TOPK_SQL = """
+with q as (select vec_id as query_id, embedding as q_vec
+           from embeddings where vec_id < 10),
+scored as (
+  select q.query_id, c.vec_id as neighbor_id,
+         list_cosine_similarity(q.q_vec::double[], c.embedding::double[]) as cos_full
+  from q, embeddings c where c.vec_id <> q.query_id),
+ranked as (
+  select query_id, neighbor_id, cos_full,
+         row_number() over (partition by query_id
+                            order by cos_full desc, neighbor_id) as rank
+  from scored)
+select query_id, neighbor_id, round(cos_full, 6) as cosine, rank
+from ranked where rank <= 5
+"""
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible)
 
 
@@ -780,11 +931,39 @@ def dedup_simhash(spark, sf_dir):
 
 
 def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline). Cosine rounded to
+    6 dp on both sides: rank uses full precision (identical IEEE ops on
+    identical inputs), output is rounded so the value-hash is stable."""
     from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH bucketing (the
+    100 TB scale path; recall < 1 by design ⇒ rows-only)."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return rp_lsh_topk(emb, queries, k=5)
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a threshold via LSH
+    bucketing (never N²); approximate recall ⇒ rows-only."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold sized to the synthetic corpus (max pairwise cosine ≈ 0.49);
+    # 4-bit bands: per-band collision p ≈ (1-θ/π)^4 keeps recall usable
+    # at moderate similarity.
+    return embedding_near_dup_pairs(emb, threshold=0.35, band_bits=4)
 
 
 def multimodal_metadata(spark, sf_dir):
@@ -834,11 +1013,19 @@ _ORACLES: dict[str, str | None] = {
     "lang_id_multi": LANG_MULTI_SQL,
     "p9_fallback_probe": P9_SQL,
     "o5_top2_desc": O5_SQL,
+    "p3_decimal_lsn_range": P3_SQL,
+    "o1_ordered_chain_page": O1_SQL,
+    "o3_top1_scalar": O3_SQL,
+    "a2_nonempty_guard": A2_SQL,
+    "a5_minmax_loop_bounds": A5_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
     # rows-only (non-SQL-expressible; driver records weaker check):
     "dedup_minhash_lsh": None,
     "winnowing_overlap_pairs": None,
     "dedup_simhash": None,
-    "embedding_cosine_topk": None,
+    "ann_lsh_topk": None,
+    "embedding_near_dup": None,
     "multimodal_metadata": None,
 }
 
@@ -876,10 +1063,18 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_multi": lang_id_multi,
     "p9_fallback_probe": p9_fallback_probe,
     "o5_top2_desc": o5_top2_desc,
+    "p3_decimal_lsn_range": p3_decimal_lsn_range,
+    "o1_ordered_chain_page": o1_ordered_chain_page,
+    "o3_top1_scalar": o3_top1_scalar,
+    "a2_nonempty_guard": a2_nonempty_guard,
+    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
 }
 
