@@ -977,6 +977,40 @@ def multimodal_metadata(spark, sf_dir):
     return extract_payload_metadata(payloads)
 
 
+def multimodal_featurize_ann(spark, sf_dir):
+    """Opaque-payload → deterministic-fake features (mapInPandas, Arrow
+    batches) → brute-force cosine top-3: the multimodal column pipeline
+    feeding similarity search. Python-side fake decode ⇒ rows-only."""
+    from sqlbackuphistoryetl_spark.extensions.multimodal import decode_and_featurize
+    from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"),
+        F.lit("image/png").alias("content_type"),
+    )
+    feats = decode_and_featurize(payloads, feature_dim=16)
+    queries = feats.filter(F.col("doc_id") < 5)
+    return brute_force_topk(feats, queries, k=3, id_col="doc_id", vec_col="feature")
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style 1→N frame fan-out inside mapInPandas (no shuffle, no
+    driver). Deterministic fake frames ⇒ rows-only."""
+    from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("content_type"),
+    )
+    frames = sample_frames(payloads, frame_size=64, stride=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("n_frames").alias("n_frames"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -1027,6 +1061,8 @@ _ORACLES: dict[str, str | None] = {
     "ann_lsh_topk": None,
     "embedding_near_dup": None,
     "multimodal_metadata": None,
+    "multimodal_featurize_ann": None,
+    "multimodal_frame_sample": None,
 }
 
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1076,6 +1112,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
+    "multimodal_featurize_ann": multimodal_featurize_ann,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 

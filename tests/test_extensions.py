@@ -103,3 +103,54 @@ def test_multimodal_metadata_plumbing(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_decode_and_featurize_shape_and_determinism(spark):
+    from sqlbackuphistoryetl_spark.extensions.multimodal import decode_and_featurize
+
+    rows = [(1, b"frame-data-a", "image/png"), (2, b"frame-data-b", "image/png"),
+            (3, None, "image/png")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload", "content_type"])
+    out = {r["doc_id"]: r for r in decode_and_featurize(df, feature_dim=16).collect()}
+    assert len(out[1]["feature"]) == 16
+    assert all(-1.0 <= v <= 1.0 for v in out[1]["feature"])
+    assert out[1]["feature"] != out[2]["feature"]  # payload-dependent
+    assert out[3]["feature"] is None
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in decode_and_featurize(df, feature_dim=16).collect()}
+    assert again[1]["feature"] == out[1]["feature"]
+
+
+def test_featurize_feeds_similarity_search(spark):
+    from sqlbackuphistoryetl_spark.extensions.multimodal import decode_and_featurize
+    from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
+
+    rows = [(i, f"payload-{i}".encode(), "image/png") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "payload", "content_type"])
+    feats = decode_and_featurize(df, feature_dim=8).select(
+        "doc_id", "feature"
+    )
+    out = brute_force_topk(feats, feats.limit(2), k=3, id_col="doc_id", vec_col="feature")
+    assert out.count() == 6  # 2 queries x top-3
+
+
+def test_sample_frames_fanout(spark):
+    from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 2  # 512 bytes -> 8 frames of 64
+    df = spark.createDataFrame(
+        [(7, payload, "video/mp4"), (8, None, "video/mp4")],
+        ["doc_id", "payload", "content_type"],
+    )
+    out = sample_frames(df, frame_size=64, stride=2).collect()
+    by_idx = {r["frame_index"]: r for r in out}
+    assert sorted(by_idx) == [0, 2, 4, 6]  # every 2nd of 8 frames
+    assert all(r["doc_id"] == 7 and r["n_frames"] == 8 for r in out)
+    assert by_idx[2]["frame_bytes"] == payload[128:192]
+
+
+def test_resize_image_is_stubbed():
+    from sqlbackuphistoryetl_spark.extensions.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 64, 64)

@@ -85,3 +85,54 @@ def test_streaming_rollup_memory_sink(spark, tmp_path):
     }
     # hour 0 holds the two F1 stripes
     assert full_hours[(0, "Full")] == 2
+
+
+def test_stateful_chain_tracker_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state (chain head per database) must carry
+    across micro-batches; a log whose first_lsn jumps past the head is a
+    gap."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from sqlbackuphistoryetl_spark.streaming.stateful import track_chain_state
+
+    landing = str(tmp_path / "landing")
+
+    def row(kind, first, last, minute):
+        base = {f.name: None for f in STREAM_SCHEMA.fields}
+        base.update(
+            LogID=first,
+            database_name="db1",
+            BackupType=kind,
+            physical_device_name=f"X:\\b\\{first}.bak",
+            backup_start_date=dt.datetime(2025, 1, 1, 0, minute),
+            backup_finish_date=dt.datetime(2025, 1, 1, 0, minute, 30),
+            server_name="S1",
+            first_lsn=Decimal(first),
+            last_lsn=Decimal(last),
+        )
+        return tuple(base[f.name] for f in STREAM_SCHEMA.fields)
+
+    # batch file 1: Full anchors at 100, log 100->200
+    _write_landing(spark, [row("Full", 1, 100, 1), row("Log", 100, 200, 2)], landing, "b1")
+    # batch file 2: log 200->300 (ok), then gap: log 450->500
+    _write_landing(spark, [row("Log", 200, 300, 3), row("Log", 450, 500, 4)], landing, "b2")
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        track_chain_state(stream)
+        .writeStream.format("memory")
+        .queryName("chain_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from chain_state order by events_seen").collect()
+    assert [r["status"] for r in out] == ["anchor", "ok", "ok", "gap"]
+    assert out[-1]["chain_head"] == "500"
+    assert out[-1]["events_seen"] == 4  # state survived the batch boundary
