@@ -839,19 +839,14 @@ from events where event_type = 'click'
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact token-3-gram Jaccard pairs (bounded id slice — the precise
-    verify stage of the near-dup pipeline, extensions.dedup). At scale
-    the pair space comes from LSH candidates, never an id-slice cross
-    join; the slice keeps the oracle N² bounded."""
-    from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_verify
+    """Exact token-3-gram Jaccard pairs via the inverted-index
+    formulation (extensions.dedup.ngram_jaccard_all_pairs): pairs only
+    form through a shared gram, never an N² cross join. The id slice
+    bounds the DuckDB oracle's N² comparison."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_all_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    ids = docs.select(F.col("doc_id").alias("_gid"))
-    a, b = ids.alias("a"), ids.alias("b")
-    pairs = a.join(b, F.col("a._gid") < F.col("b._gid")).select(
-        F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b")
-    )
-    scored = ngram_jaccard_verify(docs, pairs, text_col="text", id_col="doc_id")
+    scored = ngram_jaccard_all_pairs(docs, text_col="text", id_col="doc_id")
     return scored.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.05)

@@ -34,7 +34,10 @@ HEADLINE = [
     "text_token_count",
     "doc_fingerprint",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "embedding_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -150,18 +150,7 @@ def ngram_jaccard_verify(
     array_intersect/array_union on distinct n-gram sets — built-ins only;
     the join fans each pair to its two docs' gram sets.
     """
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
-    n_tok = F.size(tokens)
-    grams = F.array_distinct(
-        F.when(
-            n_tok >= n,
-            F.transform(
-                F.sequence(F.lit(0), n_tok - n),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
-    )
-    gram_df = df.select(F.col(id_col).alias("_gid"), grams.alias("grams"))
+    gram_df = _gram_sets(df, text_col, id_col, n)
     a = gram_df.alias("ga")
     b = gram_df.alias("gb")
     return (
@@ -176,6 +165,78 @@ def ngram_jaccard_verify(
             ).alias("jaccard"),
         )
     )
+
+
+def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, grams array<string>): distinct lowercase token n-grams."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(tokens)
+    grams = F.array_distinct(
+        F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+    return df.select(F.col(id_col).alias("_gid"), grams.alias("grams"))
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 gram — inverted-
+    index formulation: explode grams, equi-join on the gram, count
+    shared grams per pair, then |A∩B|/(|A|+|B|-|A∩B|).
+
+    Scale: never ships gram arrays through the pair join and never forms
+    zero-overlap pairs — the join is an equi-join on the gram value, so
+    work is Σ_g df(g)², concentrated on hot grams (AQE skew-split), not
+    N². Pairs with no shared gram have jaccard 0 and are (correctly)
+    absent; callers wanting them use min_jaccard=0 semantics downstream.
+    """
+    # Persist the narrow (id, gram) posting list: three subplans consume
+    # it (both join sides + sizes) and without a materialization barrier
+    # each re-runs tokenize→gram — measured 15× slower at sf0.1. The
+    # posting list is the dataset's distinct-gram mass; MEMORY_AND_DISK
+    # spills gracefully when a big corpus exceeds executor memory (at
+    # real 100 TB scale, stage it to a temp table instead).
+    from pyspark import StorageLevel
+
+    posting = (
+        _gram_sets(df, text_col, id_col, n)
+        .select("_gid", F.explode("grams").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = posting.alias("a"), posting.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
+        .groupBy(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_gid").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("_gid").alias("id_b"), F.col("n_grams").alias("nb"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def simhash_signatures(
