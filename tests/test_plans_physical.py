@@ -79,3 +79,70 @@ def test_chain_scan_prunes_partitions(spark, tmp_path):
     plan = _explain(pruned)
     assert "PartitionFilters" in plan
     assert "backup_date" in plan.split("PartitionFilters")[1][:300]
+
+
+def _docs(spark):
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta") for i in range(50)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_plan_no_cartesian(spark):
+    """The inverted-index all-pairs jaccard must never plan an N² join:
+    pairs form only through the gram equi-join, and the posting list is
+    a persisted (reused) subplan."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_all_pairs
+
+    df = ngram_jaccard_all_pairs(_docs(spark), text_col="text", id_col="doc_id")
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # posting list materialized once
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_lsh_plan_no_cartesian(spark):
+    from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_candidates
+
+    df = minhash_lsh_candidates(_docs(spark), text_col="text", id_col="doc_id")
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # band join is an equi-join
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_plan_no_cartesian(spark):
+    from sqlbackuphistoryetl_spark.extensions.dedup import simhash_buckets
+
+    df = simhash_buckets(_docs(spark), text_col="text", id_col="doc_id")
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    """Exact ANN is a deliberate broadcast cross join: queries (small)
+    broadcast against the corpus — the plan must show the broadcast,
+    never a shuffle cartesian."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(30)], ["vec_id", "embedding"]
+    )
+    df = brute_force_topk(vecs, vecs.limit(2), k=3)
+    plan = _explain(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_lsh_plan_equi_join(spark):
+    from sqlbackuphistoryetl_spark.extensions.similarity import rp_lsh_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    df = rp_lsh_topk(vecs, vecs.limit(2), k=3, planes=8, band_bits=4, dims=4)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # bucket join is equi
