@@ -63,6 +63,71 @@ def synthetic_history(spark, n: int):
     )
 
 
+def synthetic_docs(spark, n: int):
+    """n docs of ~40 tokens drawn deterministically from a 1k-word
+    vocabulary (JVM-side: xxhash64-seeded picks, no driver data).
+    Every 50th doc is a near-dup of its predecessor (same seed, one
+    token swapped) so the dedup tiers have real positives to find."""
+    df = spark.range(0, n)
+    seed = F.when(F.col("id") % 50 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(seed, i), F.lit(1000)).cast("string")),
+    )
+    words = F.when(
+        F.col("id") % 50 == 0, F.concat(F.slice(words, 1, 39), F.array(F.lit("wSWAP")))
+    ).otherwise(words)
+    return df.select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def synthetic_embeddings(spark, n: int, dims: int = 64):
+    """n deterministic pseudo-random unit-ish vectors, JVM-side."""
+    df = spark.range(0, n)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)).cast("float") - 1000.0)
+        / 1000.0,
+    )
+    return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        minhash_lsh_candidates,
+        simhash_buckets,
+    )
+    from sqlbackuphistoryetl_spark.extensions.similarity import rp_lsh_topk
+
+    docs = synthetic_docs(spark, n_docs)
+    t0 = time.perf_counter()
+    n_exact = (
+        docs.groupBy(F.md5("text").alias("h")).count().filter("count > 1").count()
+    )
+    timings["dedup_exact_groups"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_minhash = minhash_lsh_candidates(docs, text_col="text", id_col="doc_id").count()
+    timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_simhash = simhash_buckets(docs, text_col="text", id_col="doc_id").count()
+    timings["dedup_simhash"] = round(time.perf_counter() - t0, 2)
+
+    emb = synthetic_embeddings(spark, n_docs)
+    queries = emb.filter(F.col("vec_id") < 100)
+    t0 = time.perf_counter()
+    n_ann = rp_lsh_topk(emb, queries, k=5).count()
+    timings["ann_lsh_topk_100q"] = round(time.perf_counter() - t0, 2)
+    return {
+        "exact_dup_groups": n_exact,
+        "minhash_pairs": n_minhash,
+        "simhash_pairs": n_simhash,
+        "ann_rows": n_ann,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,6 +155,9 @@ def main() -> None:
     n_steps = plan.count()
     timings["fleet_plan_all"] = round(time.perf_counter() - t0, 2)
 
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    doc_stats = doc_pipeline_smoke(spark, n_docs, timings)
+
     print(
         json.dumps(
             {
@@ -97,6 +165,8 @@ def main() -> None:
                 "appended": appended,
                 "replay_appended": replayed,
                 "plan_steps": n_steps,
+                "n_docs": n_docs,
+                **doc_stats,
                 "timings_sec": timings,
             }
         )
