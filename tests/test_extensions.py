@@ -154,3 +154,39 @@ def test_resize_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG", 64, 64)
+
+
+def test_jaccard_implementations_agree(spark):
+    """ngram_jaccard_all_pairs (inverted index) must equal
+    ngram_jaccard_verify (array intersect/union) on every pair with a
+    shared gram."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+        ngram_jaccard_verify,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    inv = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_all_pairs(docs).collect()
+    }
+    ids = docs.select(F.col("doc_id").alias("_gid"))
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a._gid") < F.col("b._gid"))
+        .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
+    )
+    ver = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_verify(docs, pairs).collect()
+        if r["jaccard"] > 0
+    }
+    assert inv == ver
+    assert inv[(1, 4)] == 1.0  # exact dup
