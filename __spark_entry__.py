@@ -949,6 +949,16 @@ def ann_lsh_topk(spark, sf_dir):
     return rp_lsh_topk(emb, queries, k=5)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF cell-probe approximate top-k (the quantizer alternative to
+    LSH bucketing; sampled deterministic centroids ⇒ rows-only)."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+
+
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above a threshold via LSH
     bucketing (never N²); approximate recall ⇒ rows-only."""
@@ -1054,6 +1064,7 @@ _ORACLES: dict[str, str | None] = {
     "winnowing_overlap_pairs": None,
     "dedup_simhash": None,
     "ann_lsh_topk": None,
+    "ann_ivf_topk": None,
     "embedding_near_dup": None,
     "multimodal_metadata": None,
     "multimodal_featurize_ann": None,
@@ -1105,6 +1116,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_featurize_ann": multimodal_featurize_ann,

@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

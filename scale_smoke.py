@@ -98,7 +98,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         minhash_lsh_candidates,
         simhash_buckets,
     )
-    from sqlbackuphistoryetl_spark.extensions.similarity import rp_lsh_topk
+    from sqlbackuphistoryetl_spark.extensions.similarity import ivf_topk, rp_lsh_topk
 
     docs = synthetic_docs(spark, n_docs)
     t0 = time.perf_counter()
@@ -120,11 +120,16 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     t0 = time.perf_counter()
     n_ann = rp_lsh_topk(emb, queries, k=5).count()
     timings["ann_lsh_topk_100q"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_ivf = ivf_topk(emb, queries, k=5, n_centroids=256, n_probe=8).count()
+    timings["ann_ivf_topk_100q"] = round(time.perf_counter() - t0, 2)
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
         "simhash_pairs": n_simhash,
         "ann_rows": n_ann,
+        "ivf_rows": n_ivf,
     }
 
 

@@ -190,3 +190,22 @@ def test_jaccard_implementations_agree(spark):
     }
     assert inv == ver
     assert inv[(1, 4)] == 1.0  # exact dup
+
+
+def test_ivf_topk_recalls_close_neighbor(spark):
+    from sqlbackuphistoryetl_spark.extensions.similarity import ivf_topk
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3, 120)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") == 1), k=1, n_centroids=16, n_probe=4
+    ).collect()
+    assert out and out[0]["neighbor_id"] == 2
