@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime as dt
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import CONSOLIDATED_KEY
@@ -90,15 +90,16 @@ def idempotent_append(
         sink_keys = sink_keys.select(*key).dropDuplicates(key)
         batch = batch.join(sink_keys, _key_eq(batch, sink_keys, key), "left_anti")
 
-    # Materialize once: count + write from the same cached plan.
-    batch = batch.cache()
-    n = batch.count()
-    if n > 0:
-        (
-            batch.sortWithinPartitions("database_name", "BackupType", "last_lsn")
-            .write.mode("append")
-            .partitionBy(PARTITION_COL)
-            .parquet(target_path)
-        )
-    batch.unpersist()
-    return n
+    # Single materialization: the appended-row count rides along the
+    # write job as an Observation instead of a separate cache+count
+    # pass — at scale, caching a full batch for the sake of a count is
+    # a second full materialization and real memory pressure.
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+    (
+        batch.sortWithinPartitions("database_name", "BackupType", "last_lsn")
+        .write.mode("append")
+        .partitionBy(PARTITION_COL)
+        .parquet(target_path)
+    )
+    return int(obs.get["n"])
