@@ -356,6 +356,12 @@ def simhash_buckets(
             )
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bucket")
+    # Same barrier as the MinHash band join: both self-join sides consume
+    # banded, and without a persist the tokenize→hash-aggregate signature
+    # pipeline runs twice. Rows are narrow (id, 2 longs, band).
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

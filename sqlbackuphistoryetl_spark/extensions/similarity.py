@@ -38,6 +38,18 @@ def _norm(v):
     )
 
 
+def _unit(v):
+    """L2-normalized copy of an array<float> column (double elements).
+
+    Computed ONCE per vector map-side so the per-candidate-pair cosine
+    in the approximate paths is a single dot product — per-pair norm
+    recomputation was the dominant HOF cost at ~50M candidate pairs.
+    (The exact oracle-checked ``brute_force_topk`` keeps the textbook
+    dot/(|a||b|) form so its 6-dp-rounded values are bit-stable.)"""
+    n = _norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
 def with_cosine(df: DataFrame, left_vec: str, right_vec: str, out: str = "cosine") -> DataFrame:
     return df.withColumn(
         out,
@@ -156,9 +168,11 @@ def rp_lsh_topk(
     )
 
     def banded(df, id_alias, vec_alias):
+        # Unit-normalize map-side (once per vector, before the band
+        # explode/join) so the per-candidate cosine is one dot product.
         sk = df.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
+            _unit(F.col(vec_col)).alias(vec_alias),
             sketch_fn(F.col(vec_col)).alias("sketch"),
         )
         # bands unrolled statically — shiftright needs an int shift amount
@@ -180,17 +194,30 @@ def rp_lsh_topk(
             ).alias("bb"),
         ).select(id_alias, vec_alias, "bb.band", "bb.bucket")
 
-    qb = banded(queries, "query_id", "q_vec")
-    cb = banded(corpus, "neighbor_id", "c_vec")
+    if queries is corpus:
+        # Self-join (near-dup over the whole corpus): sketch the corpus
+        # once, persist the narrow banded rows, and rename for the query
+        # side — halves the sketch/scan work vs two independent pipelines.
+        from pyspark import StorageLevel
+
+        cb = banded(corpus, "neighbor_id", "c_vec").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        qb = cb.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("c_vec").alias("q_vec"),
+            "band",
+            "bucket",
+        )
+    else:
+        qb = banded(queries, "query_id", "q_vec")
+        cb = banded(corpus, "neighbor_id", "c_vec")
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
-    )
+    scored = cand.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -263,12 +290,12 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        _unit(F.col(vec_col)).alias("c_vec"),
         F.explode(assign1(F.col(vec_col))).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _unit(F.col(vec_col)).alias("q_vec"),
         F.explode(assign_p(F.col(vec_col))).alias("cell"),
     )
     cand = (
@@ -276,10 +303,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
-    )
+    scored = cand.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -296,18 +320,70 @@ def embedding_near_dup_pairs(
     planes: int = 16,
     band_bits: int = 8,
     dims: int = 64,
+    sketch: str = "vectorized",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) above a
-    threshold, via the same LSH bucketing (never N²)."""
-    pairs = rp_lsh_topk(
-        corpus, corpus, k=1_000_000, id_col=id_col, vec_col=vec_col,
-        planes=planes, band_bits=band_bits, dims=dims,
+    threshold, via the same LSH bucketing (never N²).
+
+    Dedicated pair path rather than ``rp_lsh_topk(corpus, corpus)``:
+    the ``id_a < id_b`` predicate is applied AT the band join (half the
+    candidate pairs, each scored once instead of twice) and there is no
+    top-k window — a threshold filter needs no per-query row_number,
+    which at corpus scale was the dominant cost (one window partition
+    per vector)."""
+    from pyspark import StorageLevel
+
+    n_bands = planes // band_bits
+    mask = (1 << band_bits) - 1
+    sketch_fn = (
+        _rp_sketch_vectorized(planes)
+        if sketch == "vectorized"
+        else (lambda c: _rp_sketch(c, planes, dims))
+    )
+    banded = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            _unit(F.col(vec_col)).alias("_vec"),
+            sketch_fn(F.col(vec_col)).alias("sketch"),
+        )
+        .select(
+            "_id",
+            "_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sketch", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("_id", "_vec", "bb.band", "bb.bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._vec").alias("a_vec"),
+            F.col("r._vec").alias("b_vec"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        pairs.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cosine",
-        )
+        cand.withColumn("cosine", _dot(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
