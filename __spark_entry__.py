@@ -52,19 +52,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUT))
     dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
-    dec4 = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    dec6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
-    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Engine-proof arithmetic: the 2dp source doubles cast to decimal(18,2)
+    # unambiguously (nearest-double error ~1e-11 << 0.005 — no rounding tie
+    # is reachable in ANY engine/rounding mode), and everything downstream is
+    # EXACT decimal math, so Spark and DuckDB produce bit-identical sums.
+    # The round-1 version cast *double products* to decimal, which is
+    # sensitive to each engine's double→decimal conversion at the last digit.
+    price = dec2(F.col("l_extendedprice"))
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    disc_price = (price * one_minus_disc).cast("decimal(18,4)")  # exact: 4dp value
     out = (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec2(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec2(F.col("l_extendedprice"))).alias("sum_base_price"),
-            # price(2dp)×(1−disc)(2dp) has exactly 4 decimal digits and
-            # the triple product exactly 6 — casting at the value's own
-            # scale means no rounding ties between engines
-            F.sum(dec4(disc)).alias("sum_disc_price"),
-            F.sum(dec6(disc * (F.lit(1.0) + F.col("l_tax")))).alias("sum_charge"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum((disc_price * one_plus_tax).cast("decimal(18,6)")).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
@@ -80,8 +84,14 @@ Q1_SQL = f"""
 select l_returnflag, l_linestatus,
        sum(cast(l_quantity as decimal(18,2))) as sum_qty,
        sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
-       sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as sum_disc_price,
-       sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) as decimal(18,6))) as sum_charge,
+       sum(cast(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))
+                as decimal(18,4))) as sum_disc_price,
+       sum(cast(cast(cast(l_extendedprice as decimal(18,2))
+                     * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))
+                     as decimal(18,4))
+                * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(4,2)))
+                as decimal(18,6))) as sum_charge,
        count(*) as count_order,
        cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) as avg_qty,
        cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) as avg_price
@@ -625,22 +635,34 @@ from documents group by md5(text)
 
 
 def hourly_event_rollup(spark, sf_dir):
-    """§2.9 extension: tumbling-window rollup (batch form)."""
+    """§2.9 extension: tumbling-window rollup (batch form).
+
+    Per-row quantization of the double ``value`` to 6dp is done with
+    ``floor(value*1e6 + 0.5)`` — pure IEEE double ops that are bit-identical
+    in every engine — then exact integer/decimal math. A plain
+    ``cast(value as decimal(18,6))`` is engine-sensitive at the 6th-digit
+    rounding boundary (Spark rounds the shortest decimal string HALF_UP;
+    DuckDB rounds the scaled double), which is what broke the round-1 hash.
+    """
     ev = _t(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            (F.sum(q).cast("decimal(24,0)")
+             * F.lit("0.000001").cast("decimal(7,6)"))
+            .cast("decimal(18,6)").alias("sum_value"),
         )
     )
 
 
 HOURLY_SQL = """
 select date_trunc('hour', ts) as bucket, event_type, count(*) as n_events,
-       sum(cast(value as decimal(18,6))) as sum_value
+       cast(cast(sum(cast(floor(value * 1000000 + 0.5) as bigint)) as decimal(24,0))
+            * cast(0.000001 as decimal(7,6)) as decimal(18,6)) as sum_value
 from events group by 1, 2
 """
 
