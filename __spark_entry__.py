@@ -868,7 +868,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_all_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    scored = ngram_jaccard_all_pairs(docs, text_col="text", id_col="doc_id")
+    # max_gram_df: stop-gram bound on candidate generation (surviving
+    # pairs are re-scored exactly, so the oracle hash still matches; at
+    # this corpus no gram exceeds the cap — the bound exists for scale).
+    scored = ngram_jaccard_all_pairs(
+        docs, text_col="text", id_col="doc_id", max_gram_df=64
+    )
     return scored.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.05)

@@ -26,6 +26,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions (small-file corpus → 1-2 splits), which would
+    serialize the CPU-bound tokenize/hash map stages on one core. No-op
+    on inputs that are already well split (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def _shingle_array(text_col: str, k: int):
     """Distinct k-char shingles as an array column — sequence+substring
     (whole-stage codegen; no UDF, no explode)."""
@@ -61,9 +72,7 @@ def minhash_signatures(
     # Shingling is CPU-bound: a small-file corpus arrives in 1-2 input
     # partitions, which would serialize the whole map stage — spread it
     # across the cluster first. (No-op cost relative to the hash work.)
-    target_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target_parts:
-        df = df.repartition(target_parts, id_col)
+    df = _spread(df, id_col)
     # One strong hash per shingle, then num_hashes cheap derived hashes
     # of that 8-byte value: hashing the variable-length shingle string
     # once instead of num_hashes times measured 2× faster end-to-end at
@@ -182,8 +191,19 @@ def ngram_jaccard_verify(
 
 
 def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, grams array<string>): distinct lowercase token n-grams."""
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """(id, grams array<string>): distinct lowercase token n-grams.
+
+    The token array is bound as a real column in a FIRST projection and
+    only the attribute is referenced inside the transform lambda:
+    higher-order-function lambdas re-evaluate captured expressions per
+    element (no CSE), so inlining ``split(...)`` there re-splits the
+    whole string once per gram position — O(len²) per doc. Multiple
+    non-cheap references also stop CollapseProject from re-inlining."""
+    toks = df.select(
+        F.col(id_col).alias("_gid"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    tokens = F.col("_toks")
     n_tok = F.size(tokens)
     grams = F.array_distinct(
         F.when(
@@ -194,7 +214,7 @@ def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
             ),
         ).otherwise(F.array(F.concat_ws(" ", tokens)))
     )
-    return df.select(F.col(id_col).alias("_gid"), grams.alias("grams"))
+    return toks.select("_gid", grams.alias("grams"))
 
 
 def ngram_jaccard_all_pairs(
@@ -203,6 +223,7 @@ def ngram_jaccard_all_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing ≥1 gram — inverted-
     index formulation: explode grams, equi-join on the gram, count
@@ -210,8 +231,19 @@ def ngram_jaccard_all_pairs(
 
     Scale: never ships gram arrays through the pair join and never forms
     zero-overlap pairs — the join is an equi-join on the gram value, so
-    work is Σ_g df(g)², concentrated on hot grams (AQE skew-split), not
-    N². Pairs with no shared gram have jaccard 0 and are (correctly)
+    work is Σ_g df(g)². That sum is quadratic in the document frequency
+    of HOT grams ("the quick" at web scale), which no skew-split can
+    reduce — so ``max_gram_df`` applies the standard inverted-index
+    stop-gram bound: grams with df > max_gram_df are dropped from
+    CANDIDATE GENERATION (heavy hitters are few ⇒ broadcast anti-join,
+    zero extra shuffle of the posting list), and surviving candidate
+    pairs are re-scored EXACTLY over their full gram sets, so reported
+    jaccard values are identical to the uncapped path. The only loss is
+    pairs whose every shared gram is hot — at a sane cap (say df > 10⁴)
+    such pairs sit far below any useful similarity threshold. With
+    ``max_gram_df=None`` the fully exact one-join formulation runs.
+
+    Pairs with no shared gram have jaccard 0 and are (correctly)
     absent; callers wanting them use min_jaccard=0 semantics downstream.
     """
     # Persist the narrow (id, gram) posting list: three subplans consume
@@ -223,10 +255,50 @@ def ngram_jaccard_all_pairs(
     from pyspark import StorageLevel
 
     posting = (
-        _gram_sets(df, text_col, id_col, n)
+        _gram_sets(_spread(df, id_col), text_col, id_col, n)
         .select("_gid", F.explode("grams").alias("gram"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    if max_gram_df is not None:
+        # Stop-gram pruning: heavy hitters (df > cap) are removed from
+        # the pair-generation join by a broadcast anti-join. The partial
+        # (map-side) aggregation of groupBy(gram) absorbs the hot gram's
+        # row mass before any shuffle.
+        hot = (
+            posting.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        capped = posting.join(F.broadcast(hot), "gram", "left_anti")
+        a, b = capped.alias("a"), capped.alias("b")
+        cand = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
+            .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # Exact re-score over the FULL gram sets (rebuilt from the
+        # persisted posting list — one keyed shuffle, no re-tokenize):
+        # values match the uncapped path bit-for-bit.
+        by_doc = posting.groupBy("_gid").agg(F.collect_list("gram").alias("grams"))
+        ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
+        out = (
+            cand.join(ga, cand["id_a"] == F.col("ga._gid"))
+            .join(gb, cand["id_b"] == F.col("gb._gid"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("ga.grams", "gb.grams")).cast("double")
+                    / F.size(F.array_union("ga.grams", "gb.grams"))
+                ).alias("jaccard"),
+            )
+        )
+        if min_jaccard > 0:
+            out = out.filter(F.col("jaccard") >= min_jaccard)
+        return out
+
     sizes = posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = posting.alias("a"), posting.alias("b")
     shared = (
@@ -279,6 +351,10 @@ def simhash_signatures(
     stays O(N/65536) — at 200k docs the 32-bit/8-bit-band configuration
     measured 78M candidate pairs (128 s); 64/16 keeps candidates linear.
     """
+    # Tokenize+aggregate is CPU-bound and a small-file corpus arrives in
+    # 1-2 input partitions, serializing the whole map stage on one core
+    # (same guard as minhash_signatures; measured 2-4× on sf0.1).
+    df = _spread(df, id_col)
     tokens = df.select(
         F.col(id_col).alias("_id"),
         F.explode(

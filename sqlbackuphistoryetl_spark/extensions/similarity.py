@@ -38,14 +38,27 @@ def _norm(v):
     )
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition up to cluster parallelism when the input arrives in
+    fewer partitions (a small-file corpus lands in 1-2 splits), which
+    would serialize the CPU-bound sketch/norm map stage on one core.
+    No-op on well-split inputs (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def _unit(v):
     """L2-normalized copy of an array<float> column (double elements).
 
-    Computed ONCE per vector map-side so the per-candidate-pair cosine
-    in the approximate paths is a single dot product — per-pair norm
-    recomputation was the dominant HOF cost at ~50M candidate pairs.
-    (The exact oracle-checked ``brute_force_topk`` keeps the textbook
-    dot/(|a||b|) form so its 6-dp-rounded values are bit-stable.)"""
+    NOTE: higher-order functions are interpreted with no cross-iteration
+    CSE, so the embedded ``_norm`` re-evaluates per element — O(dims²)
+    per vector. The approximate paths therefore DON'T use this any more:
+    they materialize ``_norm`` as a scalar row column and score with
+    ``dot(a,b)/(na*nb)`` (one dot per candidate pair, norms computed
+    once per row map-side, bit-identical to ``brute_force_topk``).
+    Kept for callers that genuinely need a normalized array column."""
     n = _norm(v)
     return F.transform(v, lambda x: x.cast("double") / n)
 
@@ -127,12 +140,19 @@ def _rp_sketch_vectorized(planes: int, seed: int = 41):
     × 64-dim vectors; a batched matmul stays in BLAS."""
     from pyspark.sql.types import LongType
 
+    # Plane matrix built lazily ONCE per python worker (keyed by dims —
+    # unknown until the first batch arrives) instead of per Arrow batch.
+    plane_cache: dict = {}
+
     @F.pandas_udf(LongType())
     def sketch(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # batch × dims
-        planes_mat = (
-            np.random.RandomState(seed).standard_normal((mat.shape[1], planes))
-        )
+        planes_mat = plane_cache.get(mat.shape[1])
+        if planes_mat is None:
+            planes_mat = (
+                np.random.RandomState(seed).standard_normal((mat.shape[1], planes))
+            )
+            plane_cache[mat.shape[1]] = planes_mat
         signs = mat @ planes_mat > 0
         out = np.zeros(len(v), dtype=np.int64)
         for p in range(planes):
@@ -156,6 +176,17 @@ def rp_lsh_topk(
     """Approximate top-k: candidates share at least one sketch band,
     exact cosine re-ranks within candidates.
 
+    Cosine is scored as ``dot(a,b)/(na·nb)`` with the norms computed
+    ONCE per row map-side (scalar column shipped through the band join)
+    — one dot product + one multiply per candidate pair, and the values
+    are bit-identical to ``brute_force_topk``'s ``dot/(|a||b|)``.
+
+    Cache note (self-join path only): the banded frame is persisted
+    because both join sides consume it; the cache block lives until the
+    session ends — long-lived sessions issuing many calls should
+    ``spark.catalog.clearCache()`` between them (callers own the cache
+    lifetime; the rows carry the full vector once per band).
+
     ``sketch``: "vectorized" (default — Arrow-batched numpy matmul) or
     "jvm" (pure built-in higher-order functions, zero Python in the
     plan; slower at scale but UDF-free)."""
@@ -167,18 +198,21 @@ def rp_lsh_topk(
         else (lambda c: _rp_sketch(c, planes, dims))
     )
 
-    def banded(df, id_alias, vec_alias):
-        # Unit-normalize map-side (once per vector, before the band
-        # explode/join) so the per-candidate cosine is one dot product.
-        sk = df.select(
+    def banded(df, id_alias, vec_alias, n_alias):
+        # Raw vector + scalar norm (computed once per row, before the
+        # band explode) — the float array ships at half the width of a
+        # normalized double array, and no per-element division runs.
+        sk = _spread(df, id_col).select(
             F.col(id_col).alias(id_alias),
-            _unit(F.col(vec_col)).alias(vec_alias),
+            F.col(vec_col).alias(vec_alias),
+            _norm(F.col(vec_col)).alias(n_alias),
             sketch_fn(F.col(vec_col)).alias("sketch"),
         )
         # bands unrolled statically — shiftright needs an int shift amount
         return sk.select(
             id_alias,
             vec_alias,
+            n_alias,
             F.explode(
                 F.array(
                     *[
@@ -192,7 +226,7 @@ def rp_lsh_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select(id_alias, vec_alias, "bb.band", "bb.bucket")
+        ).select(id_alias, vec_alias, n_alias, "bb.band", "bb.bucket")
 
     if queries is corpus:
         # Self-join (near-dup over the whole corpus): sketch the corpus
@@ -200,24 +234,27 @@ def rp_lsh_topk(
         # side — halves the sketch/scan work vs two independent pipelines.
         from pyspark import StorageLevel
 
-        cb = banded(corpus, "neighbor_id", "c_vec").persist(
+        cb = banded(corpus, "neighbor_id", "c_vec", "c_n").persist(
             StorageLevel.MEMORY_AND_DISK
         )
         qb = cb.select(
             F.col("neighbor_id").alias("query_id"),
             F.col("c_vec").alias("q_vec"),
+            F.col("c_n").alias("q_n"),
             "band",
             "bucket",
         )
     else:
-        qb = banded(queries, "query_id", "q_vec")
-        cb = banded(corpus, "neighbor_id", "c_vec")
+        qb = banded(queries, "query_id", "q_vec", "q_n")
+        cb = banded(corpus, "neighbor_id", "c_vec", "c_n")
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -276,26 +313,41 @@ def ivf_topk(
     Centroid skew (a hot cell) is AQE's skew-join case. For 100 TB,
     train real k-means centroids on a sample and persist them; the
     sampled quantizer here keeps the pipeline dependency-free.
+
+    Centroid pick: a ``sample_fraction`` pre-sample (deterministic with
+    the fixed seed) feeds a per-partition top-``n_centroids`` heap on
+    the hash order — the full corpus is never heap-scanned; tiny
+    corpora (sample < n_centroids) fall back to the full heap scan.
     """
     ordered = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         F.xxhash64(F.col(id_col).cast("string")).alias("_rnd"),
     )
-    sample = ordered.orderBy("_rnd").limit(n_centroids).collect()
+    sample_fraction = 0.02
+    sample = (
+        ordered.sample(fraction=sample_fraction, seed=41)
+        .orderBy("_rnd")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(sample) < n_centroids:
+        sample = ordered.orderBy("_rnd").limit(n_centroids).collect()
     centroids = [list(r["_cvec"]) for r in sample]
 
     assign1 = _nearest_centroids_udf(centroids, 1)
     assign_p = _nearest_centroids_udf(centroids, n_probe)
 
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        _unit(F.col(vec_col)).alias("c_vec"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_n"),
         F.explode(assign1(F.col(vec_col))).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _unit(F.col(vec_col)).alias("q_vec"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_n"),
         F.explode(assign_p(F.col(vec_col))).alias("cell"),
     )
     cand = (
@@ -303,7 +355,9 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -330,7 +384,14 @@ def embedding_near_dup_pairs(
     candidate pairs, each scored once instead of twice) and there is no
     top-k window — a threshold filter needs no per-query row_number,
     which at corpus scale was the dominant cost (one window partition
-    per vector)."""
+    per vector).
+
+    Cosine is ``dot(a,b)/(na·nb)`` with norms materialized once per row
+    map-side — bit-identical to ``brute_force_topk``'s values, so pairs
+    at the threshold boundary agree with the exact path. Cache note: the
+    banded frame (vector + scalar norm, once per band) is persisted for
+    the self-join and lives until session end — callers own the cache
+    lifetime (``spark.catalog.clearCache()`` between bulk calls)."""
     from pyspark import StorageLevel
 
     n_bands = planes // band_bits
@@ -341,14 +402,16 @@ def embedding_near_dup_pairs(
         else (lambda c: _rp_sketch(c, planes, dims))
     )
     banded = (
-        corpus.select(
+        _spread(corpus, id_col).select(
             F.col(id_col).alias("_id"),
-            _unit(F.col(vec_col)).alias("_vec"),
+            F.col(vec_col).alias("_vec"),
+            _norm(F.col(vec_col)).alias("_n"),
             sketch_fn(F.col(vec_col)).alias("sketch"),
         )
         .select(
             "_id",
             "_vec",
+            "_n",
             F.explode(
                 F.array(
                     *[
@@ -363,7 +426,7 @@ def embedding_near_dup_pairs(
                 )
             ).alias("bb"),
         )
-        .select("_id", "_vec", "bb.band", "bb.bucket")
+        .select("_id", "_vec", "_n", "bb.band", "bb.bucket")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l, r = banded.alias("l"), banded.alias("r")
@@ -379,11 +442,12 @@ def embedding_near_dup_pairs(
             F.col("r._id").alias("id_b"),
             F.col("l._vec").alias("a_vec"),
             F.col("r._vec").alias("b_vec"),
+            (F.col("l._n") * F.col("r._n")).alias("_nn"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cosine", _dot(F.col("a_vec"), F.col("b_vec")))
+        cand.withColumn("cosine", _dot(F.col("a_vec"), F.col("b_vec")) / F.col("_nn"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -209,3 +209,61 @@ def test_ivf_topk_recalls_close_neighbor(spark):
         vecs, vecs.filter(F.col("vec_id") == 1), k=1, n_centroids=16, n_probe=4
     ).collect()
     assert out and out[0]["neighbor_id"] == 2
+
+
+def test_ngram_stop_gram_cap_bounds_candidates(spark):
+    """A planted hot gram (shared by every doc) must not generate
+    candidates once df > max_gram_df; pairs sharing rare grams survive
+    with jaccard identical to the uncapped path."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import ngram_jaccard_all_pairs
+
+    hot = "common boiler plate"  # one 3-gram present in every doc
+    rows = [(i, f"{hot} unique{i} filler{i} words{i}") for i in range(1, 40)]
+    # docs 100/101 share a rare tail beyond the hot gram
+    rows += [(100, f"{hot} alpha beta gamma delta epsilon"),
+             (101, f"{hot} alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_all_pairs(docs, max_gram_df=10).collect()
+    }
+    # hot-gram-only pairs are pruned: candidate set is bounded by the
+    # rare-gram posting list, not the 41*40/2 hot-gram pair explosion
+    assert (1, 2) not in capped
+    assert len(capped) < 10
+    # the rare-gram pair survives, scored over its FULL gram set
+    assert (100, 101) in capped
+    uncapped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_all_pairs(docs).collect()
+    }
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # a cap nothing exceeds reproduces the exact output bit-for-bit
+    high = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_all_pairs(docs, max_gram_df=10_000).collect()
+    }
+    assert high == uncapped
+
+
+def test_rp_lsh_self_join_symmetric(spark, vectors):
+    """queries IS corpus → the persisted self-join fast path. Neighbor
+    relation must be symmetric for the mutually-nearest pair and the
+    cosine must bit-match brute_force_topk (same dot/(na*nb) formula)."""
+    out = rp_lsh_topk(vectors, vectors, k=2, planes=16, band_bits=4, dims=4)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    # 1 and 2 are near-identical: each must surface the other as top hit
+    assert by_query[1][0]["neighbor_id"] == 2
+    assert by_query[2][0]["neighbor_id"] == 1
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(vectors, vectors, k=2).collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cosine"] == exact[key]  # bit-identical, not approx
