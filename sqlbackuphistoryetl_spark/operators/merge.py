@@ -37,10 +37,9 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     Hadoop FS (works for any supported filesystem, not just local) to
     avoid try/except around spark.read — a missing path is the normal
     first-run case, not an error worth a logged stack trace."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    from .. import fsutil
+
+    return fsutil.exists(spark, path)
 
 
 def dedup_batch(batch: DataFrame, key: list[str] = CONSOLIDATED_KEY) -> DataFrame:

@@ -14,13 +14,12 @@ most old partitions are pure directory drops with zero data rewritten.
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from .merge import PARTITION_COL
 
 
@@ -41,11 +40,15 @@ def retention_cutoff(
     return row["cutoff"] if row else None
 
 
-def _partition_dates(target_path: str) -> list[dt.date]:
+def _partition_dates(spark: SparkSession, target_path: str) -> list[dt.date]:
+    """Partition values from a Hadoop FS directory listing — works on
+    any supported filesystem scheme, not just local disk."""
     out = []
-    for child in Path(target_path).glob(f"{PARTITION_COL}=*"):
+    for name in fsutil.list_child_names(spark, target_path):
+        if not name.startswith(f"{PARTITION_COL}="):
+            continue
         try:
-            out.append(dt.date.fromisoformat(child.name.split("=", 1)[1]))
+            out.append(dt.date.fromisoformat(name.split("=", 1)[1]))
         except ValueError:
             continue
     return sorted(out)
@@ -69,26 +72,27 @@ def apply_retention(
         return 0
     cutoff_date = cutoff.date()
 
-    root = Path(target_path)
+    root = target_path.rstrip("/")
     deleted = 0
 
-    # 1. whole-partition drops (date < cutoff date) — no data scanned
-    for d in _partition_dates(target_path):
+    # 1. whole-partition drops (date < cutoff date) — no data scanned;
+    # counts come from parquet footer metadata, drops are FS deletes
+    for d in _partition_dates(spark, target_path):
         if d < cutoff_date:
-            part_dir = root / f"{PARTITION_COL}={d.isoformat()}"
-            deleted += spark.read.parquet(str(part_dir)).count()
-            shutil.rmtree(part_dir, ignore_errors=True)
+            part_dir = f"{root}/{PARTITION_COL}={d.isoformat()}"
+            deleted += spark.read.parquet(part_dir).count()
+            fsutil.delete(spark, part_dir)
 
     # 2. boundary partition: rewrite rows >= cutoff timestamp
-    boundary = root / f"{PARTITION_COL}={cutoff_date.isoformat()}"
-    if boundary.exists():
-        part = spark.read.parquet(str(boundary))
+    boundary = f"{root}/{PARTITION_COL}={cutoff_date.isoformat()}"
+    if fsutil.exists(spark, boundary):
+        part = spark.read.parquet(boundary)
         doomed = part.filter(F.col("backup_start_date") < F.lit(cutoff)).count()
         if doomed > 0:
             keep = part.filter(F.col("backup_start_date") >= F.lit(cutoff))
-            tmp = root / f"_tmp_retention_{uuid.uuid4().hex}"
-            keep.write.mode("overwrite").parquet(str(tmp))
-            shutil.rmtree(boundary)
-            tmp.rename(boundary)
+            tmp = f"{root}/_tmp_retention_{uuid.uuid4().hex}"
+            keep.write.mode("overwrite").parquet(tmp)
+            fsutil.delete(spark, boundary)
+            fsutil.rename(spark, tmp, boundary)
             deleted += doomed
     return deleted

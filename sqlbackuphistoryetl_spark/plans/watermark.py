@@ -15,13 +15,12 @@ scalable form of the reference's per-server UPDATE loop.
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..schema import SOURCE_SERVERS
 
 
@@ -69,10 +68,12 @@ def update_watermarks(
 
 
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Write-to-temp + directory swap (cannot overwrite a path being read)."""
-    p = Path(path)
-    tmp = p.parent / f"_tmp_{p.name}_{uuid.uuid4().hex}"
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    if p.exists():
-        shutil.rmtree(p)
-    tmp.rename(p)
+    """Write-to-temp + directory swap (cannot overwrite a path being
+    read). All path mutations go through the Hadoop FS API so the
+    control table can live on HDFS/S3A/ABFS, not just local disk; the
+    swap is one tiny single-file directory (see fsutil object-store
+    caveat)."""
+    tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fsutil.delete(spark, path)
+    fsutil.rename(spark, tmp, path)

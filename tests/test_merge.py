@@ -63,3 +63,33 @@ def test_retention_cleanup(spark, tmp_path):
     max_start = remaining.agg(F.max("backup_start_date")).first()[0]
     assert deleted > 0
     assert remaining.filter(F.col("backup_start_date") < max_start).count() == 0
+
+
+def test_mutations_work_through_fs_scheme_uris(spark, tmp_path):
+    """Retention drops and the watermark control-table swap must run
+    through the Hadoop FileSystem API: drive both with explicit
+    ``file:`` scheme URIs, which pathlib/shutil code would mangle
+    (``Path("file:/x")`` is a relative path named 'file:')."""
+    from sqlbackuphistoryetl_spark.plans import watermark
+
+    target = f"file://{tmp_path}/consolidated"
+    df = spark.createDataFrame(consolidated_rows(), schema.CONSOLIDATED)
+    idempotent_append(spark, df, target)
+    deleted = apply_retention(spark, target, retention_days=1,
+                              now=dt.datetime(2026, 1, 1))
+    assert deleted > 0
+    remaining = spark.read.parquet(target)
+    max_start = remaining.agg(F.max("backup_start_date")).first()[0]
+    assert remaining.filter(F.col("backup_start_date") < max_start).count() == 0
+
+    ctrl = f"file://{tmp_path}/control"
+    watermark.init_source_servers(spark, ctrl, ["S1", "S2"],
+                                  initial_watermark=dt.datetime(2025, 1, 1))
+    marks = spark.createDataFrame(
+        [("S1", dt.datetime(2025, 2, 1))], ["ServerName", "MaxETLDateTime"]
+    )
+    watermark.update_watermarks(spark, ctrl, marks)
+    out = {r["ServerName"]: r["LastETLDatetime"]
+           for r in watermark.read_source_servers(spark, ctrl).collect()}
+    assert out["S1"] == dt.datetime(2025, 2, 1)
+    assert out["S2"] == dt.datetime(2025, 1, 1)
