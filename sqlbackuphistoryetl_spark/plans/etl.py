@@ -23,9 +23,10 @@ import logging
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..operators.merge import idempotent_append
 from ..sources.extract import REPLAY_BUFFER_MINUTES, extract_backup_history
 from ..sources.readers import SourceTables
@@ -41,13 +42,35 @@ class ETLResult:
     servers_skipped: list[str] = field(default_factory=list)
 
 
-def _with_log_id(spark: SparkSession, batch: DataFrame, target_path: str) -> DataFrame:
+def _hwm_path(target_path: str) -> str:
+    return f"{target_path.rstrip('/')}_logid_hwm"
+
+
+def _read_logid_hwm(spark: SparkSession, target_path: str) -> int:
+    """LogID high-water mark for the sink, carried in a one-row sidecar
+    so the hot incremental path never scans the sink's history — at
+    100 TB of accumulated rows, a per-run ``max(LogID)`` over the full
+    sink is an O(files) footer scan for one number. Falls back to that
+    full scan exactly once (sidecar missing — pre-existing sink), after
+    which every run reads one tiny file."""
     from ..operators.merge import _sink_exists
 
+    if fsutil.exists(spark, _hwm_path(target_path)):
+        return spark.read.parquet(_hwm_path(target_path)).first()["max_log_id"]
     if _sink_exists(spark, target_path):
-        max_id = spark.read.parquet(target_path).agg(F.max("LogID")).first()[0] or 0
-    else:
-        max_id = 0
+        log.info("LogID sidecar missing — one-time full-sink scan to seed it")
+        return spark.read.parquet(target_path).agg(F.max("LogID")).first()[0] or 0
+    return 0
+
+
+def _write_logid_hwm(spark: SparkSession, target_path: str, value: int) -> None:
+    from .watermark import _atomic_overwrite
+
+    df = spark.createDataFrame([(int(value),)], "max_log_id long")
+    _atomic_overwrite(spark, df, _hwm_path(target_path))
+
+
+def _with_log_id(spark: SparkSession, batch: DataFrame, max_id: int) -> DataFrame:
     return batch.withColumn(
         "LogID", (F.monotonically_increasing_id() + F.lit(max_id + 1)).cast("long")
     )
@@ -87,7 +110,14 @@ def run_etl(
         return result
 
     union = reduce(DataFrame.unionByName, batches)
-    union = _with_log_id(spark, _cast_load_types(union), target_path)
+    prev_hwm = _read_logid_hwm(spark, target_path)
+    union = _with_log_id(spark, _cast_load_types(union), prev_hwm)
+
+    # Ride a metric on the append job: max assigned LogID over the
+    # PRE-anti-join batch is a safe high-water mark (ids the anti-join
+    # drops just leave gaps — the surrogate is never dense; SURVEY §1.2).
+    id_obs = Observation()
+    union = union.observe(id_obs, F.max("LogID").alias("max_log_id"))
 
     overlap_start = (
         min_wm - dt.timedelta(minutes=replay_buffer_minutes) if min_wm else None
@@ -97,6 +127,9 @@ def run_etl(
     result.rows_appended = idempotent_append(
         spark, union, target_path, overlap_start=overlap_start
     )
+    new_hwm = id_obs.get["max_log_id"]
+    if new_hwm is not None and new_hwm > prev_hwm:
+        _write_logid_hwm(spark, target_path, new_hwm)
 
     new_marks = (
         union.groupBy(F.col("server_name").alias("ServerName"))

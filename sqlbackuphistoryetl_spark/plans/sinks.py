@@ -15,10 +15,23 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 from ..operators.merge import dedup_batch
 from ..schema import CONSOLIDATED_KEY
+from .auth import TokenProvider, aad_connection_properties
+
+
+def _resolve_properties(
+    properties: dict[str, str] | None,
+    token_provider: TokenProvider | None,
+) -> dict[str, str]:
+    """Connection properties, with an AAD access token injected when a
+    provider is configured (S8 — New-AzureSQLDbConnectionWithCert.ps1)."""
+    if token_provider is not None:
+        return aad_connection_properties(token_provider, properties)
+    return dict(properties or {})
 
 
 def jdbc_append_new_rows(
@@ -28,11 +41,14 @@ def jdbc_append_new_rows(
     existing_keys: DataFrame,
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    token_provider: TokenProvider | None = None,
 ) -> int:
     """Idempotent JDBC append: in-batch dedup + anti-join against the
     key slice the caller read back for the overlap window (J6), then a
     set-based batched INSERT. Mirrors operators.merge.idempotent_append
-    with a JDBC tail instead of parquet."""
+    with a JDBC tail instead of parquet — including the appended-row
+    count riding the write job as an Observation (merge.py:97-105):
+    cache+count would materialize the batch twice for one number."""
     from functools import reduce
 
     deduped = dedup_batch(batch)
@@ -41,21 +57,19 @@ def jdbc_append_new_rows(
         [deduped[k].eqNullSafe(existing_keys[k]) for k in CONSOLIDATED_KEY],
     )
     fresh = deduped.join(existing_keys, cond, "left_anti")
-    fresh = fresh.cache()
-    n = fresh.count()
-    if n:
-        writer = (
-            fresh.write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", table)
-            .option("batchsize", str(batchsize))
-            .mode("append")
-        )
-        for k, v in (properties or {}).items():
-            writer = writer.option(k, v)
-        writer.save()
-    fresh.unpersist()
-    return n
+    obs = Observation()
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = (
+        fresh.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+    )
+    for k, v in _resolve_properties(properties, token_provider).items():
+        writer = writer.option(k, v)
+    writer.save()
+    return int(obs.get["n"])
 
 
 def jdbc_update_watermark(
@@ -65,13 +79,14 @@ def jdbc_update_watermark(
     server_name: str,
     new_mark: dt.datetime,
     properties: dict[str, str] | None = None,
+    token_provider: TokenProvider | None = None,
 ) -> None:
     """Keyed watermark UPDATE (S5) via a parameterized JDBC statement —
     never string interpolation (the reference's injection-by-splice is
     §2.11.2's bug register entry)."""
     jvm = spark._jvm
     props = jvm.java.util.Properties()
-    for k, v in (properties or {}).items():
+    for k, v in _resolve_properties(properties, token_provider).items():
         props.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:

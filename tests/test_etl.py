@@ -50,3 +50,33 @@ def test_empty_server_watermark_untouched(spark, tmp_path):
     assert r.rows_appended == 0
     marks = read_source_servers(spark, control).collect()
     assert marks[0]["LastETLDatetime"] == dt.datetime(2030, 1, 1)
+
+
+def test_logid_hwm_sidecar(spark, tmp_path):
+    """The incremental path seeds LogIDs from the one-row sidecar, not a
+    full-sink scan; ids stay unique and increasing across runs, and a
+    missing sidecar (pre-existing sink) is reseeded by a one-time scan."""
+    from sqlbackuphistoryetl_spark import fsutil
+    from sqlbackuphistoryetl_spark.plans import etl as etl_mod
+
+    control = str(tmp_path / "control")
+    target = str(tmp_path / "consolidated")
+    sources = {"SQLNODE01": raw_source_tables(spark)}
+    init_source_servers(spark, control, ["SQLNODE01"],
+                        initial_watermark=dt.datetime(2025, 1, 1, 9, 0))
+    run_etl(spark, sources, control, target)
+    hwm_path = etl_mod._hwm_path(target)
+    assert fsutil.exists(spark, hwm_path)
+    hwm1 = etl_mod._read_logid_hwm(spark, target)
+    max_id1 = spark.read.parquet(target).agg(F.max("LogID")).first()[0]
+    assert hwm1 >= max_id1
+
+    # replay run: hwm only moves forward, no duplicate ids in the sink
+    run_etl(spark, sources, control, target)
+    assert etl_mod._read_logid_hwm(spark, target) >= hwm1
+    ids = [r["LogID"] for r in spark.read.parquet(target).select("LogID").collect()]
+    assert len(ids) == len(set(ids))
+
+    # sidecar lost ⇒ fallback full scan reseeds from the sink itself
+    fsutil.delete(spark, hwm_path)
+    assert etl_mod._read_logid_hwm(spark, target) == max_id1
