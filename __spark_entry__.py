@@ -916,18 +916,30 @@ from ranked where rank <= 5
 """
 
 
-# ------------------------------------------- rows-only (non-SQL-expressible)
+# ---------------- approximate paths, oracle-gated at 100% recall
+#
+# Each gate composes the approximate stage (banding/bucketing — the
+# 100 TB path) with an EXACT re-score, with band parameters sized so the
+# approximate stage provably/empirically recovers every qualifying pair
+# on the gate corpus. The output then equals the exact all-pairs answer,
+# which DuckDB computes independently — i.e. the oracle IS a recall gate
+# at threshold 100%: if banding ever loses a qualifying pair, the hash
+# mismatches. Production defaults on the library functions stay
+# recall/cost-balanced; the scale smoke grades those on planted pairs.
 
 
 def winnowing_overlap_pairs(spark, sf_dir):
     """Winnowing-sketch overlap: doc pairs sharing >= 40 fingerprints
     (position-robust near-dup; threshold sized for the tiny-vocabulary
     synthetic corpus, where random 7-gram collisions are common).
-    Rolling hashes aren't cross-engine comparable ⇒ rows-only."""
+    hash_fn="md5_60" makes the sketch identically computable in DuckDB
+    (same md5, same 60-bit truncation), so the WHOLE algorithm — gram
+    hash, window-min selection, distinct, pair join — is oracle-checked
+    cross-engine; xxhash64 stays the scale default."""
     from sqlbackuphistoryetl_spark.functions.textfns import winnowing_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs)
+    fps = winnowing_fingerprints(docs, hash_fn="md5_60")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
@@ -938,18 +950,115 @@ def winnowing_overlap_pairs(spark, sf_dir):
     )
 
 
+WINNOWING_SQL = """
+with h as (
+  select doc_id,
+         unnest(range(1, greatest(1, length(text) - 6) + 1)) as i,
+         text
+  from documents),
+g as (
+  select doc_id, i,
+         ('0x' || substr(md5(substr(text, i, 7)), 1, 15))::bigint as gh
+  from h),
+wm as (
+  select doc_id, i,
+         min(gh) over (partition by doc_id order by i
+                       rows between current row and 3 following) as fp,
+         max(i) over (partition by doc_id) as n_grams
+  from g),
+fps as (
+  select distinct doc_id, fp
+  from wm where i <= greatest(1, n_grams - 3))
+select a.doc_id as id_a, b.doc_id as id_b,
+       count(*) as shared_fingerprints
+from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+having count(*) >= 40
+"""
+
+
 def dedup_minhash_lsh(spark, sf_dir):
-    from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_candidates
+    """MinHash+LSH near-dup pairs, exactly verified: 32 bands × 2 rows
+    over 64 minhashes (p_miss(j≥0.5) = (1−j²)^32 < 1e-4 per pair;
+    empirically 0 missed on the gate corpora) generate candidates, the
+    exact 5-char-shingle Jaccard re-scores them, threshold 0.5. Equals
+    the exact all-pairs computation — the oracle doubles as a 100%-
+    recall gate for the banding stage."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        minhash_lsh_candidates,
+        shingle_jaccard_verify,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
+    # min_est 0.25: a true j≥0.5 pair estimating below 0.25 over 64
+    # hashes is a >4σ binomial event (and deterministically absent on
+    # the gate corpora); random pairs (j≈0.1) are cut before the
+    # exact-verify join touches their shingle arrays.
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=64, bands=32, min_est_jaccard=0.25
+    ).select("id_a", "id_b")
+    scored = shingle_jaccard_verify(docs, cand, k=5)
+    return scored.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+MINHASH_SQL = """
+with sh as (
+  select doc_id,
+         list_distinct(list_transform(range(1, greatest(1, length(text) - 4) + 1),
+                                      i -> substr(text, i, 5))) as s
+  from documents),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         len(list_intersect(a.s, b.s))::double
+           / len(list_distinct(list_concat(a.s, b.s))) as j
+  from sh a join sh b on a.doc_id < b.doc_id)
+select id_a, id_b, round(j, 6) as jaccard from p where j >= 0.5
+"""
 
 
 def dedup_simhash(spark, sf_dir):
-    from sqlbackuphistoryetl_spark.extensions.dedup import simhash_buckets
+    """SimHash near-dup pairs, exactly verified: 16 bands of 4 bits —
+    pigeonhole guarantees any pair within Hamming 15 shares a band, and
+    every pair with token-3-gram Jaccard ≥ 0.8 on the gate corpora sits
+    at Hamming ≤ 9 — then the exact n-gram Jaccard re-scores candidates,
+    threshold 0.8. Output equals the exact all-pairs answer (oracle =
+    100%-recall gate). Production defaults (16-bit bands, Hamming ≤ 3)
+    stay the scale configuration."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_verify,
+        simhash_buckets,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_buckets(docs, text_col="text", id_col="doc_id")
+    cand = simhash_buckets(
+        docs, band_bits=4, max_hamming=15
+    ).select("id_a", "id_b")
+    scored = ngram_jaccard_verify(docs, cand, n=3)
+    return scored.filter(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SIMHASH_SQL = r"""
+with toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         len(list_intersect(a.g, b.g))::double
+           / len(list_distinct(list_concat(a.g, b.g))) as j
+  from grams a join grams b on a.doc_id < b.doc_id)
+select id_a, id_b, round(j, 6) as jaccard from p where j >= 0.8
+"""
 
 
 def embedding_cosine_topk(spark, sf_dir):
@@ -967,38 +1076,78 @@ def embedding_cosine_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH bucketing (the
-    100 TB scale path; recall < 1 by design ⇒ rows-only)."""
+    """Random-hyperplane LSH top-k, exactly verified: 16 bands of 2
+    bits (p_miss per relevant pair < 1e-3 at cosine 0.3; empirically 0
+    of 50 true neighbors missed on the gate corpora) generate
+    candidates; the exact cosine re-ranks them. Output equals
+    brute-force top-5, which the oracle computes independently — a
+    100%-recall gate over the banding machinery. Production defaults
+    (8-bit bands) stay the scale configuration."""
     from sqlbackuphistoryetl_spark.extensions.similarity import rp_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return rp_lsh_topk(emb, queries, k=5)
+    out = rp_lsh_topk(emb, queries, k=5, planes=32, band_bits=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ANN_LSH_SQL = EMBEDDING_TOPK_SQL  # gate output IS exact top-5
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF cell-probe approximate top-k (the quantizer alternative to
-    LSH bucketing; sampled deterministic centroids ⇒ rows-only)."""
+    """IVF cell-probe top-k, full-probe gate variant: with n_probe =
+    n_centroids the probe join must be LOSSLESS — cells partition the
+    corpus, so assignment + probe join + re-rank has to reproduce
+    brute-force top-5 bit-for-bit. The oracle checks that pipeline
+    invariant end-to-end (a silent row drop/dup in the cell join would
+    hash-mismatch). Approximate recall at n_probe << n_centroids is
+    graded by the scale smoke's planted-pair recall instead (IVF on
+    uniform random vectors cannot reach deterministic 100% recall at
+    partial probes)."""
     from sqlbackuphistoryetl_spark.extensions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+    out = ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=32)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ANN_IVF_SQL = EMBEDDING_TOPK_SQL  # full-probe IVF must equal exact top-5
 
 
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above a threshold via LSH
-    bucketing (never N²); approximate recall ⇒ rows-only."""
+    """Embedding-cosine near-duplicate pairs via LSH bucketing (never
+    N²), exactly verified: 16 bands of 2 bits recover every pair with
+    cosine ≥ 0.35 on the gate corpora (threshold sized to the synthetic
+    data's max pairwise cosine ≈ 0.5); the exact cosine filter then
+    makes the output equal the exact all-pairs answer — oracle =
+    100%-recall gate."""
     from sqlbackuphistoryetl_spark.extensions.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    # threshold sized to the synthetic corpus (max pairwise cosine ≈ 0.49);
-    # 4-bit bands: per-band collision p ≈ (1-θ/π)^4 keeps recall usable
-    # at moderate similarity.
-    return embedding_near_dup_pairs(emb, threshold=0.35, band_bits=4)
+    out = embedding_near_dup_pairs(emb, threshold=0.35, planes=32, band_bits=2)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+NEARDUP_SQL = """
+with p as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         list_cosine_similarity(a.embedding::double[], b.embedding::double[]) as c
+  from embeddings a join embeddings b on a.vec_id < b.vec_id)
+select id_a, id_b, round(c, 6) as cosine from p where c >= 0.35
+"""
 
 
 def multimodal_metadata(spark, sf_dir):
+    """Opaque-payload metadata through the Arrow-batched mapInPandas
+    plumbing. Every output column is independently computable in SQL
+    (byte length, sha256, static type map) ⇒ fully oracle-checked —
+    a batch-boundary bug or row drop in the mapInPandas iterator would
+    hash-mismatch."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import extract_payload_metadata
 
     docs = _t(spark, sf_dir, "documents")
@@ -1009,10 +1158,23 @@ def multimodal_metadata(spark, sf_dir):
     return extract_payload_metadata(payloads)
 
 
+MULTIMODAL_METADATA_SQL = """
+select doc_id,
+       'text/plain' as content_type,
+       octet_length(encode(text))::bigint as byte_len,
+       sha256(text) as sha256,
+       'ok' as decode_status
+from documents
+"""
+
+
 def multimodal_featurize_ann(spark, sf_dir):
     """Opaque-payload → deterministic-fake features (mapInPandas, Arrow
     batches) → brute-force cosine top-3: the multimodal column pipeline
-    feeding similarity search. Python-side fake decode ⇒ rows-only."""
+    feeding similarity search. The fake decode is sha256-derived, which
+    DuckDB reproduces byte-for-byte (hex-pair extraction → /127.5 − 1 →
+    float32), so the WHOLE pipeline — batching, schema, float32 feature
+    array, cosine re-rank — is oracle-checked."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import decode_and_featurize
     from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
 
@@ -1023,12 +1185,43 @@ def multimodal_featurize_ann(spark, sf_dir):
     )
     feats = decode_and_featurize(payloads, feature_dim=16)
     queries = feats.filter(F.col("doc_id") < 5)
-    return brute_force_topk(feats, queries, k=3, id_col="doc_id", vec_col="feature")
+    out = brute_force_topk(feats, queries, k=3, id_col="doc_id", vec_col="feature")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+MULTIMODAL_FEATURIZE_SQL = """
+with feats as (
+  select doc_id,
+         list_transform(range(0, 16), j ->
+           ((('0x' || substr(sha256(text), 2*j + 1, 2))::int / 127.5) - 1.0)::FLOAT) as f
+  from documents where doc_id < 200),
+n as (
+  select doc_id, f,
+         sqrt(list_sum(list_transform(f, x -> x::DOUBLE * x::DOUBLE))) as nrm
+  from feats),
+scored as (
+  select q.doc_id as query_id, c.doc_id as neighbor_id,
+         list_sum(list_transform(range(1, 17),
+                  j -> q.f[j]::DOUBLE * c.f[j]::DOUBLE)) / (q.nrm * c.nrm) as cos_full
+  from n q join n c on q.doc_id < 5 and q.doc_id <> c.doc_id),
+ranked as (
+  select query_id, neighbor_id, cos_full,
+         row_number() over (partition by query_id
+                            order by cos_full desc, neighbor_id) as rank
+  from scored)
+select query_id, neighbor_id, round(cos_full, 6) as cosine, rank
+from ranked where rank <= 3
+"""
 
 
 def multimodal_frame_sample(spark, sf_dir):
     """Video-style 1→N frame fan-out inside mapInPandas (no shuffle, no
-    driver). Deterministic fake frames ⇒ rows-only."""
+    driver). Frame arithmetic (ceil-div frame count, stride sampling) is
+    SQL-computable from the payload length, so the fan-out row
+    accounting is oracle-checked — a lost or duplicated frame row would
+    change n_sampled and hash-mismatch."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1041,6 +1234,14 @@ def multimodal_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("n_frames").alias("n_frames"),
     )
+
+
+MULTIMODAL_FRAMES_SQL = """
+select doc_id,
+       (((octet_length(encode(text)) + 63) // 64) + 1) // 2 as n_sampled,
+       ((octet_length(encode(text)) + 63) // 64)::bigint as n_frames
+from documents where doc_id < 100
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -1086,16 +1287,17 @@ _ORACLES: dict[str, str | None] = {
     "a5_minmax_loop_bounds": A5_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
-    # rows-only (non-SQL-expressible; driver records weaker check):
-    "dedup_minhash_lsh": None,
-    "winnowing_overlap_pairs": None,
-    "dedup_simhash": None,
-    "ann_lsh_topk": None,
-    "ann_ivf_topk": None,
-    "embedding_near_dup": None,
-    "multimodal_metadata": None,
-    "multimodal_featurize_ann": None,
-    "multimodal_frame_sample": None,
+    # approximate/Python paths, oracle-gated at 100% recall (the exact
+    # re-score makes outputs equal the exact answer — see each docstring)
+    "dedup_minhash_lsh": MINHASH_SQL,
+    "winnowing_overlap_pairs": WINNOWING_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "embedding_near_dup": NEARDUP_SQL,
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "multimodal_featurize_ann": MULTIMODAL_FEATURIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
 }
 
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {

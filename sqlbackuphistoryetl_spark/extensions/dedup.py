@@ -161,6 +161,35 @@ def minhash_lsh_candidates(
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def shingle_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-char-shingle Jaccard for candidate pairs — the precise
+    re-rank over the SAME set definition MinHash estimates (so a
+    banding stage with 100% recall followed by this verify equals the
+    exact all-pairs computation bit-for-bit)."""
+    sh = df.select(
+        F.col(id_col).alias("_sid"), _shingle_array(text_col, k).alias("sh")
+    )
+    a, b = sh.alias("sa"), sh.alias("sb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("sa._sid"))
+        .join(b, pairs["id_b"] == F.col("sb._sid"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # cast BEFORE multiplying: float32 elements widen exactly to double,
+    # so the products (and therefore cosines) are bit-comparable with
+    # any engine that computes in double — a float32 multiply followed
+    # by a cast bakes in ~1e-7 relative error that can flip a rounded
+    # 6dp digit at the oracle compare.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -33,7 +38,9 @@ def _dot(a, b):
 def _norm(v):
     return F.sqrt(
         F.aggregate(
-            F.transform(v, lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
     )
 

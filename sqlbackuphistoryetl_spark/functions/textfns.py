@@ -85,21 +85,39 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 7,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document sketch (k-gram rolling hashes, min per sliding
     window, distinct): (id, fingerprint long) rows. Any shared
     fingerprint between two docs witnesses a shared k-gram run —
     position-robust near-dup/plagiarism detection.
 
-    Built-ins only: sequence/transform for the gram hashes, slice +
-    array_min for the windows. Non-SQL-expressible cross-engine (hash
-    algorithms differ) ⇒ rows-only in the oracle gate.
+    ``hash_fn``: "xxhash64" (default — fastest, JVM-only) or "md5_60"
+    (first 60 bits of md5 as a long). md5 exists identically in DuckDB,
+    which makes the whole sketch SQL-expressible and lets the oracle
+    gate verify the algorithm end-to-end cross-engine; xxhash64 stays
+    the scale default (~10× cheaper per gram).
+
+    The gram-hash array is bound as a real column before the window
+    pass: referencing the unaliased array inside the second transform
+    re-evaluates the FULL hash array once per window position (HOF
+    lambdas have no CSE) — O(len²) hashing per doc.
     """
     t = F.col(text_col)
     n_grams = F.greatest(F.lit(1), F.length(t) - F.lit(k - 1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(t, i, k))
+    if hash_fn == "md5_60":
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+    elif hash_fn == "xxhash64":
+        gram_hash = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(t, i, k))
+        ).alias("_gram_hashes"),
     )
+    gram_hashes = F.col("_gram_hashes")
     n_windows = F.greatest(F.lit(1), F.size(gram_hashes) - F.lit(window - 1))
     sketch = F.array_distinct(
         F.transform(
@@ -107,6 +125,4 @@ def winnowing_fingerprints(
             lambda i: F.array_min(F.slice(gram_hashes, i, window)),
         )
     )
-    return df.select(
-        F.col(id_col), F.explode(sketch).alias("fingerprint")
-    )
+    return hashed.select(F.col(id_col), F.explode(sketch).alias("fingerprint"))
