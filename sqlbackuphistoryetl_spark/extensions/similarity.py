@@ -59,15 +59,20 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
 def _unit(v):
     """L2-normalized copy of an array<float> column (double elements).
 
-    NOTE: higher-order functions are interpreted with no cross-iteration
-    CSE, so the embedded ``_norm`` re-evaluates per element — O(dims²)
-    per vector. The approximate paths therefore DON'T use this any more:
-    they materialize ``_norm`` as a scalar row column and score with
-    ``dot(a,b)/(na*nb)`` (one dot per candidate pair, norms computed
-    once per row map-side, bit-identical to ``brute_force_topk``).
-    Kept for callers that genuinely need a normalized array column."""
-    n = _norm(v)
-    return F.transform(v, lambda x: x.cast("double") / n)
+    Higher-order functions are interpreted with no cross-iteration CSE,
+    so naively embedding ``_norm(v)`` in the element lambda re-evaluates
+    the full aggregate per element — O(dims²) per vector. The outer
+    single-element ``transform`` here is an expression-level let-binding:
+    the norm is evaluated once per row and the inner lambda references
+    the bound variable. (The hot approximate paths don't normalize at
+    all — they ship a scalar norm column and score ``dot/(na·nb)``.)"""
+    return F.get(
+        F.transform(
+            F.array(_norm(v)),
+            lambda n: F.transform(v, lambda x: x.cast("double") / n),
+        ),
+        0,
+    )
 
 
 def with_cosine(df: DataFrame, left_vec: str, right_vec: str, out: str = "cosine") -> DataFrame:
@@ -237,8 +242,10 @@ def rp_lsh_topk(
 
     if queries is corpus:
         # Self-join (near-dup over the whole corpus): sketch the corpus
-        # once, persist the narrow banded rows, and rename for the query
-        # side — halves the sketch/scan work vs two independent pipelines.
+        # once, persist the banded rows (full vector + scalar norm,
+        # replicated once per band — NOT narrow; callers own the cache
+        # lifetime, see docstring), and rename for the query side —
+        # halves the sketch/scan work vs two independent pipelines.
         from pyspark import StorageLevel
 
         cb = banded(corpus, "neighbor_id", "c_vec", "c_n").persist(

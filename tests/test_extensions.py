@@ -267,3 +267,22 @@ def test_rp_lsh_self_join_symmetric(spark, vectors):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert r["cosine"] == exact[key]  # bit-identical, not approx
+
+
+def test_unit_normalizes_once_per_row(spark, vectors):
+    """_unit: elements equal x/||v|| and the result has L2 norm 1.
+    The implementation binds the norm through a single-element outer
+    transform (expression-level let) so the aggregate runs once per row,
+    not once per element — this asserts the values stay correct."""
+    import math
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import _norm, _unit
+
+    out = vectors.select(
+        "vec_id", _unit(F.col("embedding")).alias("u"), _norm(F.col("embedding")).alias("n")
+    ).collect()
+    for r in out:
+        assert abs(math.sqrt(sum(x * x for x in r["u"])) - 1.0) < 1e-12
+        orig = dict((row["vec_id"], row["embedding"]) for row in vectors.collect())[r["vec_id"]]
+        for x, ux in zip(orig, r["u"]):
+            assert abs(ux - x / r["n"]) < 1e-12
