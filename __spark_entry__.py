@@ -36,13 +36,18 @@ SHIP_CUT = "1998-09-02 00:00:00"    # TPC-H Q1 cutoff
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read as long and truncate ns→µs (identical to
-        # DuckDB's ns→µs conversion). Integer division — a double would
+        # events.parquet has shipped with two physical ts encodings over
+        # time: TIMESTAMP(NANOS) (which Spark's parquet reader surfaces
+        # only via nanosAsLong) and plain timestamp[us]. Adapt to whatever
+        # the file actually holds: convert ns→µs only when ts reads back
+        # as a long (legacy nanos), pass through when it is already a
+        # timestamp. Integer division for the ns path — a double would
         # lose precision above 2^53.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -50,25 +55,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape, engine-proof three ways (the round-1/2 hash was red):
+
+    1. Per-row quantization via ``floor(x*100 + 0.5)`` — pure IEEE double
+       ops, bit-identical in every engine — then EXACT integer/decimal math
+       only (the pattern that fixed ``hourly_event_rollup``). No
+       double→decimal cast anywhere, so no engine rounding-mode dependence.
+    2. Final aggregates cast to EXPLICIT identical decimal types on both
+       sides (Spark's sum() widens to (28,2), DuckDB's to (38,2) — equal
+       values, different physical types).
+    3. Deterministic total row order on both sides.
+    """
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUT))
-    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
-    # Engine-proof arithmetic: the 2dp source doubles cast to decimal(18,2)
-    # unambiguously (nearest-double error ~1e-11 << 0.005 — no rounding tie
-    # is reachable in ANY engine/rounding mode), and everything downstream is
-    # EXACT decimal math, so Spark and DuckDB produce bit-identical sums.
-    # The round-1 version cast *double products* to decimal, which is
-    # sensitive to each engine's double→decimal conversion at the last digit.
-    price = dec2(F.col("l_extendedprice"))
-    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
-    one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
-    disc_price = (price * one_minus_disc).cast("decimal(18,4)")  # exact: 4dp value
+    qty_c = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+    price_c = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    disc_c = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+    tax_c = F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
+    disc_price_u = price_c * (F.lit(100) - disc_c)  # 1e-4 units, exact int64
+    charge_u = disc_price_u * (F.lit(100) + tax_c)  # 1e-6 units, exact int64
+    d30 = lambda c: c.cast("decimal(30,0)")  # noqa: E731
+    # (30,0) × (3,2)/(5,4)/(7,6) stays ≤ 38 digits so DuckDB's decimal
+    # multiply remains exact (beyond 38 it silently falls back to double).
     out = (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum((disc_price * one_plus_tax).cast("decimal(18,6)")).alias("sum_charge"),
+            (d30(F.sum(qty_c)) * F.lit("0.01").cast("decimal(3,2)"))
+            .cast("decimal(38,2)").alias("sum_qty"),
+            (d30(F.sum(price_c)) * F.lit("0.01").cast("decimal(3,2)"))
+            .cast("decimal(38,2)").alias("sum_base_price"),
+            (d30(F.sum(disc_price_u)) * F.lit("0.0001").cast("decimal(5,4)"))
+            .cast("decimal(38,4)").alias("sum_disc_price"),
+            (d30(F.sum(charge_u)) * F.lit("0.000001").cast("decimal(7,6)"))
+            .cast("decimal(38,6)").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
@@ -77,27 +95,37 @@ def q1_pricing_summary(spark, sf_dir):
     return out.select(
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "sum_charge", "count_order", "avg_qty", "avg_price",
-    )
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 Q1_SQL = f"""
+with q as (
+  select l_returnflag, l_linestatus,
+         cast(floor(l_quantity * 100.0 + 0.5) as bigint) as qty_c,
+         cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) as price_c,
+         cast(floor(l_discount * 100.0 + 0.5) as bigint) as disc_c,
+         cast(floor(l_tax * 100.0 + 0.5) as bigint) as tax_c
+  from lineitem
+  where l_shipdate <= timestamp '{SHIP_CUT}')
 select l_returnflag, l_linestatus,
-       sum(cast(l_quantity as decimal(18,2))) as sum_qty,
-       sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
-       sum(cast(cast(l_extendedprice as decimal(18,2))
-                * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))
-                as decimal(18,4))) as sum_disc_price,
-       sum(cast(cast(cast(l_extendedprice as decimal(18,2))
-                     * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))
-                     as decimal(18,4))
-                * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(4,2)))
-                as decimal(18,6))) as sum_charge,
+       cast(cast(sum(qty_c) as decimal(30,0))
+            * cast(0.01 as decimal(3,2)) as decimal(38,2)) as sum_qty,
+       cast(cast(sum(price_c) as decimal(30,0))
+            * cast(0.01 as decimal(3,2)) as decimal(38,2)) as sum_base_price,
+       cast(cast(sum(price_c * (100 - disc_c)) as decimal(30,0))
+            * cast(0.0001 as decimal(5,4)) as decimal(38,4)) as sum_disc_price,
+       cast(cast(sum(price_c * (100 - disc_c) * (100 + tax_c)) as decimal(30,0))
+            * cast(0.000001 as decimal(7,6)) as decimal(38,6)) as sum_charge,
        count(*) as count_order,
-       cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) as avg_qty,
-       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) as avg_price
-from lineitem
-where l_shipdate <= timestamp '{SHIP_CUT}'
+       cast(cast(cast(sum(qty_c) as decimal(30,0))
+                 * cast(0.01 as decimal(3,2)) as decimal(38,2)) as double)
+           / count(*) as avg_qty,
+       cast(cast(cast(sum(price_c) as decimal(30,0))
+                 * cast(0.01 as decimal(3,2)) as decimal(38,2)) as double)
+           / count(*) as avg_price
+from q
 group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
 """
 
 
