@@ -25,6 +25,8 @@ from operator import add
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sqlbackuphistoryetl_spark.extensions import cachereg
+
 
 def _spread(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives
@@ -129,10 +131,11 @@ def minhash_lsh_candidates(
     # whole shingle→signature pipeline runs twice (exchange reuse does
     # not fire across the aliased sides) — persisting measured 1.5×
     # faster end-to-end at 200k docs. Rows are narrow (id, 32 longs,
-    # band, bucket); MEMORY_AND_DISK spills gracefully.
-    from pyspark import StorageLevel
-
-    band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
+    # band, bucket); MEMORY_AND_DISK spills gracefully. Cache lifetime
+    # is generation-scoped: the next call releases this one's blocks
+    # (see cachereg; release_caches() for explicit cleanup).
+    cachereg.begin("minhash_lsh")
+    band_entries = cachereg.persist("minhash_lsh", band_entries)
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
@@ -288,13 +291,13 @@ def ngram_jaccard_all_pairs(
     # each re-runs tokenize→gram — measured 15× slower at sf0.1. The
     # posting list is the dataset's distinct-gram mass; MEMORY_AND_DISK
     # spills gracefully when a big corpus exceeds executor memory (at
-    # real 100 TB scale, stage it to a temp table instead).
-    from pyspark import StorageLevel
-
-    posting = (
+    # real 100 TB scale, stage it to a temp table instead). Lifetime is
+    # generation-scoped via cachereg (next call releases this one).
+    cachereg.begin("ngram_jaccard")
+    posting = cachereg.persist(
+        "ngram_jaccard",
         _gram_sets(_spread(df, id_col), text_col, id_col, n)
-        .select("_gid", F.explode("grams").alias("gram"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("_gid", F.explode("grams").alias("gram")),
     )
 
     if max_gram_df is not None:
@@ -499,10 +502,10 @@ def simhash_buckets(
     ).select("_id", "simhash", "bb.band", "bb.bucket")
     # Same barrier as the MinHash band join: both self-join sides consume
     # banded, and without a persist the tokenize→hash-aggregate signature
-    # pipeline runs twice. Rows are narrow (id, 2 longs, band).
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # pipeline runs twice. Rows are narrow (id, 2 longs, band). Lifetime
+    # is generation-scoped via cachereg (next call releases this one).
+    cachereg.begin("simhash")
+    banded = cachereg.persist("simhash", banded)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sqlbackuphistoryetl_spark.extensions import cachereg
+
 
 def _dot(a, b):
     # cast BEFORE multiplying: float32 elements widen exactly to double,
@@ -243,13 +245,13 @@ def rp_lsh_topk(
     if queries is corpus:
         # Self-join (near-dup over the whole corpus): sketch the corpus
         # once, persist the banded rows (full vector + scalar norm,
-        # replicated once per band — NOT narrow; callers own the cache
-        # lifetime, see docstring), and rename for the query side —
-        # halves the sketch/scan work vs two independent pipelines.
-        from pyspark import StorageLevel
-
-        cb = banded(corpus, "neighbor_id", "c_vec", "c_n").persist(
-            StorageLevel.MEMORY_AND_DISK
+        # replicated once per band — NOT narrow), and rename for the
+        # query side — halves the sketch/scan work vs two independent
+        # pipelines. Cache lifetime is generation-scoped via cachereg:
+        # the next call releases this one's blocks.
+        cachereg.begin("rp_lsh_topk")
+        cb = cachereg.persist(
+            "rp_lsh_topk", banded(corpus, "neighbor_id", "c_vec", "c_n")
         )
         qb = cb.select(
             F.col("neighbor_id").alias("query_id"),
@@ -441,8 +443,9 @@ def embedding_near_dup_pairs(
             ).alias("bb"),
         )
         .select("_id", "_vec", "_n", "bb.band", "bb.bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cachereg.begin("embedding_near_dup")
+    banded = cachereg.persist("embedding_near_dup", banded)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

@@ -286,3 +286,31 @@ def test_unit_normalizes_once_per_row(spark, vectors):
         orig = dict((row["vec_id"], row["embedding"]) for row in vectors.collect())[r["vec_id"]]
         for x, ux in zip(orig, r["u"]):
             assert abs(ux - x / r["n"]) < 1e-12
+
+
+def test_cache_generations_bounded_and_releasable(spark, docs, vectors):
+    """VERDICT r2 #4: repeated pipeline calls must not accumulate
+    session-lifetime cache blocks; release_caches() empties everything."""
+    from sqlbackuphistoryetl_spark.extensions import cachereg
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+        simhash_buckets,
+    )
+    from sqlbackuphistoryetl_spark.extensions.similarity import embedding_near_dup_pairs
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    cachereg.release_caches()
+    base = n_cached()
+    for _ in range(3):  # each generation replaces the previous one
+        minhash_lsh_candidates(docs, min_est_jaccard=0.5).count()
+    assert n_cached() <= base + 1
+    for _ in range(2):
+        simhash_buckets(docs, max_hamming=3).count()
+        ngram_jaccard_all_pairs(docs).count()
+        rp_lsh_topk(vectors, vectors, k=2, planes=16, band_bits=4, dims=4).count()
+        embedding_near_dup_pairs(vectors, threshold=0.9).count()
+    assert n_cached() <= base + 5  # one live generation per owner, max
+    cachereg.release_caches()
+    assert n_cached() == 0

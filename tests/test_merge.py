@@ -93,3 +93,39 @@ def test_mutations_work_through_fs_scheme_uris(spark, tmp_path):
            for r in watermark.read_source_servers(spark, ctrl).collect()}
     assert out["S1"] == dt.datetime(2025, 2, 1)
     assert out["S2"] == dt.datetime(2025, 1, 1)
+
+
+def test_retention_job_count_independent_of_partition_count(spark, tmp_path):
+    """apply_retention must issue a bounded number of Spark jobs no
+    matter how many date partitions are dropped (VERDICT r2 #5) — the
+    doomed-partition accounting is one count over all of them, not a
+    job per partition."""
+
+    def build(nparts: int, path: str) -> None:
+        rows = [
+            (i, dt.datetime(2025, 1, 1, 6) + dt.timedelta(days=i))
+            for i in range(nparts)
+        ]
+        (
+            spark.createDataFrame(rows, ["backup_set_id", "backup_start_date"])
+            .withColumn("backup_date", F.to_date("backup_start_date"))
+            .repartition(1)
+            .write.partitionBy("backup_date")
+            .parquet(path)
+        )
+
+    def jobs_used(path: str, tag: str) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "retention-job-count")
+        try:
+            apply_retention(spark, path, retention_days=1,
+                            now=dt.datetime(2026, 1, 1))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    small, large = str(tmp_path / "small"), str(tmp_path / "large")
+    build(3, small)
+    build(12, large)
+    n_small, n_large = jobs_used(small, "ret-small"), jobs_used(large, "ret-large")
+    assert n_large == n_small, (n_small, n_large)
