@@ -695,6 +695,38 @@ from events group by 1, 2
 """
 
 
+def stream_dedup_sessions(spark, sf_dir):
+    """§2.9 row 2 gate: batch twin of ``dropDuplicatesWithinWatermark``
+    (streaming/ingest.py) — one kept row per (user_id, event_type)
+    session, sessions split where the inter-arrival gap ≥ 5 minutes.
+    Uses Spark's native ``session_window``; the oracle reproduces the
+    identical chaining with lag + a running sum of session breaks."""
+    from sqlbackuphistoryetl_spark.streaming.ingest import dedup_within_watermark_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_within_watermark_batch(
+        ev, ["user_id", "event_type"], ts_col="ts", delay="5 minutes"
+    )
+
+
+STREAM_DEDUP_SQL = """
+with ordered as (
+  select user_id, event_type, ts,
+         case when ts - lag(ts) over (partition by user_id, event_type order by ts)
+                   < interval 5 minute
+              then 0 else 1 end as new_session
+  from events),
+sess as (
+  select user_id, event_type, ts,
+         sum(new_session) over (partition by user_id, event_type order by ts
+                                rows unbounded preceding) as sid
+  from ordered)
+select user_id, event_type, min(ts) as kept_ts, count(*) as n_in_session
+from sess
+group by user_id, event_type, sid
+"""
+
+
 def text_bpe_token_count(spark, sf_dir):
     """BPE-ish pre-tokenization counts (letter runs / digit runs /
     single punctuation) alongside whitespace tokens."""
@@ -1323,6 +1355,7 @@ _ORACLES: dict[str, str | None] = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "hourly_event_rollup": HOURLY_SQL,
+    "stream_dedup_sessions": STREAM_DEDUP_SQL,
     "text_bpe_token_count": BPE_SQL,
     "lang_id_multi": LANG_MULTI_SQL,
     "p9_fallback_probe": P9_SQL,
@@ -1377,6 +1410,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "hourly_event_rollup": hourly_event_rollup,
+    "stream_dedup_sessions": stream_dedup_sessions,
     "text_bpe_token_count": text_bpe_token_count,
     "lang_id_multi": lang_id_multi,
     "p9_fallback_probe": p9_fallback_probe,

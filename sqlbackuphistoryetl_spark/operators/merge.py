@@ -102,3 +102,50 @@ def idempotent_append(
         .parquet(target_path)
     )
     return int(obs.get["n"])
+
+
+def idempotent_merge_delta(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    key: list[str] = CONSOLIDATED_KEY,
+) -> int:
+    """SURVEY §2.3 J6 alternative form: the same insert-if-absent
+    semantics as ``idempotent_append``, expressed as a Delta Lake
+    ``MERGE ... WHEN NOT MATCHED THEN INSERT`` (the direct analog of the
+    reference's ``ignore_dup_key=on`` index, sql:33) with ACID conflict
+    detection instead of an anti-join against sink keys.
+
+    Requires the ``delta-spark`` package + Delta-enabled session configs
+    (``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``);
+    this container ships neither, so the function raises a clear
+    ImportError when Delta is absent. The parquet anti-join path
+    (``idempotent_append``) is the default and is semantically identical
+    on the logical key.
+    """
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - container has no delta
+        raise ImportError(
+            "idempotent_merge_delta requires the delta-spark package; "
+            "use idempotent_append (anti-join form) on plain parquet"
+        ) from exc
+
+    batch = dedup_batch(batch, key)
+    if PARTITION_COL not in batch.columns:
+        batch = batch.withColumn(PARTITION_COL, F.to_date("backup_start_date"))
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        batch.write.format("delta").partitionBy(PARTITION_COL).save(target_path)
+        return batch.count()
+
+    tgt = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key)  # null-safe, like _key_eq
+    (
+        tgt.alias("t")
+        .merge(batch.alias("s"), cond)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    hist = tgt.history(1).select("operationMetrics").first()
+    return int(hist["operationMetrics"].get("numTargetRowsInserted", "0"))

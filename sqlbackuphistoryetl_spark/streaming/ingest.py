@@ -80,6 +80,34 @@ def stream_ingest(
     return writer.start()
 
 
+def dedup_within_watermark_batch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "5 minutes",
+) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` (§2.9 row 2):
+    one kept row per (keys, session), where a session is a maximal chain
+    of same-key events whose inter-arrival gaps are < ``delay`` — exactly
+    Spark's native ``session_window`` semantics for point events, so the
+    streaming and batch paths share one definition of "duplicate within
+    the watermark".
+
+    Returns (keys..., kept_ts = earliest event of the session,
+    n_in_session = kept + dropped count). Scale: one hash shuffle on the
+    grouping keys; session merging is per-key local state, no window
+    over the full table.
+    """
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), delay).alias("sw"), *keys)
+        .agg(
+            F.min(ts_col).alias("kept_ts"),
+            F.count(F.lit(1)).alias("n_in_session"),
+        )
+        .select(*keys, "kept_ts", "n_in_session")
+    )
+
+
 def streaming_backup_rollup(
     stream: DataFrame,
     window_duration: str = "1 hour",

@@ -129,3 +129,22 @@ def test_retention_job_count_independent_of_partition_count(spark, tmp_path):
     build(12, large)
     n_small, n_large = jobs_used(small, "ret-small"), jobs_used(large, "ret-large")
     assert n_large == n_small, (n_small, n_large)
+
+
+def test_delta_merge_variant_gated(spark):
+    """The Delta MERGE form of the idempotent sink (SURVEY §2.3 J6
+    alternative) raises a clear ImportError in this container (no
+    delta-spark); the parquet anti-join path is the default."""
+    import pytest
+
+    from sqlbackuphistoryetl_spark.operators.merge import idempotent_merge_delta
+
+    df = spark.createDataFrame(consolidated_rows(), schema.CONSOLIDATED)
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="delta-spark"):
+        idempotent_merge_delta(spark, df, "/tmp/never-written")
