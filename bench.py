@@ -68,6 +68,15 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Warm pass: run every headline query once untimed. BASELINE.md's
+    # numbers are explicitly warm-session numbers; a cold first run
+    # measures whole-stage-codegen JIT compilation (one-time per plan
+    # shape, amortized to zero on any long-lived cluster), not query
+    # cost. Timed pass below is steady state.
+    for name in HEADLINE:
+        _materialize(qs[name](spark, SF_DIR))
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
