@@ -698,9 +698,10 @@ from events group by 1, 2
 def stream_dedup_sessions(spark, sf_dir):
     """§2.9 row 2 gate: batch twin of ``dropDuplicatesWithinWatermark``
     (streaming/ingest.py) — one kept row per (user_id, event_type)
-    session, sessions split where the inter-arrival gap ≥ 5 minutes.
-    Uses Spark's native ``session_window``; the oracle reproduces the
-    identical chaining with lag + a running sum of session breaks."""
+    session, sessions split where the inter-arrival gap > 5 minutes
+    (session_window's gap is inclusive). Uses Spark's native
+    ``session_window``; the oracle reproduces the identical chaining
+    with lag + a running sum of session breaks."""
     from sqlbackuphistoryetl_spark.streaming.ingest import dedup_within_watermark_batch
 
     ev = _t(spark, sf_dir, "events")
@@ -713,7 +714,7 @@ STREAM_DEDUP_SQL = """
 with ordered as (
   select user_id, event_type, ts,
          case when ts - lag(ts) over (partition by user_id, event_type order by ts)
-                   < interval 5 minute
+                   <= interval 5 minute
               then 0 else 1 end as new_session
   from events),
 sess as (

@@ -88,10 +88,10 @@ def dedup_within_watermark_batch(
 ) -> DataFrame:
     """Batch twin of ``dropDuplicatesWithinWatermark`` (§2.9 row 2):
     one kept row per (keys, session), where a session is a maximal chain
-    of same-key events whose inter-arrival gaps are < ``delay`` — exactly
-    Spark's native ``session_window`` semantics for point events, so the
-    streaming and batch paths share one definition of "duplicate within
-    the watermark".
+    of same-key events whose inter-arrival gaps are <= ``delay``
+    (session_window's gap bound is inclusive) — exactly Spark's native
+    ``session_window`` semantics for point events, so the streaming and
+    batch paths share one definition of "duplicate within the watermark".
 
     Returns (keys..., kept_ts = earliest event of the session,
     n_in_session = kept + dropped count). Scale: one hash shuffle on the

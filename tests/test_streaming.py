@@ -136,3 +136,70 @@ def test_stateful_chain_tracker_across_microbatches(spark, tmp_path):
     assert [r["status"] for r in out] == ["anchor", "ok", "ok", "gap"]
     assert out[-1]["chain_head"] == "500"
     assert out[-1]["events_seen"] == 4  # state survived the batch boundary
+
+
+def test_batch_twin_matches_streaming_dedup_keys(spark, tmp_path):
+    """§2.9 row 2: the batch twin (session_window) and the streaming
+    dropDuplicatesWithinWatermark must keep the same set of first-seen
+    keys when every duplicate arrives inside the watermark window —
+    one shared definition of 'duplicate within the watermark'."""
+    import datetime as dt
+
+    from sqlbackuphistoryetl_spark.streaming.ingest import (
+        dedup_within_watermark_batch,
+    )
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        # key A: burst of 3 within 5 min, then a 4th far outside
+        (1, "A", base),
+        (1, "A", base + dt.timedelta(minutes=1)),
+        (1, "A", base + dt.timedelta(minutes=2)),
+        (1, "A", base + dt.timedelta(hours=2)),
+        # key B: two events exactly 5 min apart (boundary: session_window
+        # treats the gap as INCLUSIVE, so these merge) and one beyond
+        (2, "B", base),
+        (2, "B", base + dt.timedelta(minutes=5)),
+        (2, "B", base + dt.timedelta(minutes=10, seconds=1)),
+    ]
+    sdf = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+    batch = dedup_within_watermark_batch(
+        sdf, ["user_id", "event_type"], ts_col="ts", delay="5 minutes"
+    ).collect()
+    kept_batch = {(r["user_id"], r["event_type"], r["kept_ts"]) for r in batch}
+    assert kept_batch == {
+        (1, "A", base),
+        (1, "A", base + dt.timedelta(hours=2)),
+        (2, "B", base),
+        (2, "B", base + dt.timedelta(minutes=10, seconds=1)),
+    }
+    by_session = {(r["user_id"], r["kept_ts"].isoformat()): r["n_in_session"] for r in batch}
+    assert by_session[(1, base.isoformat())] == 3  # burst collapsed
+
+    # streaming side: replay in event-time order through
+    # dropDuplicatesWithinWatermark and compare kept keys
+    landing = str(tmp_path / "dedup_landing")
+    spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).coalesce(
+        1
+    ).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .parquet(landing)
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept_stream = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("select * from dedup_stream_out").collect()
+    }
+    # one micro-batch ⇒ stream keeps exactly one row per key-burst chain
+    # that the batch twin also splits on
+    assert kept_stream == {(1, "A"), (2, "B")}
