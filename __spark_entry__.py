@@ -728,6 +728,59 @@ group by user_id, event_type, sid
 """
 
 
+def text_tfidf_top_terms(spark, sf_dir):
+    """SURVEY §7.2.8 text-analysis extension: top-5 tf-idf terms per doc.
+    Deterministic ranking (tfidf desc, term asc); tfidf rounded to 6dp
+    on both sides. tf/df/N are integers, idf the only transcendental —
+    the oracle compare at two SFs verifies the engines' ln() agree to
+    6dp on every arising (N, df) pair."""
+    from sqlbackuphistoryetl_spark.functions.textfns import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id", "term", "tf", "df_t", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )
+
+
+TFIDF_SQL = """
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            s -> s <> '')) as term
+  from documents),
+tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+dfreq as (select term, count(*) as df_t from tf group by 1),
+n as (select count(distinct doc_id) as n from documents),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+         tf.tf::double * ln(n.n::double / dfreq.df_t::double) as tfidf
+  from tf join dfreq using (term) cross join n),
+ranked as (
+  select *, row_number() over (partition by doc_id
+                               order by tfidf desc, term asc) as rank
+  from scored)
+select doc_id, term, tf, df_t, round(tfidf, 6) as tfidf, rank
+from ranked where rank <= 5
+"""
+
+
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count per
+    event_type (SURVEY §7.2.8). Rows-only gate: sketch estimates are
+    engine-specific so values can't hash-match an oracle; the pytest
+    asserts the estimate lands within 5% of exact."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def text_bpe_token_count(spark, sf_dir):
     """BPE-ish pre-tokenization counts (letter runs / digit runs /
     single punctuation) alongside whitespace tokens."""
@@ -1357,6 +1410,8 @@ _ORACLES: dict[str, str | None] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "hourly_event_rollup": HOURLY_SQL,
     "stream_dedup_sessions": STREAM_DEDUP_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
+    "approx_distinct_users": None,  # HLL estimates are engine-specific
     "text_bpe_token_count": BPE_SQL,
     "lang_id_multi": LANG_MULTI_SQL,
     "p9_fallback_probe": P9_SQL,
@@ -1412,6 +1467,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "hourly_event_rollup": hourly_event_rollup,
     "stream_dedup_sessions": stream_dedup_sessions,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "approx_distinct_users": approx_distinct_users,
     "text_bpe_token_count": text_bpe_token_count,
     "lang_id_multi": lang_id_multi,
     "p9_fallback_probe": p9_fallback_probe,

@@ -304,6 +304,74 @@ def _nearest_centroids_udf(centroids, n_probe: int):
     return nearest
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    sample_rows_per_centroid: int = 64,
+) -> list[list[float]]:
+    """Lloyd's k-means on a corpus sample — the production coarse
+    quantizer for ``ivf_topk`` (its docstring's "train real k-means
+    centroids on a sample" path).
+
+    Everything heavy stays distributed: assignment is the same
+    Arrow-batched broadcast-matmul used by IVF itself, and the centroid
+    update is a (cell, dim) hash aggregation over the posexploded
+    sample — O(sample · dims) narrow rows per iteration, never the full
+    corpus. Only the n_centroids × dims centroid matrix ever reaches the
+    driver. Deterministic: hash-ordered init, fixed sample seed.
+
+    Empty cells keep their previous centroid (standard Lloyd's fix);
+    cosine-metric assignment matches IVF's probe metric so trained cells
+    minimize the quantity the probe actually uses.
+    """
+    target_rows = n_centroids * sample_rows_per_centroid
+    total = corpus.count()
+    frac = min(1.0, target_rows / max(1, total))
+    sample = (
+        corpus.sample(fraction=frac, seed=41) if frac < 1.0 else corpus
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.xxhash64(F.col(id_col).cast("string")).alias("_rnd"),
+    )
+    sample = _spread(sample, "_id").persist()
+    try:
+        init = sample.orderBy("_rnd").limit(n_centroids).collect()
+        centroids = [list(r["_vec"]) for r in init]
+        if len(centroids) < n_centroids:
+            n_centroids = len(centroids)  # degenerate tiny corpus
+        dims = len(centroids[0])
+        for _ in range(iters):
+            assign = _nearest_centroids_udf(centroids, 1)
+            sums = (
+                sample.select(
+                    # n_probe=1 ⇒ single-element array; getItem avoids a
+                    # second generator in the select (one per select max)
+                    assign(F.col("_vec")).getItem(0).alias("cell"),
+                    F.posexplode(F.col("_vec")).alias("pos", "x"),
+                )
+                .groupBy("cell", "pos")
+                .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new = [[None] * dims for _ in range(n_centroids)]
+            counts = [0] * n_centroids
+            for r in sums:
+                new[r["cell"]][r["pos"]] = r["s"] / r["n"]
+                counts[r["cell"]] = r["n"]
+            centroids = [
+                new[c] if counts[c] > 0 else centroids[c]
+                for c in range(n_centroids)
+            ]
+        return centroids
+    finally:
+        sample.unpersist(blocking=False)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -312,6 +380,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 256,
     n_probe: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cell-probing
     alternative to ``rp_lsh_topk``.
@@ -327,29 +396,34 @@ def ivf_topk(
     no shuffle); the probe join shuffles O(N + Q·n_probe) narrow rows
     keyed by cell id — never N·Q. Recall/cost tunes with n_probe.
     Centroid skew (a hot cell) is AQE's skew-join case. For 100 TB,
-    train real k-means centroids on a sample and persist them; the
-    sampled quantizer here keeps the pipeline dependency-free.
+    pass ``centroids=train_centroids_kmeans(corpus, ...)`` — real
+    Lloyd's iterations on a sample, trained once and reused across
+    probe calls; the default sampled quantizer keeps one-shot calls
+    cheap.
 
     Centroid pick: a ``sample_fraction`` pre-sample (deterministic with
     the fixed seed) feeds a per-partition top-``n_centroids`` heap on
     the hash order — the full corpus is never heap-scanned; tiny
     corpora (sample < n_centroids) fall back to the full heap scan.
     """
-    ordered = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        F.xxhash64(F.col(id_col).cast("string")).alias("_rnd"),
-    )
-    sample_fraction = 0.02
-    sample = (
-        ordered.sample(fraction=sample_fraction, seed=41)
-        .orderBy("_rnd")
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(sample) < n_centroids:
-        sample = ordered.orderBy("_rnd").limit(n_centroids).collect()
-    centroids = [list(r["_cvec"]) for r in sample]
+    if centroids is None:
+        ordered = corpus.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_rnd"),
+        )
+        sample_fraction = 0.02
+        sample = (
+            ordered.sample(fraction=sample_fraction, seed=41)
+            .orderBy("_rnd")
+            .limit(n_centroids)
+            .collect()
+        )
+        if len(sample) < n_centroids:
+            sample = ordered.orderBy("_rnd").limit(n_centroids).collect()
+        centroids = [list(r["_cvec"]) for r in sample]
+    else:
+        n_centroids = len(centroids)
 
     assign1 = _nearest_centroids_udf(centroids, 1)
     assign_p = _nearest_centroids_udf(centroids, n_probe)

@@ -126,3 +126,56 @@ def winnowing_fingerprints(
         )
     )
     return hashed.select(F.col(id_col), F.explode(sketch).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (SURVEY §7.2.8's text-analysis
+    extension): tf = in-doc term count, idf = ln(N / df_t) with N = doc
+    count, df_t = docs containing the term.
+
+    Shape at scale: one explode → (doc, term) hash-agg for tf (map-side
+    partial), one (term) hash-agg for df, a broadcast join of the tiny
+    (term, df) dim onto tf, and a per-doc top-k window — no shuffle
+    carries raw text past the first agg. Ties rank deterministically
+    (tfidf desc, term asc).
+
+    Tokenization: lowercased maximal [a-z0-9]+ runs.
+    """
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda s: s != "",
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col("df_t").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df_t", "tfidf", "rank"
+        )
+    )

@@ -94,3 +94,15 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert set(df.columns) == {"o_custkey", "o_orderkey", "o_orderdate", "n_name", "lines_json"}
+
+
+def test_approx_distinct_within_rsd(spark):
+    """approx_count_distinct (rsd=0.02) must land within 5% of the exact
+    per-group distinct count — the accuracy contract behind the
+    rows-only gate entry."""
+    rows = entry_mod.queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert exact > 0
+        assert abs(r["approx_users"] - exact) <= max(2, 0.05 * exact), r

@@ -313,4 +313,45 @@ def test_cache_generations_bounded_and_releasable(spark, docs, vectors):
         embedding_near_dup_pairs(vectors, threshold=0.9).count()
     assert n_cached() <= base + 5  # one live generation per owner, max
     cachereg.release_caches()
-    assert n_cached() == 0
+    # back to the foreign baseline: other test modules sharing this
+    # session may hold their own (non-cachereg) persisted frames
+    assert n_cached() <= base
+
+
+def test_kmeans_centroids_converge_and_drive_ivf(spark):
+    """train_centroids_kmeans on three separated blobs must place one
+    centroid near each blob mean, and ivf_topk(centroids=trained) at
+    full probe must reproduce brute-force top-k exactly."""
+    import random
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_topk,
+        train_centroids_kmeans,
+    )
+
+    rng = random.Random(7)
+    blobs = {0: [10.0, 0.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 0.0]}
+    rows = []
+    for i in range(120):
+        b = blobs[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in b]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = train_centroids_kmeans(vecs, n_centroids=3, iters=4,
+                                   sample_rows_per_centroid=64)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    # each blob mean has a trained centroid within noise distance
+    for b in blobs.values():
+        d = min(sum((x - y) ** 2 for x, y in zip(b, c)) ** 0.5 for c in cents)
+        assert d < 1.0, (b, cents)
+
+    queries = vecs.filter(F.col("vec_id") < 6)
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(vecs, queries, k=3, n_probe=3, centroids=cents).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(vecs, queries, k=3).collect()
+    }
+    assert approx == exact
