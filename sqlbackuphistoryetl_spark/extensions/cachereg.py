@@ -42,6 +42,13 @@ def persist(
     return df
 
 
+def register(owner: str, df: DataFrame) -> None:
+    """Adopt an ALREADY-persisted frame into ``owner``'s current
+    generation (for pipelines that manage persist/materialize ordering
+    themselves, e.g. iterative loops)."""
+    _LIVE.setdefault(owner, []).append(df)
+
+
 def release_caches(owner: str | None = None) -> None:
     """Release every live cache (or just ``owner``'s). Safe to call at
     any time — downstream plans recompute instead of failing."""

@@ -1,0 +1,99 @@
+"""Deterministic sampling and dataset mixing for training-data curation.
+
+Training pipelines need samples that are (a) reproducible across runs,
+engines, and partitionings, and (b) computable in one pass with no
+global state. ``rand()`` fails (a) — its value depends on partition
+layout and task retries. Everything here keys off ``md5`` of the row's
+id instead: the hex digest is defined by the MD5 spec, so Spark, DuckDB,
+and any other engine agree byte-for-byte, and a row's keep/drop fate is
+a pure function of (id, salt) — stable under repartition, retry, and
+re-run. Changing the salt draws an independent sample.
+
+Scale notes (100 TB):
+- ``hash_rate_filter`` is a stateless per-row predicate — map-side only,
+  zero shuffle, pushes down past column pruning like any filter.
+- ``stratified_sample`` sorts only within each stratum (one shuffle on
+  the strata key). For mega-strata where a full per-stratum sort is too
+  hot, pre-thin with ``hash_rate_filter`` at ~3k/stratum-size rate, then
+  exact-k on the survivors — the md5 order statistic of the thinned set
+  equals that of the full set with overwhelming probability.
+- ``weighted_mix`` is a union of rate filters — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # first 8 md5 hex chars ≈ uniform 32-bit draw
+
+
+def det_key(id_col: str, salt: str) -> Column:
+    """Deterministic per-row draw: md5 of salt|id, as lowercase hex.
+    Lexicographic order on the fixed-width hex string == numeric order
+    on the underlying bits, so it can be compared/sorted as a string in
+    any engine without integer-parsing (which engines disagree on)."""
+    return F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-char threshold such that P[md5 prefix < threshold] == rate
+    (to 1/2^32). Clamped to [0, 1]."""
+    n = int(max(0.0, min(1.0, rate)) * _HEX_SPACE)
+    return "g" if n >= _HEX_SPACE else format(n, "08x")  # 'g' > any hex char
+
+
+def hash_rate_filter(
+    df: DataFrame, rate: float, id_col: str, salt: str = "s0"
+) -> DataFrame:
+    """Keep each row independently with probability ``rate``,
+    deterministically in (id, salt). Map-side predicate; no shuffle."""
+    if rate >= 1.0:
+        return df
+    thr = rate_threshold_hex(rate)
+    return df.filter(F.substring(det_key(id_col, salt), 1, 8) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — the k smallest md5
+    draws, which is a uniform without-replacement sample of the stratum.
+    Ties are impossible in practice (md5 collision); id breaks them
+    deterministically anyway so the result is always a function of the
+    input set only."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        det_key(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .filter(F.col("_srk") <= k)
+        .drop("_srk")
+    )
+
+
+def weighted_mix(
+    sources: list[tuple[str, DataFrame, float]],
+    id_col: str,
+    salt: str = "m0",
+) -> DataFrame:
+    """Mix datasets at per-source sampling rates: each (name, df, rate)
+    contributes a deterministic ``rate`` fraction of its rows, tagged
+    with a ``source`` column. The per-source salt is derived from the
+    source name so sources draw independently even over shared ids.
+
+    This is the rate-based form of training-mixture weighting (e.g.
+    "books×2-epochs-worth, web×0.3"): for upsampling (rate > 1) append
+    the same source twice with distinct names/salts."""
+    out: DataFrame | None = None
+    for name, df, rate in sources:
+        s = hash_rate_filter(df, rate, id_col, salt=f"{salt}|{name}")
+        s = s.withColumn("source", F.lit(name))
+        out = s if out is None else out.unionByName(s)
+    if out is None:
+        raise ValueError("weighted_mix: no sources given")
+    return out

@@ -128,6 +128,40 @@ def winnowing_fingerprints(
     return hashed.select(F.col(id_col), F.explode(sketch).alias("fingerprint"))
 
 
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Token-count distribution of a corpus: one row per ``bucket_width``
+    -wide bucket with the doc count and corpus share — the first look a
+    curation pipeline takes at new data (truncation cutoffs, boilerplate
+    spikes, empty-doc mass all show up here).
+
+    (bucket_lo, bucket_hi, n_docs, share): bucket_lo = floor(n_tokens /
+    w)·w. One map-side-partial hash aggregate over the corpus; the
+    share denominator rides a frame-less window over the (tiny) bucket
+    frame rather than a second corpus pass. Share is an exact-int÷
+    exact-int double, so it is bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = whitespace_token_count(F.col(text_col))
+    bucket_lo = (F.floor(n_tokens / bucket_width) * bucket_width).cast("long")
+    buckets = (
+        df.select(bucket_lo.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return buckets.select(
+        "bucket_lo",
+        (F.col("bucket_lo") + bucket_width - 1).alias("bucket_hi"),
+        "n_docs",
+        (F.col("n_docs").cast("double") / total).alias("share"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
