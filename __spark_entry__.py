@@ -1175,6 +1175,78 @@ from g order by bucket_lo
 """
 
 
+def chain_state_fold(spark, sf_dir):
+    """§2.9 row 4's stateful chain monitor, driver-gated through its
+    deterministic batch twin (streaming.stateful.chain_status_batch):
+    the same anchor/ok/replay/gap transition table the
+    applyInPandasWithState operator applies per micro-batch, expressed
+    as a JVM-side sequential fold over each key's event-time-ordered
+    events. Chain events are derived deterministically from the events
+    table (kind from event_id mod 5, LSN interval from value/event_id),
+    so DuckDB can walk the identical recurrence with a recursive CTE —
+    a full cross-engine check of order-sensitive stateful semantics."""
+    from sqlbackuphistoryetl_spark.streaming.stateful import (
+        chain_status_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    first = F.floor(F.col("value") * 100).cast("long")
+    derived = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, "Full")
+        .when(F.col("event_id") % 5 == 3, "Diff")
+        .otherwise("Log")
+        .alias("BackupType"),
+        first.alias("first_lsn"),
+        (first + 1 + F.col("event_id") % 50).alias("last_lsn"),
+    )
+    out = chain_status_batch(
+        derived,
+        key_cols=("user_id",),
+        order_col="ts",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "kind", "first_lsn", "last_lsn", "chain_head", "status", "seen"
+    ).orderBy("user_id", "seen")
+
+
+CHAIN_FOLD_SQL = """
+with recursive ev as (
+  select user_id,
+         row_number() over (partition by user_id order by ts, event_id) as rn,
+         case when event_id % 5 = 0 then 'Full'
+              when event_id % 5 = 3 then 'Diff'
+              else 'Log' end as kind,
+         cast(cast(floor(value * 100) as bigint) as decimal(25,0)) as first_lsn,
+         cast(cast(floor(value * 100) as bigint) + 1 + event_id % 50
+              as decimal(25,0)) as last_lsn
+  from events),
+walk as (
+  select user_id, rn, kind, first_lsn, last_lsn,
+         last_lsn as chain_head,
+         case when kind in ('Full','Diff') then 'anchor'
+              else 'no_anchor' end as status
+  from ev where rn = 1
+  union all
+  select e.user_id, e.rn, e.kind, e.first_lsn, e.last_lsn,
+         case when e.kind in ('Full','Diff') then e.last_lsn
+              when e.first_lsn <= w.chain_head and e.last_lsn <= w.chain_head
+                   then w.chain_head
+              else e.last_lsn end,
+         case when e.kind in ('Full','Diff') then 'anchor'
+              when e.first_lsn <= w.chain_head and e.last_lsn <= w.chain_head
+                   then 'replay'
+              when e.first_lsn <= w.chain_head then 'ok'
+              else 'gap' end
+  from walk w join ev e on e.user_id = w.user_id and e.rn = w.rn + 1)
+select user_id, kind, first_lsn, last_lsn, chain_head, status, rn as seen
+from walk order by user_id, seen
+"""
+
+
 # ---------------- approximate paths, oracle-gated at 100% recall
 #
 # Each gate composes the approximate stage (banding/bucketing — the
@@ -1571,6 +1643,7 @@ _ORACLES: dict[str, str | None] = {
     "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
     "weighted_source_mix": _weighted_mix_sql(),
     "token_len_histogram": TOKEN_HIST_SQL,
+    "chain_state_fold": CHAIN_FOLD_SQL,
     "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
@@ -1632,6 +1705,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "weighted_source_mix": weighted_source_mix,
     "token_len_histogram": token_len_histogram,
+    "chain_state_fold": chain_state_fold,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -108,8 +108,18 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["dedup_exact_groups"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    n_minhash = minhash_lsh_candidates(docs, text_col="text", id_col="doc_id").count()
+    minhash_pairs = minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
+    n_minhash = minhash_pairs.count()
     timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 2)
+
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        connected_components,
+    )
+
+    t0 = time.perf_counter()
+    comp = connected_components(minhash_pairs)
+    n_clusters = comp.select("comp").distinct().count()
+    timings["dedup_cluster_cc"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     n_simhash = simhash_buckets(docs, text_col="text", id_col="doc_id").count()
@@ -127,6 +137,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
+        "dup_clusters": n_clusters,
         "simhash_pairs": n_simhash,
         "ann_rows": n_ann,
         "ivf_rows": n_ivf,

@@ -73,6 +73,102 @@ def _classify(kind: str, first: int, last: int, head: int | None) -> tuple[str, 
     return "gap", last  # jumped past the head: backups missing in between
 
 
+def chain_status_batch(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("server_name", "database_name"),
+    order_col: str = "backup_finish_date",
+    tiebreak_col: str | None = None,
+    kind_col: str = "BackupType",
+    first_col: str = "first_lsn",
+    last_col: str = "last_lsn",
+) -> DataFrame:
+    """Deterministic BATCH TWIN of ``track_chain_state``: the identical
+    per-(key) chain recurrence (``_classify``) expressed as a JVM-side
+    sequential fold — ``array_sort(collect_list(event))`` per group,
+    then ``F.aggregate`` threading (head, seen) through the ordered
+    events. No Python, no state store; same transition table, so the
+    streaming operator's output is checkable against this one (and this
+    one against a SQL oracle).
+
+    Output: key cols + (kind, first_lsn, last_lsn, chain_head, status,
+    seen) — one row per event, LSNs as DECIMAL(25,0) (exceeds int64;
+    exact compare in-engine).
+
+    Scale notes: one shuffle (the groupBy); each group's event array is
+    a restore chain, bounded by per-database backup frequency × retention
+    (thousands, not millions) — the same boundedness the streaming
+    operator's state row relies on. The fold appends to the output array
+    per element (O(chain²) element copies per group); for the domain's
+    chain lengths this is noise, and groups parallelize across the
+    cluster.
+    """
+    from pyspark.sql import functions as F
+
+    d25 = "decimal(25,0)"
+    order_fields = [F.col(order_col).alias("_o")]
+    if tiebreak_col is not None:
+        order_fields.append(F.col(tiebreak_col).alias("_tb"))
+    ev = F.struct(
+        *order_fields,
+        F.col(kind_col).alias("kind"),
+        F.col(first_col).cast(d25).alias("first_lsn"),
+        F.col(last_col).cast(d25).alias("last_lsn"),
+    )
+    grouped = df.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(ev)).alias("_evs")
+    )
+
+    out_t = (
+        "array<struct<kind:string,first_lsn:decimal(25,0),"
+        "last_lsn:decimal(25,0),chain_head:decimal(25,0),"
+        "status:string,seen:bigint>>"
+    )
+    acc0 = F.struct(
+        F.lit(None).cast(d25).alias("head"),
+        F.lit(0).cast("long").alias("seen"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        is_anchor = e["kind"].isin("Full", "Diff")
+        head = acc["head"]
+        covered = (e["first_lsn"] <= head) & (e["last_lsn"] <= head)
+        new_head = (
+            F.when(is_anchor, e["last_lsn"])
+            .when(head.isNull(), e["last_lsn"])
+            .when(covered, head)
+            .otherwise(e["last_lsn"])
+        )
+        status = (
+            F.when(is_anchor, F.lit("anchor"))
+            .when(head.isNull(), F.lit("no_anchor"))
+            .when(covered, F.lit("replay"))
+            .when(e["first_lsn"] <= head, F.lit("ok"))
+            .otherwise(F.lit("gap"))
+        )
+        seen = acc["seen"] + 1
+        elem = F.struct(
+            e["kind"].alias("kind"),
+            e["first_lsn"].alias("first_lsn"),
+            e["last_lsn"].alias("last_lsn"),
+            new_head.alias("chain_head"),
+            status.alias("status"),
+            seen.alias("seen"),
+        )
+        return F.struct(
+            new_head.alias("head"),
+            seen.alias("seen"),
+            F.concat(acc["out"], F.array(elem)).alias("out"),
+        )
+
+    folded = grouped.select(
+        *key_cols, F.aggregate("_evs", acc0, _step).alias("_acc")
+    )
+    return folded.select(
+        *key_cols, F.explode("_acc.out").alias("_e")
+    ).select(*key_cols, "_e.*")
+
+
 def track_chain_state(
     events: DataFrame,
     output_mode: str = "update",

@@ -138,6 +138,47 @@ def test_stateful_chain_tracker_across_microbatches(spark, tmp_path):
     assert out[-1]["events_seen"] == 4  # state survived the batch boundary
 
 
+def test_chain_batch_twin_matches_streaming_transitions(spark):
+    """§2.9 row 4: chain_status_batch applies the IDENTICAL transition
+    table as track_chain_state (same prefix as the streaming test above
+    ⇒ same statuses/head), plus the replay and no-anchor branches."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from sqlbackuphistoryetl_spark.streaming.stateful import (
+        chain_status_batch,
+    )
+
+    def row(db, kind, first, last, minute):
+        return (
+            "S1", db, kind, Decimal(first), Decimal(last),
+            dt.datetime(2025, 1, 1, 0, minute),
+        )
+
+    rows = [
+        row("db1", "Full", 1, 100, 1),
+        row("db1", "Log", 100, 200, 2),
+        row("db1", "Log", 200, 300, 3),
+        row("db1", "Log", 450, 500, 4),   # gap: jumped past head 300
+        row("db1", "Log", 150, 250, 5),   # fully covered ⇒ replay, head stays
+        row("db2", "Log", 5, 9, 1),       # log before any anchor
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "server_name string, database_name string, BackupType string, "
+        "first_lsn decimal(25,0), last_lsn decimal(25,0), "
+        "backup_finish_date timestamp",
+    )
+    out = chain_status_batch(df).orderBy("database_name", "seen").collect()
+    db1 = [r for r in out if r["database_name"] == "db1"]
+    # first four transitions = the streaming test's expected sequence
+    assert [r["status"] for r in db1] == ["anchor", "ok", "ok", "gap", "replay"]
+    assert str(db1[-1]["chain_head"]) == "500"
+    assert [r["seen"] for r in db1] == [1, 2, 3, 4, 5]
+    db2 = [r for r in out if r["database_name"] == "db2"]
+    assert [(r["status"], str(r["chain_head"])) for r in db2] == [("no_anchor", "9")]
+
+
 def test_batch_twin_matches_streaming_dedup_keys(spark, tmp_path):
     """§2.9 row 2: the batch twin (session_window) and the streaming
     dropDuplicatesWithinWatermark must keep the same set of first-seen
