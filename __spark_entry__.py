@@ -1175,6 +1175,41 @@ from g order by bucket_lo
 """
 
 
+def token_percentiles(spark, sf_dir):
+    """Exact per-language token-count percentiles (p50/p90/p99) — the
+    distribution cutoffs a curation pipeline turns into truncation and
+    filtering thresholds. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` both define the q-quantile as linear interpolation
+    at rank (n-1)·q, and the interpolation arithmetic on exactly-equal
+    int inputs is bit-identical IEEE, so the values hash-match. (At
+    100 TB swap in ``percentile_approx`` — t-digest, one pass, no
+    per-group sort; the exact form here is the oracle-checkable
+    definition that approximation is graded against.)"""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    d = docs.select("lang", n_tokens.alias("nt"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.percentile("nt", 0.5).alias("p50"),
+            F.percentile("nt", 0.9).alias("p90"),
+            F.percentile("nt", 0.99).alias("p99"),
+            F.max("nt").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_PCTL_SQL = r"""
+select lang,
+       quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5) as p50,
+       quantile_cont(len(regexp_extract_all(text, '\S+')), 0.9) as p90,
+       quantile_cont(len(regexp_extract_all(text, '\S+')), 0.99) as p99,
+       max(len(regexp_extract_all(text, '\S+'))) as max_tokens
+from documents group by lang order by lang
+"""
+
+
 def chain_state_fold(spark, sf_dir):
     """§2.9 row 4's stateful chain monitor, driver-gated through its
     deterministic batch twin (streaming.stateful.chain_status_batch):
@@ -1644,6 +1679,7 @@ _ORACLES: dict[str, str | None] = {
     "weighted_source_mix": _weighted_mix_sql(),
     "token_len_histogram": TOKEN_HIST_SQL,
     "chain_state_fold": CHAIN_FOLD_SQL,
+    "token_percentiles": TOKEN_PCTL_SQL,
     "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
@@ -1706,6 +1742,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_source_mix": weighted_source_mix,
     "token_len_histogram": token_len_histogram,
     "chain_state_fold": chain_state_fold,
+    "token_percentiles": token_percentiles,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

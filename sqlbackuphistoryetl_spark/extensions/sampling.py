@@ -12,11 +12,11 @@ re-run. Changing the salt draws an independent sample.
 Scale notes (100 TB):
 - ``hash_rate_filter`` is a stateless per-row predicate — map-side only,
   zero shuffle, pushes down past column pruning like any filter.
-- ``stratified_sample`` sorts only within each stratum (one shuffle on
-  the strata key). For mega-strata where a full per-stratum sort is too
-  hot, pre-thin with ``hash_rate_filter`` at ~3k/stratum-size rate, then
-  exact-k on the survivors — the md5 order statistic of the thinned set
-  equals that of the full set with overwhelming probability.
+- ``stratified_sample`` shuffles once on the strata key, and Spark's
+  WindowGroupLimit rewrite runs a PARTIAL top-k before that exchange —
+  each input partition ships at most k rows per stratum, so even a
+  mega-stratum never funnels its full row mass through the shuffle
+  (asserted in tests/test_plans_physical.py).
 - ``weighted_mix`` is a union of rate filters — no shuffle at all.
 """
 

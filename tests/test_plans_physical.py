@@ -146,3 +146,74 @@ def test_rp_lsh_plan_equi_join(spark):
     plan = _explain(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # bucket join is equi
+
+
+def _sample_docs(spark):
+    return spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", f"text {i}") for i in range(60)],
+        ["doc_id", "grp", "text"],
+    )
+
+
+def test_weighted_mix_no_shuffle(spark):
+    """The md5-threshold mix is a pure map-side union: zero exchanges,
+    zero Python — a rate filter must cost one pass at any scale."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import weighted_mix
+
+    df = _sample_docs(spark)
+    out = weighted_mix(
+        [("a", df.filter(F.col("doc_id") < 30), 0.5),
+         ("b", df.filter(F.col("doc_id") >= 30), 0.5)],
+        "doc_id",
+    )
+    plan = _explain(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Per-stratum top-k shuffles once on the strata key, and the
+    planner's partial WindowGroupLimit must sit BEFORE that exchange —
+    each input partition ships at most k rows per stratum, so a
+    mega-stratum never funnels its full row mass through the shuffle."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import stratified_sample
+
+    out = stratified_sample(_sample_docs(spark), ["grp"], 3, "doc_id")
+    plan = _explain(out)
+    assert plan.count("hashpartitioning(") == 1
+    partial = plan.find("WindowGroupLimit")
+    exchange = plan.find("Exchange")
+    assert 0 <= partial < exchange  # pre-shuffle top-k prune present
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_histogram_partial_agg(spark):
+    """The corpus pass must map-side-combine: a partial HashAggregate
+    before the exchange, and only one corpus-wide shuffle (the tiny
+    bucket-frame window exchange is on the agg output, not the corpus)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import token_length_histogram
+
+    out = token_length_histogram(_sample_docs(spark), "text", 10)
+    plan = _explain(out)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
+
+
+def test_chain_fold_single_shuffle_no_python(spark):
+    """The stateful batch twin is one keyed shuffle (the groupBy) plus
+    a JVM fold — no Python, no window over the raw events."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from sqlbackuphistoryetl_spark.streaming.stateful import chain_status_batch
+
+    df = spark.createDataFrame(
+        [("S1", "db1", "Full", Decimal(1), Decimal(9),
+          dt.datetime(2025, 1, 1, 0, 1))],
+        "server_name string, database_name string, BackupType string, "
+        "first_lsn decimal(25,0), last_lsn decimal(25,0), "
+        "backup_finish_date timestamp",
+    )
+    plan = _explain(chain_status_batch(df))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
