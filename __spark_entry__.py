@@ -1088,6 +1088,59 @@ from reach group by src order by doc_id
 """
 
 
+def dedup_keep_one(spark, sf_dir):
+    """The dedup pipeline's terminal: corpus reduced to one document per
+    duplicate group (min-id member survives; unpaired docs pass
+    through). Composes pair generation → connected components →
+    anti-join of the non-representatives
+    (extensions.clustering.dedup_representatives)."""
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        dedup_representatives,
+    )
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_all_pairs(
+        docs, text_col="text", id_col="doc_id", max_gram_df=64
+    ).filter(F.col("jaccard") >= 0.05)
+    kept = dedup_representatives(docs, pairs)
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+DEDUP_KEEP_ONE_SQL = r"""
+with recursive toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 500),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from grams a join grams b on a.doc_id < b.doc_id
+  where len(list_intersect(a.g, b.g))::double
+        / len(list_distinct(list_cat(a.g, b.g))) >= 0.05),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs),
+reach(src, dst) as (
+  select src, dst from edges
+  union
+  select r.src, e.dst from reach r join edges e on r.dst = e.src)
+select doc_id, lang from documents
+where doc_id < 500
+  and doc_id not in (
+    select src from reach group by src having least(src, min(dst)) <> src)
+order by doc_id
+"""
+
+
 def stratified_sample_by_lang(spark, sf_dir):
     """Deterministic per-language 20-doc sample: the k smallest md5(salt|
     id) draws per stratum — a uniform without-replacement sample that is
@@ -1675,6 +1728,7 @@ _ORACLES: dict[str, str | None] = {
     "a5_minmax_loop_bounds": A5_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
     "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
     "weighted_source_mix": _weighted_mix_sql(),
     "token_len_histogram": TOKEN_HIST_SQL,
@@ -1738,6 +1792,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_one": dedup_keep_one,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "weighted_source_mix": weighted_source_mix,
     "token_len_histogram": token_len_histogram,
