@@ -1193,12 +1193,12 @@ def _weighted_mix_sql() -> str:
     return f"""
 select doc_id, lang, 'even' as source from documents
 where doc_id % 2 = 0
-  and substring(md5(concat_ws('|', 'mix|even', cast(doc_id as varchar))), 1, 8)
+  and substring(md5(concat_ws('|', 'mix|even|0', cast(doc_id as varchar))), 1, 8)
       < '{rate_threshold_hex(0.7)}'
 union all
 select doc_id, lang, 'odd' as source from documents
 where doc_id % 2 = 1
-  and substring(md5(concat_ws('|', 'mix|odd', cast(doc_id as varchar))), 1, 8)
+  and substring(md5(concat_ws('|', 'mix|odd|0', cast(doc_id as varchar))), 1, 8)
       < '{rate_threshold_hex(0.3)}'
 order by doc_id
 """

@@ -83,17 +83,29 @@ def weighted_mix(
 ) -> DataFrame:
     """Mix datasets at per-source sampling rates: each (name, df, rate)
     contributes a deterministic ``rate`` fraction of its rows, tagged
-    with a ``source`` column. The per-source salt is derived from the
-    source name so sources draw independently even over shared ids.
+    with ``source`` and ``epoch`` columns. The per-source salt is
+    derived from the source name so sources draw independently even
+    over shared ids.
 
-    This is the rate-based form of training-mixture weighting (e.g.
-    "books×2-epochs-worth, web×0.3"): for upsampling (rate > 1) append
-    the same source twice with distinct names/salts."""
+    This is the rate-based form of training-mixture weighting ("books
+    ×2.5 epochs, web ×0.3"): rate > 1 upsamples — floor(rate) full
+    copies (epoch = 0..n-1) plus a deterministic Bernoulli(frac) draw
+    of the remainder (epoch = n), each epoch drawing with its own salt.
+    Expected multiplicity of every row is exactly ``rate``; still a
+    union of map-side filters, no shuffle."""
     out: DataFrame | None = None
     for name, df, rate in sources:
-        s = hash_rate_filter(df, rate, id_col, salt=f"{salt}|{name}")
-        s = s.withColumn("source", F.lit(name))
-        out = s if out is None else out.unionByName(s)
+        n_full = int(rate)
+        parts = [(e, 1.0) for e in range(n_full)]
+        frac = rate - n_full
+        if frac > 0:
+            parts.append((n_full, frac))
+        for epoch, r in parts:
+            s = hash_rate_filter(df, r, id_col, salt=f"{salt}|{name}|{epoch}")
+            s = s.withColumn("source", F.lit(name)).withColumn(
+                "epoch", F.lit(epoch)
+            )
+            out = s if out is None else out.unionByName(s)
     if out is None:
         raise ValueError("weighted_mix: no sources given")
     return out

@@ -158,6 +158,21 @@ class TestSampling:
         with pytest.raises(ValueError):
             weighted_mix([], "doc_id")
 
+    def test_weighted_mix_upsampling(self, spark):
+        # rate 2.5 → two full epochs + a half draw; every row appears
+        # at least twice, expected multiplicity 2.5
+        df = _docs(spark, n=40)
+        out = weighted_mix([("s", df, 2.5)], "doc_id").collect()
+        per_id = {}
+        for r in out:
+            per_id.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert set(per_id) == set(range(40))
+        counts = [len(v) for v in per_id.values()]
+        assert all(c in (2, 3) for c in counts)
+        assert 40 * 2 < len(out) < 40 * 3  # the half-epoch drew something
+        for epochs in per_id.values():
+            assert {0, 1} <= set(epochs)  # full epochs always present
+
 
 class TestTokenHistogram:
     def test_buckets_and_share(self, spark):
