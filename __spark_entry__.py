@@ -1682,6 +1682,148 @@ from documents where doc_id < 100
 """
 
 
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc (type-token
+    ratio, top-unigram share, top-bigram share) — the curation filters
+    that drop boilerplate/looped text before training. Zero-shuffle:
+    array_sort + run-length aggregate() per doc (see
+    functions.textfns.repetition_profile's plan note)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs).orderBy("doc_id")
+
+
+REPETITION_SQL = r"""
+with toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') as t
+  from documents),
+base as (select doc_id, len(t) as n, len(list_distinct(t)) as nd from toks),
+u as (select doc_id, tok, count(*) as c
+      from (select doc_id, unnest(t) as tok from toks) z group by 1, 2),
+topu as (select doc_id, max(c) as mu from u group by 1),
+bg as (select doc_id,
+              case when len(t) >= 2
+                   then list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])
+                   else [] end as b
+       from toks),
+bu as (select doc_id, g, count(*) as c
+       from (select doc_id, unnest(b) as g from bg) z group by 1, 2),
+topb as (select doc_id, max(c) as mb from bu group by 1)
+select b.doc_id, b.n as n_tokens,
+       b.nd::double / greatest(b.n, 1) as distinct_ratio,
+       coalesce(mu, 0)::double / greatest(b.n, 1) as top_unigram_frac,
+       coalesce(mb, 0)::double / greatest(b.n - 1, 1) as top_bigram_frac
+from base b left join topu using (doc_id) left join topb using (doc_id)
+order by b.doc_id
+"""
+
+
+def contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination: per training doc, the count/share of
+    its distinct word n-grams that appear anywhere in the benchmark
+    set (source 'src0' stands in for the eval suite). Benchmark gram
+    set is broadcast — the corpus-side probe is a map-side hash lookup
+    (extensions.decontam). n=3 here so the synthetic corpus overlaps;
+    production decontamination runs the same plan at n=8..13."""
+    from sqlbackuphistoryetl_spark.extensions.decontam import (
+        contamination_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contamination_overlap(train, bench, n=3).orderBy("doc_id")
+
+
+CONTAMINATION_SQL = r"""
+with toks as (
+  select doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') as t
+  from documents),
+grams as (
+  select doc_id, source,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [] end as g
+  from toks),
+bench as (select distinct gram
+          from (select unnest(g) as gram from grams where source = 'src0') z),
+tg as (select doc_id, unnest(g) as gram from grams where source <> 'src0'),
+hits as (select tg.doc_id, count(*) as n_hit
+         from tg join bench using (gram) group by 1)
+select g.doc_id, len(g.g) as n_ngrams,
+       coalesce(h.n_hit, 0) as n_contaminated,
+       coalesce(h.n_hit, 0)::double / greatest(len(g.g), 1) as contaminated_frac
+from grams g left join hits h using (doc_id)
+where g.source <> 'src0' order by g.doc_id
+"""
+
+
+def global_shard_ids(spark, sf_dir):
+    """Corpus-export terminal: dense global ordinal in (source, doc_id)
+    order plus fixed-size shard assignment — computed WITHOUT a
+    single-task global window (range repartition + per-partition rank +
+    broadcast prefix-sum offsets; extensions.sharding). The oracle is
+    the naive global row_number(), which this plan must equal exactly."""
+    from sqlbackuphistoryetl_spark.extensions.sharding import global_ordinals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = global_ordinals(docs, ["source", "doc_id"], shard_size=100)
+    return out.select("doc_id", "source", "ordinal", "shard").orderBy("ordinal")
+
+
+SHARD_SQL = """
+select doc_id, source,
+       (row_number() over (order by source, doc_id) - 1) as ordinal,
+       ((row_number() over (order by source, doc_id) - 1) // 100) as shard
+from documents order by ordinal
+"""
+
+
+def asof_last_purchase(spark, sf_dir):
+    """Backward as-of join (operators.asof): each 'error' event joined
+    to the same user's most recent at-or-before 'purchase'. The
+    reference's restore-chain walk is this exact shape — newest Full at
+    or before STOPAT (sql:864-875) — generalized to a keyed feed. One
+    shuffle of |L|+|R| rows; no inequality-join cross product. Oracle:
+    the ANSI range-frame max(), which at-or-equal tie semantics match."""
+    from sqlbackuphistoryetl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        errors, purchases, ["user_id"], "ts", ["ts"], tiebreak_cols=["event_id"]
+    )
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_purchase_ts"),
+        (um("ts") - um("asof_ts")).alias("micros_since"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+with m as (
+  select event_id, user_id, ts, event_type,
+         max(case when event_type = 'purchase' then ts end)
+           over (partition by user_id order by ts) as last_purchase_ts
+  from events)
+select event_id, user_id, ts, last_purchase_ts,
+       epoch_us(ts) - epoch_us(last_purchase_ts) as micros_since
+from m where event_type = 'error' order by event_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -1735,6 +1877,10 @@ _ORACLES: dict[str, str | None] = {
     "chain_state_fold": CHAIN_FOLD_SQL,
     "token_percentiles": TOKEN_PCTL_SQL,
     "embedding_cosine_topk": EMBEDDING_TOPK_SQL,
+    "quality_repetition": REPETITION_SQL,
+    "contamination_ngram": CONTAMINATION_SQL,
+    "global_shard_ids": SHARD_SQL,
+    "asof_last_purchase": ASOF_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -1798,6 +1944,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_len_histogram": token_len_histogram,
     "chain_state_fold": chain_state_fold,
     "token_percentiles": token_percentiles,
+    "quality_repetition": quality_repetition,
+    "contamination_ngram": contamination_ngram,
+    "global_shard_ids": global_shard_ids,
+    "asof_last_purchase": asof_last_purchase,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -162,6 +162,85 @@ def token_length_histogram(
     )
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the count of the most frequent element — via one aggregate() scan.
+    0 for an empty array."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per doc:
+
+    - ``n_tokens``
+    - ``distinct_ratio``: distinct tokens / tokens (type-token ratio)
+    - ``top_unigram_frac``: share of tokens that are the single most
+      frequent token
+    - ``top_bigram_frac``: share of bigrams that are the most frequent
+      bigram
+
+    ZERO-shuffle plan: the op is per-document, so no shuffle is ever
+    necessary — the most-frequent-element counts come from
+    ``array_sort`` + a run-length ``aggregate()`` scan, all map-side
+    JVM higher-order functions. (The explode → groupBy(doc, token)
+    formulation computes the same thing but shuffles one row per
+    distinct (doc, token) — pure waste for a per-doc statistic; at
+    100 TB that shuffle is the whole job.) Arrays are bound as real
+    columns between stages — HOF lambdas have no CSE.
+
+    All ratios are exact-int ÷ exact-int doubles (bit-identical across
+    engines).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != "")
+    bound = df.select(F.col(id_col), toks.alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = bound.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_nd"),
+        F.array_sort("_toks").alias("_su"),
+        F.array_sort(bigrams).alias("_sb"),
+    )
+    n = F.col("n_tokens")
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("_nd").cast("double") / F.greatest(n, F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        (
+            _max_run_length(F.col("_su")).cast("double") / F.greatest(n, F.lit(1))
+        ).alias("top_unigram_frac"),
+        (
+            _max_run_length(F.col("_sb")).cast("double")
+            / F.greatest(n - 1, F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
