@@ -74,24 +74,36 @@ def contamination_overlap(
         _gram_arrays(bench, text_col, id_col, n)
         .select(F.explode("_grams").alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
 
+    # SINGLE corpus pass: per-doc total rides along each probe row
+    # (explode_outer keeps zero-gram docs as one null-gram row), the
+    # bench membership is a LEFT broadcast join marker, and one
+    # map-side-partial aggregate per doc recovers (total, hits) — no
+    # second gram computation, no join-back for zero-hit docs.
     probes = train_grams.select(
-        "_id", F.explode("_grams").alias("gram")
+        "_id",
+        F.size("_grams").alias("_n_ngrams"),
+        F.explode_outer("_grams").alias("gram"),
     )
-    hits = probes.join(bench_grams, "gram").groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    totals = train_grams.select("_id", F.size("_grams").alias("n_ngrams"))
-    out = totals.join(hits, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_ngrams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double")
-            / F.greatest(F.col("n_ngrams"), F.lit(1))
-        ).alias("contaminated_frac"),
+    out = (
+        probes.join(bench_grams, "gram", "left")
+        .groupBy("_id")
+        .agg(
+            F.first("_n_ngrams").alias("n_ngrams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_ngrams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.greatest(F.col("n_ngrams"), F.lit(1))
+            ).alias("contaminated_frac"),
+        )
     )
     return out
