@@ -1824,6 +1824,196 @@ from m where event_type = 'error' order by event_id
 """
 
 
+def sequence_packing(spark, sf_dir):
+    """Pretraining export: concat-and-chunk packing of the corpus token
+    stream into 256-token sequences, as (doc → sequence, slice) span
+    metadata (extensions.packing). The global token cumsum runs as a
+    range repartition + per-partition window + broadcast prefix-sum
+    offsets — never a single-task global window. The oracle IS that
+    naive global window (plus a lateral generate_series explode), which
+    the distributed plan must equal exactly."""
+    from sqlbackuphistoryetl_spark.extensions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tok"),
+    )
+    out = pack_sequences(docs, "n_tok", ["doc_id"], seq_len=256)
+    return out.select(
+        "seq_id", "doc_id", "tok_begin", "tok_end", "slice_tokens"
+    ).orderBy("seq_id", "doc_id")
+
+
+PACKING_SQL = r"""
+with t as (
+  select doc_id, len(regexp_extract_all(text, '\S+')) as n_tok from documents),
+c as (
+  select doc_id, n_tok,
+         cast(sum(n_tok) over (order by doc_id
+              rows unbounded preceding) as bigint) as cum_end
+  from t),
+s as (
+  select doc_id, n_tok, cum_end - n_tok as cum_start, cum_end
+  from c where n_tok > 0)
+select cast(g.seq_id as bigint) as seq_id, s.doc_id,
+       cast(greatest(0, g.seq_id * 256 - s.cum_start) as bigint) as tok_begin,
+       cast(least(s.cum_end, (g.seq_id + 1) * 256) - s.cum_start as bigint)
+           as tok_end,
+       cast(least(s.cum_end, (g.seq_id + 1) * 256) - s.cum_start
+            - greatest(0, g.seq_id * 256 - s.cum_start) as bigint)
+           as slice_tokens
+from s, unnest(generate_series(s.cum_start // 256, (s.cum_end - 1) // 256))
+       as g(seq_id)
+order by seq_id, doc_id
+"""
+
+
+def curation_funnel(spark, sf_dir):
+    """Curation filter-funnel report: every document classified by its
+    FIRST failing keep-rule (length floor/ceiling → language allowlist
+    → English stopword-density floor), then per-(source, reason) counts
+    and mean token length. The decision column is one codegen'd CASE —
+    adding a rule never adds a pass over the data, and the report is a
+    single map-side-partial aggregate. This is the acceptance report a
+    corpus curation run publishes alongside its output."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    stop_hits = F.size(
+        F.expr(r"regexp_extract_all(text, '\\b(the|a|of|to|and)\\b', 0)")
+    )
+    reason = (
+        F.when(n_tok < 20, F.lit("too_short"))
+        .when(n_tok > 1000, F.lit("too_long"))
+        .when(~F.col("lang").isin("en", "de", "fr"), F.lit("lang_not_allowed"))
+        .when(
+            (F.col("lang") == "en")
+            & (stop_hits * 100 < n_tok * 2),  # integer form of ratio < 0.02
+            F.lit("low_stopword_density"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("source", reason.alias("reason"), n_tok.alias("n_tok"))
+        .groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source", "reason")
+    )
+
+
+FUNNEL_SQL = r"""
+with t as (
+  select source, lang,
+         len(regexp_extract_all(text, '\S+')) as n_tok,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) as stop_hits
+  from documents)
+select source,
+       case when n_tok < 20 then 'too_short'
+            when n_tok > 1000 then 'too_long'
+            when lang not in ('en','de','fr') then 'lang_not_allowed'
+            when lang = 'en' and stop_hits * 100 < n_tok * 2
+                 then 'low_stopword_density'
+            else 'keep' end as reason,
+       count(*) as n_docs,
+       sum(n_tok) as total_tokens
+from t group by 1, 2 order by source, reason
+"""
+
+
+def knn_label_vote_gate(spark, sf_dir):
+    """Embedding-space k-NN majority-vote labeling
+    (extensions.similarity.knn_label_vote): modal label among the 10
+    exact cosine neighbors of each query vector, deterministic
+    tie-breaks (rank by neighbor id, vote by smallest label). Oracle
+    recomputes the vote from DuckDB's own cosine ranking."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return knn_label_vote(emb, queries, k=10).orderBy("query_id")
+
+
+KNN_VOTE_SQL = """
+with q as (select vec_id as query_id, embedding as q_vec
+           from embeddings where vec_id < 20),
+scored as (
+  select q.query_id, c.vec_id as neighbor_id, c.label,
+         list_cosine_similarity(q.q_vec::double[], c.embedding::double[])
+             as cos_full
+  from q, embeddings c where c.vec_id <> q.query_id),
+ranked as (
+  select query_id, neighbor_id, label, cos_full,
+         row_number() over (partition by query_id
+                            order by cos_full desc, neighbor_id) as rank
+  from scored),
+votes as (
+  select query_id, label, count(*) as votes, max(cos_full) as top_cos
+  from ranked where rank <= 10 group by query_id, label),
+winner as (
+  select query_id, label, votes, top_cos,
+         row_number() over (partition by query_id
+                            order by votes desc, label) as r
+  from votes)
+select query_id, label as predicted_label, votes,
+       round(top_cos, 6) as top_cosine
+from winner where r = 1 order by query_id
+"""
+
+
+def incremental_dedup_cross(spark, sf_dir):
+    """Incremental ingest dedup (extensions.dedup.minhash_lsh_cross):
+    an 'incoming batch' (odd doc_ids) screened against the 'existing
+    corpus' (even doc_ids) through the cross-corpus LSH band join, then
+    the exact 9-char-shingle Jaccard re-scores candidates at 0.5 — the
+    production shape where a new crawl is deduped against accepted data
+    without re-pairing the accepted corpus with itself. Banding params
+    match dedup_minhash_lsh (whose 100%-recall argument covers this
+    pair subset), so the output equals the exact cross-corpus answer
+    the oracle computes."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        minhash_lsh_cross,
+        shingle_jaccard_verify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    incoming = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    cand = minhash_lsh_cross(
+        incoming, existing,
+        num_hashes=32, bands=16, shingle_len=9, min_est_jaccard=0.4,
+    ).select(
+        F.col("incoming_id").alias("id_a"), F.col("existing_id").alias("id_b")
+    )
+    scored = shingle_jaccard_verify(docs, cand, k=9)
+    return (
+        scored.filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("id_a").alias("incoming_id"),
+            F.col("id_b").alias("existing_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("incoming_id", "existing_id")
+    )
+
+
+CROSS_DEDUP_SQL = """
+with sh as (
+  select doc_id,
+         list_distinct(list_transform(range(1, greatest(1, length(text) - 8) + 1),
+                                      i -> substr(text, i, 9))) as s
+  from documents),
+p as (
+  select a.doc_id as incoming_id, b.doc_id as existing_id,
+         len(list_intersect(a.s, b.s))::double
+           / len(list_distinct(list_concat(a.s, b.s))) as j
+  from sh a join sh b on a.doc_id % 2 = 1 and b.doc_id % 2 = 0)
+select incoming_id, existing_id, round(j, 6) as jaccard
+from p where j >= 0.5 order by incoming_id, existing_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -1881,6 +2071,10 @@ _ORACLES: dict[str, str | None] = {
     "contamination_ngram": CONTAMINATION_SQL,
     "global_shard_ids": SHARD_SQL,
     "asof_last_purchase": ASOF_SQL,
+    "sequence_packing": PACKING_SQL,
+    "curation_funnel": FUNNEL_SQL,
+    "knn_label_vote": KNN_VOTE_SQL,
+    "incremental_dedup_cross": CROSS_DEDUP_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -1948,6 +2142,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_ngram": contamination_ngram,
     "global_shard_ids": global_shard_ids,
     "asof_last_purchase": asof_last_purchase,
+    "sequence_packing": sequence_packing,
+    "curation_funnel": curation_funnel,
+    "knn_label_vote": knn_label_vote_gate,
+    "incremental_dedup_cross": incremental_dedup_cross,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

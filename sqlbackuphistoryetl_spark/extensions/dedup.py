@@ -95,21 +95,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_len: int = 5,
-    min_est_jaccard: float = 0.5,
-) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) with the signature-estimated
-    Jaccard. Pairs only form inside an LSH band bucket."""
+def _band_entries(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, sig, band, bucket) LSH band rows for a signature frame."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
-
-    band_entries = sigs.select(
+    return sigs.select(
         "_id",
         "sig",
         F.explode(
@@ -126,6 +115,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with the signature-estimated
+    Jaccard. Pairs only form inside an LSH band bucket."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+
+    band_entries = _band_entries(sigs, num_hashes, bands)
 
     # Both self-join sides consume band_entries; without a barrier the
     # whole shingle→signature pipeline runs twice (exchange reuse does
@@ -527,4 +532,65 @@ def simhash_buckets(
         # and ~10² at 5k docs — measured 38 s → ~3 s at sf0.1.
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_cross(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup candidates: each ``incoming``
+    document against the ``existing`` corpus — the dedup shape of a
+    production ingest, where a new crawl batch is screened against
+    petabytes of already-accepted data WITHOUT re-pairing the existing
+    corpus with itself.
+
+    Same banding machinery as ``minhash_lsh_candidates`` but the band
+    join is between the two corpora's band entries, so cost is
+    O(|incoming| + collisions), never O(|existing|²). At 100 TB the
+    existing side's band entries are the precomputable, bucketed-by-
+    (band, bucket) index a dedup service keeps warm; here both sides
+    are built in one job.
+
+    Output: (incoming_id, existing_id, est_jaccard), distinct pairs,
+    estimate-filtered before the pair-dedup shuffle (collision mass
+    dies map-side, as in the within-corpus path).
+    """
+    in_sigs = minhash_signatures(incoming, text_col, id_col, num_hashes, shingle_len)
+    ex_sigs = minhash_signatures(existing, text_col, id_col, num_hashes, shingle_len)
+    cachereg.begin("minhash_lsh_cross")
+    in_bands = cachereg.persist(
+        "minhash_lsh_cross", _band_entries(in_sigs, num_hashes, bands)
+    )
+    ex_bands = cachereg.persist(
+        "minhash_lsh_cross", _band_entries(ex_sigs, num_hashes, bands)
+    )
+    l, r = in_bands.alias("l"), ex_bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col("l._id").alias("incoming_id"),
+            F.col("r._id").alias("existing_id"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["incoming_id", "existing_id"])
     )

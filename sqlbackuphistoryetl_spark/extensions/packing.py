@@ -1,0 +1,135 @@
+"""Sequence packing for LLM pretraining export (concat-and-chunk).
+
+Pretraining dataloaders consume fixed-length token sequences, not
+documents: the corpus is laid out in a stable global order, token
+streams are concatenated, and the stream is cut every ``seq_len``
+tokens. A document therefore maps to one or more (sequence, slice)
+assignments — the exact metadata a distributed tokenizer/export job
+needs to write shards without ever materializing the concatenation.
+
+The naive expression of the global token cumsum —
+``sum(n_tok) OVER (ORDER BY doc_id)`` with no partition — funnels the
+whole corpus through ONE task. ``pack_sequences`` computes the same
+answer with the two-phase prefix-sum plan used by
+``sharding.global_ordinals``:
+
+1. range-repartition by the (total) document order key;
+2. one O(partitions) job collects per-partition TOKEN SUMS (a few
+   hundred longs to the driver — bookkeeping, not data);
+3. each partition computes its local running sum in a window
+   partitioned by the physical partition id (sorts only its own
+   range, fully parallel) and adds its broadcast prefix offset.
+
+Cost: one shuffle (the range exchange) + one tiny count job,
+regardless of corpus size. The per-doc explode emits exactly
+ceil(span/seq_len)+1-ish rows — O(total_tokens / seq_len) output.
+
+All arithmetic is integer (``div``): token offsets exceed 2^53 long
+before a 100 TB corpus runs out, so double quotients are wrong here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions import cachereg
+
+
+def _prefix_offsets(ranged: DataFrame, weight_col: str) -> Column:
+    """Broadcast map _pid -> sum of ``weight_col`` in all earlier
+    partitions. One O(partitions) aggregate job."""
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    if not offsets:
+        return F.lit(0).cast("long")
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    return F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("long")
+
+
+def global_cumsum(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``cum_end`` = running total of ``weight_col`` in
+    ``order_cols`` order (inclusive of the current row), without a
+    single-task global window. ``order_cols`` must be a TOTAL order.
+
+    The ranged frame is persisted for the call's generation so the
+    offset job and the output see the same sampled range boundaries.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cachereg.begin("global_cumsum")
+    ranged = cachereg.persist(
+        "global_cumsum",
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols]).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+    )
+    offset = _prefix_offsets(ranged, weight_col)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        "cum_end", (F.sum(F.col(weight_col)).over(w) + offset).cast("long")
+    ).drop("_pid")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document its (sequence, slice) spans under
+    concat-and-chunk packing at ``seq_len`` tokens.
+
+    Output: the input columns plus
+      - ``seq_id``    — 0-based fixed-length sequence index,
+      - ``tok_begin`` — first token of this doc included in ``seq_id``
+                        (offset WITHIN the document, 0-based),
+      - ``tok_end``   — exclusive end offset within the document,
+      - ``slice_tokens`` — tok_end - tok_begin.
+
+    A document longer than ``seq_len`` spans several sequences (one
+    output row per sequence it touches); zero-token documents are
+    dropped (they occupy no stream positions).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    b = int(seq_len)
+    c = global_cumsum(df, token_col, order_cols, num_partitions)
+    c = c.filter(F.col(token_col) > 0).withColumn(
+        "cum_start", F.col("cum_end") - F.col(token_col).cast("long")
+    )
+    first_seq = F.expr(f"cum_start div {b}")
+    last_seq = F.expr(f"(cum_end - 1) div {b}")
+    out = c.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    return (
+        out.withColumn(
+            "tok_begin",
+            F.greatest(F.lit(0).cast("long"), F.col("seq_id") * b - F.col("cum_start")),
+        )
+        .withColumn(
+            "tok_end",
+            F.least(F.col("cum_end"), (F.col("seq_id") + 1) * b) - F.col("cum_start"),
+        )
+        .withColumn("slice_tokens", F.col("tok_end") - F.col("tok_begin"))
+        .drop("cum_start", "cum_end")
+    )

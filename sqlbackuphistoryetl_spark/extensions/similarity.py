@@ -542,3 +542,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    topk_fn=None,
+) -> DataFrame:
+    """k-NN majority-vote label prediction per query vector.
+
+    The standard semantic-quality/classifier primitive of an embedding
+    curation pipeline: each query takes the modal label among its k
+    nearest corpus neighbors (cosine, self excluded). Deterministic
+    throughout — neighbor rank ties break by neighbor id, vote ties by
+    smallest label.
+
+    ``topk_fn(corpus, queries, k)`` supplies the neighbor stage
+    (defaults to exact ``brute_force_topk``; pass a lambda wrapping
+    ``rp_lsh_topk`` / ``ivf_topk`` for the approximate scale path —
+    voting is agnostic to how neighbors were found).
+
+    Output: query_id, predicted_label, votes, top_cosine.
+    """
+    if topk_fn is None:
+        topk_fn = lambda c, q, kk: brute_force_topk(  # noqa: E731
+            c, q, k=kk, id_col=id_col, vec_col=vec_col
+        )
+    nn = topk_fn(corpus, queries, k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("top_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl").alias("predicted_label"),
+            "votes",
+            F.round("top_cosine", 6).alias("top_cosine"),
+        )
+    )

@@ -51,6 +51,26 @@ def test_ngram_jaccard_exact_verify(spark, docs):
         assert 0.5 < verified[(1, 3)] < 1.0
 
 
+def test_minhash_cross_screens_incoming_only(spark, docs):
+    """Incremental dedup: candidates pair incoming against existing only
+    — never existing-vs-existing (the cost the cross path exists to
+    avoid) — and the planted cross-corpus dup is found."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_cross
+
+    existing = docs.filter(F.col("doc_id").isin(1, 4))
+    incoming = docs.filter(F.col("doc_id").isin(2, 3, 5))
+    pairs = {
+        (r["incoming_id"], r["existing_id"]): r["est_jaccard"]
+        for r in minhash_lsh_cross(
+            incoming, existing, min_est_jaccard=0.5
+        ).collect()
+    }
+    assert pairs.get((2, 1)) == 1.0          # exact dup across corpora
+    assert (3, 1) in pairs                   # near dup across corpora
+    assert all(i in (2, 3, 5) and e in (1, 4) for i, e in pairs)
+    assert (5, 4) not in pairs               # unrelated docs stay apart
+
+
 def test_simhash_buckets(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_buckets(docs, max_hamming=3).collect()}

@@ -1,0 +1,167 @@
+"""Unit tests for sequence packing (concat-and-chunk span metadata) and
+k-NN label voting — the edge cases the DuckDB oracle gate can't reach
+(zero-token docs, doc >> seq_len, vote ties, pluggable neighbor stage)
+plus the plan shapes the 100 TB design depends on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.packing import global_cumsum, pack_sequences
+from sqlbackuphistoryetl_spark.extensions.similarity import knn_label_vote
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- packing
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # tokens: 3, 0 (dropped), 10, 5, 4  → cumsum 3, 13, 18, 22
+    return spark.createDataFrame(
+        [(0, 3), (1, 0), (2, 10), (3, 5), (4, 4)], "doc_id long, n_tok long"
+    )
+
+
+def test_pack_sequences_spans(spark, docs):
+    out = (
+        pack_sequences(docs, "n_tok", ["doc_id"], seq_len=8)
+        .orderBy("seq_id", "doc_id")
+        .collect()
+    )
+    got = [(r.seq_id, r.doc_id, r.tok_begin, r.tok_end) for r in out]
+    # stream: d0[0,3) d2[3,13) d3[13,18) d4[18,22); seqs of 8 tokens
+    assert got == [
+        (0, 0, 0, 3),   # d0 fully in seq 0
+        (0, 2, 0, 5),   # d2 tokens 0..5 fill seq 0
+        (1, 2, 5, 10),  # d2 tokens 5..10 open seq 1
+        (1, 3, 0, 3),   # d3 tokens 0..3 close seq 1 (stream pos 13..16)
+        (2, 3, 3, 5),   # d3 tail opens seq 2
+        (2, 4, 0, 4),   # d4 fully in seq 2
+    ]
+    # zero-token doc 1 occupies no stream position
+    assert all(r.doc_id != 1 for r in out)
+    # every slice is non-empty and within the doc
+    assert all(r.tok_end > r.tok_begin for r in out)
+
+
+def test_pack_sequences_doc_longer_than_seq(spark):
+    df = spark.createDataFrame([(0, 20)], "doc_id long, n_tok long")
+    out = pack_sequences(df, "n_tok", ["doc_id"], seq_len=8).orderBy("seq_id").collect()
+    assert [(r.seq_id, r.tok_begin, r.tok_end) for r in out] == [
+        (0, 0, 8), (1, 8, 16), (2, 16, 20),
+    ]
+
+
+def test_pack_sequences_conservation(spark, docs):
+    """Slices tile each document exactly once: per-doc slice_tokens sum
+    back to n_tok, and every full sequence holds exactly seq_len."""
+    out = pack_sequences(docs, "n_tok", ["doc_id"], seq_len=8)
+    per_doc = {
+        r.doc_id: r.s
+        for r in out.groupBy("doc_id").agg(F.sum("slice_tokens").alias("s")).collect()
+    }
+    assert per_doc == {0: 3, 2: 10, 3: 5, 4: 4}
+    per_seq = {
+        r.seq_id: r.s
+        for r in out.groupBy("seq_id").agg(F.sum("slice_tokens").alias("s")).collect()
+    }
+    assert per_seq == {0: 8, 1: 8, 2: 6}  # last sequence is the remainder
+
+
+def test_global_cumsum_matches_naive(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(200)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: r.cum_end
+        for r in global_cumsum(df, "w", ["doc_id"], num_partitions=7).collect()
+    }
+    acc, want = 0, {}
+    for i in range(200):
+        acc += (i * 7) % 5
+        want[i] = acc
+    assert got == want
+
+
+def test_packing_plan_no_single_task_window(spark, docs):
+    """The global cumsum must never funnel the corpus through one task:
+    no SinglePartition exchange, and the window runs partitioned by the
+    physical partition id."""
+    out = pack_sequences(docs, "n_tok", ["doc_id"], seq_len=8, num_partitions=4)
+    plan = _explain(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan  # the one range exchange
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- knn vote
+
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    # three tight clusters on the axes; labels follow clusters
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * i, 1.0, 0.0], 1))
+    for i in range(12, 18):
+        rows.append((i, [0.0, 0.01 * i, 1.0], 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_vote_predicts_cluster_label(spark, labeled_vecs):
+    queries = labeled_vecs.filter(F.col("vec_id").isin(0, 7, 13))
+    out = {
+        r.query_id: (r.predicted_label, r.votes)
+        for r in knn_label_vote(labeled_vecs, queries, k=5).collect()
+    }
+    assert out[0] == (0, 5)
+    assert out[7] == (1, 5)
+    assert out[13] == (2, 5)
+
+
+def test_knn_vote_tie_breaks_smallest_label(spark):
+    # two neighbors each of labels 3 and 5 at identical geometry:
+    # the 4-NN vote ties 2-2 and must pick label 3
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.001], 5),
+        (2, [1.0, -0.001], 5),
+        (3, [1.0, 0.002], 3),
+        (4, [1.0, -0.002], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_vote(df, df.filter(F.col("vec_id") == 0), k=4).collect()
+    assert len(out) == 1
+    assert out[0].predicted_label == 3
+    assert out[0].votes == 2
+
+
+def test_knn_vote_pluggable_topk(spark, labeled_vecs):
+    """The approximate scale path drops in without touching the vote:
+    an injected neighbor stage (here: brute force restricted to one
+    cluster) changes the candidates, not the voting semantics."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
+
+    only_cluster1 = labeled_vecs.filter(F.col("label") == 1)
+    out = knn_label_vote(
+        labeled_vecs,
+        labeled_vecs.filter(F.col("vec_id") == 0),
+        k=3,
+        topk_fn=lambda c, q, kk: brute_force_topk(only_cluster1, q, k=kk),
+    ).collect()
+    assert out[0].predicted_label == 1  # votes can only come from cluster 1
