@@ -2014,6 +2014,123 @@ from p where j >= 0.5 order by incoming_id, existing_id
 """
 
 
+def pii_redaction(spark, sf_dir):
+    """PII scrub + audit (functions.textfns.redact_pii / pii_counts):
+    per-category hit counts over the original text and the
+    byte-exact md5 of the redacted output. The corpus is word-soup, so
+    both engines append the SAME deterministic doc_id-derived PII
+    (email, phone, SSN, IPv4) before scrubbing — the gate then proves
+    the ASCII-only patterns behave identically under Java regex and
+    RE2, which is the portability property the scrub relies on. The
+    whole path is a codegen'd regexp chain: zero shuffle, zero Python."""
+    from sqlbackuphistoryetl_spark.functions.textfns import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pad4 = F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.lit(" call +1 555 010 "), pad4,
+        F.lit(" ssn 123-45-"), pad4,
+        F.lit(" ip 10.0."), F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit(".1"),
+    )
+    return (
+        docs.select("doc_id", synth.alias("_synth"))
+        .select(
+            "doc_id",
+            *pii_counts(F.col("_synth")),
+            F.md5(redact_pii(F.col("_synth"))).alias("redacted_md5"),
+            F.length(redact_pii(F.col("_synth"))).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SQL = r"""
+with s as (
+  select doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+              || '@mail.example.com'
+              || ' call +1 555 010 '
+              || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+              || ' ssn 123-45-'
+              || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+              || ' ip 10.0.' || cast(doc_id % 256 as varchar) || '.1'
+             as synth
+  from documents),
+r as (
+  select doc_id, synth,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(synth,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d[\d\s().-]{8,}\d', '<PHONE>', 'g') as redacted
+  from s)
+select doc_id,
+       len(regexp_extract_all(synth,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
+       len(regexp_extract_all(synth, '\b\d{3}-\d{2}-\d{4}\b')) as n_ssn,
+       len(regexp_extract_all(synth,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ip,
+       len(regexp_extract_all(synth, '\+\d[\d\s().-]{8,}\d')) as n_phone,
+       md5(redacted) as redacted_md5,
+       length(redacted) as redacted_len
+from r order by doc_id
+"""
+
+
+def quality_rare_tokens(spark, sf_dir):
+    """Corpus-relative rarity profile (textfns.rare_token_profile):
+    per-doc count and mass-fraction of word TRIGRAMS whose corpus
+    frequency is below 5 — the integer-deterministic stand-in for LM
+    log-prob quality scoring (a float log-sum would depend on
+    aggregation order; two exact ints divided are bit-identical
+    everywhere). Trigrams, not tokens: the synthetic corpus draws from
+    a 31-word vocabulary where every token is frequent, while the
+    trigram space (~16k at sf0.01) separates formulaic from unusual
+    phrasing."""
+    from sqlbackuphistoryetl_spark.functions.textfns import rare_token_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_token_profile(docs, min_count=5, ngram_n=3).orderBy("doc_id")
+
+
+RARE_TOKENS_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as a from documents),
+grams as (
+  select doc_id, g
+  from t, unnest(list_transform(
+           range(1, greatest(len(a) - 2, 1) + 1),
+           i -> array_to_string(list_slice(a, i, i + 2), ' '))) as u(g)
+  where g <> ''),
+freq as (
+  select g, count(*) as cnt from grams group by g),
+rare_hits as (
+  select gr.doc_id, count(*) as n_rare
+  from grams gr join freq f on gr.g = f.g
+  where f.cnt < 5 group by gr.doc_id),
+totals as (
+  select doc_id, count(*) as n_grams from grams group by doc_id),
+docs0 as (select doc_id from documents)
+select d.doc_id,
+       coalesce(t2.n_grams, 0) as n_grams,
+       coalesce(r.n_rare, 0) as n_rare,
+       cast(coalesce(r.n_rare, 0) as double)
+           / greatest(coalesce(t2.n_grams, 0), 1) as rare_ratio
+from docs0 d
+left join totals t2 using (doc_id)
+left join rare_hits r using (doc_id)
+order by doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2075,6 +2192,8 @@ _ORACLES: dict[str, str | None] = {
     "curation_funnel": FUNNEL_SQL,
     "knn_label_vote": KNN_VOTE_SQL,
     "incremental_dedup_cross": CROSS_DEDUP_SQL,
+    "pii_redaction": PII_SQL,
+    "quality_rare_tokens": RARE_TOKENS_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2146,6 +2265,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": curation_funnel,
     "knn_label_vote": knn_label_vote_gate,
     "incremental_dedup_cross": incremental_dedup_cross,
+    "pii_redaction": pii_redaction,
+    "quality_rare_tokens": quality_rare_tokens,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -134,6 +134,24 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     t0 = time.perf_counter()
     n_ivf = ivf_topk(emb, queries, k=5, n_centroids=256, n_probe=8).count()
     timings["ann_ivf_topk_100q"] = round(time.perf_counter() - t0, 2)
+
+    from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_cross
+    from sqlbackuphistoryetl_spark.extensions.packing import pack_sequences
+
+    t0 = time.perf_counter()
+    n_cross = minhash_lsh_cross(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    ).count()
+    timings["dedup_cross_corpus"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    with_tok = docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tok"),
+    )
+    n_packed = pack_sequences(with_tok, "n_tok", ["doc_id"], seq_len=1024).count()
+    timings["sequence_packing"] = round(time.perf_counter() - t0, 2)
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
@@ -141,6 +159,8 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "simhash_pairs": n_simhash,
         "ann_rows": n_ann,
         "ivf_rows": n_ivf,
+        "cross_pairs": n_cross,
+        "packed_spans": n_packed,
     }
 
 

@@ -292,3 +292,111 @@ def tfidf_top_terms(
             F.col("_id").alias(id_col), "term", "tf", "df_t", "tfidf", "rank"
         )
     )
+
+
+#: PII scrub patterns, applied in order (SSN before the generic phone
+#: shape so xxx-xx-xxxx is never half-eaten; email first so its digits
+#: are gone before the numeric patterns run). ASCII classes only —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB), which
+#: is what lets the oracle gate verify redaction byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\s().-]{8,}\d", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-category PII hit counts over the ORIGINAL text (one column
+    per pattern, named n_<category>) — the audit side of a scrub pass."""
+    t = _c(text)
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its category marker, in
+    ``PII_PATTERNS`` order. Pure regexp_replace chain — codegen'd,
+    zero shuffle, safe in any map stage."""
+    out = _c(text)
+    for _, pat, marker in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, marker)
+    return out
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined word n-grams (one short gram for docs with
+    fewer than ``n`` tokens; empty-string grams filtered out)."""
+    arr = F.regexp_extract_all(_c(text_col), F.lit(r"\S+"), F.lit(0))
+    # bind the token array once — HOF lambdas have no CSE, an inlined
+    # regexp_extract_all would re-tokenize per gram position
+    return F.get(
+        F.transform(
+            F.array(arr),
+            lambda a: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(a) - F.lit(n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+                ),
+                lambda g: g != "",
+            ),
+        ),
+        0,
+    )
+
+
+def rare_token_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Corpus-relative quality signal: per document, how much of it is
+    made of rare word n-grams (corpus frequency < ``min_count``) — the
+    integer-counting stand-in for LM log-prob scoring (gibberish, OCR
+    noise, and spliced text score high; fluent in-distribution text
+    low). ``ngram_n=1`` rates single tokens; higher n rates phrase
+    plausibility (use n≥2 when the token vocabulary is small enough
+    that every token is frequent). Two corpus passes:
+
+    1. gram frequencies — explode + map-side-partial hash aggregate
+       keyed by gram;
+    2. per-doc rare hits — the exploded grams joined to the RARE
+       subset only and re-aggregated by doc.
+
+    All counts are integers and the final ratio divides two
+    exactly-equal ints, so the result is bit-identical in any engine —
+    deliberately NOT a float log-sum, whose value depends on
+    aggregation order. At 100 TB both aggregates are plain Tungsten
+    hash-aggs; the frequency side can be persisted and reused across
+    curation runs.
+
+    Output: (id_col, n_grams, n_rare, rare_ratio).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, ngram_n)).alias("_g")
+    )
+    freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
+    rare = freq.filter(F.col("_cnt") < min_count).select("_g")
+    n_rare = (
+        grams.join(rare, "_g").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(_word_ngrams(text_col, ngram_n)).alias("n_grams")
+    )
+    return (
+        totals.join(n_rare, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            (
+                F.coalesce("n_rare", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )

@@ -165,3 +165,96 @@ def test_knn_vote_pluggable_topk(spark, labeled_vecs):
         topk_fn=lambda c, q, kk: brute_force_topk(only_cluster1, q, k=kk),
     ).collect()
     assert out[0].predicted_label == 1  # votes can only come from cluster 1
+
+
+# ---------------------------------------------------------------- pii
+
+
+def test_redact_pii_all_categories(spark):
+    from sqlbackuphistoryetl_spark.functions.textfns import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk now, ip 192.168.0.1, "
+                "ssn 123-45-6789, tel +44 20 7946 0958 ok"),
+            (2, "clean text with no identifiers at all"),
+            (3, "two mails: a@b.io and c@d.io"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", *pii_counts("text"), redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].n_ssn, out[1].n_ip, out[1].n_phone) == (1, 1, 1, 1)
+    assert out[1].red == (
+        "mail <EMAIL> now, ip <IP>, ssn <SSN>, tel <PHONE> ok"
+    )
+    assert out[2].red == "clean text with no identifiers at all"
+    assert out[2].n_email == 0
+    assert out[3].n_email == 2
+    assert out[3].red == "two mails: <EMAIL> and <EMAIL>"
+
+
+def test_redact_pii_order_protects_ssn_from_phone(spark):
+    """xxx-xx-xxxx must surface as <SSN>, never be half-consumed by the
+    generic phone shape (pattern order is part of the contract)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import redact_pii
+
+    df = spark.createDataFrame([("ssn 321-54-9876 then +1 555 123 4567",)], ["text"])
+    red = df.select(redact_pii("text").alias("r")).collect()[0].r
+    assert red == "ssn <SSN> then <PHONE>"
+
+
+def test_redact_pii_plan_is_map_side(spark):
+    from sqlbackuphistoryetl_spark.functions.textfns import redact_pii
+
+    df = spark.createDataFrame([("x",)], ["text"]).select(redact_pii("text"))
+    plan = _explain(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- rarity
+
+
+def test_rare_token_profile_counts(spark):
+    from sqlbackuphistoryetl_spark.functions.textfns import rare_token_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common weird"),
+            (3, "common common oddball"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_rare, r.rare_ratio)
+        for r in rare_token_profile(df, min_count=2, ngram_n=1).collect()
+    }
+    # 'common' appears 6x (frequent); 'weird'/'oddball' once each (rare)
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (3, 1, 1.0 / 3.0)
+
+
+def test_rare_token_profile_trigrams_short_doc(spark):
+    """Docs shorter than n emit ONE short gram (never zero — a 2-token
+    doc still gets scored), and identical short docs make each other
+    frequent."""
+    from sqlbackuphistoryetl_spark.functions.textfns import rare_token_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_rare)
+        for r in rare_token_profile(df, min_count=2, ngram_n=3).collect()
+    }
+    assert out[1] == (1, 0)  # "a b" gram appears twice -> frequent
+    assert out[2] == (1, 0)
+    assert out[3] == (2, 2)  # "x y z", "y z w" are singletons
