@@ -2131,6 +2131,30 @@ order by doc_id
 """
 
 
+def label_centroid_stats(spark, sf_dir):
+    """Per-class centroid component sums over the embeddings table
+    (extensions.similarity.label_centroid_sums): components quantized
+    to 1e-6 integers map-side, then summed as longs — exact and
+    aggregation-order independent, unlike a float mean. One posexplode
+    + one hash aggregate; the oracle unnests and re-sums in DuckDB."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import label_centroid_sums
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_sums(emb).orderBy("label", "dim")
+
+
+CENTROID_SQL = """
+with e as (
+  select label, g.i - 1 as dim,
+         cast(floor(cast(embedding[g.i] as double) * 1000000 + 0.5)
+              as bigint) as q
+  from embeddings,
+       unnest(generate_series(1, len(embedding))) as g(i))
+select label, dim, sum(q) as qsum, count(*) as n
+from e group by label, dim order by label, dim
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2194,6 +2218,7 @@ _ORACLES: dict[str, str | None] = {
     "incremental_dedup_cross": CROSS_DEDUP_SQL,
     "pii_redaction": PII_SQL,
     "quality_rare_tokens": RARE_TOKENS_SQL,
+    "label_centroid_stats": CENTROID_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2267,6 +2292,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_cross": incremental_dedup_cross,
     "pii_redaction": pii_redaction,
     "quality_rare_tokens": quality_rare_tokens,
+    "label_centroid_stats": label_centroid_stats,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -594,3 +594,40 @@ def knn_label_vote(
             F.round("top_cosine", 6).alias("top_cosine"),
         )
     )
+
+
+def label_centroid_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-(label, dimension) EXACT quantized component sums — the
+    engine-portable form of per-class centroids (class-balance/drift
+    monitoring, semantic-cluster summaries, IVF warm-start seeds).
+
+    Components are quantized to integers map-side
+    (``floor(x·scale + 0.5)`` — pure IEEE ops, identical everywhere)
+    and summed as longs, so the result is bit-identical regardless of
+    aggregation order — a float centroid mean never is. Consumers
+    divide ``qsum / (n · scale)`` for the real centroid.
+
+    One posexplode + one map-side-partial hash aggregate keyed by
+    (label, dim): at 100 TB the shuffle carries only
+    |labels|·dims partial rows per task, not vectors.
+
+    Output: (label_col, dim, qsum, n).
+    """
+    exploded = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).select(
+        label_col,
+        "dim",
+        F.floor(F.col("_x").cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("_q"),
+    )
+    return exploded.groupBy(label_col, "dim").agg(
+        F.sum("_q").alias("qsum"), F.count(F.lit(1)).alias("n")
+    )

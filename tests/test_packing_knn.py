@@ -258,3 +258,30 @@ def test_rare_token_profile_trigrams_short_doc(spark):
     assert out[1] == (1, 0)  # "a b" gram appears twice -> frequent
     assert out[2] == (1, 0)
     assert out[3] == (2, 2)  # "x y z", "y z w" are singletons
+
+
+# ---------------------------------------------------------------- centroids
+
+
+def test_label_centroid_sums_exact(spark):
+    from sqlbackuphistoryetl_spark.extensions.similarity import label_centroid_sums
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5]),
+            (0, [0.5, 0.25]),
+            (1, [-1.0, 2.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    out = {
+        (r.label, r.dim): (r.qsum, r.n)
+        for r in label_centroid_sums(df).collect()
+    }
+    # floor(x*1e6 + 0.5): exact components quantize exactly
+    assert out[(0, 0)] == (1_500_000, 2)
+    assert out[(0, 1)] == (-500_000 + 250_000, 2)
+    assert out[(1, 0)] == (-1_000_000, 1)
+    assert out[(1, 1)] == (2_000_000, 1)
+    # recovered centroid: qsum / (n * scale)
+    assert abs(out[(0, 0)][0] / (2 * 1e6) - 0.75) < 1e-6
