@@ -2155,6 +2155,58 @@ from e group by label, dim order by label, dim
 """
 
 
+def packed_sequence_export(spark, sf_dir):
+    """The packing terminal end-to-end: reassemble the actual 256-token
+    training sequences from the span metadata
+    (extensions.packing.materialize_sequences) — every sequence except
+    the final remainder must hold exactly 256 tokens, and the md5 of
+    each reconstructed stream must equal the oracle's ordered
+    string_agg reconstruction. Proves the span metadata tiles the
+    concatenated corpus stream with no gap, overlap, or misorder."""
+    from sqlbackuphistoryetl_spark.extensions.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tok"),
+    )
+    spans = pack_sequences(with_tok, "n_tok", ["doc_id"], seq_len=256)
+    out = materialize_sequences(spans, docs)
+    return out.select(
+        "seq_id", "seq_tokens", F.md5("seq_text").alias("seq_md5")
+    ).orderBy("seq_id")
+
+
+PACKED_EXPORT_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks,
+         len(regexp_extract_all(text, '\S+')) as n_tok from documents),
+c as (
+  select doc_id, toks, n_tok,
+         cast(sum(n_tok) over (order by doc_id
+              rows unbounded preceding) as bigint) as cum_end
+  from t),
+s as (
+  select doc_id, toks, n_tok, cum_end - n_tok as cum_start, cum_end
+  from c where n_tok > 0),
+spans as (
+  select cast(g.seq_id as bigint) as seq_id, s.doc_id, s.toks,
+         cast(greatest(0, g.seq_id * 256 - s.cum_start) as bigint) as tok_begin,
+         cast(least(s.cum_end, (g.seq_id + 1) * 256) - s.cum_start as bigint)
+             as tok_end
+  from s, unnest(generate_series(s.cum_start // 256, (s.cum_end - 1) // 256))
+         as g(seq_id))
+select seq_id,
+       cast(sum(tok_end - tok_begin) as int) as seq_tokens,
+       md5(string_agg(array_to_string(toks[tok_begin + 1 : tok_end], ' '),
+                      ' ' order by doc_id)) as seq_md5
+from spans group by seq_id order by seq_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2219,6 +2271,7 @@ _ORACLES: dict[str, str | None] = {
     "pii_redaction": PII_SQL,
     "quality_rare_tokens": RARE_TOKENS_SQL,
     "label_centroid_stats": CENTROID_SQL,
+    "packed_sequence_export": PACKED_EXPORT_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2293,6 +2346,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "quality_rare_tokens": quality_rare_tokens,
     "label_centroid_stats": label_centroid_stats,
+    "packed_sequence_export": packed_sequence_export,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -133,3 +133,47 @@ def pack_sequences(
         .withColumn("slice_tokens", F.col("tok_end") - F.col("tok_begin"))
         .drop("cum_start", "cum_end")
     )
+
+
+def materialize_sequences(
+    spans: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reassemble the actual packed token streams from ``pack_sequences``
+    span metadata — the export terminal that writes training sequences.
+
+    Each span row pulls its document's token slice
+    (``tokens[tok_begin:tok_end]``); slices are grouped by sequence and
+    concatenated in document order. One join (spans → docs) + one keyed
+    aggregate; the collect_list per sequence is bounded by
+    seq_len tokens by construction, so the grouped state is O(seq_len)
+    regardless of corpus size.
+
+    Output: (seq_id, seq_tokens, seq_text) — seq_tokens == seq_len for
+    every sequence except the final remainder.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)).alias("_toks"),
+    )
+    piece = F.slice(
+        "_toks", F.col("tok_begin") + 1, F.col("tok_end") - F.col("tok_begin")
+    )
+    per = spans.join(toks, id_col).select(
+        "seq_id", F.col(id_col).alias("_d"), piece.alias("_piece")
+    )
+    # array_sort on array<struct> orders by the leading field (_d) —
+    # unique per sequence, so the concat order is total
+    agg = per.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d"), F.col("_piece")))
+        ).alias("_parts")
+    )
+    flat = F.flatten(F.transform("_parts", lambda s: s["_piece"]))
+    return agg.select(
+        "seq_id",
+        F.size(flat).alias("seq_tokens"),
+        F.concat_ws(" ", flat).alias("seq_text"),
+    )

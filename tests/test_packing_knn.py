@@ -285,3 +285,30 @@ def test_label_centroid_sums_exact(spark):
     assert out[(1, 1)] == (2_000_000, 1)
     # recovered centroid: qsum / (n * scale)
     assert abs(out[(0, 0)][0] / (2 * 1e6) - 0.75) < 1e-6
+
+
+def test_materialize_sequences_equals_stream_chunks(spark):
+    """Reassembled sequences must equal chunking the concatenated token
+    stream directly — no gap, overlap, or misorder across doc splits."""
+    from sqlbackuphistoryetl_spark.extensions.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(3 + i))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_tok = df.selectExpr(
+        "doc_id", "size(regexp_extract_all(text, '\\\\S+', 0)) as n_tok"
+    )
+    spans = pack_sequences(with_tok, "n_tok", ["doc_id"], seq_len=7)
+    got = {
+        r.seq_id: (r.seq_tokens, r.seq_text)
+        for r in materialize_sequences(spans, df).collect()
+    }
+    stream = [t for i in range(6) for t in rows[i][1].split()]
+    want = {
+        k: (len(stream[k * 7 : (k + 1) * 7]),
+            " ".join(stream[k * 7 : (k + 1) * 7]))
+        for k in range((len(stream) + 6) // 7)
+    }
+    assert got == want
