@@ -2155,6 +2155,139 @@ from e group by label, dim order by label, dim
 """
 
 
+def sample_global_k(spark, sf_dir):
+    """Exact-k uniform global sample (extensions.sampling.global_sample_k):
+    the 100 smallest md5 draws over the whole corpus. The plan is
+    TakeOrderedAndProject — per-partition bounded heap, O(k·partitions)
+    merge, no global sort — and the oracle is the naive full ORDER BY
+    ... LIMIT, which this plan must equal row-for-row."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return global_sample_k(docs, 100, "doc_id", salt="g0")
+
+
+SAMPLE_K_SQL = """
+select doc_id, lang, source from documents
+order by md5('g0|' || cast(doc_id as varchar)), doc_id
+limit 100
+"""
+
+
+def heavy_hitter_grams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams with exact counts and share
+    (functions.textfns.heavy_hitter_ngrams) — the boilerplate/template
+    detector. One explode + map-side-partial hash agg, then a
+    TakeOrderedAndProject top-k over the gram vocabulary; the share
+    denominator is a separate 1-row aggregate broadcast in, never a
+    window over the vocabulary."""
+    from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitter_ngrams(docs, text_col="text", n=2, k=20)
+
+
+HEAVY_HITTER_SQL = r"""
+with t as (select regexp_extract_all(text, '\S+') as a from documents),
+g as (
+  select g from t,
+    unnest(list_transform(range(1, greatest(len(a) - 1, 1) + 1),
+           i -> array_to_string(list_slice(a, i, i + 1), ' '))) as u(g)
+  where g <> ''),
+tot as (select count(*) as total_grams from g),
+c as (select g as gram, count(*) as cnt from g group by g)
+select gram, cnt, total_grams, cnt::double / total_grams as share
+from c, tot
+order by cnt desc, gram
+limit 20
+"""
+
+
+def embedding_quantize_profile(spark, sf_dir):
+    """Per-dim int8 quantization calibration + audit
+    (extensions.similarity.scalar_quantize_profile): min/max per
+    dimension, then the exact long SUM of the 0..255 codes — the
+    engine-portable audit of a 4× vector-store compression. The code
+    expression is mirrored verbatim in the oracle so both engines run
+    the identical IEEE double sequence."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        scalar_quantize_profile,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return scalar_quantize_profile(emb).orderBy("dim")
+
+
+QUANTIZE_SQL = """
+with x as (
+  select g.i - 1 as dim, cast(embedding[g.i] as double) as x
+  from embeddings,
+       unnest(generate_series(1, len(embedding))) as g(i)),
+calib as (select dim, min(x) as vmin, max(x) as vmax from x group by dim),
+coded as (
+  select x.dim, c.vmin, c.vmax,
+         case when c.vmax = c.vmin then cast(0 as bigint)
+              else cast(floor((x.x - c.vmin) / (c.vmax - c.vmin) * 255.0
+                              + 0.5) as bigint)
+         end as code
+  from x join calib c on x.dim = c.dim)
+select dim, vmin, vmax, count(*) as n,
+       cast(sum(code) as bigint) as code_sum,
+       min(code) as code_min, max(code) as code_max
+from coded group by dim, vmin, vmax order by dim
+"""
+
+
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (extensions.dedup
+    .pair_source_matrix over the exact n-gram Jaccard pair stage):
+    which sources near-duplicate each other, as (n_pairs, exact
+    quantized-jaccard sum) per unordered source pair — the report a
+    curation run reads before setting a mix. Pair definition is
+    identical to dedup_ngram_jaccard (3-gram Jaccard ≥ 0.05 on the
+    doc_id < 500 slice)."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+        pair_source_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_all_pairs(
+        docs, text_col="text", id_col="doc_id", max_gram_df=64
+    ).filter(F.col("jaccard") >= 0.05)
+    return pair_source_matrix(pairs, docs).orderBy("source_a", "source_b")
+
+
+SOURCE_MATRIX_SQL = r"""
+with toks as (
+  select doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 500),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         len(list_intersect(a.g, b.g))::double
+             / len(list_distinct(list_cat(a.g, b.g))) as j
+  from grams a join grams b on a.doc_id < b.doc_id
+  where len(list_intersect(a.g, b.g))::double
+            / len(list_distinct(list_cat(a.g, b.g))) >= 0.05)
+select least(sa.source, sb.source) as source_a,
+       greatest(sa.source, sb.source) as source_b,
+       count(*) as n_pairs,
+       cast(sum(cast(floor(j * 1000000 + 0.5) as bigint)) as bigint)
+           as qjaccard_sum
+from pairs
+join toks sa on pairs.id_a = sa.doc_id
+join toks sb on pairs.id_b = sb.doc_id
+group by 1, 2 order by 1, 2
+"""
+
+
 def packed_sequence_export(spark, sf_dir):
     """The packing terminal end-to-end: reassemble the actual 256-token
     training sequences from the span metadata
@@ -2272,6 +2405,10 @@ _ORACLES: dict[str, str | None] = {
     "quality_rare_tokens": RARE_TOKENS_SQL,
     "label_centroid_stats": CENTROID_SQL,
     "packed_sequence_export": PACKED_EXPORT_SQL,
+    "sample_global_k": SAMPLE_K_SQL,
+    "heavy_hitter_grams": HEAVY_HITTER_SQL,
+    "embedding_quantize_profile": QUANTIZE_SQL,
+    "dedup_source_matrix": SOURCE_MATRIX_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2347,6 +2484,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rare_tokens": quality_rare_tokens,
     "label_centroid_stats": label_centroid_stats,
     "packed_sequence_export": packed_sequence_export,
+    "sample_global_k": sample_global_k,
+    "heavy_hitter_grams": heavy_hitter_grams,
+    "embedding_quantize_profile": embedding_quantize_profile,
+    "dedup_source_matrix": dedup_source_matrix,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -370,6 +370,57 @@ def ngram_jaccard_all_pairs(
     return out
 
 
+def pair_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    jaccard_col: str = "jaccard",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-source duplication matrix — the curation REPORT built on
+    top of any pair stage (exact n-gram Jaccard, MinHash, SimHash,
+    embedding near-dup): for every unordered source pair, how many
+    near-duplicate pairs link them and how similar they are. This is
+    what answers "which crawls re-scraped each other" / "is the new
+    source mostly copies of an old one" before deciding a mix.
+
+    ``pairs`` must expose (id_a, id_b, <jaccard_col>). Two keyed
+    equi-joins pull each side's source label through the narrow
+    (id, source) projection — never broadcast (at 100 TB the corpus
+    side is the big one; AQE picks the build side per join), never
+    carrying text. The source pair is canonicalized with
+    least/greatest so (A,B) and (B,A) land in one cell. Similarity is
+    aggregated as a SUM of ``floor(j·scale + 0.5)`` longs — exact,
+    aggregation-order independent, cross-engine reproducible; consumers
+    divide ``qjaccard_sum / (n_pairs · scale)`` for the mean.
+
+    Output: (source_a, source_b, n_pairs, qjaccard_sum).
+    """
+    s = docs.select(F.col(id_col), F.col(source_col))
+    a = s.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+    )
+    q = F.floor(F.col(jaccard_col) * scale + F.lit(0.5)).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            q.alias("_qj"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_qj").alias("qjaccard_sum"),
+        )
+    )
+
+
 _COUNTER_BITS = 16          # packed per-bit counter width
 _PER_LONG = 4               # counters per 64-bit aggregate
 _MAX_TOKENS = (1 << _COUNTER_BITS) - 1  # counter overflow guard

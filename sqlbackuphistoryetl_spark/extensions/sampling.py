@@ -76,6 +76,30 @@ def stratified_sample(
     )
 
 
+def global_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    salt: str = "g0",
+) -> DataFrame:
+    """Exactly min(k, N) rows drawn uniformly without replacement from
+    the WHOLE dataset — the k smallest md5 draws over all rows, so the
+    sample is a pure function of (input set, salt): reproducible across
+    engines, partitionings, and retries, and refreshable by changing the
+    salt.
+
+    Plan shape (the reason this exists as an operator): ``orderBy(key)
+    .limit(k)`` compiles to ``TakeOrderedAndProject`` — every input
+    partition keeps only its own top-k in a bounded heap and ships at
+    most k rows to a single k·partitions merge. No global sort, no
+    single-task window, no full-data shuffle; at 100 TB the network cost
+    is O(k · partitions) rows regardless of input size. (The
+    ``row_number() OVER (ORDER BY ...)`` formulation funnels every row
+    through one task — the plan this avoids.)
+    """
+    return df.orderBy(det_key(id_col, salt).asc(), F.col(id_col).asc()).limit(k)
+
+
 def weighted_mix(
     sources: list[tuple[str, DataFrame, float]],
     id_col: str,

@@ -596,6 +596,64 @@ def knn_label_vote(
     )
 
 
+def scalar_quantize_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> DataFrame:
+    """Per-dimension int8 scalar-quantization profile — the calibration
+    + audit artifact of compressing a float32 vector store 4× (the
+    standard first move when 100 TB of embeddings won't fit the serving
+    tier). Two corpus passes, both inherent:
+
+    1. calibration — per-dim ``min``/``max`` via one posexplode + one
+       map-side-partial hash aggregate (shuffle carries dims rows per
+       task, never vectors);
+    2. audit — codes recomputed map-side with the (tiny, broadcast)
+       per-dim calibration joined back on ``dim``; the output is the
+       per-dim code SUM as a long plus code min/max — exact integers,
+       so the profile is reproducible bit-for-bit in any engine (a
+       float reconstruction-error mean is neither).
+
+    Code formula, mirrored verbatim in the oracle so both engines run
+    the identical IEEE double sequence:
+    ``floor((x - vmin) / (vmax - vmin) * (n_levels - 1) + 0.5)``;
+    degenerate dims (vmax == vmin) code to 0. Consumers dequantize as
+    ``vmin + code · (vmax - vmin) / (n_levels - 1)``.
+
+    Output: (dim, vmin, vmax, n, code_sum, code_min, code_max).
+    """
+    x = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_f")).select(
+        "dim", F.col("_f").cast("double").alias("x")
+    )
+    calib = x.groupBy("dim").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    coded = x.join(F.broadcast(calib), "dim").select(
+        "dim",
+        "vmin",
+        "vmax",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("x") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * F.lit(float(n_levels - 1))
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    return coded.groupBy("dim", "vmin", "vmax").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("code").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
+
+
 def label_centroid_sums(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -348,6 +348,44 @@ def _word_ngrams(text_col: str, n: int) -> Column:
     )
 
 
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-k most frequent word n-grams with exact counts
+    and corpus share — the boilerplate detector (navigation chrome,
+    license headers, and template text surface as heavy hitters long
+    before any pairwise dedup finds them), and the exact answer a
+    count-min/SpaceSaving sketch would be graded against.
+
+    Plan: explode grams → ONE map-side-partial hash aggregate keyed by
+    gram → ``orderBy(cnt desc).limit(k)`` which compiles to
+    ``TakeOrderedAndProject`` (per-partition bounded heap, O(k·parts)
+    merge — no full sort of the gram vocabulary). The share denominator
+    comes from a separate single-row aggregate of per-doc gram counts
+    (map-side sizes, no explode) cross-joined as a broadcast literal —
+    never a window over the vocabulary frame. Share divides two exact
+    ints, so it is bit-identical across engines. Ties rank (cnt desc,
+    gram asc) — a total order.
+
+    Output: (gram, cnt, total_grams, share), top-k rows.
+    """
+    grams = df.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(
+        F.sum(F.size(_word_ngrams(text_col, n))).alias("total_grams")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    return top.crossJoin(F.broadcast(total)).select(
+        "gram",
+        "cnt",
+        "total_grams",
+        (F.col("cnt").cast("double") / F.col("total_grams")).alias("share"),
+    )
+
+
 def rare_token_profile(
     df: DataFrame,
     text_col: str = "text",

@@ -217,3 +217,65 @@ def test_chain_fold_single_shuffle_no_python(spark):
     plan = _explain(chain_status_batch(df))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_sample_k_take_ordered(spark):
+    """Exact-k global sample must compile to TakeOrderedAndProject —
+    per-partition bounded heap, O(k·partitions) merge — never a global
+    sort or a single-task row_number window."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+    out = global_sample_k(_sample_docs(spark), 5, "doc_id")
+    plan = _explain(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitter_partial_agg_and_topk(spark):
+    """Gram counting must map-side-combine (partial + final
+    HashAggregate) and the top-k must be TakeOrderedAndProject over the
+    vocabulary, not a full sort; the share denominator must not add a
+    window over the vocabulary frame."""
+    from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+    out = heavy_hitter_ngrams(_sample_docs(spark), "text", n=2, k=3)
+    plan = _explain(out)
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantize_profile_broadcast_calibration(spark):
+    """The per-dim calibration frame (dims rows) must broadcast back
+    onto the exploded components — the corpus side never shuffles for
+    that join — and both aggregates must map-side-combine."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        scalar_quantize_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _explain(scalar_quantize_profile(df))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_matrix_keyed_joins_only(spark):
+    """The source-label pulls are keyed equi-joins on the pair ids —
+    no cartesian/nested-loop anywhere, no Python."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+        pair_source_matrix,
+    )
+
+    docs = _sample_docs(spark).withColumnRenamed("grp", "source")
+    pairs = ngram_jaccard_all_pairs(docs, text_col="text", id_col="doc_id")
+    plan = _explain(pair_source_matrix(pairs, docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -193,3 +193,136 @@ class TestTokenHistogram:
         rows = token_length_histogram(df, "text", 25).collect()
         assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
         assert sum(r["n_docs"] for r in rows) == 29
+
+
+class TestGlobalSampleK:
+    def _docs(self, spark, n=60):
+        return spark.createDataFrame(
+            [(i, f"text {i}") for i in range(n)], ["doc_id", "text"]
+        )
+
+    def test_exact_k_and_deterministic(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+        docs = self._docs(spark)
+        a = sorted(r.doc_id for r in global_sample_k(docs, 10, "doc_id").collect())
+        b = sorted(r.doc_id for r in global_sample_k(docs, 10, "doc_id").collect())
+        assert len(a) == 10 and a == b
+
+    def test_matches_python_md5_order(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+        docs = self._docs(spark)
+        got = sorted(
+            r.doc_id for r in global_sample_k(docs, 7, "doc_id", salt="z").collect()
+        )
+        want = sorted(
+            sorted(
+                range(60),
+                key=lambda i: (hashlib.md5(f"z|{i}".encode()).hexdigest(), i),
+            )[:7]
+        )
+        assert got == want
+
+    def test_partitioning_invariance(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+        docs = self._docs(spark)
+        a = sorted(r.doc_id for r in global_sample_k(docs, 9, "doc_id").collect())
+        b = sorted(
+            r.doc_id
+            for r in global_sample_k(docs.repartition(13), 9, "doc_id").collect()
+        )
+        assert a == b
+
+    def test_k_larger_than_input(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+        docs = self._docs(spark, n=4)
+        assert global_sample_k(docs, 100, "doc_id").count() == 4
+
+
+class TestHeavyHitterNgrams:
+    def test_counts_and_ties(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+        docs = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b c"), (2, "x y")],
+            ["doc_id", "text"],
+        )
+        rows = heavy_hitter_ngrams(docs, "text", n=2, k=2).collect()
+        # bigrams: doc0: "a b","b a","a b"; doc1: "a b","b c"; doc2: "x y"
+        # counts: "a b"=3, "b a"=1, "b c"=1, "x y"=1 → total 6
+        assert [(r.gram, r.cnt, r.total_grams) for r in rows] == [
+            ("a b", 3, 6),
+            ("b a", 1, 6),  # tie broken gram-asc among count-1 grams
+        ]
+        assert rows[0].share == 3 / 6
+
+    def test_short_doc_single_gram(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+        docs = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+        rows = heavy_hitter_ngrams(docs, "text", n=2, k=5).collect()
+        assert [(r.gram, r.cnt) for r in rows] == [("solo", 1)]
+
+
+class TestScalarQuantizeProfile:
+    def test_codes_bounded_and_degenerate_dim(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            scalar_quantize_profile,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 7.0]) for i in range(11)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.dim: r for r in scalar_quantize_profile(df).collect()}
+        d0 = rows[0]
+        assert (d0.vmin, d0.vmax, d0.n) == (0.0, 10.0, 11)
+        assert d0.code_min == 0 and d0.code_max == 255
+        # dim 1 is constant → every code 0 by the degenerate rule
+        d1 = rows[1]
+        assert (d1.code_sum, d1.code_min, d1.code_max) == (0, 0, 0)
+
+    def test_code_sum_matches_python(self, spark):
+        import math
+
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            scalar_quantize_profile,
+        )
+
+        vals = [0.0, 0.1, 0.35, 0.5, 0.77, 1.0]
+        df = spark.createDataFrame(
+            [(i, [v]) for i, v in enumerate(vals)],
+            "vec_id long, embedding array<float>",
+        )
+        row = scalar_quantize_profile(df).collect()[0]
+        # mirror: float32 storage, then the exact double expression
+        import struct
+
+        f32 = [struct.unpack("f", struct.pack("f", v))[0] for v in vals]
+        lo, hi = min(f32), max(f32)
+        want = sum(math.floor((x - lo) / (hi - lo) * 255.0 + 0.5) for x in f32)
+        assert row.code_sum == want
+
+
+class TestPairSourceMatrix:
+    def test_canonical_pair_and_sums(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.dedup import pair_source_matrix
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.5), (2, 3, 0.25), (3, 4, 1.0)],
+            ["id_a", "id_b", "jaccard"],
+        )
+        docs = spark.createDataFrame(
+            [(1, "web"), (2, "books"), (3, "web"), (4, "books")],
+            ["doc_id", "source"],
+        )
+        rows = {
+            (r.source_a, r.source_b): (r.n_pairs, r.qjaccard_sum)
+            for r in pair_source_matrix(pairs, docs).collect()
+        }
+        # all three pairs cross web↔books and fold into ONE canonical
+        # cell: 0.5 + 0.25 + 1.0 quantized at 1e6
+        assert rows == {("books", "web"): (3, 1_750_000)}
