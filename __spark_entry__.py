@@ -2288,6 +2288,56 @@ group by 1, 2 order by 1, 2
 """
 
 
+def corpus_version_diff(spark, sf_dir):
+    """Snapshot diff (extensions.versioning.corpus_diff): documents vs a
+    deterministically-derived v2 (ids ÷97 removed, ids ≡3 mod 101
+    edited, ids ≡5 mod 103 re-added under id+1e6) — every doc
+    classified added/removed/changed/unchanged by content md5. ONE
+    full-outer equi-join on the id carrying only (id, md5); the oracle
+    derives the identical v2 in SQL."""
+    from sqlbackuphistoryetl_spark.extensions.versioning import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = F.when(
+        F.col("doc_id") % 101 == 3, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", edited.alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 103 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(
+                    F.lit("new doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(docs, new).orderBy("doc_id")
+
+
+VERSION_DIFF_SQL = """
+with old as (select doc_id, md5(text) as m from documents),
+new as (
+  select doc_id,
+         md5(case when doc_id % 101 = 3 then text || ' [rev2]'
+                  else text end) as m
+  from documents where doc_id % 97 <> 0
+  union all
+  select doc_id + 1000000 as doc_id,
+         md5('new doc ' || cast(doc_id as varchar)) as m
+  from documents where doc_id % 103 = 5)
+select coalesce(old.doc_id, new.doc_id) as doc_id,
+       case when old.doc_id is null then 'added'
+            when new.doc_id is null then 'removed'
+            when old.m <> new.m then 'changed'
+            else 'unchanged' end as status,
+       old.m as old_md5, new.m as new_md5
+from old full outer join new on old.doc_id = new.doc_id
+order by 1
+"""
+
+
 def packed_sequence_export(spark, sf_dir):
     """The packing terminal end-to-end: reassemble the actual 256-token
     training sequences from the span metadata
@@ -2409,6 +2459,7 @@ _ORACLES: dict[str, str | None] = {
     "heavy_hitter_grams": HEAVY_HITTER_SQL,
     "embedding_quantize_profile": QUANTIZE_SQL,
     "dedup_source_matrix": SOURCE_MATRIX_SQL,
+    "corpus_version_diff": VERSION_DIFF_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2488,6 +2539,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_grams": heavy_hitter_grams,
     "embedding_quantize_profile": embedding_quantize_profile,
     "dedup_source_matrix": dedup_source_matrix,
+    "corpus_version_diff": corpus_version_diff,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
