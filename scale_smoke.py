@@ -152,6 +152,33 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     )
     n_packed = pack_sequences(with_tok, "n_tok", ["doc_id"], seq_len=1024).count()
     timings["sequence_packing"] = round(time.perf_counter() - t0, 2)
+
+    from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        scalar_quantize_profile,
+    )
+    from sqlbackuphistoryetl_spark.extensions.versioning import (
+        corpus_diff,
+        diff_summary,
+    )
+    from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+    t0 = time.perf_counter()
+    n_sample = global_sample_k(docs, 1000, "doc_id").count()
+    timings["global_sample_1k"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_hh = heavy_hitter_ngrams(docs, "text", n=2, k=50).count()
+    timings["heavy_hitter_bigrams"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_qdims = scalar_quantize_profile(emb).count()
+    timings["quantize_profile"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    v2 = docs.filter(F.col("doc_id") % 97 != 0)
+    n_diff = diff_summary(corpus_diff(docs, v2)).count()
+    timings["corpus_diff"] = round(time.perf_counter() - t0, 2)
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
@@ -161,6 +188,10 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "ivf_rows": n_ivf,
         "cross_pairs": n_cross,
         "packed_spans": n_packed,
+        "sample_rows": n_sample,
+        "heavy_hitters": n_hh,
+        "quantized_dims": n_qdims,
+        "diff_statuses": n_diff,
     }
 
 

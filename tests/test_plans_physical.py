@@ -279,3 +279,38 @@ def test_source_matrix_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    """The pay-the-shuffle-once layout: both sides written bucketed +
+    sorted on the join key must join with ZERO Exchange (and zero
+    Sort beyond the bucket files' own order) — the property that
+    amortizes the big-table shuffle across every downstream run."""
+    from sqlbackuphistoryetl_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    write_bucketed(left, "bkt_left", str(tmp_path / "l"), ["k"], 8)
+    write_bucketed(right, "bkt_right", str(tmp_path / "r"), ["k"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real SMJ so the assertion tests bucketing, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "bkt_left").join(
+            read_bucketed(spark, "bkt_right"), "k"
+        )
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists bkt_left")
+        spark.sql("drop table if exists bkt_right")

@@ -326,3 +326,25 @@ class TestPairSourceMatrix:
         # all three pairs cross web↔books and fold into ONE canonical
         # cell: 0.5 + 0.25 + 1.0 quantized at 1e6
         assert rows == {("books", "web"): (3, 1_750_000)}
+
+
+class TestNewOpEmptyInputs:
+    def test_heavy_hitter_empty_corpus(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import heavy_hitter_ngrams
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert heavy_hitter_ngrams(docs, "text", n=2, k=5).count() == 0
+
+    def test_global_sample_k_empty(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import global_sample_k
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert global_sample_k(docs, 5, "doc_id").count() == 0
+
+    def test_quantize_profile_empty(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            scalar_quantize_profile,
+        )
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert scalar_quantize_profile(df).count() == 0

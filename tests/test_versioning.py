@@ -56,3 +56,9 @@ class TestCorpusDiff:
         assert plan.count("Join FullOuter") == 1
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_empty_sides(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        old = _snap(spark, [(1, "a")])
+        assert [r.status for r in corpus_diff(old, empty).collect()] == ["removed"]
+        assert [r.status for r in corpus_diff(empty, old).collect()] == ["added"]
