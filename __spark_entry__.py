@@ -2390,6 +2390,104 @@ from spans group by seq_id order by seq_id
 """
 
 
+def chunk_dedup_spans(spark, sf_dir):
+    """C4-style duplicate-span removal (extensions.dedup.chunk_dedup):
+    8-token non-overlapping chunks, corpus-wide first occurrence kept
+    (ordered by (doc, chunk index)), documents reassembled from the
+    surviving chunks. The synthetic corpus's heavy word repetition
+    plants plenty of cross-doc duplicate chunks, so n_kept < n_chunks
+    for a meaningful fraction of rows. clean_md5 proves byte-exact
+    reassembly, not just counts."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_dedup(docs, chunk_tokens=8)
+    return out.select(
+        "doc_id", "n_chunks", "n_kept", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+CHUNK_DEDUP_SQL = r"""
+with t as (
+  select doc_id, regexp_extract_all(text, '\S+') as toks from documents),
+c as (
+  select doc_id, toks,
+         cast(ceil(len(toks) / 8.0) as int) as n_chunks from t),
+ch as (
+  select doc_id, n_chunks, cast(g.i as int) as chunk_idx,
+         array_to_string(toks[g.i * 8 + 1 : g.i * 8 + 8], ' ') as chunk
+  from c, unnest(generate_series(0, n_chunks - 1)) as g(i)
+  where n_chunks > 0),
+r as (
+  select *, row_number() over (
+      partition by chunk order by doc_id, chunk_idx) as rn
+  from ch),
+k as (
+  select doc_id, cast(count(*) as int) as n_kept,
+         string_agg(chunk, ' ' order by chunk_idx) as clean_text
+  from r where rn = 1 group by doc_id)
+select c.doc_id, c.n_chunks,
+       coalesce(k.n_kept, 0) as n_kept,
+       md5(coalesce(k.clean_text, '')) as clean_md5
+from c left join k using (doc_id)
+order by doc_id
+"""
+
+
+def bloom_prefilter_verdicts(spark, sf_dir):
+    """Bloom pre-filter for incremental dedup
+    (extensions.dedup.bloom_bitmap / bloom_might_contain): the bitmap
+    is built over the content md5 of the even-id half of the corpus,
+    then EVERY document probes it. might_exist must be true for every
+    doc whose text md5 matches an even-id doc (zero false negatives —
+    the filter's contract); the oracle rebuilds the identical bitmap
+    bit for bit, so the false-positive verdicts hash-match too."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    m_bits, k_hashes = 1 << 16, 4
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_bitmap(existing, m_bits=m_bits, k_hashes=k_hashes)
+    return (
+        bloom_might_contain(docs, bloom, m_bits=m_bits, k_hashes=k_hashes)
+        .select("doc_id", "might_exist")
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+with docs as (select doc_id, md5(text) as content_md5 from documents),
+probes as (
+  select d.content_md5,
+         ('0x' || substr(md5(d.content_md5 || '|' || cast(s.seed as varchar)),
+                         1, 8))::ubigint % 65536 as pos
+  from docs d, unnest(generate_series(0, 3)) as s(seed)
+  where d.doc_id % 2 = 0),
+bloom as (
+  select cast(pos // 32 as int) as word_idx,
+         bit_or(1::bigint << cast(pos % 32 as int)) as word
+  from probes group by 1),
+q as (
+  select d.doc_id, d.content_md5,
+         ('0x' || substr(md5(d.content_md5 || '|' || cast(s.seed as varchar)),
+                         1, 8))::ubigint % 65536 as pos
+  from docs d, unnest(generate_series(0, 3)) as s(seed)),
+hits as (
+  select q.doc_id,
+         (b.word is not null
+          and (b.word & (1::bigint << cast(q.pos % 32 as int)))
+              = (1::bigint << cast(q.pos % 32 as int))) as hit
+  from q left join bloom b on b.word_idx = cast(q.pos // 32 as int))
+select doc_id, bool_and(hit) as might_exist
+from hits group by doc_id order by doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2460,6 +2558,8 @@ _ORACLES: dict[str, str | None] = {
     "embedding_quantize_profile": QUANTIZE_SQL,
     "dedup_source_matrix": SOURCE_MATRIX_SQL,
     "corpus_version_diff": VERSION_DIFF_SQL,
+    "chunk_dedup_spans": CHUNK_DEDUP_SQL,
+    "bloom_prefilter_verdicts": BLOOM_PREFILTER_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2540,6 +2640,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_profile": embedding_quantize_profile,
     "dedup_source_matrix": dedup_source_matrix,
     "corpus_version_diff": corpus_version_diff,
+    "chunk_dedup_spans": chunk_dedup_spans,
+    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -645,3 +645,178 @@ def minhash_lsh_cross(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["incoming_id", "existing_id"])
     )
+
+
+# ---------------------------------------------------------------- chunk dedup
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """C4/CCNet-style duplicate-span removal: split every document's
+    whitespace tokens into consecutive non-overlapping ``chunk_tokens``
+    windows, keep only the corpus-wide FIRST occurrence of each exact
+    chunk (ordered by (doc, chunk index)), and reassemble each document
+    from its surviving chunks in original order.
+
+    Returns ``(doc_id, n_chunks, n_kept, clean_text)`` — one row per
+    input document (documents whose every chunk was dropped, or that
+    had no tokens at all, come back with ``n_kept = 0`` and
+    ``clean_text = ''``).
+
+    Scale shape: tokenize/chunk is a pure map stage (whole-stage
+    codegen, no UDF); first-occurrence election is ONE window shuffle
+    keyed by the chunk hash (bounded key space, AQE handles a hot
+    boilerplate chunk); reassembly is ONE groupBy on the doc id. The
+    pair space is never materialized — cost is O(total tokens), not
+    O(docs²), which is what makes paragraph-style dedup feasible at
+    100 TB where pairwise comparison is not.
+    """
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.ceil(F.size("toks") / F.lit(float(chunk_tokens)))
+        .cast("int")
+        .alias("n_chunks"),
+    )
+    # guard: sequence(0, -1) would DESCEND in Spark — empty docs get an
+    # empty chunk array instead and rejoin at the end with clean_text ''
+    chunk_arr = F.when(
+        F.col("n_chunks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            lambda i: F.array_join(
+                F.slice("toks", i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = base.select(
+        "doc_id", "n_chunks", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    from pyspark.sql import Window
+
+    first = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunked.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- bloom filter
+
+
+def _bloom_probes(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of k bit positions for a key — md5-derived so any engine
+    reproduces them bit-for-bit (the first 8 md5 hex chars are a
+    uniform 32-bit draw; ``m_bits`` must stay well under 2^32)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", key.cast("string"), s.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(m_bits),
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str = "content_md5",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``key_col`` as a TINY DataFrame
+    of ``(word_idx int, word long)`` — at most ``m_bits/32`` rows, so a
+    filter sized for billions of keys (10 bits/key ≈ 1% fp) is a few
+    GiB of longs: broadcastable, persistable as parquet, and cheap to
+    rebuild incrementally (bit_or of old and new bitmaps).
+
+    The build is one map stage (k md5s per key, no UDF) plus ONE
+    hash aggregation on ``word_idx`` — map-side partial bit_or does
+    almost all the work, so shuffle volume is O(m_bits), independent
+    of input row count.
+    """
+    probes = df.select(
+        F.explode(_bloom_probes(F.col(key_col), m_bits, k_hashes)).alias("pos")
+    )
+    return (
+        probes.select(
+            (F.col("pos") / F.lit(32)).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    incoming: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "content_md5",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Pre-filter for incremental dedup against a huge existing corpus:
+    adds ``might_exist`` to ``incoming`` — false means DEFINITELY new
+    (no false negatives, ever), true means probably-seen and worth the
+    expensive exact anti-join / pair verification.
+
+    At 100 TB this is the cheap first gate: the bitmap broadcast-joins
+    (it is at most m_bits/32 rows), each incoming key is k probe rows,
+    and the verdict folds back with one bool_and aggregation on the
+    incoming key — the full existing corpus is never re-read. Routing
+    only ``might_exist`` rows into ``minhash_lsh_cross`` /
+    ``idempotent_append`` turns the per-batch cost from
+    O(existing + incoming) into O(incoming + true-dup collisions).
+    """
+    probes = incoming.select(
+        F.col(key_col).alias("_bk"),
+        F.explode(_bloom_probes(F.col(key_col), m_bits, k_hashes)).alias("pos"),
+    ).select(
+        "_bk",
+        (F.col("pos") / F.lit(32)).cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+    )
+    verdicts = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "_bk",
+            (
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("hit"),
+        )
+        .groupBy("_bk")
+        .agg(F.bool_and("hit").alias("might_exist"))
+    )
+    return incoming.join(
+        verdicts, incoming[key_col] == verdicts["_bk"], "left"
+    ).drop("_bk")
