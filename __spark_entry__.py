@@ -2488,6 +2488,264 @@ from hits group by doc_id order by doc_id
 """
 
 
+# ------------------------------------------------- curation extensions (r3)
+
+
+def boilerplate_line_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate-line removal
+    (extensions/curation.py: remove_boilerplate_lines). The gate corpus
+    is line-structured deterministically on BOTH sides: every doc gets a
+    per-language nav header, even doc_ids get a per-source footer, and
+    doc_id % 97 == 0 docs get a unique extra line — so the line
+    document-frequency split exercises removed (header/footer, df ≥ 3),
+    kept-unique (body, rare line), and the empty-line-never-counted
+    rule. Output proves byte-exact reassembly in original line order."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.concat(F.lit("NAV "), F.col("lang"), F.lit("\n")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\nFOOTER "), F.col("source")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit("\nRARE-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(lined, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "kept_lines",
+        "removed_lines",
+    )
+
+
+BOILERPLATE_SQL = r"""
+with lined as (
+  select doc_id,
+         'NAV ' || lang || chr(10) || text
+         || case when doc_id % 2 = 0 then chr(10) || 'FOOTER ' || source
+                 else '' end
+         || case when doc_id % 97 = 0 then chr(10) || 'RARE-' || cast(doc_id as varchar)
+                 else '' end as text
+  from documents),
+lines as (
+  select doc_id,
+         unnest(range(len(string_split(text, chr(10))))) as pos,
+         unnest(string_split(text, chr(10))) as line
+  from lined),
+heavy as (
+  select trim(line) as norm
+  from lines where trim(line) <> ''
+  group by 1 having count(distinct doc_id) >= 3),
+kept as (
+  select * from lines l
+  where not exists (select 1 from heavy h where h.norm = trim(l.line))),
+agg as (
+  select doc_id,
+         string_agg(line, chr(10) order by pos) as clean_text,
+         count(*) as kept_lines
+  from kept group by doc_id),
+tot as (select doc_id, count(*) as total from lines group by doc_id)
+select t.doc_id,
+       md5(coalesce(a.clean_text, '')) as clean_md5,
+       coalesce(a.kept_lines, 0) as kept_lines,
+       t.total - coalesce(a.kept_lines, 0) as removed_lines
+from tot t left join agg a on t.doc_id = a.doc_id
+"""
+
+
+def corpus_token_budget(spark, sf_dir):
+    """Greedy corpus selection under a global token budget
+    (extensions/curation.py: select_token_budget): walk docs in
+    (n_chars desc, doc_id) order, keep while the inclusive running
+    whitespace-token total fits 20,000. The engine computes the running
+    total with the distributed prefix-sum (no single-task window); the
+    oracle is the naive single-window SQL — equality proves the
+    two-phase plan computes the same cumsum."""
+    from sqlbackuphistoryetl_spark.extensions.curation import select_token_budget
+    from sqlbackuphistoryetl_spark.functions.textfns import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", whitespace_token_count("text").alias("n_tok")
+    )
+    out = select_token_budget(docs, 20000, "n_tok", "n_chars", "doc_id")
+    return out.select("doc_id", "n_tok", "cum_tokens")
+
+
+TOKEN_BUDGET_SQL = r"""
+with d as (
+  select doc_id, n_chars,
+         len(regexp_extract_all(text, '\S+')) as n_tok
+  from documents),
+c as (
+  select doc_id, n_tok,
+         sum(n_tok) over (order by n_chars desc, doc_id
+                          rows between unbounded preceding and current row)
+           as cum_tokens
+  from d)
+select doc_id, n_tok, cum_tokens from c where cum_tokens <= 20000
+"""
+
+
+def temperature_lang_sample(spark, sf_dir):
+    """α=0.5 temperature sampling over languages
+    (extensions/curation.py: temperature_sample, target 150 docs):
+    dominant languages are downsampled ∝ sqrt(count)/count, rare ones
+    kept whole. Rates derive from exact integer weights
+    floor(sqrt(count·1e12)) + one IEEE division, and the per-row draw
+    is the md5 key — the oracle recomputes the identical rates and
+    draws in SQL, so membership matches row-for-row."""
+    from sqlbackuphistoryetl_spark.extensions.curation import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "lang", 150, "doc_id", salt="temp0")
+    return out.select("doc_id", "lang")
+
+
+TEMPERATURE_SQL = """
+with c as (select lang, count(*) as cnt from documents group by 1),
+w as (select lang, cnt,
+             cast(floor(sqrt(cnt * 1000000000000.0)) as bigint) as wq
+      from c),
+r as (select lang, cnt, wq, sum(wq) over () as denom from w),
+rt as (select lang,
+              least(1.0, cast(150 * wq as double) / cast(denom * cnt as double))
+                as rate
+       from r),
+thr as (select lang,
+               case when rate >= 1.0 then 'g'
+                    else lpad(lower(to_hex(cast(floor(rate * 4294967296.0)
+                                               as bigint))), 8, '0') end as t
+        from rt)
+select d.doc_id, d.lang
+from documents d join thr on d.lang = thr.lang
+where substr(md5('temp0' || '|' || cast(d.doc_id as varchar)), 1, 8) < thr.t
+"""
+
+
+def train_val_test_split(spark, sf_dir):
+    """Deterministic hash train/val/test assignment (extensions/
+    curation.py: assign_split, 90/5/5): a doc's split is a pure function
+    of (doc_id, salt) so growing the corpus never moves existing docs
+    between splits. Oracle replays the same cumulative md5 thresholds."""
+    from sqlbackuphistoryetl_spark.extensions.curation import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", salt="split0").select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _split_sql() -> str:
+    from sqlbackuphistoryetl_spark.extensions.curation import _rate_to_hex
+
+    t_train = _rate_to_hex(0.9)
+    t_val = _rate_to_hex(0.9 + 0.05)  # same float accumulation as assign_split
+    return f"""
+select doc_id, lang,
+       case when substr(md5('split0' || '|' || cast(doc_id as varchar)), 1, 8)
+                 < '{t_train}' then 'train'
+            when substr(md5('split0' || '|' || cast(doc_id as varchar)), 1, 8)
+                 < '{t_val}' then 'val'
+            else 'test' end as split
+from documents
+"""
+
+
+def event_sessionization(spark, sf_dir):
+    """Gap-based sessionization of the events stream (operators/
+    sessionize.py: session_stats, 6 h idle gap): lag marks session
+    starts, a running sum numbers sessions, one aggregate summarizes —
+    all on a single user_id shuffle. Session value totals are exact
+    integer cents (the repo-wide float-SUM rule)."""
+    from sqlbackuphistoryetl_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=360)
+    return out.select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "n_events", "value_cents",
+    )
+
+
+SESSION_SQL = """
+with o as (
+  select user_id, event_id, ts, value,
+         lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+  from events),
+m as (
+  select user_id, event_id, ts, value,
+         case when prev_ts is null
+                   or date_diff('second', prev_ts, ts) > 360 * 60
+              then 1 else 0 end as is_new
+  from o),
+s as (
+  select user_id, ts, value,
+         sum(is_new) over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row)
+           as session_seq
+  from m)
+select user_id, session_seq,
+       min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events,
+       sum(cast(floor(value * 100.0 + 0.5) as bigint)) as value_cents
+from s group by user_id, session_seq
+"""
+
+
+def char_entropy_quality(spark, sf_dir):
+    """Character-level Shannon entropy + diversity signals
+    (functions/textfns.py: char_entropy_profile). The Σ c·log2(c) term
+    is per-character-quantized to integers before summing (order-free,
+    engine-exact); log2 follows the tfidf transcendental precedent —
+    round(6) on both sides, verified over every arising count by the
+    oracle compare."""
+    from sqlbackuphistoryetl_spark.functions.textfns import char_entropy_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = char_entropy_profile(docs)
+    return out.select(
+        "doc_id", "n_chars_counted", "distinct_chars",
+        F.round("max_char_ratio", 6).alias("max_char_ratio"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
+ENTROPY_SQL = """
+with chars as (
+  select doc_id,
+         unnest(list_transform(range(length(text)),
+                               i -> substr(text, cast(i as int) + 1, 1))) as ch
+  from documents),
+cnt as (select doc_id, ch, count(*) as c from chars group by 1, 2),
+per as (
+  select doc_id,
+         sum(c) as n_chars_counted,
+         count(*) as distinct_chars,
+         max(c) as maxc,
+         sum(cast(floor(cast(c as double) * log2(cast(c as double)) * 1e6 + 0.5)
+                  as bigint)) as s
+  from cnt group by doc_id)
+select doc_id, n_chars_counted, distinct_chars,
+       round(cast(maxc as double) / cast(n_chars_counted as double), 6)
+         as max_char_ratio,
+       round(log2(cast(n_chars_counted as double))
+             - (cast(s as double) / 1e6) / cast(n_chars_counted as double), 6)
+         as entropy_bits
+from per
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2560,6 +2818,12 @@ _ORACLES: dict[str, str | None] = {
     "corpus_version_diff": VERSION_DIFF_SQL,
     "chunk_dedup_spans": CHUNK_DEDUP_SQL,
     "bloom_prefilter_verdicts": BLOOM_PREFILTER_SQL,
+    "boilerplate_line_removal": BOILERPLATE_SQL,
+    "corpus_token_budget": TOKEN_BUDGET_SQL,
+    "temperature_lang_sample": TEMPERATURE_SQL,
+    "train_val_test_split": _split_sql(),
+    "event_sessionization": SESSION_SQL,
+    "char_entropy_quality": ENTROPY_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2642,6 +2906,12 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_version_diff": corpus_version_diff,
     "chunk_dedup_spans": chunk_dedup_spans,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
+    "boilerplate_line_removal": boilerplate_line_removal,
+    "corpus_token_budget": corpus_token_budget,
+    "temperature_lang_sample": temperature_lang_sample,
+    "train_val_test_split": train_val_test_split,
+    "event_sessionization": event_sessionization,
+    "char_entropy_quality": char_entropy_quality,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

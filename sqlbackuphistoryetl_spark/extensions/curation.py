@@ -1,0 +1,241 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Four curation stages every large pretraining pipeline runs between raw
+ingest and tokenization, each expressed as a declarative Spark plan:
+
+- :func:`remove_boilerplate_lines` — CCNet/RefinedWeb-style removal of
+  lines repeated across many documents (nav bars, cookie banners,
+  license footers) while preserving intra-document line order.
+- :func:`select_token_budget` — greedy best-first corpus selection
+  under a global token budget (distributed prefix-sum, no single-task
+  window).
+- :func:`temperature_sample` — multilingual α-temperature sampling
+  (rate ∝ count^α / count), the standard fix for low-resource-language
+  starvation in mixture weighting.
+- :func:`assign_split` — deterministic hash-based train/val/test
+  assignment: a row's split is a pure function of (id, salt), stable
+  under repartition, retry, and re-run.
+
+Determinism contract (shared with ``extensions/sampling.py``): every
+random draw is an md5 of (salt | id) so Spark and the DuckDB oracle
+agree byte-for-byte; every threshold is derived from exact integer
+arithmetic plus single correctly-rounded IEEE ops (sqrt, one division),
+so the per-group rates are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.packing import global_cumsum
+from sqlbackuphistoryetl_spark.extensions.sampling import det_key
+
+_HEX_SPACE = 16 ** 8
+
+
+# ------------------------------------------------------------ boilerplate
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip lines whose trimmed form appears in ≥ ``min_docs`` distinct
+    documents; empty/whitespace-only lines are never counted as
+    boilerplate (they are structure, not content) and are kept.
+
+    Output: (id_col, clean_text, kept_lines, removed_lines). Documents
+    whose every line is boilerplate survive with ``clean_text = ''``.
+
+    Plan shape at scale: posexplode → one (line) hash-aggregate for the
+    line document-frequency (map-side partial combine carries (hash,
+    count), never the raw corpus), an anti-join of lines against the
+    heavy set, and one (doc) aggregate to reassemble. The heavy set is
+    bounded above by total_lines / min_docs distinct values and in
+    practice is tiny (true boilerplate repeats across thousands of
+    docs) — AQE turns the anti-join into a broadcast when it fits.
+    Reassembly state per doc is O(doc lines), never corpus-sized.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim(F.col("_line")))
+    heavy = (
+        lines.filter(F.col("_norm") != "")
+        .groupBy("_norm")
+        .agg(F.count_distinct("_id").alias("_ldf"))
+        .filter(F.col("_ldf") >= min_docs)
+        .select("_norm")
+    )
+    kept = lines.join(heavy, "_norm", "left_anti")
+    # array_sort on array<struct> orders by the leading field (_pos) —
+    # unique per doc, so reassembly order is the original line order.
+    reassembled = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_lines"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
+            (F.col("_total") - F.coalesce("kept_lines", F.lit(0)))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+    )
+
+
+# ------------------------------------------------------------ token budget
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    quality_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy best-first selection under a global token budget: walk the
+    corpus in (quality desc, id asc) order and keep every document whose
+    *inclusive* running token total still fits ``budget``.
+
+    Equivalent SQL: ``sum(tokens) OVER (ORDER BY quality DESC, id)
+    <= budget`` — but that window funnels the whole corpus through one
+    task. This uses :func:`packing.global_cumsum`'s two-phase prefix sum
+    (range repartition + O(partitions) offset job + per-partition
+    windows), so cost is one shuffle regardless of corpus size.
+
+    Output: input columns plus ``cum_tokens`` (inclusive running total).
+    Note this is take-while, not knapsack: a huge top-quality doc that
+    overflows the budget blocks lower-quality docs behind it — the
+    standard corpus-selection semantics (budget cuts a quality
+    threshold, it doesn't bin-pack).
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    ordered = df.withColumn("_negq", -F.col(quality_col))
+    c = global_cumsum(ordered, token_col, ["_negq", id_col], num_partitions)
+    return (
+        c.filter(F.col("cum_end") <= F.lit(int(budget)))
+        .withColumnRenamed("cum_end", "cum_tokens")
+        .drop("_negq")
+    )
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def temperature_rates(
+    counts: dict[str, int], target_total: int
+) -> dict[str, float]:
+    """Per-group keep rates for α=0.5 temperature sampling: rate_g ∝
+    sqrt(count_g)/count_g, scaled so expected total kept ≈ target_total
+    (before per-group capping at 1.0).
+
+    Cross-engine determinism: weights are floor(sqrt(count·1e12)) — the
+    argument is an exactly-representable double for count ≤ 9e3·1e3
+    (documented bound: count < 2^53/1e12 ≈ 9007·1e3 per group... in
+    practice count ≤ 2^40 with the 1e6 fallback scale below), sqrt is
+    correctly rounded by IEEE 754 in every engine, floor of it is then
+    exact — so Python, Spark, and DuckDB derive bit-identical integer
+    weights, exact integer sums, and a single identical IEEE division
+    for the rate.
+    """
+    scale = 1e12
+    # keep count·scale exactly representable as a double
+    while counts and max(counts.values()) * scale >= 2 ** 53:
+        scale /= 1e2
+    weights = {g: int(math.floor(math.sqrt(c * scale))) for g, c in counts.items()}
+    denom = sum(weights.values())
+    rates = {}
+    for g, c in counts.items():
+        if c == 0 or denom == 0:
+            rates[g] = 0.0
+            continue
+        rates[g] = min(1.0, (target_total * weights[g]) / (denom * c))
+    return rates
+
+
+def _rate_to_hex(rate: float) -> str:
+    n = int(math.floor(rate * float(_HEX_SPACE)))
+    return "g" if n >= _HEX_SPACE else format(n, "08x")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    target_total: int,
+    id_col: str,
+    salt: str = "temp0",
+) -> DataFrame:
+    """α=0.5 temperature sampling over ``group_col`` (typically
+    language): groups are kept at rate ∝ count^0.5 / count, so dominant
+    groups are downsampled hard while rare groups are kept (capped at
+    every row). The per-row draw is the deterministic md5 key of
+    ``extensions/sampling.py`` — reproducible across engines and runs.
+
+    Plan: one tiny group-count aggregate collected to the driver (a few
+    rows — group cardinality, not data), thresholds embedded as a
+    literal CASE map, then a map-side filter. No data-sized shuffle.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    rates = temperature_rates(counts, target_total)
+    thr = F.lit(None).cast("string")
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(_rate_to_hex(r))).otherwise(thr)
+    return df.filter(F.substring(det_key(id_col, salt), 1, 8) < thr)
+
+
+# ------------------------------------------------------------- tvt split
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: list[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split0",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to one named bucket
+    with the given probabilities, as a pure function of (id, salt).
+
+    Hash-based (not sorted/sliced) so the assignment is stable when the
+    corpus grows: adding documents never moves an existing document
+    between splits — the property that keeps eval sets frozen across
+    corpus versions. Map-side CASE over cumulative md5 thresholds; no
+    shuffle.
+    """
+    total = sum(w for _, w in weights)
+    if not math.isclose(total, 1.0, abs_tol=1e-9):
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    draw = F.substring(det_key(id_col, salt), 1, 8)
+    cum = 0.0
+    expr = F.lit(weights[-1][0])  # fallback = last bucket (covers rounding)
+    cases: list[tuple[str, str]] = []
+    for name, w in weights[:-1]:
+        cum += w
+        cases.append((name, _rate_to_hex(cum)))
+    for name, thr in reversed(cases):
+        expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

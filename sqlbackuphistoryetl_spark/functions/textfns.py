@@ -438,3 +438,56 @@ def rare_token_profile(
             ).alias("rare_ratio"),
         )
     )
+
+
+def char_entropy_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy plus the two rational
+    diversity signals quality filters pair it with (low entropy flags
+    repeated-character junk; near-log2(n) entropy flags random noise).
+
+    Output: (id_col, n_chars_counted, distinct_chars, max_char_ratio,
+    entropy_bits). entropy_bits = log2(n) − Σ c·log2(c) / n over the
+    per-character counts c.
+
+    Determinism: the Σ c·log2(c) term is quantized per character class —
+    floor(c·log2(c)·1e6 + 0.5), identical IEEE ops on identical integer
+    inputs — and summed EXACTLY as integers, so the aggregate is
+    order-free (the repo-wide float-SUM rule). log2 itself follows the
+    tfidf precedent: transcendental on small-integer inputs, verified
+    against the oracle at two SFs to 6 dp. max_char_ratio is a single
+    int/int division.
+
+    Plan shape at scale: explode to (doc, char) → Tungsten hash-agg
+    with map-side partial combine (the wire carries (doc, char, count),
+    bounded by doc_count × alphabet, not corpus characters) → one (doc)
+    agg. Two shuffles of tiny rows.
+    """
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    cnt = chars.groupBy("_id", "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    term = F.floor(
+        F.col("_c").cast("double") * F.log2(F.col("_c").cast("double")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = cnt.groupBy("_id").agg(
+        F.sum("_c").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("_c").alias("_maxc"),
+        F.sum(term).alias("_s"),
+    )
+    n_d = F.col("n_chars_counted").cast("double")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_chars_counted",
+        "distinct_chars",
+        (F.col("_maxc").cast("double") / n_d).alias("max_char_ratio"),
+        (F.log2(n_d) - (F.col("_s").cast("double") / F.lit(1e6)) / n_d).alias(
+            "entropy_bits"
+        ),
+    )

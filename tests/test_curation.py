@@ -1,0 +1,201 @@
+"""Curation extensions: boilerplate-line removal, token-budget
+selection, temperature sampling, split assignment, sessionization, and
+the char-entropy profile (extensions/curation.py, operators/
+sessionize.py, functions/textfns.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.curation import (
+    assign_split,
+    remove_boilerplate_lines,
+    select_token_budget,
+    temperature_rates,
+    temperature_sample,
+)
+from sqlbackuphistoryetl_spark.functions.textfns import char_entropy_profile
+from sqlbackuphistoryetl_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+
+# ------------------------------------------------------------ boilerplate
+
+
+def _lined_docs(spark):
+    rows = [
+        (1, "COOKIE BANNER\nunique alpha\n\nbody one\nCOOKIE BANNER"),
+        (2, "COOKIE BANNER\nbody two"),
+        (3, "COOKIE BANNER\nbody three\n  COOKIE BANNER  "),
+        (4, "only unique text here"),
+        (5, "COOKIE BANNER"),  # all-boilerplate doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_boilerplate_removed_order_preserved(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(_lined_docs(spark), min_docs=3).collect()
+    }
+    # the banner (trimmed form, in 4 docs) goes; unique lines and the
+    # EMPTY line stay, in original order
+    assert out[1]["clean_text"] == "unique alpha\n\nbody one"
+    assert out[1]["removed_lines"] == 2
+    assert out[2]["clean_text"] == "body two"
+    assert out[3]["clean_text"] == "body three"  # trimmed form matched
+    assert out[4]["clean_text"] == "only unique text here"
+    assert out[4]["removed_lines"] == 0
+    # all-boilerplate doc survives, empty
+    assert out[5]["clean_text"] == "" and out[5]["kept_lines"] == 0
+    assert out[5]["removed_lines"] == 1
+
+
+def test_boilerplate_threshold_not_met(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1]["clean_text"] == "shared\na"  # df=2 < 3 ⇒ kept
+
+
+# ------------------------------------------------------------ token budget
+
+
+def test_token_budget_take_while(spark):
+    # quality order: d3 (q=9, 5 tok), d1 (q=7, 4 tok), d2 (q=5, 3 tok)
+    docs = spark.createDataFrame(
+        [(1, 7, 4), (2, 5, 3), (3, 9, 5)], ["doc_id", "q", "n_tok"]
+    )
+    out = select_token_budget(docs, 9, "n_tok", "q", "doc_id")
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    assert got == {3: 5, 1: 9}  # d2 would reach 12 > 9
+
+    none = select_token_budget(docs, 0, "n_tok", "q", "doc_id")
+    assert none.count() == 0
+    with pytest.raises(ValueError):
+        select_token_budget(docs, -1, "n_tok", "q", "doc_id")
+
+
+def test_token_budget_matches_naive_window(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 17).alias("q"),
+        (F.col("id") % 7 + 1).alias("n_tok"),
+    )
+    out = select_token_budget(docs, 300, "n_tok", "q", "doc_id")
+    docs.createOrReplaceTempView("tb_docs")
+    naive = docs.sparkSession.sql(
+        """select doc_id, cum_tokens from (
+             select doc_id, cast(sum(n_tok) over (order by q desc, doc_id
+               rows between unbounded preceding and current row) as long)
+               as cum_tokens
+             from tb_docs) where cum_tokens <= 300"""
+    )
+    got = {(r["doc_id"], r["cum_tokens"]) for r in out.collect()}
+    want = {(r["doc_id"], r["cum_tokens"]) for r in naive.collect()}
+    assert got == want and len(want) > 0
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def test_temperature_rates_shape():
+    rates = temperature_rates({"en": 400, "de": 80, "fr": 20}, 200)
+    # rarer groups keep a larger fraction; caps at 1.0
+    assert rates["fr"] == 1.0
+    assert rates["de"] > rates["en"] > 0
+    assert temperature_rates({"x": 0}, 10)["x"] == 0.0
+
+
+def test_temperature_sample_deterministic_and_balanced(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("fr").alias("lang"),
+    )
+    a = temperature_sample(docs, "lang", 300, "doc_id")
+    b = temperature_sample(docs, "lang", 300, "doc_id")
+    ra = {r["doc_id"] for r in a.collect()}
+    assert ra == {r["doc_id"] for r in b.collect()}  # pure function of ids
+    by_lang = {r["lang"]: r["cnt"] for r in a.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # en (800 docs) must be downsampled harder than fr (200 docs)
+    assert by_lang["en"] / 800 < by_lang["fr"] / 200
+
+
+# ------------------------------------------------------------- tvt split
+
+
+def test_assign_split_stable_under_growth(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    first = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    grown = spark.range(1500).select(F.col("id").alias("doc_id"))
+    second = {r["doc_id"]: r["split"] for r in assign_split(grown, "doc_id").collect()}
+    assert all(second[d] == s for d, s in first.items())  # frozen eval set
+    counts = {}
+    for s in second.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", weights=[("a", 0.5), ("b", 0.4)])
+
+
+# ---------------------------------------------------------- sessionize
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events inside one session, then a 2h gap
+        (1, 1, t0, 1.004),
+        (2, 1, t0 + dt.timedelta(minutes=10), 2.0),
+        (3, 1, t0 + dt.timedelta(minutes=35), 3.0),
+        (4, 1, t0 + dt.timedelta(hours=3), 4.0),
+        # user 2: simultaneous events tie-break on event_id
+        (5, 2, t0, 0.5),
+        (6, 2, t0, 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    )
+
+
+def test_sessionize_gap_and_ties(spark):
+    s = sessionize(_events(spark), gap_minutes=30)
+    seqs = {r["event_id"]: r["session_seq"] for r in s.collect()}
+    assert seqs[1] == 1 and seqs[2] == 1  # 10 min gap: same session
+    assert seqs[3] == 1  # 25 min after event 2: still within the gap
+    assert seqs[4] == 2  # 2h25m idle ⇒ new session
+    assert seqs[5] == 1 and seqs[6] == 1
+
+
+def test_session_stats_exact_cents(spark):
+    out = session_stats(_events(spark), gap_minutes=60)
+    rows = {(r["user_id"], r["session_seq"]): r for r in out.collect()}
+    first = rows[(1, 1)]
+    assert first["n_events"] == 3
+    # 1.004 → 100 cents (floor(x·100+0.5)), 2.0 → 200, 3.0 → 300
+    assert first["value_cents"] == 600
+    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(2, 1)]["n_events"] == 2 and rows[(2, 1)]["value_cents"] == 100
+
+
+# ------------------------------------------------------------ entropy
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in char_entropy_profile(docs).collect()}
+    assert out[1]["entropy_bits"] == pytest.approx(0.0, abs=1e-6)
+    assert out[2]["entropy_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert out[3]["entropy_bits"] == pytest.approx(2.0, abs=1e-6)
+    assert out[2]["distinct_chars"] == 2
+    assert out[3]["max_char_ratio"] == pytest.approx(0.25)
+    assert out[1]["n_chars_counted"] == 4
