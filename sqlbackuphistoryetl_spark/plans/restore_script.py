@@ -18,7 +18,10 @@ Heavy selection/rank/collapse runs in Spark; final command *text*
 assembly happens driver-side on the collected (small) chain — same
 split as the reference, where T-SQL control flow stitches strings.
 
-Intentional deviations (documented, SURVEY §2.11):
+Intentional deviations (documented, SURVEY §2.11) — in the DEFAULT
+``style="spark"``; ``style="sqlserver"`` reproduces the reference's
+PRINT bytes exactly (char(13) separator lines, NO-DIFF banner,
+T-SQL cast-style STOPAT) for drop-in diffability:
 - UTC everywhere (reference mixes getdate/getutcdate).
 - '\n' line breaks (reference uses char(13) CR).
 - STOPAT timestamps are ISO 'YYYY-MM-DD HH:MM:SS' (reference emits
@@ -95,27 +98,58 @@ class RestoreStep:
     key_algorithm: str | None = None
 
 
+def tsql_datetime_varchar(t: dt.datetime) -> str:
+    """T-SQL default datetime→varchar cast, 'mon dd yyyy hh:miAM': day
+    and 12-hour hour right-justified to width 2 (sql:1265 —
+    ``cast(@RestoreToTime as varchar(50))``)."""
+    hour12 = t.hour % 12 or 12
+    ampm = "AM" if t.hour < 12 else "PM"
+    return f"{t.strftime('%b')} {t.day:2d} {t.year} {hour12:2d}:{t.minute:02d}{ampm}"
+
+
+_RULE = "-" * 67
+
+
 @dataclass
 class RestoreScript:
     steps: list[RestoreStep] = field(default_factory=list)
+    style: str = "spark"
 
-    def to_script(self) -> str:
-        """PRINT-style output (sql:824-829,1295-1310)."""
+    def to_script(self, style: str | None = None) -> str:
+        """PRINT-style output (sql:824-829,1295-1310).
+
+        ``style="sqlserver"`` reproduces the reference's PRINT stream
+        byte-for-byte: a bare char(13) line before each section after
+        the first (sql:843,1024,1290) and the NO-DIFF banner when no
+        diff applies (sql:844-846). The default "spark" style keeps the
+        compact banner-only form.
+        """
+        style = style or self.style
+        sqlsrv = style == "sqlserver"
         parts: list[str] = []
         for step in self.steps:
             if step.backup_type == "Full":
                 parts.append("----------------INITIAL FULL BACKUP RESTORE COMMAND----------------")
                 parts.append(step.restore_command)
-                parts.append("-------------------------------------------------------------------")
+                parts.append(_RULE)
             elif step.backup_type == "Diff":
+                if sqlsrv:
+                    parts.append("\r")
                 parts.append("--------------------DIFF BACKUP RESTORE COMMAND--------------------")
                 parts.append(step.restore_command)
-                parts.append("-------------------------------------------------------------------")
+                parts.append(_RULE)
+        if sqlsrv and not any(s.backup_type == "Diff" for s in self.steps):
+            parts.append("\r")
+            parts.append(_RULE)
+            parts.append("-----------------------NO DIFF BACKUPS FOUND-----------------------")
+            parts.append(_RULE)
         logs = [s for s in self.steps if s.backup_type == "Log"]
         if logs:
+            if sqlsrv:
+                parts.append("\r")
             parts.append("--------------------LOG BACKUP RESTORE COMMAND---------------------")
             parts.extend(s.restore_command for s in logs)
-            parts.append("-------------------------------------------------------------------")
+            parts.append(_RULE)
         return "\n".join(parts)
 
 
@@ -210,6 +244,7 @@ def generate_restore_script(
     restore_log_path: str | None = None,
     file_name_prefix: str | None = None,
     help: bool = False,  # noqa: A002 — mirrors the proc's @Help param
+    style: str = "spark",
 ) -> RestoreScript | list[dict[str, object]]:
     if help:  # short-circuit before any validation, like the proc (sql:449-480)
         return restore_script_help()
@@ -316,14 +351,20 @@ def generate_restore_script(
                            log_id_key="LogIDPartitioned"))
         next_id += 1
 
-    # STOPAT on the last two log restores (sql:1261-1273)
+    # STOPAT on the last two log restores (sql:1261-1273); sqlserver
+    # style emits the reference's T-SQL varchar-cast datetime bytes
     if restore_time_provided:
-        stopat = f", STOPAT = '{restore_to_time.strftime('%Y-%m-%d %H:%M:%S')}';"
+        when = (
+            tsql_datetime_varchar(restore_to_time)
+            if style == "sqlserver"
+            else restore_to_time.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        stopat = f", STOPAT = '{when}';"
         log_steps = [s for s in steps if s.backup_type == "Log"]
         for s in log_steps[-2:]:
             s.restore_command = s.restore_command.replace(";", stopat)
 
-    return RestoreScript(steps=steps)
+    return RestoreScript(steps=steps, style=style)
 
 
 def _device_clause_py(row: Any) -> str:

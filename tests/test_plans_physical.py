@@ -314,3 +314,57 @@ def test_bucketed_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists bkt_left")
         spark.sql("drop table if exists bkt_right")
+
+
+def test_sessionize_single_exchange_shared_windows(spark):
+    """Both windows and the session aggregate share ONE user_id
+    partitioning: exactly one Exchange in the whole plan, no Python."""
+    import datetime as dtm
+
+    from sqlbackuphistoryetl_spark.operators.sessionize import session_stats
+
+    ev = spark.createDataFrame(
+        [(i, i % 7, dtm.datetime(2024, 1, 1) + dtm.timedelta(minutes=i), 1.0)
+         for i in range(100)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    plan = _explain(session_stats(ev, gap_minutes=30))
+    # formatted explain names each node twice (tree line + detail header)
+    assert plan.count("Exchange") // 2 == 1
+    # lag and the running sum stay on the SAME (user_id, ts, event_id)
+    # window spec — two Window nodes (the sum consumes the lag through a
+    # projection) but only ONE sort and one exchange feed them both
+    assert plan.count("Window") // 2 == 2
+    assert plan.count("Sort") // 2 == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_no_cartesian_partial_agg(spark):
+    """Line-df aggregation runs a map-side partial (HashAggregate pair)
+    and the heavy-line anti-join is keyed, never a cartesian."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"HEADER\nbody {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = _explain(remove_boilerplate_lines(docs, min_docs=3))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_temperature_and_split_map_side_only(spark):
+    """After the tiny driver-side count, temperature filtering and split
+    assignment are pure map-side expressions — zero Exchange."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        assign_split,
+        temperature_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(60)], ["doc_id", "lang"]
+    )
+    assert "Exchange" not in _explain(temperature_sample(docs, "lang", 20, "doc_id"))
+    assert "Exchange" not in _explain(assign_split(docs, "doc_id"))

@@ -135,3 +135,38 @@ def test_help_short_circuits(consolidated):
     assert isinstance(out, list) and len(out) == 9
     assert out[0]["ProcParameters"] == "source_db"
     assert all({"ID", "Description", "IsRequired", "Example"} <= set(r) for r in out)
+
+
+def test_sqlserver_print_style(spark, consolidated):
+    """style='sqlserver' reproduces the reference PRINT stream shape:
+    char(13) separator lines before DIFF/LOG sections (sql:843,1024,
+    1290), the NO-DIFF banner when no diff applies (sql:844-846), and
+    the T-SQL varchar-cast STOPAT format (sql:1265)."""
+    import datetime as dt
+
+    from sqlbackuphistoryetl_spark.plans.restore_script import (
+        generate_restore_script,
+        tsql_datetime_varchar,
+    )
+
+    assert tsql_datetime_varchar(dt.datetime(2025, 1, 1, 4, 30)) == "Jan  1 2025  4:30AM"
+    assert tsql_datetime_varchar(dt.datetime(2025, 11, 25, 16, 5)) == "Nov 25 2025  4:05PM"
+    assert tsql_datetime_varchar(dt.datetime(2025, 3, 2, 0, 59)) == "Mar  2 2025 12:59AM"
+
+    rs = generate_restore_script(
+        consolidated, "db_sa1", source_db_server="SQLNODE01",
+        restore_to_time=dt.datetime(2025, 1, 1, 4, 30), style="sqlserver",
+    )
+    script = rs.to_script()
+    assert "STOPAT = 'Jan  1 2025  4:30AM';" in script
+    assert "\n\r\n" in script  # bare char(13) separator lines
+    # same chain, sqlserver style has a diff ⇒ no NO-DIFF banner
+    if "DIFF BACKUP RESTORE COMMAND" not in script:
+        assert "NO DIFF BACKUPS FOUND" in script
+    # default style unchanged
+    default = generate_restore_script(
+        consolidated, "db_sa1", source_db_server="SQLNODE01",
+        restore_to_time=dt.datetime(2025, 1, 1, 4, 30),
+    ).to_script()
+    assert "STOPAT = '2025-01-01 04:30:00';" in default
+    assert "\r" not in default and "NO DIFF" not in default
