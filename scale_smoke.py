@@ -179,6 +179,46 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     v2 = docs.filter(F.col("doc_id") % 97 != 0)
     n_diff = diff_summary(corpus_diff(docs, v2)).count()
     timings["corpus_diff"] = round(time.perf_counter() - t0, 2)
+
+    # r3 curation additions: boilerplate strip (line-structured corpus:
+    # a shared header every doc + unique body) and sessionization over
+    # a synthetic event stream (n_docs events over ~300 users)
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        remove_boilerplate_lines,
+        select_token_budget,
+    )
+    from sqlbackuphistoryetl_spark.operators.sessionize import session_stats
+
+    lined = docs.select(
+        "doc_id", F.concat(F.lit("SHARED NAV BAR\n"), F.col("text")).alias("text")
+    )
+    t0 = time.perf_counter()
+    n_clean = (
+        remove_boilerplate_lines(lined, min_docs=3)
+        .filter(F.col("removed_lines") > 0)
+        .count()
+    )
+    timings["boilerplate_strip"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_budget = select_token_budget(
+        with_tok.withColumn("q", F.pmod(F.xxhash64("doc_id"), F.lit(1000))),
+        n_docs * 20, "n_tok", "q", "doc_id",
+    ).count()
+    timings["token_budget_select"] = round(time.perf_counter() - t0, 2)
+
+    ev = spark.range(0, n_docs).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(300)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(30 * 86400))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(10000)).cast("double") / 100.0
+         ).alias("value"),
+    )
+    t0 = time.perf_counter()
+    n_sessions = session_stats(ev, gap_minutes=30).count()
+    timings["sessionize"] = round(time.perf_counter() - t0, 2)
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
@@ -192,6 +232,9 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "heavy_hitters": n_hh,
         "quantized_dims": n_qdims,
         "diff_statuses": n_diff,
+        "boilerplate_cleaned": n_clean,
+        "budget_selected": n_budget,
+        "sessions": n_sessions,
     }
 
 
