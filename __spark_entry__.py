@@ -2746,6 +2746,72 @@ from per
 """
 
 
+def unigram_surprisal(spark, sf_dir):
+    """Mean per-token surprisal under the corpus's own unigram model
+    (functions/textfns.py: unigram_surprisal_score) — the cheap
+    perplexity-style quality filter. Per-term surprisal quantized to
+    integer micro-bits from exact corpus counts (tfidf transcendental
+    precedent), summed exactly; mean rounded to 6 dp both sides."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        unigram_surprisal_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_surprisal_score(docs)
+    return out.select(
+        "doc_id", "n_tok",
+        F.round("mean_surprisal_bits", 6).alias("mean_surprisal_bits"),
+    )
+
+
+SURPRISAL_SQL = r"""
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            s -> s <> '')) as term
+  from documents),
+tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+model as (select term, sum(tf) as ctf from tf group by 1),
+grand as (select sum(ctf) as total from model),
+sc as (
+  select tf.doc_id, tf.tf,
+         cast(floor((log2(cast(total as double)) - log2(cast(ctf as double)))
+                    * 1e6 + 0.5) as bigint) as sq
+  from tf join model using (term) cross join grand)
+select doc_id, sum(tf) as n_tok,
+       round((cast(sum(tf * sq) as double) / 1e6) / cast(sum(tf) as double), 6)
+         as mean_surprisal_bits
+from sc group by doc_id
+"""
+
+
+def length_outlier_trim(spark, sf_dir):
+    """Per-language robust outlier fence median ± 1.5·MAD over doc
+    length (extensions/curation.py: trim_outliers): survivors only.
+    Exact percentile == quantile_cont on integer inputs (the
+    token_percentiles precedent); fence arithmetic is single IEEE ops
+    on those identical scalars."""
+    from sqlbackuphistoryetl_spark.extensions.curation import trim_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    out = trim_outliers(docs, "lang", "n_chars", k=1.5)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+OUTLIER_TRIM_SQL = """
+with med as (
+  select lang, quantile_cont(n_chars, 0.5) as med from documents group by 1),
+mad as (
+  select d.lang, any_value(med) as med,
+         quantile_cont(abs(cast(n_chars as double) - med), 0.5) as mad
+  from documents d join med using (lang) group by d.lang)
+select d.doc_id, d.lang, d.n_chars
+from documents d join mad using (lang)
+where cast(d.n_chars as double) >= med - 1.5 * mad
+  and cast(d.n_chars as double) <= med + 1.5 * mad
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2824,6 +2890,8 @@ _ORACLES: dict[str, str | None] = {
     "train_val_test_split": _split_sql(),
     "event_sessionization": SESSION_SQL,
     "char_entropy_quality": ENTROPY_SQL,
+    "unigram_surprisal": SURPRISAL_SQL,
+    "length_outlier_trim": OUTLIER_TRIM_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2912,6 +2980,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_test_split": train_val_test_split,
     "event_sessionization": event_sessionization,
     "char_entropy_quality": char_entropy_quality,
+    "unigram_surprisal": unigram_surprisal,
+    "length_outlier_trim": length_outlier_trim,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -239,3 +239,66 @@ def assign_split(
     for name, thr in reversed(cases):
         expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+# --------------------------------------------------------- outlier trim
+
+
+def robust_outlier_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust bounds median ± k·MAD (median absolute
+    deviation) — the outlier fence quality filters prefer over
+    mean ± k·σ because a heavy tail corrupts the mean/σ themselves.
+
+    Output: (group_col, med, mad, lo, hi).
+
+    Two grouped exact percentiles (median of values, then median of
+    absolute deviations) with a broadcast join between them — group
+    cardinality rows, never data-sized. Exact ``percentile`` matches
+    DuckDB's ``quantile_cont`` bit-for-bit on integer inputs (the
+    token_percentiles precedent); the fence arithmetic is single IEEE
+    ops on those identical scalars. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` per that precedent.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, 0.5).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        group_col,
+        F.abs(F.col(value_col).cast("double") - F.col("med")).alias("_ad"),
+        "med",
+    )
+    mad = dev.groupBy(group_col, "med").agg(
+        F.percentile("_ad", 0.5).alias("mad")
+    )
+    return mad.select(
+        group_col,
+        "med",
+        "mad",
+        (F.col("med") - F.lit(k) * F.col("mad")).alias("lo"),
+        (F.col("med") + F.lit(k) * F.col("mad")).alias("hi"),
+    )
+
+
+def trim_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the group's
+    median ± k·MAD fence. Broadcast join of the tiny bounds dim +
+    map-side filter — the corpus never shuffles."""
+    bounds = robust_outlier_bounds(df, group_col, value_col, k)
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter(
+            (F.col(value_col).cast("double") >= F.col("lo"))
+            & (F.col(value_col).cast("double") <= F.col("hi"))
+        )
+        .drop("med", "mad", "lo", "hi")
+    )

@@ -491,3 +491,62 @@ def char_entropy_profile(
             "entropy_bits"
         ),
     )
+
+
+def unigram_surprisal_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean per-token surprisal −log2 p(token) under the corpus's OWN
+    unigram model — the classic cheap perplexity-style quality filter
+    (very low = boilerplate/repetition, very high = gibberish/OCR noise
+    relative to the corpus).
+
+    Output: (id_col, n_tok, mean_surprisal_bits).
+
+    Determinism: a term's surprisal log2(total) − log2(count_t) is
+    computed from exact corpus-level integers (identical transcendental
+    inputs — the tfidf precedent), quantized per TERM to an integer
+    (floor(s·1e6 + 0.5)) and summed exactly weighted by tf, so the
+    per-doc aggregate is order-free and engine-identical to 6 dp.
+
+    Plan shape at scale: explode → (doc, term) hash-agg (map-side
+    partial); the global term-frequency dim aggregates from tf (never
+    re-reads text) and broadcasts back; one (doc) agg. The model side is
+    bounded by vocabulary size, not corpus size — persist it across
+    curation runs in production.
+
+    Tokenization: lowercased maximal [a-z0-9]+ runs (shared with
+    tfidf_top_terms).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda s: s != "",
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    grand = model.agg(F.sum("ctf").alias("_total"))
+    surprisal_q = F.floor(
+        (F.log2(F.col("_total").cast("double")) - F.log2(F.col("ctf").cast("double")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = tf.join(F.broadcast(model), "term").crossJoin(F.broadcast(grand))
+    per_doc = scored.groupBy("_id").agg(
+        F.sum("tf").alias("n_tok"),
+        F.sum(F.col("tf") * surprisal_q).alias("_sq"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tok",
+        (
+            (F.col("_sq").cast("double") / F.lit(1e6))
+            / F.col("n_tok").cast("double")
+        ).alias("mean_surprisal_bits"),
+    )

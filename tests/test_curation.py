@@ -199,3 +199,49 @@ def test_char_entropy_known_values(spark):
     assert out[2]["distinct_chars"] == 2
     assert out[3]["max_char_ratio"] == pytest.approx(0.25)
     assert out[1]["n_chars_counted"] == 4
+
+
+# ------------------------------------------------- surprisal / outliers
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        unigram_surprisal_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal_score(docs).collect()}
+    # corpus: a×2, b×2, c×1, total 5
+    s = {t: math.log2(5) - math.log2(c) for t, c in [("a", 2), ("b", 2), ("c", 1)]}
+    sq = {t: math.floor(v * 1e6 + 0.5) / 1e6 for t, v in s.items()}
+    assert out[1]["n_tok"] == 3
+    assert out[1]["mean_surprisal_bits"] == pytest.approx(
+        (2 * sq["a"] + sq["b"]) / 3, abs=1e-9
+    )
+    assert out[2]["mean_surprisal_bits"] == pytest.approx(
+        (sq["b"] + sq["c"]) / 2, abs=1e-9
+    )
+
+
+def test_trim_outliers_mad_fence(spark):
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        robust_outlier_bounds,
+        trim_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [10, 11, 12, 13, 1000]] + [("h", 5)],
+        ["grp", "val"],
+    )
+    b = {r["grp"]: r for r in robust_outlier_bounds(df, "grp", "val", k=3.0).collect()}
+    assert b["g"]["med"] == 12.0 and b["g"]["mad"] == 1.0
+    kept = trim_outliers(df, "grp", "val", k=3.0)
+    vals = sorted(r["val"] for r in kept.filter(F.col("grp") == "g").collect())
+    assert vals == [10, 11, 12, 13]  # 1000 outside 12 ± 3
+    # single-row group: MAD 0 ⇒ only the median survives (degenerate but
+    # defined); h's sole row equals its own median, so it stays
+    assert kept.filter(F.col("grp") == "h").count() == 1
