@@ -1,0 +1,66 @@
+"""Persistent MinHash index (extensions/dedup_index.py): stored-side
+incremental dedup equals the one-job cross-corpus pipeline, appends are
+visible to later queries, and parameters ride with the index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_cross
+from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+    append_minhash_index,
+    query_minhash_index,
+    read_index_meta,
+    write_minhash_index,
+)
+
+
+def _docs(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_index_query_equals_cross_pipeline(spark, tmp_path):
+    docs = _docs(spark)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(existing, path)
+    assert read_index_meta(spark, path) == (32, 8, 5)
+
+    got = {
+        (r["incoming_id"], r["index_id"], round(r["est_jaccard"], 9))
+        for r in query_minhash_index(spark, incoming, path).collect()
+    }
+    want = {
+        (r["incoming_id"], r["existing_id"], round(r["est_jaccard"], 9))
+        for r in minhash_lsh_cross(incoming, existing).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_index_append_extends_matches(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "mh_index")
+    # index starts with only the first third; a near-dup's partner sits
+    # in the second third and is invisible until appended
+    third = docs.count() // 3
+    write_minhash_index(docs.filter(F.col("doc_id") < third), path)
+    probe = docs.filter(F.col("doc_id") >= 2 * third)
+    before = query_minhash_index(spark, probe, path).count()
+    append_minhash_index(docs.filter(
+        (F.col("doc_id") >= third) & (F.col("doc_id") < 2 * third)), path)
+    after = query_minhash_index(spark, probe, path).count()
+    assert after >= before
+    # appended entries use the stored params: full-corpus parity check
+    write_minhash_index(docs.filter(F.col("doc_id") < third), path)
+    append_minhash_index(docs.filter(F.col("doc_id") >= third), path)
+    via_append = {
+        (r["incoming_id"], r["index_id"])
+        for r in query_minhash_index(spark, probe, path).collect()
+    }
+    write_minhash_index(docs, path)
+    via_full = {
+        (r["incoming_id"], r["index_id"])
+        for r in query_minhash_index(spark, probe, path).collect()
+    }
+    assert via_append == via_full

@@ -244,3 +244,41 @@ def test_batch_twin_matches_streaming_dedup_keys(spark, tmp_path):
     # one micro-batch ⇒ stream keeps exactly one row per key-burst chain
     # that the batch twin also splits on
     assert kept_stream == {(1, "A"), (2, "B")}
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """operators/sessionize.py's window-chain sessionization and Spark's
+    native session_window (the Structured-Streaming session operator,
+    run batch-side) are independent implementations of the same gap
+    semantics — sessions must agree 1:1 on (user, start, size).
+    Includes an exactly-at-gap pair (both treat the bound as
+    inclusive: same session)."""
+    import datetime as dtm
+
+    from sqlbackuphistoryetl_spark.operators.sessionize import session_stats
+
+    t0 = dtm.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = t0
+        for i in range(20):
+            # gaps cycle: 1 min, 30 min (exactly at gap), 31 min (over)
+            t = t + dtm.timedelta(minutes=[1, 30, 31][i % 3])
+            rows.append((eid, u, t, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+
+    mine = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    native = {
+        (r["user_id"], r["sw"]["start"], r["n"])
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert mine == native and len(mine) > 5
