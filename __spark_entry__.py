@@ -2812,6 +2812,28 @@ where cast(d.n_chars as double) >= med - 1.5 * mad
 """
 
 
+def domain_cap_topn(spark, sf_dir):
+    """RefinedWeb-style per-domain cap (extensions/curation.py:
+    cap_per_group): at most 5 docs per source, best-first by
+    (n_chars desc, doc_id) — a total order, so the cap boundary is
+    deterministic. Spark's WindowGroupLimit rewrite bounds each
+    upstream partition's shipment to n rows pre-shuffle."""
+    from sqlbackuphistoryetl_spark.extensions.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", 5, ["-n_chars", "doc_id"])
+    return out.select("doc_id", "source", "n_chars")
+
+
+DOMAIN_CAP_SQL = """
+select doc_id, source, n_chars from (
+  select doc_id, source, n_chars,
+         row_number() over (partition by source
+                            order by n_chars desc, doc_id) as rk
+  from documents) where rk <= 5
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2892,6 +2914,7 @@ _ORACLES: dict[str, str | None] = {
     "char_entropy_quality": ENTROPY_SQL,
     "unigram_surprisal": SURPRISAL_SQL,
     "length_outlier_trim": OUTLIER_TRIM_SQL,
+    "domain_cap_topn": DOMAIN_CAP_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -2982,6 +3005,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_quality": char_entropy_quality,
     "unigram_surprisal": unigram_surprisal,
     "length_outlier_trim": length_outlier_trim,
+    "domain_cap_topn": domain_cap_topn,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -147,14 +147,15 @@ def temperature_rates(
     sqrt(count_g)/count_g, scaled so expected total kept ≈ target_total
     (before per-group capping at 1.0).
 
-    Cross-engine determinism: weights are floor(sqrt(count·1e12)) — the
-    argument is an exactly-representable double for count ≤ 9e3·1e3
-    (documented bound: count < 2^53/1e12 ≈ 9007·1e3 per group... in
-    practice count ≤ 2^40 with the 1e6 fallback scale below), sqrt is
-    correctly rounded by IEEE 754 in every engine, floor of it is then
-    exact — so Python, Spark, and DuckDB derive bit-identical integer
-    weights, exact integer sums, and a single identical IEEE division
-    for the rate.
+    Cross-engine determinism: weights are floor(sqrt(count·scale)).
+    The scale starts at 1e12 and steps down ×100 until count·scale is
+    exactly representable as a double (< 2^53 — at 1e12 that bounds
+    count ≤ ~9000; huge groups just use a coarser scale). sqrt is
+    correctly rounded by IEEE 754 in every engine and floor of it is
+    then exact, so Python, Spark's driver, and DuckDB derive
+    bit-identical integer weights, exact integer sums, and a single
+    identical IEEE division for the rate — provided the oracle mirrors
+    the same scale (the gate corpus stays within 1e12).
     """
     scale = 1e12
     # keep count·scale exactly representable as a double
@@ -301,4 +302,37 @@ def trim_outliers(
             & (F.col(value_col).cast("double") <= F.col("hi"))
         )
         .drop("med", "mad", "lo", "hi")
+    )
+
+
+# ------------------------------------------------------- per-group caps
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first in ``order_cols``
+    (e.g. quality desc) — the RefinedWeb-style per-domain cap that stops
+    a single spammy domain from dominating the corpus.
+
+    ``order_cols`` must make the order total (append a unique id) or
+    the cap boundary is nondeterministic.
+
+    Plan: rank window on the group key; Spark's WindowGroupLimit
+    rewrite runs a PARTIAL top-n inside each input partition BEFORE the
+    exchange, so a mega-group ships at most n rows per upstream
+    partition — the same pre-shuffle bound `stratified_sample` relies
+    on (asserted in tests/test_plans_physical.py).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc()
+          for c in order_cols]
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= n)
+        .drop("_cap_rk")
     )

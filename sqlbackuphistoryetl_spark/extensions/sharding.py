@@ -81,3 +81,36 @@ def global_ordinals(
         # integer div — a double quotient would round above 2^53 rows
         out = out.withColumn("shard", F.expr(f"ordinal div {int(shard_size)}"))
     return out
+
+
+def write_sharded_jsonl(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    shard_size: int,
+    num_partitions: int | None = None,
+) -> int:
+    """Export terminal: write the corpus as numbered JSONL shards of
+    exactly ``shard_size`` rows (last shard ragged) in a stable global
+    order — the layout a training dataloader consumes.
+
+    Rides :func:`global_ordinals` (one range shuffle + O(partitions)
+    count job), then ``partitionBy("shard")`` writes each shard's rows
+    together; ``ordinal`` rides along inside each record so a reader
+    can verify stream order. Returns the number of shards written.
+
+    At 100 TB: shard count = N/shard_size directories, each written by
+    the tasks owning its ordinal range — no single-writer funnel. Rows
+    within a shard file are in ordinal order because each range
+    partition holds a contiguous ordinal run.
+    """
+    ranked = global_ordinals(df, order_cols, shard_size=shard_size,
+                             num_partitions=num_partitions)
+    ranked.write.mode("overwrite").partitionBy("shard").json(path)
+    # shard count from the FS listing — no second data pass
+    from sqlbackuphistoryetl_spark import fsutil
+
+    spark = df.sparkSession
+    return sum(
+        1 for n in fsutil.list_child_names(spark, path) if n.startswith("shard=")
+    )

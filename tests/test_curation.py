@@ -245,3 +245,53 @@ def test_trim_outliers_mad_fence(spark):
     # single-row group: MAD 0 ⇒ only the median survives (degenerate but
     # defined); h's sole row equals its own median, so it stays
     assert kept.filter(F.col("grp") == "h").count() == 1
+
+
+# ------------------------------------------------- caps / sharded export
+
+
+def test_cap_per_group_best_first(spark):
+    from sqlbackuphistoryetl_spark.extensions.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b", i * 10) for i in range(10)],
+        ["doc_id", "src", "q"],
+    )
+    out = cap_per_group(df, "src", 3, ["-q", "doc_id"])
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    assert sorted(by_src["a"]) == [5, 6, 7]  # top-3 by q desc
+    assert sorted(by_src["b"]) == [8, 9]  # group smaller than cap: all kept
+
+
+def test_write_sharded_jsonl_stable_order(spark, tmp_path):
+    import json as jsonlib
+    import glob
+
+    from sqlbackuphistoryetl_spark.extensions.sharding import (
+        write_sharded_jsonl,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+    )
+    path = str(tmp_path / "shards")
+    n_shards = write_sharded_jsonl(df, path, ["doc_id"], shard_size=30)
+    assert n_shards == 4  # 30+30+30+10
+
+    # every shard holds its contiguous ordinal run; records carry ordinal
+    seen = {}
+    for d in glob.glob(f"{path}/shard=*"):
+        shard = int(d.rsplit("=", 1)[1])
+        rows = []
+        for f in glob.glob(f"{d}/part-*.json"):
+            with open(f) as fh:
+                rows += [jsonlib.loads(line) for line in fh if line.strip()]
+        seen[shard] = sorted(r["ordinal"] for r in rows)
+    assert seen[0] == list(range(0, 30))
+    assert seen[3] == list(range(90, 100))
+    # ordinal order == doc_id order (the declared export order)
+    full = spark.read.json(f"{path}")
+    pairs = [(r["ordinal"], r["doc_id"]) for r in full.collect()]
+    assert sorted(pairs) == [(i, i) for i in range(100)]
