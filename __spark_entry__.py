@@ -2834,6 +2834,36 @@ select doc_id, source, n_chars from (
 """
 
 
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel over the events stream (operators/sessionize.py:
+    funnel_conversion): per user, the greedy earliest strictly-
+    increasing view → click → purchase chain, as ONE user-keyed
+    aggregate + a codegen'd fold (no per-step self-join cascade). The
+    oracle computes the identical chain with the nested-min CTE form —
+    equality proves the fold implements the greedy semantics."""
+    from sqlbackuphistoryetl_spark.operators.sessionize import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_STEPS_SQL = """
+with a as (select user_id, min(ts) as t0 from events
+           where event_type = 'view' group by 1),
+b as (select e.user_id, min(e.ts) as t1 from events e join a using (user_id)
+      where e.event_type = 'click' and e.ts > a.t0 group by 1),
+c as (select e.user_id, min(e.ts) as t2 from events e join b using (user_id)
+      where e.event_type = 'purchase' and e.ts > b.t1 group by 1)
+select u.user_id, a.t0 as step_0_ts, b.t1 as step_1_ts, c.t2 as step_2_ts,
+       cast(a.t0 is not null as int) + cast(b.t1 is not null as int)
+         + cast(c.t2 is not null as int) as steps_completed
+from (select distinct user_id from events) u
+left join a using (user_id)
+left join b using (user_id)
+left join c using (user_id)
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2915,6 +2945,7 @@ _ORACLES: dict[str, str | None] = {
     "unigram_surprisal": SURPRISAL_SQL,
     "length_outlier_trim": OUTLIER_TRIM_SQL,
     "domain_cap_topn": DOMAIN_CAP_SQL,
+    "funnel_view_click_purchase": FUNNEL_STEPS_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3006,6 +3037,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": unigram_surprisal,
     "length_outlier_trim": length_outlier_trim,
     "domain_cap_topn": domain_cap_topn,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -82,3 +82,62 @@ def session_stats(
             F.sum(cents).alias("value_cents"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest strictly-increasing
+    timestamp chain through ``steps`` (step k must occur AFTER the
+    user's chosen step k-1 occurrence; the chain is the greedy earliest
+    one, the standard funnel definition). Output: one row per user with
+    ``step_<k>_ts`` per stage (NULL once the funnel breaks) and
+    ``steps_completed``.
+
+    Plan: ONE shuffle — a single (user) hash-aggregate over sorted
+    per-user (ts, type) structs, then the chain walk runs as a per-row
+    ``aggregate`` fold over that array, entirely in codegen. No
+    len(steps) self-joins, no window cascade; per-user state is the
+    user's own events (same bound as sessionization). The fold carries
+    [ts_0 … ts_{k-1}] and assigns ts_k := first event of type k after
+    ts_{k-1} — greedy earliest chain.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    ev = events.select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")).alias("_e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+    # fold state: array<timestamp> of length n (NULL = step not reached)
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(n)])
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    def advance(acc, e):
+        # the first un-filled step whose predecessor is filled and whose
+        # type matches this event gets this event's ts
+        return F.transform(
+            acc,
+            lambda ts, i: F.when(
+                ts.isNull()
+                & (e["tp"] == F.element_at(step_arr, i + 1))
+                & ((i == 0) | F.element_at(acc, i).isNotNull())
+                & ((i == 0) | (e["ts"] > F.element_at(acc, i))),
+                e["ts"],
+            ).otherwise(ts),
+        )
+
+    chain = F.aggregate("_evs", init, advance)
+    out = per_user.select(user_col, chain.alias("_chain"))
+    cols = [
+        F.element_at("_chain", k + 1).alias(f"step_{k}_ts") for k in range(n)
+    ]
+    completed = F.size(F.filter("_chain", lambda t: t.isNotNull()))
+    return out.select(user_col, *cols, completed.alias("steps_completed"))

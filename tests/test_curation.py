@@ -295,3 +295,44 @@ def test_write_sharded_jsonl_stable_order(spark, tmp_path):
     full = spark.read.json(f"{path}")
     pairs = [(r["ordinal"], r["doc_id"]) for r in full.collect()]
     assert sorted(pairs) == [(i, i) for i in range(100)]
+
+
+# ------------------------------------------------------------- funnel
+
+
+def test_funnel_greedy_chain(spark):
+    import pytest as _pt
+
+    from sqlbackuphistoryetl_spark.operators.sessionize import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1 completes in order, with decoys (click before view ignored)
+        (1, 1, t0 + 0 * m, "click"),
+        (2, 1, t0 + 1 * m, "view"),
+        (3, 1, t0 + 2 * m, "click"),
+        (4, 1, t0 + 3 * m, "purchase"),
+        # u2 breaks at click (purchase precedes any click)
+        (5, 2, t0 + 0 * m, "view"),
+        (6, 2, t0 + 1 * m, "purchase"),
+        # u3 never starts
+        (7, 3, t0 + 0 * m, "purchase"),
+        # u4: same-timestamp view/click — strict > excludes the tie
+        (8, 4, t0, "view"),
+        (9, 4, t0, "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in
+           funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["step_0_ts"] == t0 + 1 * m  # earliest view, not the click
+    assert out[1]["step_1_ts"] == t0 + 2 * m
+    assert out[2]["steps_completed"] == 1
+    assert out[2]["step_1_ts"] is None
+    assert out[3]["steps_completed"] == 0
+    assert out[4]["steps_completed"] == 1  # tie is not strictly after
+    with _pt.raises(ValueError):
+        funnel_conversion(ev, [])
