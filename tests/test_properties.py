@@ -125,3 +125,86 @@ def test_restore_plan_invariants(spark, case):
         if r["BackupType"] == "Log" and r["backup_start_date"] > pit
     ]
     assert len(post_pit_logs) <= 1
+
+
+# ---------------------------------------------------- curation invariants
+
+
+@st.composite
+def random_corpus(draw):
+    """Random small corpus: doc texts over a tiny alphabet with newlines
+    so boilerplate/line structure actually arises."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    line = st.text(alphabet="ab c", min_size=0, max_size=8)
+    docs = []
+    for i in range(n):
+        n_lines = draw(st.integers(min_value=1, max_value=5))
+        docs.append((i, "\n".join(draw(line) for _ in range(n_lines))))
+    return docs
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=random_corpus())
+def test_boilerplate_invariants(spark, case):
+    """For ANY corpus: kept+removed == original line count, clean lines
+    are a subsequence of the original lines, and removed lines' trimmed
+    forms appear in ≥ min_docs distinct docs."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(case, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+    heavy = {}
+    for _, text in case:
+        for ln in {l.strip() for l in text.split("\n")}:
+            if ln:
+                heavy[ln] = heavy.get(ln, 0) + 1
+    for doc_id, text in case:
+        orig = text.split("\n")
+        r = out[doc_id]
+        assert r["kept_lines"] + r["removed_lines"] == len(orig)
+        if r["kept_lines"] == 0:
+            assert r["clean_text"] == ""
+            continue
+        # ''.split('\n') == [''] — one kept empty line round-trips as ''
+        clean = r["clean_text"].split("\n")
+        # subsequence check
+        it = iter(orig)
+        assert all(any(line == o for o in it) for line in clean)
+        # every dropped non-empty line is genuinely heavy
+        removed = list(orig)
+        for line in clean:
+            removed.remove(line)
+        for line in removed:
+            assert heavy.get(line.strip(), 0) >= 2
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 500), st.integers(1, 50)),
+    min_size=1, max_size=40))
+def test_token_budget_equals_naive(spark, rows):
+    """For ANY (quality, tokens) corpus the distributed prefix-sum
+    selection equals the single-window SQL definition."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        select_token_budget,
+    )
+
+    data = [(i, q, t) for i, (g, q, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "q", "n_tok"])
+    budget = sum(t for _, _, t in data) // 2
+    got = {(r["doc_id"], r["cum_tokens"])
+           for r in select_token_budget(df, budget, "n_tok", "q", "doc_id").collect()}
+    acc, want = 0, set()
+    for _, q, t, i in sorted(((-q, None, t, i) for i, q, t in data)):
+        pass
+    # naive python walk in (q desc, doc_id) order
+    acc = 0
+    for i, q, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        acc += t
+        if acc <= budget:
+            want.add((i, acc))
+    assert got == want
