@@ -140,28 +140,62 @@ def select_token_budget(
 # ------------------------------------------------------- temperature mix
 
 
-def temperature_rates(
-    counts: dict[str, int], target_total: int
-) -> dict[str, float]:
-    """Per-group keep rates for α=0.5 temperature sampling: rate_g ∝
-    sqrt(count_g)/count_g, scaled so expected total kept ≈ target_total
-    (before per-group capping at 1.0).
+#: supported α values → how many nested sqrts build count^α. Each α is
+#: a dyadic rational with ≤2 sqrt factors, so every engine computes the
+#: identical double (sqrt is the ONLY correctly-rounded transcendental
+#: IEEE 754 guarantees; pow() is not, and differs across libms).
+_ALPHA_FACTORS: dict[float, tuple[int, ...]] = {
+    0.25: (2,),       # sqrt(sqrt(x))
+    0.5: (1,),        # sqrt(x)
+    0.75: (1, 2),     # sqrt(x) · sqrt(sqrt(x))
+}
 
-    Cross-engine determinism: weights are floor(sqrt(count·scale)).
-    The scale starts at 1e12 and steps down ×100 until count·scale is
-    exactly representable as a double (< 2^53 — at 1e12 that bounds
-    count ≤ ~9000; huge groups just use a coarser scale). sqrt is
-    correctly rounded by IEEE 754 in every engine and floor of it is
-    then exact, so Python, Spark's driver, and DuckDB derive
-    bit-identical integer weights, exact integer sums, and a single
-    identical IEEE division for the rate — provided the oracle mirrors
-    the same scale (the gate corpus stays within 1e12).
+
+def _pow_alpha(x: float, alpha: float) -> float:
+    """x^α via composed IEEE sqrts — deterministic across engines (each
+    step is correctly rounded on an identical input; the final product
+    is one more identical IEEE multiply)."""
+    out = 1.0
+    for depth in _ALPHA_FACTORS[alpha]:
+        v = x
+        for _ in range(depth):
+            v = math.sqrt(v)
+        out *= v
+    return out
+
+
+def temperature_rates(
+    counts: dict[str, int], target_total: int, alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-group keep rates for α-temperature sampling: rate_g ∝
+    count_g^α / count_g, scaled so expected total kept ≈ target_total
+    (before per-group capping at 1.0). α ∈ {0.25, 0.5, 0.75} — the
+    dyadic values computable from composed sqrts (see
+    ``_ALPHA_FACTORS``); arbitrary α would need pow(), which no engine
+    pair computes identically.
+
+    Cross-engine determinism: weights are floor(count^α·scale_adj)
+    where every factor is a correctly-rounded IEEE sqrt of an exactly
+    representable double. The scale starts at 1e12 and steps down ×100
+    until count·scale is exactly representable (< 2^53 — at 1e12 that
+    bounds count ≤ ~9000; huge groups just use a coarser scale). floor
+    of the identical double is exact, so Python, Spark's driver, and
+    DuckDB derive bit-identical integer weights, exact integer sums,
+    and a single identical IEEE division for the rate — provided the
+    oracle mirrors the same scale and sqrt composition.
     """
+    if alpha not in _ALPHA_FACTORS:
+        raise ValueError(
+            f"alpha must be one of {sorted(_ALPHA_FACTORS)} (dyadic sqrt-"
+            f"composable values); got {alpha}"
+        )
     scale = 1e12
     # keep count·scale exactly representable as a double
     while counts and max(counts.values()) * scale >= 2 ** 53:
         scale /= 1e2
-    weights = {g: int(math.floor(math.sqrt(c * scale))) for g, c in counts.items()}
+    weights = {
+        g: int(math.floor(_pow_alpha(c * scale, alpha))) for g, c in counts.items()
+    }
     denom = sum(weights.values())
     rates = {}
     for g, c in counts.items():
@@ -183,12 +217,15 @@ def temperature_sample(
     target_total: int,
     id_col: str,
     salt: str = "temp0",
+    alpha: float = 0.5,
 ) -> DataFrame:
-    """α=0.5 temperature sampling over ``group_col`` (typically
-    language): groups are kept at rate ∝ count^0.5 / count, so dominant
-    groups are downsampled hard while rare groups are kept (capped at
-    every row). The per-row draw is the deterministic md5 key of
-    ``extensions/sampling.py`` — reproducible across engines and runs.
+    """α-temperature sampling over ``group_col`` (typically language):
+    groups are kept at rate ∝ count^α / count, so dominant groups are
+    downsampled hard while rare groups are kept (capped at every row).
+    Lower α flattens harder (α=0.25 near-equalizes, α=0.75 stays closer
+    to natural proportions). The per-row draw is the deterministic md5
+    key of ``extensions/sampling.py`` — reproducible across engines and
+    runs.
 
     Plan: one tiny group-count aggregate collected to the driver (a few
     rows — group cardinality, not data), thresholds embedded as a
@@ -198,7 +235,7 @@ def temperature_sample(
         r[0]: r[1]
         for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c")).collect()
     }
-    rates = temperature_rates(counts, target_total)
+    rates = temperature_rates(counts, target_total, alpha)
     thr = F.lit(None).cast("string")
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g, F.lit(_rate_to_hex(r))).otherwise(thr)

@@ -336,3 +336,25 @@ def test_funnel_greedy_chain(spark):
     assert out[4]["steps_completed"] == 1  # tie is not strictly after
     with _pt.raises(ValueError):
         funnel_conversion(ev, [])
+
+
+def test_temperature_alpha_variants():
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        temperature_rates,
+    )
+
+    counts = {"big": 6400, "small": 100}
+    flat = temperature_rates(counts, 200, alpha=0.25)
+    mid = temperature_rates(counts, 200, alpha=0.5)
+    steep = temperature_rates(counts, 200, alpha=0.75)
+    # lower α flattens harder: the big/small keep-rate gap shrinks
+    assert (flat["big"] / flat["small"]) < (mid["big"] / mid["small"]) \
+        < (steep["big"] / steep["small"])
+    # α=0.5 path unchanged by the generalization (same sqrt composition)
+    import math
+    w_big = math.floor(math.sqrt(6400 * 1e12))
+    w_small = math.floor(math.sqrt(100 * 1e12))
+    denom = w_big + w_small
+    assert mid["big"] == min(1.0, (200 * w_big) / (denom * 6400))
+    with pytest.raises(ValueError):
+        temperature_rates(counts, 200, alpha=0.3)
