@@ -136,3 +136,90 @@ def streaming_backup_rollup(
             "total_mb",
         )
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    schema,
+    min_est_jaccard: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental corpus ingest with near-dup screening: each
+    micro-batch of documents is checked against the PERSISTENT MinHash
+    index (extensions/dedup_index.py); survivors are appended to the
+    corpus AND their band entries to the index, so later batches —
+    including later files of the same stream — see them.
+
+    The dedup-service loop the cross-corpus docstring promises
+    (dedup.py: minhash_lsh_cross), closed over Structured Streaming:
+
+      micro-batch → query_minhash_index → anti-join flagged →
+      append corpus → append_minhash_index
+
+    Exactly-once on the doc id even across restarts: a replayed batch's
+    docs now match their own indexed signatures (est_jaccard 1.0 ≥ any
+    threshold) and are dropped by the same screen — the index doubles as
+    the idempotency ledger. Within-batch dups are screened batch-side
+    first (cheap exact md5 + min-id), so a batch can't smuggle its own
+    near-dups past the index.
+
+    State is all on disk (index parquet), not in streaming state — no
+    watermark needed, unbounded lateness tolerated, and the index is
+    shared with any batch pipeline writing through the same path.
+    """
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        append_minhash_index,
+        query_minhash_index,
+    )
+    from sqlbackuphistoryetl_spark import fsutil
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(landing_path)
+    )
+
+    def _screen_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        # within-batch exact dedup (min id per content hash)
+        keep = (
+            batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+            .groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+        )
+        batch = batch.join(keep, id_col, "left_semi")
+        if fsutil.exists(sess, f"{index_path}/meta"):
+            flagged = query_minhash_index(
+                sess, batch, index_path, min_est_jaccard,
+                text_col=text_col, id_col=id_col,
+            ).select(F.col("incoming_id").alias(id_col)).distinct()
+            batch = batch.join(flagged, id_col, "left_anti")
+            # one barrier: accepted set reused for corpus + index writes
+            batch = batch.localCheckpoint(eager=True)
+            if batch.isEmpty():
+                return
+            batch.write.mode("append").parquet(corpus_path)
+            append_minhash_index(batch, index_path, text_col, id_col)
+        else:
+            batch = batch.localCheckpoint(eager=True)
+            batch.write.mode("append").parquet(corpus_path)
+            from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+                write_minhash_index,
+            )
+            write_minhash_index(batch, index_path, text_col, id_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_screen_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -282,3 +282,48 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert mine == native and len(mine) > 5
+
+
+def test_stream_dedup_ingest_screens_against_index(spark, tmp_path):
+    """Streaming near-dup ingest (stream_dedup_ingest): batch 2's
+    near-dup of a batch-1 doc is screened out via the persistent index;
+    replaying batch 1's file content (new stream, same docs, fresh
+    checkpoint) appends nothing — the index is the idempotency ledger."""
+    from sqlbackuphistoryetl_spark.streaming.ingest import stream_dedup_ingest
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+    schema = "doc_id long, text string"
+
+    d1 = [(1, "the quick brown fox jumps over the lazy dog " * 4),
+          (2, "completely different content about spark physical plans " * 4),
+          (3, "completely different content about spark physical plans " * 4)]
+    spark.createDataFrame(d1, schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+    q = stream_dedup_ingest(spark, landing, corpus, index,
+                            str(tmp_path / "ck1"), schema,
+                            min_est_jaccard=0.5)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}  # 3 is an exact within-batch dup of 2
+
+    # batch 2: one near-dup of doc 1 (one word changed), one novel doc
+    d2 = [(10, "the quick brown fox jumps over the lazy cat " * 4),
+          (11, "entirely novel text on duckdb oracle gates " * 4)]
+    spark.createDataFrame(d2, schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+    q = stream_dedup_ingest(spark, landing, corpus, index,
+                            str(tmp_path / "ck1"), schema,
+                            min_est_jaccard=0.5)
+    q.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 11}  # 10 screened as near-dup of 1
+
+    # replay batches through a FRESH checkpoint: index screens them all
+    q = stream_dedup_ingest(spark, landing, corpus, index,
+                            str(tmp_path / "ck_replay"), schema,
+                            min_est_jaccard=0.5)
+    q.awaitTermination(120)
+    got3 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got3 == sorted(got2)  # nothing re-appended
