@@ -2864,6 +2864,66 @@ left join c using (user_id)
 """
 
 
+def rag_chunking(spark, sf_dir):
+    """Overlapping character-window chunking for RAG ingestion
+    (extensions/curation.py: chunk_documents; 120-char chunks, 20
+    overlap). Map-side sequence+substring — the oracle rebuilds the
+    identical windows, proving offsets, ragged tails, and the
+    shorter-than-overlap clamp."""
+    from sqlbackuphistoryetl_spark.extensions.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_chars=120, overlap=20)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+RAG_CHUNK_SQL = """
+with d as (select doc_id, text, length(text) as L from documents),
+n as (select doc_id, text,
+             case when L <= 0 then 0
+                  else greatest(1, (L - 20 + 99) // 100) end as nc
+      from d),
+c as (select doc_id, text, unnest(range(nc)) as cid from n)
+select doc_id, cast(cid as int) as chunk_id,
+       cast(cid * 100 as int) as chunk_start,
+       md5(substr(text, cast(cid * 100 as int) + 1, 120)) as chunk_md5
+from c
+"""
+
+
+def corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus accounting — the summary table every
+    curation run publishes. One hash-aggregate with map-side partials;
+    token totals are exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(n_tok.cast("long")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_REPORT_SQL = r"""
+select lang, source, count(*) as n_docs,
+       sum(n_chars) as total_chars,
+       sum(len(regexp_extract_all(text, '\S+'))) as total_tokens,
+       min(n_chars) as min_chars, max(n_chars) as max_chars
+from documents group by lang, source order by lang, source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -2946,6 +3006,8 @@ _ORACLES: dict[str, str | None] = {
     "length_outlier_trim": OUTLIER_TRIM_SQL,
     "domain_cap_topn": DOMAIN_CAP_SQL,
     "funnel_view_click_purchase": FUNNEL_STEPS_SQL,
+    "rag_chunking": RAG_CHUNK_SQL,
+    "corpus_report": CORPUS_REPORT_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3038,6 +3100,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_outlier_trim": length_outlier_trim,
     "domain_cap_topn": domain_cap_topn,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "rag_chunking": rag_chunking,
+    "corpus_report": corpus_report,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -373,3 +373,66 @@ def cap_per_group(
         .filter(F.col("_cap_rk") <= n)
         .drop("_cap_rk")
     )
+
+
+# ------------------------------------------------------- RAG chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with optional
+    overlap — the RAG-ingestion chunker. Output: (id_col, chunk_id,
+    chunk_start, chunk_text); chunk_start is the 0-based char offset,
+    chunks advance by ``chunk_chars − overlap`` so consecutive chunks
+    share ``overlap`` chars. The final chunk is ragged; empty docs
+    yield no chunks.
+
+    Entirely map-side (sequence → substring, whole-stage codegen): no
+    shuffle, no UDF. At 100 TB output size is
+    O(corpus · chunk/(chunk−overlap)) — the overlap multiplier is
+    explicit in the plan, not hidden.
+    """
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_chars")
+    step = chunk_chars - overlap
+    # ceil((len − overlap)/step), clamped to ≥1 for any non-empty doc
+    # (a doc shorter than the overlap is still one chunk). Integer div —
+    # no double round-trip.
+    n_chunks = F.when(F.length(text_col) <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"(length({text_col}) - {overlap} + {step - 1}) div {step}"
+            ).cast("int"),
+        )
+    )
+    # sequence(0, -1) would DESCEND (Spark auto-steps); empty docs need
+    # an explicitly empty index array
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    (i * step).alias("chunk_start"),
+                    F.substring(
+                        F.col(text_col), i * step + 1, chunk_chars
+                    ).alias("chunk_text"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return out.select(
+        id_col, "c.chunk_id", "c.chunk_start", "c.chunk_text"
+    )

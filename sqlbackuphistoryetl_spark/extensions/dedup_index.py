@@ -129,3 +129,28 @@ def query_minhash_index(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["incoming_id", "index_id"])
     )
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the index's entry files: many appended micro-batches
+    leave many small files per band; compaction coalesces each band's
+    entries into parallelism-sized files sorted by bucket, so band
+    joins scan fewer, row-group-skippable files. Entries are immutable
+    rows — compaction is a pure relayout (same rows, verified cheap by
+    count). Atomic via temp-dir + rename, like the retention rewrite.
+    """
+    import uuid
+
+    from sqlbackuphistoryetl_spark import fsutil
+
+    entries = spark.read.parquet(f"{path}/entries")
+    tmp = f"{path}/_entries_compact_{uuid.uuid4().hex}"
+    (
+        entries.repartition("band")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    fsutil.delete(spark, f"{path}/entries")
+    fsutil.rename(spark, tmp, f"{path}/entries")

@@ -358,3 +358,66 @@ def test_temperature_alpha_variants():
     assert mid["big"] == min(1.0, (200 * w_big) / (denom * 6400))
     with pytest.raises(ValueError):
         temperature_rates(counts, 200, alpha=0.3)
+
+
+# ------------------------------------------------------- RAG chunking
+
+
+def test_chunk_documents_windows(spark):
+    from sqlbackuphistoryetl_spark.extensions.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "ab"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_chars=5, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        )
+    # step 3: starts 0,3,6 — last ragged; consecutive share 2 chars
+    assert sorted(by_doc[1]) == [
+        (0, 0, "abcde"), (1, 3, "defgh"), (2, 6, "ghij")]
+    # shorter than chunk (and than overlap boundary): one chunk
+    assert by_doc[2] == [(0, 0, "ab")]
+    assert 3 not in by_doc  # empty doc: no chunks
+    # reconstruction: stripping the overlap from every chunk after the
+    # first yields the original text
+    parts = [t if i == 0 else t[2:] for i, _, t in sorted(by_doc[1])]
+    assert "".join(parts) == "abcdefghij"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_chars=0)
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_chars=5, overlap=5)
+
+
+def test_compact_minhash_index_preserves_queries(spark, tmp_path):
+    import glob
+
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        append_minhash_index,
+        compact_minhash_index,
+        query_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    # several small appends → file fragmentation
+    for lo in range(100, 400, 100):
+        append_minhash_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)),
+            path,
+        )
+    probe = docs.filter(F.col("doc_id") >= 400)
+    before_pairs = {(r["incoming_id"], r["index_id"])
+                    for r in query_minhash_index(spark, probe, path).collect()}
+    files_before = len(glob.glob(f"{path}/entries/band=*/part-*"))
+    compact_minhash_index(spark, path)
+    files_after = len(glob.glob(f"{path}/entries/band=*/part-*"))
+    after_pairs = {(r["incoming_id"], r["index_id"])
+                   for r in query_minhash_index(spark, probe, path).collect()}
+    assert after_pairs == before_pairs
+    assert files_after < files_before
