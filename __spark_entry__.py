@@ -2924,6 +2924,41 @@ from documents group by lang, source order by lang, source
 """
 
 
+def embedding_covariance(spark, sf_dir):
+    """Distributed-PCA sufficient statistics (extensions/similarity.py:
+    covariance_sums): every upper-triangle Σ xq_i·xq_j plus per-dim
+    sums and the count, as exact quantized integers from ONE corpus
+    pass (nested-transform product generation + a single map-side-
+    partial hash-agg; the shuffle carries O(d²) longs per partition).
+    The oracle rebuilds the same sums via a per-vector component
+    self-join — equality proves the no-join plan."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import covariance_sums
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_sums(emb).select("i", "j", "s")
+
+
+COVARIANCE_SQL = """
+with comps as (
+  select vec_id,
+         unnest(range(len(embedding))) as i,
+         unnest(list_transform(embedding,
+                x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)))
+           as xq
+  from embeddings),
+prods as (
+  select cast(a.i as int) as i, cast(b.i as int) as j, sum(a.xq * b.xq) as s
+  from comps a join comps b on a.vec_id = b.vec_id and b.i >= a.i
+  group by 1, 2),
+dims as (
+  select cast(i as int) as i, -1 as j, sum(xq) as s from comps group by 1),
+cnt as (select -1 as i, -1 as j, count(distinct vec_id) as s from comps)
+select i, j, s from prods
+union all select i, j, s from dims
+union all select i, j, s from cnt
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -3008,6 +3043,7 @@ _ORACLES: dict[str, str | None] = {
     "funnel_view_click_purchase": FUNNEL_STEPS_SQL,
     "rag_chunking": RAG_CHUNK_SQL,
     "corpus_report": CORPUS_REPORT_SQL,
+    "embedding_covariance": COVARIANCE_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3102,6 +3138,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rag_chunking": rag_chunking,
     "corpus_report": corpus_report,
+    "embedding_covariance": embedding_covariance,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -689,3 +689,142 @@ def label_centroid_sums(
     return exploded.groupBy(label_col, "dim").agg(
         F.sum("_q").alias("qsum"), F.count(F.lit(1)).alias("n")
     )
+
+
+def covariance_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale: int = 1000,
+) -> DataFrame:
+    """Exact quantized second-moment sums for distributed PCA: every
+    pairwise product Σ x_i·x_j over the corpus, plus per-dim sums and
+    the vector count — the sufficient statistics a driver-side
+    eigendecomposition needs, in ONE corpus pass.
+
+    Components quantize to ``floor(x·q_scale + 0.5)`` integers map-side;
+    the d·(d+1)/2 upper-triangle products per vector are generated by a
+    nested transform (codegen, no join, no UDF) and reduced by a single
+    hash-aggregate whose map-side partial combine means the shuffle
+    carries only O(d²) partial sums PER PARTITION — never the vectors.
+    At 100 TB the wire cost is partitions × d² longs, independent of
+    corpus size. Overflow bound: |x|≤1, q_scale=1e3 ⇒ each product
+    ≤ 1e6; 2^63/1e6 ≈ 9.2e12 vectors before a sum can overflow.
+
+    Output rows (exact integers, engine-reproducible):
+      (i, j,  s)  for 0 ≤ i ≤ j < d  — Σ xq_i · xq_j
+      (i, -1, s)                      — Σ xq_i   (per-dim sums)
+      (-1, -1, n)                     — vector count
+    """
+    d = F.size(F.col(vec_col))
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(q_scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = df.select(xq.alias("_xq"), d.alias("_d"))
+    prod_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_d") - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.col("_d") - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at("_xq", i + 1) * F.element_at("_xq", j + 1)
+                    ).alias("v"),
+                ),
+            ),
+        )
+    )
+    dim_structs = F.transform(
+        F.sequence(F.lit(0), F.col("_d") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.lit(-1).alias("j"),
+            F.element_at("_xq", i + 1).alias("v"),
+        ),
+    )
+    count_struct = F.array(
+        F.struct(
+            F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1).cast("long").alias("v")
+        )
+    )
+    all_terms = base.select(
+        F.explode(F.concat(prod_structs, dim_structs, count_struct)).alias("t")
+    )
+    return (
+        all_terms.groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.v").alias("s"))
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale: int = 1000,
+):
+    """Distributed PCA: covariance from :func:`covariance_sums` (one
+    corpus pass), eigendecomposition driver-side on the d×d matrix
+    (numpy — bookkeeping-sized, the IVF-centroid precedent), top-k
+    eigenvectors broadcast back as literals, projection map-side.
+
+    Returns (projected_df, explained_variance): projected_df has
+    (id_col, proj array<double> length k); explained_variance is the
+    top-k eigenvalue list (descending). Deterministic for a fixed
+    input set: the covariance is exact integers and eigh is run on the
+    identical matrix every time; eigenvector SIGN is normalized (first
+    nonzero component positive) so projections don't flip between runs.
+    """
+    import numpy as np
+
+    sums = {(r["i"], r["j"]): r["s"] for r in covariance_sums(
+        df, vec_col, id_col, q_scale).collect()}
+    n = sums.pop((-1, -1))
+    if n < 2:
+        raise ValueError("pca_project needs at least 2 vectors")
+    d = max(i for i, j in sums) + 1
+    mean = np.array([sums[(i, -1)] / n for i in range(d)])
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            e_xy = sums[(i, j)] / n
+            cov[i, j] = cov[j, i] = e_xy - mean[i] * mean[j]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d × k
+    # sign normalization: first nonzero component of each PC positive
+    for c in range(comps.shape[1]):
+        nz = np.nonzero(comps[:, c])[0]
+        if len(nz) and comps[nz[0], c] < 0:
+            comps[:, c] = -comps[:, c]
+    explained = [float(vals[o]) for o in order]
+
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    proj_cols = []
+    for c in range(comps.shape[1]):
+        w = F.array(*[F.lit(float(comps[i, c])) for i in range(d)])
+        # dot((xq - mean), w) via zip_with + aggregate — JVM-side
+        centered = F.zip_with(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(q_scale)) + F.lit(0.5)
+                ),
+            ),
+            mean_arr,
+            lambda xq, m: xq - m,
+        )
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(centered, w, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    out = df.select(F.col(id_col), F.array(*proj_cols).alias("proj"))
+    return out, explained

@@ -312,3 +312,46 @@ def test_materialize_sequences_equals_stream_chunks(spark):
         for k in range((len(stream) + 6) // 7)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_covariance_sums_hand_values(spark):
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        covariance_sums,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    s = {(r["i"], r["j"]): r["s"] for r in covariance_sums(emb).collect()}
+    assert s[(-1, -1)] == 2
+    assert s[(0, -1)] == 1000 and s[(1, -1)] == 1000
+    assert s[(0, 0)] == 1_000_000 and s[(1, 1)] == 1_000_000
+    assert s[(0, 1)] == 0
+    assert len(s) == 3 + 2 + 1  # triangle + dims + count
+
+
+def test_pca_project_variance_and_determinism(spark):
+    import numpy as np
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import pca_project
+
+    # strongly correlated 2D cloud: PC1 must align with the diagonal
+    rows = [(i, [float(i % 21 - 10), float(i % 21 - 10) + (0.2 if i % 2 else -0.2)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj, ev = pca_project(emb, k=2)
+    P = np.array([r["proj"] for r in proj.orderBy("vec_id").collect()])
+    v = P.var(axis=0)
+    assert v[0] > 100 * v[1]  # diagonal dominates
+    assert ev[0] > 100 * ev[1]
+    # deterministic incl. sign across calls
+    proj2, _ = pca_project(emb, k=2)
+    P2 = np.array([r["proj"] for r in proj2.orderBy("vec_id").collect()])
+    assert np.array_equal(P, P2)
+    import pytest as _pt
+    one = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with _pt.raises(ValueError):
+        pca_project(one, k=1)
