@@ -106,3 +106,24 @@ def test_approx_distinct_within_rsd(spark):
         exact = r["exact_users"]
         assert exact > 0
         assert abs(r["approx_users"] - exact) <= max(2, 0.05 * exact), r
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """The documented 100 TB swap-in for the exact percentile gates:
+    percentile_approx (t-digest, one pass, no per-group sort) must land
+    within 5% relative error of the exact interpolated quantiles on the
+    gate corpus — the contract that makes the swap safe."""
+    import os
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    nt = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    d = docs.select("lang", nt.alias("nt"))
+    both = d.groupBy("lang").agg(
+        F.percentile("nt", 0.9).alias("exact"),
+        F.percentile_approx("nt", 0.9, 10000).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * max(r["exact"], 1), r
