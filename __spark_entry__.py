@@ -2633,6 +2633,41 @@ where substr(md5('temp0' || '|' || cast(d.doc_id as varchar)), 1, 8) < thr.t
 """
 
 
+def temperature_lang_sample_a25(spark, sf_dir):
+    """α=0.25 variant of the temperature gate: weights are
+    floor(sqrt(sqrt(count·1e12))·…) — the COMPOSED-sqrt determinism
+    claim (curation.py: _pow_alpha) proven cross-engine: DuckDB runs
+    the identical two correctly-rounded sqrts and must select the
+    identical rows."""
+    from sqlbackuphistoryetl_spark.extensions.curation import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "lang", 150, "doc_id", salt="temp25",
+                             alpha=0.25)
+    return out.select("doc_id", "lang")
+
+
+TEMPERATURE_A25_SQL = """
+with c as (select lang, count(*) as cnt from documents group by 1),
+w as (select lang, cnt,
+             cast(floor(sqrt(sqrt(cnt * 1000000000000.0))) as bigint) as wq
+      from c),
+r as (select lang, cnt, wq, sum(wq) over () as denom from w),
+rt as (select lang,
+              least(1.0, cast(150 * wq as double) / cast(denom * cnt as double))
+                as rate
+       from r),
+thr as (select lang,
+               case when rate >= 1.0 then 'g'
+                    else lpad(lower(to_hex(cast(floor(rate * 4294967296.0)
+                                               as bigint))), 8, '0') end as t
+        from rt)
+select d.doc_id, d.lang
+from documents d join thr on d.lang = thr.lang
+where substr(md5('temp25' || '|' || cast(d.doc_id as varchar)), 1, 8) < thr.t
+"""
+
+
 def train_val_test_split(spark, sf_dir):
     """Deterministic hash train/val/test assignment (extensions/
     curation.py: assign_split, 90/5/5): a doc's split is a pure function
@@ -3034,6 +3069,7 @@ _ORACLES: dict[str, str | None] = {
     "boilerplate_line_removal": BOILERPLATE_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,
     "temperature_lang_sample": TEMPERATURE_SQL,
+    "temperature_lang_sample_a25": TEMPERATURE_A25_SQL,
     "train_val_test_split": _split_sql(),
     "event_sessionization": SESSION_SQL,
     "char_entropy_quality": ENTROPY_SQL,
@@ -3129,6 +3165,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_line_removal": boilerplate_line_removal,
     "corpus_token_budget": corpus_token_budget,
     "temperature_lang_sample": temperature_lang_sample,
+    "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "train_val_test_split": train_val_test_split,
     "event_sessionization": event_sessionization,
     "char_entropy_quality": char_entropy_quality,
