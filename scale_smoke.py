@@ -219,6 +219,37 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     t0 = time.perf_counter()
     n_sessions = session_stats(ev, gap_minutes=30).count()
     timings["sessionize"] = round(time.perf_counter() - t0, 2)
+
+    from sqlbackuphistoryetl_spark.extensions.curation import chunk_documents
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        unigram_surprisal_score,
+    )
+    from sqlbackuphistoryetl_spark.operators.sessionize import funnel_conversion
+
+    ev_typed = ev.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.pmod(F.xxhash64("event_id", F.lit(13)), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    t0 = time.perf_counter()
+    n_funnel = funnel_conversion(ev_typed, ["view", "click", "purchase"]).count()
+    timings["funnel"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_chunks = chunk_documents(docs, chunk_chars=120, overlap=20).count()
+    timings["rag_chunking"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_surp = unigram_surprisal_score(docs).count()
+    timings["unigram_surprisal"] = round(time.perf_counter() - t0, 2)
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import covariance_sums
+
+    t0 = time.perf_counter()
+    n_cov = covariance_sums(emb).count()
+    timings["covariance_sums"] = round(time.perf_counter() - t0, 2)
     return {
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
@@ -235,6 +266,10 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "boilerplate_cleaned": n_clean,
         "budget_selected": n_budget,
         "sessions": n_sessions,
+        "funnel_users": n_funnel,
+        "chunks": n_chunks,
+        "surprisal_docs": n_surp,
+        "cov_terms": n_cov,
     }
 
 

@@ -355,3 +355,19 @@ def test_pca_project_variance_and_determinism(spark):
     one = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
     with _pt.raises(ValueError):
         pca_project(one, k=1)
+
+
+def test_covariance_arrow_jvm_bit_identical(spark):
+    """The Arrow (batched int64 matmul) and JVM (nested-transform)
+    covariance paths must produce the SAME exact integer sums — the
+    property that lets the fast path inherit the oracle gate."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        covariance_sums,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r["i"], r["j"]): r["s"]
+         for r in covariance_sums(emb, impl="arrow").collect()}
+    j = {(r["i"], r["j"]): r["s"]
+         for r in covariance_sums(emb, impl="jvm").collect()}
+    assert a == j and len(a) == 64 * 65 // 2 + 64 + 1
