@@ -69,3 +69,26 @@ def jdbc_extract_reader(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def schema_drift(batch: DataFrame, sink: DataFrame) -> list[dict]:
+    """Schema-drift report for an incoming batch vs an existing sink:
+    added / dropped / type-changed columns (name-keyed, order-blind).
+    Driver-side metadata comparison — no jobs run. The operational
+    pre-flight an ingest runs before an append, since parquet appends
+    with silently different schemas poison the sink for every later
+    reader."""
+    b = dict(batch.dtypes)
+    s = dict(sink.dtypes)
+    report: list[dict] = []
+    for name in sorted(b.keys() - s.keys()):
+        report.append({"column": name, "change": "added", "batch_type": b[name]})
+    for name in sorted(s.keys() - b.keys()):
+        report.append({"column": name, "change": "dropped", "sink_type": s[name]})
+    for name in sorted(b.keys() & s.keys()):
+        if b[name] != s[name]:
+            report.append(
+                {"column": name, "change": "type_changed",
+                 "batch_type": b[name], "sink_type": s[name]}
+            )
+    return report

@@ -64,3 +64,30 @@ def test_index_append_extends_matches(spark, tmp_path):
         for r in query_minhash_index(spark, probe, path).collect()
     }
     assert via_append == via_full
+
+
+def test_query_missing_index_fails_clearly(spark, tmp_path):
+    import pytest
+
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        query_minhash_index,
+    )
+
+    docs = _docs(spark).limit(5)
+    with pytest.raises(Exception) as e:
+        query_minhash_index(spark, docs, str(tmp_path / "nope")).count()
+    assert "nope" in str(e.value) or "PATH_NOT_FOUND" in str(e.value)
+
+
+def test_schema_drift_report(spark):
+    from sqlbackuphistoryetl_spark.sources.readers import schema_drift
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, v double")
+    b = spark.createDataFrame([(1, "x", 2)], "id long, name string, v int")
+    c = spark.createDataFrame([(1, "x")], "id long, extra string")
+    assert schema_drift(a, a) == []
+    drift = schema_drift(a, b)
+    assert drift == [{"column": "v", "change": "type_changed",
+                      "batch_type": "double", "sink_type": "int"}]
+    drift2 = {d["column"]: d["change"] for d in schema_drift(a, c)}
+    assert drift2 == {"name": "added", "v": "added", "extra": "dropped"}
