@@ -2959,6 +2959,40 @@ from documents group by lang, source order by lang, source
 """
 
 
+def semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (extensions/
+    similarity.py: embedding_cross_contamination): vec_id < 25 plays
+    the benchmark set; every corpus vector with cosine ≥ 0.35 against
+    any bench vector is flagged. Same 100%-recall construction as
+    ``embedding_near_dup`` (32 planes / 2-bit bands recover every pair
+    at ≥ 0.35 on the gate corpora); the exact-cosine filter makes the
+    output equal the exact cross product — oracle = recall gate."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embedding_cross_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 25)
+    corpus = emb.filter(F.col("vec_id") >= 25)
+    out = embedding_cross_contamination(
+        corpus, bench, threshold=0.35, planes=32, band_bits=2
+    )
+    return out.select(
+        "corpus_id", "bench_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SEMANTIC_DECONTAM_SQL = """
+with p as (
+  select c.vec_id as corpus_id, b.vec_id as bench_id,
+         list_cosine_similarity(c.embedding::double[], b.embedding::double[]) as cos
+  from embeddings c join embeddings b
+    on c.vec_id >= 25 and b.vec_id < 25)
+select corpus_id, bench_id, round(cos, 6) as cosine
+from p where cos >= 0.35
+"""
+
+
 def embedding_covariance(spark, sf_dir):
     """Distributed-PCA sufficient statistics (extensions/similarity.py:
     covariance_sums): every upper-triangle Σ xq_i·xq_j plus per-dim
@@ -3080,6 +3114,7 @@ _ORACLES: dict[str, str | None] = {
     "rag_chunking": RAG_CHUNK_SQL,
     "corpus_report": CORPUS_REPORT_SQL,
     "embedding_covariance": COVARIANCE_SQL,
+    "semantic_decontam": SEMANTIC_DECONTAM_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3176,6 +3211,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_chunking": rag_chunking,
     "corpus_report": corpus_report,
     "embedding_covariance": embedding_covariance,
+    "semantic_decontam": semantic_decontam,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -880,3 +880,81 @@ def _covariance_sums_arrow(
 
     partials = df.select(vec_col).mapInPandas(gram, schema=schema)
     return partials.groupBy("i", "j").agg(F.sum("v").alias("s"))
+
+
+def embedding_cross_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    band_bits: int = 8,
+    dims: int = 64,
+    sketch: str = "vectorized",
+) -> DataFrame:
+    """Semantic benchmark decontamination: every (corpus, bench) pair
+    with cosine ≥ threshold, via the cross-corpus LSH band join — the
+    embedding-space sibling of ``decontam.contamination_overlap``
+    (which screens exact n-grams; paraphrased leakage slips that net,
+    survives this one).
+
+    Cross-join shape, not self-join: both sides are sketched map-side,
+    candidates only form inside matching (band, bucket) cells, so cost
+    is O(|corpus| + |bench| + collisions) — the bench side is tiny in
+    practice and its band entries broadcast. No top-k window (a
+    threshold screen needs no per-query ranking), and the exact-cosine
+    filter runs where candidates are produced, before the pair-dedup
+    shuffle.
+
+    Output: (corpus_id, bench_id, cosine), distinct pairs.
+    """
+    n_bands = planes // band_bits
+    mask = (1 << band_bits) - 1
+    sketch_fn = (
+        _rp_sketch_vectorized(planes)
+        if sketch == "vectorized"
+        else (lambda c: _rp_sketch(c, planes, dims))
+    )
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _spread(df, id_col)
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col(vec_col).alias(f"{side}_vec"),
+                _norm(F.col(vec_col)).alias(f"{side}_n"),
+                sketch_fn(F.col(vec_col)).alias("sketch"),
+            )
+            .select(
+                f"{side}_id", f"{side}_vec", f"{side}_n",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftright("sketch", b * band_bits)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("bucket"),
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(f"{side}_id", f"{side}_vec", f"{side}_n", "bb.band", "bb.bucket")
+        )
+
+    cachereg.begin("embedding_cross_contamination")
+    c = cachereg.persist("embedding_cross_contamination", banded(corpus, "corpus"))
+    b = F.broadcast(banded(bench, "bench"))
+    cos = _dot(F.col("corpus_vec"), F.col("bench_vec")) / (
+        F.col("corpus_n") * F.col("bench_n")
+    )
+    return (
+        c.join(b, ["band", "bucket"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .dropDuplicates(["corpus_id", "bench_id"])
+        .select("corpus_id", "bench_id", F.col("cosine"))
+    )

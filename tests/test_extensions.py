@@ -375,3 +375,34 @@ def test_kmeans_centroids_converge_and_drive_ivf(spark):
         for r in brute_force_topk(vecs, queries, k=3).collect()
     }
     assert approx == exact
+
+
+def test_embedding_cross_contamination_equals_exact(spark):
+    """Cross-corpus LSH screen vs exact brute-force cross product at a
+    threshold under the banding's recall bound: identical pair sets."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embedding_cross_contamination,
+        with_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = {
+        (r["corpus_id"], r["bench_id"])
+        for r in embedding_cross_contamination(
+            corpus, bench, threshold=0.35, planes=32, band_bits=2
+        ).collect()
+    }
+    exact = (
+        corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .crossJoin(
+            bench.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        )
+    )
+    exact = with_cosine(exact, "cv", "bv")
+    want = {
+        (r["cid"], r["bid"])
+        for r in exact.filter(F.col("cosine") >= 0.35).collect()
+    }
+    assert got == want and len(want) > 0
