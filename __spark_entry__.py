@@ -2959,6 +2959,41 @@ from documents group by lang, source order by lang, source
 """
 
 
+def script_composition(spark, sf_dir):
+    """Per-doc writing-script composition + dominant label
+    (functions/textfns.py: script_profile) — Unicode-range regexp
+    counts, Java-regex/RE2-portable (the PII-chain rule); lengths are
+    UTF-16-code-unit == codepoint on the BMP-only gate corpus, and the
+    oracle verifies the counts char-for-char."""
+    from sqlbackuphistoryetl_spark.functions.textfns import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_profile(docs).select(
+        "doc_id", "n_latin", "n_cjk", "n_digit", "n_space", "n_other",
+        "dominant_script",
+    )
+
+
+SCRIPT_SQL = r"""
+with c as (
+  select doc_id,
+         len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) as n_latin,
+         len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) as n_cjk,
+         len(regexp_extract_all(text, '[0-9]')) as n_digit,
+         len(regexp_extract_all(text, '\s')) as n_space,
+         length(text) as n
+  from documents)
+select doc_id, n_latin, n_cjk, n_digit, n_space,
+       n - n_latin - n_cjk - n_digit - n_space as n_other,
+       case when n_latin >= n_cjk and n_latin >= n_digit and n_latin > 0
+                 then 'latin'
+            when n_cjk >= n_digit and n_cjk > 0 then 'cjk'
+            when n_digit > 0 then 'digit'
+            else 'other' end as dominant_script
+from c
+"""
+
+
 def semantic_decontam(spark, sf_dir):
     """Embedding-space benchmark decontamination (extensions/
     similarity.py: embedding_cross_contamination): vec_id < 25 plays
@@ -3115,6 +3150,7 @@ _ORACLES: dict[str, str | None] = {
     "corpus_report": CORPUS_REPORT_SQL,
     "embedding_covariance": COVARIANCE_SQL,
     "semantic_decontam": SEMANTIC_DECONTAM_SQL,
+    "script_composition": SCRIPT_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3212,6 +3248,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": corpus_report,
     "embedding_covariance": embedding_covariance,
     "semantic_decontam": semantic_decontam,
+    "script_composition": script_composition,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -154,3 +154,25 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     )
     fsutil.delete(spark, f"{path}/entries")
     fsutil.rename(spark, tmp, f"{path}/entries")
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> None:
+    """Remove documents from the index (the corpus-deletion / takedown
+    path): one anti-join rewrite of the entries, atomic via temp-dir +
+    rename. Cost is one pass over the index — batch takedowns together.
+    The deleted docs stop matching future queries immediately; their
+    corpus rows are the caller's to delete (the index never stores
+    text, only signatures)."""
+    import uuid
+
+    from sqlbackuphistoryetl_spark import fsutil
+
+    entries = spark.read.parquet(f"{path}/entries")
+    doomed = ids.select(F.col(id_col).alias("_id"))
+    kept = entries.join(F.broadcast(doomed), "_id", "left_anti")
+    tmp = f"{path}/_entries_delete_{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    fsutil.delete(spark, f"{path}/entries")
+    fsutil.rename(spark, tmp, f"{path}/entries")

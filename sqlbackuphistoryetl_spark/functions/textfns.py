@@ -550,3 +550,53 @@ def unigram_surprisal_score(
             / F.col("n_tok").cast("double")
         ).alias("mean_surprisal_bits"),
     )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document writing-script composition: counts of Latin, CJK,
+    digit, and whitespace characters plus the dominant-script label —
+    the filter that catches mixed-script spam and mislabeled-language
+    docs before they hit a monolingual pipeline.
+
+    Pure map-side regexp_count over explicit Unicode ranges (identical
+    semantics under Java regex and RE2 — the PII-chain portability
+    rule). Ties in the dominant label break deterministically
+    latin > cjk > digit > other.
+
+    Output: (id_col, n_latin, n_cjk, n_digit, n_space, n_other,
+    dominant_script).
+    """
+    n = F.length(F.col(text_col))
+    lat = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-zÀ-ɏ]"))
+    cjk = F.regexp_count(
+        F.col(text_col), F.lit(r"[一-鿿぀-ヿ가-힯]")
+    )
+    dig = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    spc = F.regexp_count(F.col(text_col), F.lit(r"\s"))
+    out = df.select(
+        F.col(id_col),
+        lat.alias("n_latin"),
+        cjk.alias("n_cjk"),
+        dig.alias("n_digit"),
+        spc.alias("n_space"),
+        (n - lat - cjk - dig - spc).alias("n_other"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_digit"))
+            & (F.col("n_latin") > 0),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cjk") >= F.col("n_digit")) & (F.col("n_cjk") > 0),
+            F.lit("cjk"),
+        )
+        .when(F.col("n_digit") > 0, F.lit("digit"))
+        .otherwise(F.lit("other"))
+    )
+    return out.withColumn("dominant_script", dominant)

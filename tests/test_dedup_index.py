@@ -91,3 +91,46 @@ def test_schema_drift_report(spark):
                       "batch_type": "double", "sink_type": "int"}]
     drift2 = {d["column"]: d["change"] for d in schema_drift(a, c)}
     assert drift2 == {"name": "added", "v": "added", "extra": "dropped"}
+
+
+def test_delete_from_index_stops_matches(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        delete_from_minhash_index,
+        query_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, path)
+    probe = docs.limit(20)
+    before = query_minhash_index(spark, probe, path, min_est_jaccard=0.99)
+    # every probe doc matches itself in the index
+    self_matches = {r["index_id"] for r in before.collect()}
+    victim = sorted(self_matches)[:5]
+    delete_from_minhash_index(
+        spark, path, spark.createDataFrame([(v,) for v in victim], ["doc_id"])
+    )
+    after = {r["index_id"]
+             for r in query_minhash_index(spark, probe, path,
+                                          min_est_jaccard=0.99).collect()}
+    assert not (after & set(victim))  # victims never match again
+    assert self_matches - set(victim) <= after  # others unaffected
+
+
+def test_script_profile_counts(spark):
+    from sqlbackuphistoryetl_spark.functions.textfns import script_profile
+
+    docs = spark.createDataFrame(
+        [(1, "Hello 世界 42"), (2, "你好世界"), (3, "12345"), (4, "!!!")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert (out[1]["n_latin"], out[1]["n_cjk"], out[1]["n_digit"],
+            out[1]["n_space"], out[1]["n_other"]) == (5, 2, 2, 2, 0)
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["dominant_script"] == "cjk" and out[2]["n_cjk"] == 4
+    assert out[3]["dominant_script"] == "digit"
+    assert out[4]["dominant_script"] == "other" and out[4]["n_other"] == 3
