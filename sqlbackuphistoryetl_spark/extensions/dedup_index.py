@@ -176,3 +176,39 @@ def delete_from_minhash_index(
     kept.write.mode("overwrite").partitionBy("band").parquet(tmp)
     fsutil.delete(spark, f"{path}/entries")
     fsutil.rename(spark, tmp, f"{path}/entries")
+
+
+def sync_index_with_corpus(
+    spark: SparkSession,
+    path: str,
+    old_corpus: DataFrame,
+    new_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Bring the index in line with a new corpus snapshot by applying
+    only the DIFF (extensions/versioning.py: corpus_diff): removed and
+    changed ids drop out of the index, added and changed docs re-sign
+    and append. Cost is one index rewrite (the deletes) plus signature
+    work proportional to the churn — never a full-corpus re-hash, which
+    is the point of keeping an index at 100 TB.
+
+    Returns the applied churn counts {added, removed, changed}.
+    """
+    from sqlbackuphistoryetl_spark.extensions.versioning import corpus_diff
+
+    diff = corpus_diff(old_corpus, new_corpus, id_col=id_col,
+                       content_cols=[text_col])
+    churn = diff.filter(F.col("status") != "unchanged").select(
+        id_col, "status"
+    ).localCheckpoint(eager=True)
+    counts = {r["status"]: r["n"] for r in churn.groupBy("status")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    doomed = churn.filter(F.col("status").isin("removed", "changed"))
+    if counts.get("removed", 0) or counts.get("changed", 0):
+        delete_from_minhash_index(spark, path, doomed, id_col=id_col)
+    fresh_ids = churn.filter(F.col("status").isin("added", "changed"))
+    if counts.get("added", 0) or counts.get("changed", 0):
+        fresh = new_corpus.join(fresh_ids.select(id_col), id_col, "left_semi")
+        append_minhash_index(fresh, path, text_col, id_col)
+    return {s: counts.get(s, 0) for s in ("added", "removed", "changed")}

@@ -134,3 +134,41 @@ def test_script_profile_counts(spark):
     assert out[2]["dominant_script"] == "cjk" and out[2]["n_cjk"] == 4
     assert out[3]["dominant_script"] == "digit"
     assert out[4]["dominant_script"] == "other" and out[4]["n_other"] == 3
+
+
+def test_sync_index_with_corpus_diff(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        query_minhash_index,
+        sync_index_with_corpus,
+        write_minhash_index,
+    )
+
+    docs = _docs(spark)
+    v1 = docs.filter(F2.col("doc_id") < 300)
+    # v2: drops ids < 50, changes 100-109 (text replaced), adds >= 300
+    changed = v1.filter((F2.col("doc_id") >= 100) & (F2.col("doc_id") < 110)) \
+        .withColumn("text", F2.concat(F2.lit("CHANGED "), F2.col("text")))
+    v2 = (
+        v1.filter((F2.col("doc_id") >= 50) &
+                  ~((F2.col("doc_id") >= 100) & (F2.col("doc_id") < 110)))
+        .unionByName(changed)
+        .unionByName(docs.filter(F2.col("doc_id") >= 300))
+    )
+
+    path = str(tmp_path / "idx_sync")
+    write_minhash_index(v1, path)
+    churn = sync_index_with_corpus(spark, path, v1, v2)
+    assert churn["removed"] == 50 and churn["changed"] == 10
+    assert churn["added"] == docs.filter(F2.col("doc_id") >= 300).count()
+
+    # synced index answers queries exactly like a fresh v2 index
+    probe = docs.limit(40)
+    synced = {(r["incoming_id"], r["index_id"])
+              for r in query_minhash_index(spark, probe, path).collect()}
+    rebuilt_path = str(tmp_path / "idx_rebuilt")
+    write_minhash_index(v2, rebuilt_path)
+    rebuilt = {(r["incoming_id"], r["index_id"])
+               for r in query_minhash_index(spark, probe, rebuilt_path).collect()}
+    assert synced == rebuilt
