@@ -77,3 +77,34 @@ def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     fsutil.delete(spark, path)
     fsutil.rename(spark, tmp, path)
+
+
+def rewind_watermark(
+    spark: SparkSession,
+    control_path: str,
+    server: str,
+    to: dt.datetime,
+) -> None:
+    """Operational backfill: move ONE server's LastETLDatetime backwards
+    so the next run re-extracts from ``to`` (the reference's documented
+    manual fix-up — an UPDATE on ETLConfig.SourceServersToETL; here an
+    atomic control-table rewrite). Forward moves are rejected: advancing
+    belongs to ``update_watermarks`` (which is monotone); a typo'd
+    forward jump would silently skip history. Replays are safe — the
+    idempotent sink absorbs the overlap."""
+    current = read_source_servers(spark, control_path)
+    names = [r["ServerName"] for r in current.select("ServerName").collect()]
+    if server not in names:
+        raise ValueError(f"unknown server {server!r}")
+    mark = current.filter(F.col("ServerName") == server).first()["LastETLDatetime"]
+    if to > mark:
+        raise ValueError(
+            f"rewind_watermark only moves backwards: {to} > current {mark}"
+        )
+    updated = current.select(
+        "ServerName",
+        F.when(F.col("ServerName") == server, F.lit(to))
+        .otherwise(F.col("LastETLDatetime"))
+        .alias("LastETLDatetime"),
+    )
+    _atomic_overwrite(spark, updated, control_path)

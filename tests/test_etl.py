@@ -80,3 +80,40 @@ def test_logid_hwm_sidecar(spark, tmp_path):
     # sidecar lost ⇒ fallback full scan reseeds from the sink itself
     fsutil.delete(spark, hwm_path)
     assert etl_mod._read_logid_hwm(spark, target) == max_id1
+
+
+def test_rewind_watermark_backfill(spark, tmp_path):
+    """Operational backfill: rewind moves one server's mark backwards
+    (others untouched), rejects forward jumps and unknown servers, and
+    the replay after a rewind appends nothing new (idempotent sink)."""
+    from sqlbackuphistoryetl_spark.plans.watermark import rewind_watermark
+
+    control = str(tmp_path / "control")
+    target = str(tmp_path / "consolidated")
+    sources = {"SQLNODE01": raw_source_tables(spark)}
+    init_source_servers(spark, control, ["SQLNODE01", "SQLNODE02"],
+                        initial_watermark=dt.datetime(2025, 1, 1, 9, 0))
+    run_etl(spark, sources, control, target)
+    n_after_first = spark.read.parquet(target).count()
+
+    rewind_watermark(spark, control, "SQLNODE01", dt.datetime(2025, 1, 1, 0, 0))
+    marks = {r["ServerName"]: r["LastETLDatetime"]
+             for r in read_source_servers(spark, control).collect()}
+    assert marks["SQLNODE01"] == dt.datetime(2025, 1, 1, 0, 0)
+    assert marks["SQLNODE02"] == dt.datetime(2025, 1, 1, 9, 0)  # untouched
+
+    # full replay from the rewound mark: sink absorbs the overlap
+    r = run_etl(spark, sources, control, target)
+    assert r.rows_appended >= 0
+    # nothing duplicated: the same logical rows, plus any older rows now
+    # in range (watermark 00:00 sees set 4 too)
+    sink = spark.read.parquet(target)
+    key_rows = sink.select("database_name", "BackupType", "first_lsn",
+                           "last_lsn", "physical_device_name").distinct().count()
+    assert key_rows == sink.count() >= n_after_first
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rewind_watermark(spark, control, "SQLNODE01", dt.datetime(2030, 1, 1))
+    with _pt.raises(ValueError):
+        rewind_watermark(spark, control, "NOPE", dt.datetime(2020, 1, 1))

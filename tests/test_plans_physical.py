@@ -368,3 +368,22 @@ def test_temperature_and_split_map_side_only(spark):
     )
     assert "Exchange" not in _explain(temperature_sample(docs, "lang", 20, "doc_id"))
     assert "Exchange" not in _explain(assign_split(docs, "doc_id"))
+
+
+def test_cross_contamination_broadcast_bench_no_cartesian(spark):
+    """The semantic-decontam band join broadcasts the (tiny) bench side
+    and never degenerates to a cartesian; no row-at-a-time Python (the
+    vectorized sketch is an ArrowEvalPython node, which is sanctioned)."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embedding_cross_contamination,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = embedding_cross_contamination(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10),
+        threshold=0.35, planes=32, band_bits=2,
+    )
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # Arrow batches only
