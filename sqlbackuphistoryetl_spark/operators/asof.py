@@ -41,13 +41,22 @@ def asof_join(
     allow_exact_matches: bool = True,
     tiebreak_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + ``{prefix}{c}`` for each payload column (null when no
-    right row precedes). ``tiebreak_cols`` (right-side columns) make the
-    winner among right rows with identical (key, ts) deterministic —
-    the LARGEST tiebreak value wins, matching "latest entry wins"
-    replay semantics.
+    qualifying right row exists). ``tiebreak_cols`` (right-side columns)
+    make the winner among right rows with identical (key, ts)
+    deterministic — the LARGEST tiebreak value wins, matching "latest
+    entry wins" replay semantics.
+
+    ``direction`` follows pandas ``merge_asof``: "backward" (default)
+    attaches the latest right row at-or-before the left timestamp;
+    "forward" the earliest right row at-or-after it. Forward is the
+    same one-shuffle union-then-window plan traversed in descending
+    time — no second shuffle, no inequality join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     tiebreak_cols = tiebreak_cols or []
     out_cols = list(left.columns)
 
@@ -71,7 +80,8 @@ def asof_join(
     # strict-before. Right-side peers order by tiebreak ASC so last()
     # takes the largest.
     side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
-    order = [F.col(ts_col).asc(), side_order] + [
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_order, side_order] + [
         F.col(f"_tb_{c}").asc_nulls_first() for c in tiebreak_cols
     ]
     w = (

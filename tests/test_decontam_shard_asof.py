@@ -170,3 +170,32 @@ def test_repetition_profile_known_values(spark):
     assert out[1]["top_bigram_frac"] == pytest.approx(2 / 3)
     assert out[2]["distinct_ratio"] == 1.0 and out[2]["top_unigram_frac"] == 0.25
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward' attaches the EARLIEST right row at-or-after
+    each left timestamp (pandas merge_asof parity), sharing the single
+    union-then-window shuffle with the backward form."""
+    import datetime as dtm
+
+    from sqlbackuphistoryetl_spark.operators.asof import asof_join
+
+    t = lambda m: dtm.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "k", t(10)), (2, "k", t(30)), (3, "k", t(50)), (4, "z", t(0))],
+        ["lid", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", t(10), "at10"), ("k", t(20), "at20"), ("k", t(40), "at40")],
+        ["key", "ts", "tag"],
+    )
+    fwd = {r["lid"]: r["asof_tag"] for r in asof_join(
+        left, right, ["key"], "ts", ["tag"], direction="forward").collect()}
+    assert fwd == {1: "at10", 2: "at40", 3: None, 4: None}
+    strict = {r["lid"]: r["asof_tag"] for r in asof_join(
+        left, right, ["key"], "ts", ["tag"], direction="forward",
+        allow_exact_matches=False).collect()}
+    assert strict[1] == "at20"  # the exact at10 match excluded
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        asof_join(left, right, ["key"], "ts", ["tag"], direction="nearest")
