@@ -223,3 +223,37 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_corpus_report(
+    spark: SparkSession,
+    landing_path: str,
+    checkpoint_path: str,
+    schema,
+    query_name: str = "corpus_report",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of the batch ``corpus_report`` gate: running
+    per-(lang, source) doc/char/token totals over a document landing
+    stream, maintained incrementally (complete-mode agg state is one
+    row per group — group cardinality, not corpus size). The final
+    table after draining the stream equals the batch report over the
+    same files (asserted in tests), so monitoring and batch accounting
+    share one definition.
+    """
+    stream = spark.readStream.schema(schema).parquet(landing_path)
+    n_tok = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    agg = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(n_tok.cast("long")).alias("total_tokens"),
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -327,3 +327,30 @@ def test_stream_dedup_ingest_screens_against_index(spark, tmp_path):
     q.awaitTermination(120)
     got3 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert got3 == sorted(got2)  # nothing re-appended
+
+
+def test_streaming_corpus_report_matches_batch(spark, tmp_path):
+    from sqlbackuphistoryetl_spark.streaming.ingest import (
+        streaming_corpus_report,
+    )
+
+    landing = str(tmp_path / "docs_landing")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(F.col("doc_id") < 250).write.mode("append").parquet(landing)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(landing)
+
+    q = streaming_corpus_report(
+        spark, landing, str(tmp_path / "ck"),
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        query_name="t_corpus_report",
+    )
+    q.awaitTermination(120)
+    got = {(r["lang"], r["source"]): (r["n_docs"], r["total_chars"], r["total_tokens"])
+           for r in spark.sql("select * from t_corpus_report").collect()}
+    n_tok = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    want = {(r["lang"], r["source"]): (r["n"], r["c"], r["t"])
+            for r in docs.groupBy("lang", "source").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text").cast("long")).alias("c"),
+                F.sum(n_tok.cast("long")).alias("t")).collect()}
+    assert got == want and len(got) > 10
