@@ -104,3 +104,36 @@ def apply_retention(
             fsutil.rename(spark, tmp, boundary)
             deleted += doomed
     return deleted
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_path: str,
+    max_files_per_partition: int = 4,
+) -> int:
+    """Sink maintenance: rewrite date partitions whose file count
+    exceeds the threshold (years of small incremental appends leave
+    every daily partition with one file per run — the classic
+    small-files decay). Each doomed partition is coalesced and swapped
+    atomically via temp-dir + rename, the same pattern as the
+    retention boundary rewrite. Returns the number of partitions
+    compacted; partitions already within budget are not touched (no
+    read, no write).
+    """
+    root = target_path.rstrip("/")
+    compacted = 0
+    for d in _partition_dates(spark, target_path):
+        part_dir = f"{root}/{PARTITION_COL}={d.isoformat()}"
+        n_files = sum(
+            1 for n in fsutil.list_child_names(spark, part_dir)
+            if n.startswith("part-")
+        )
+        if n_files <= max_files_per_partition:
+            continue
+        part = spark.read.parquet(part_dir)
+        tmp = f"{root}/_tmp_compact_{uuid.uuid4().hex}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fsutil.delete(spark, part_dir)
+        fsutil.rename(spark, tmp, part_dir)
+        compacted += 1
+    return compacted
