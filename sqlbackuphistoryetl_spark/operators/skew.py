@@ -56,6 +56,11 @@ def salted_agg(
         )
     if salt_col is None:
         others = [c for c in df.columns if c not in keys]
+        if not others:
+            raise ValueError(
+                "no non-key columns to derive a deterministic salt from; "
+                "pass salt_col explicitly"
+            )
         salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(buckets))
     elif isinstance(salt_col, str):
         salt_col = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
