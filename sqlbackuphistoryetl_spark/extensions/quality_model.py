@@ -1,0 +1,112 @@
+"""Trainable document-quality classifier (fastText-style linear model
+over the engine's own quality signals), on Spark MLlib.
+
+The heuristic quality features in ``functions/textfns.py`` (length,
+punctuation/stopword ratios, repetition, entropy, surprisal) are the
+standard *inputs* to a learned quality gate: label a seed set (e.g.
+curated reference docs = 1, raw crawl = 0), fit a logistic model, score
+the whole corpus, threshold. This module wires that loop Spark-first:
+
+- features assemble from ANY numeric columns (the caller picks which
+  engine signals to use);
+- training is MLlib ``LogisticRegression`` — distributed L-BFGS, no
+  driver-side data movement beyond the coefficient vector;
+- scoring is a fitted-pipeline transform — one map-side pass, vector
+  assembly + a dot product per row.
+
+Determinism note: L-BFGS over floats is NOT bit-reproducible across
+partitionings, so the model itself has no DuckDB oracle (documented
+rows-only territory); what IS asserted in tests: separable planted
+labels recover with high accuracy, scoring is a pure map (no shuffle),
+and coefficients' signs match the planted signal direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Fit the quality classifier. Returns a fitted PipelineModel whose
+    ``transform`` adds ``quality_prob`` (P[label=1]) and
+    ``quality_pred``."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    va = VectorAssembler(
+        inputCols=feature_cols, outputCol="_features", handleInvalid="keep"
+    )
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        probabilityCol="_prob",
+        predictionCol="quality_pred",
+        rawPredictionCol="_raw",
+    )
+    return Pipeline(stages=[va, lr]).fit(labeled)
+
+
+def score_quality(model, docs: DataFrame) -> DataFrame:
+    """Score a corpus: input columns + ``quality_prob`` ∈ [0,1] +
+    ``quality_pred``. Pure map-side transform."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(docs)
+    return out.withColumn(
+        "quality_prob", vector_to_array(F.col("_prob")).getItem(1)
+    ).drop("_features", "_prob", "_raw")
+
+
+def quality_feature_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The engine's standard quality signals as a numeric feature frame
+    ready for :func:`train_quality_model`: token count, chars/token,
+    punctuation ratio, stopword ratio (en), plus char entropy — joined
+    on the doc id (entropy needs its own aggregate pass)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        char_entropy_profile,
+        punct_count,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        whitespace_token_count(text_col).cast("double").alias("f_tokens"),
+        (
+            F.length(text_col).cast("double")
+            / F.greatest(whitespace_token_count(text_col), F.lit(1)).cast("double")
+        ).alias("f_chars_per_tok"),
+        (
+            punct_count(text_col).cast("double")
+            / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+        ).alias("f_punct_ratio"),
+        (
+            stopword_hits(text_col, "en").cast("double")
+            / F.greatest(whitespace_token_count(text_col), F.lit(1)).cast("double")
+        ).alias("f_stopword_ratio"),
+    )
+    ent = char_entropy_profile(docs, text_col, id_col).select(
+        id_col, F.col("entropy_bits").alias("f_entropy")
+    )
+    return base.join(ent, id_col, "left").fillna({"f_entropy": 0.0})
+
+
+QUALITY_FEATURES = [
+    "f_tokens", "f_chars_per_tok", "f_punct_ratio",
+    "f_stopword_ratio", "f_entropy",
+]
