@@ -3028,6 +3028,45 @@ from p where cos >= 0.35
 """
 
 
+def dedup_cluster_histogram(spark, sf_dir):
+    """Duplicate-group size distribution — the one-glance severity
+    report of a dedup run (many big clusters = template spam; all
+    pairs = benign near-dups). Same components as ``dedup_clusters``,
+    reduced to (cluster_size, n_clusters)."""
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        connected_components,
+    )
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_all_pairs(
+        docs, text_col="text", id_col="doc_id", max_gram_df=64
+    ).filter(F.col("jaccard") >= 0.05)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+CLUSTER_HIST_SQL = (
+    DEDUP_CLUSTERS_SQL.replace(
+        "select src as doc_id, least(src, min(dst)) as cluster_id\n"
+        "from reach group by src order by doc_id",
+        """, comp as (
+  select src as doc_id, least(src, min(dst)) as cluster_id
+  from reach group by src),
+sizes as (select cluster_id, count(*) as cluster_size from comp group by 1)
+select cluster_size, count(*) as n_clusters
+from sizes group by cluster_size order by cluster_size""",
+    )
+)
+
+
 def embedding_covariance(spark, sf_dir):
     """Distributed-PCA sufficient statistics (extensions/similarity.py:
     covariance_sums): every upper-triangle Σ xq_i·xq_j plus per-dim
@@ -3151,6 +3190,7 @@ _ORACLES: dict[str, str | None] = {
     "embedding_covariance": COVARIANCE_SQL,
     "semantic_decontam": SEMANTIC_DECONTAM_SQL,
     "script_composition": SCRIPT_SQL,
+    "dedup_cluster_histogram": CLUSTER_HIST_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3249,6 +3289,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": embedding_covariance,
     "semantic_decontam": semantic_decontam,
     "script_composition": script_composition,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
