@@ -3028,6 +3028,31 @@ from p where cos >= 0.35
 """
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional sampling without replacement
+    (extensions/sampling.py: weighted_sample_k — Efraimidis–Spirakis
+    keys ln(u)/w from the deterministic md5 draw): 100 docs weighted by
+    length. The oracle replays the identical key computation; ties are
+    impossible (md5) and both engines order the same doubles."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(docs, 100, "n_chars", "doc_id", salt="w0")
+    return out.select("doc_id", "n_chars")
+
+
+WEIGHTED_SAMPLE_SQL = """
+with keyed as (
+  select doc_id, n_chars,
+         ln((('0x' || substr(md5('w0' || '|' || cast(doc_id as varchar)),
+                             1, 8))::ubigint + 1.0) / 4294967297.0)
+           / cast(n_chars as double) as wkey
+  from documents where n_chars > 0)
+select doc_id, n_chars from keyed
+order by wkey desc, doc_id asc limit 100
+"""
+
+
 def dedup_cluster_histogram(spark, sf_dir):
     """Duplicate-group size distribution — the one-glance severity
     report of a dedup run (many big clusters = template spam; all
@@ -3191,6 +3216,7 @@ _ORACLES: dict[str, str | None] = {
     "semantic_decontam": SEMANTIC_DECONTAM_SQL,
     "script_composition": SCRIPT_SQL,
     "dedup_cluster_histogram": CLUSTER_HIST_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
@@ -3290,6 +3316,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontam": semantic_decontam,
     "script_composition": script_composition,
     "dedup_cluster_histogram": dedup_cluster_histogram,
+    "weighted_sample_docs": weighted_sample_docs,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -133,3 +133,43 @@ def weighted_mix(
     if out is None:
         raise ValueError("weighted_mix: no sources given")
     return out
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    salt: str = "w0",
+) -> DataFrame:
+    """Exactly min(k, N) rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-ES
+    scheme: each row keys as ln(u)/w with u a deterministic uniform
+    draw, and the k LARGEST keys are the sample (equivalent ordering to
+    the textbook u^(1/w); the log form avoids pow's precision cliff for
+    tiny weights).
+
+    Deterministic in (input set, salt): u derives from the md5 key, so
+    the sample survives repartition/retry/re-run and any engine
+    reproduces it (ln on identical doubles — the tfidf transcendental
+    precedent; rows whose keys differ by < 1 ulp could in principle
+    flip between engines, vanishingly rare and caught by the oracle
+    gate if it ever occurs).
+
+    Plan: ``orderBy(key desc).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition bounded heaps, O(k·parts)
+    network, no global sort (the global_sample_k plan). Zero-weight
+    rows never selected ahead of positive-weight rows (key −∞).
+    """
+    u = (
+        F.conv(F.substring(det_key(id_col, salt), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HEX_SPACE + 1))  # u ∈ (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
+    )

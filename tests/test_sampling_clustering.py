@@ -348,3 +348,34 @@ class TestNewOpEmptyInputs:
 
         df = spark.createDataFrame([], "vec_id long, embedding array<float>")
         assert scalar_quantize_profile(df).count() == 0
+
+
+def test_weighted_sample_k_bias_and_determinism(spark):
+    """A-ES weighted sampling: 100x-weight rows are drawn far more
+    often, the draw is a pure function of (ids, salt), zero-weight rows
+    lose to any positive weight, and the plan is TakeOrderedAndProject
+    (bounded heaps, no global sort)."""
+    from tests.test_plans_physical import _explain
+
+    from sqlbackuphistoryetl_spark.extensions.sampling import (
+        weighted_sample_k,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, 100.0)
+        .when(F.col("id") < 60, 0.0)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    s = weighted_sample_k(df, 100, "w", "doc_id")
+    ids = {r["doc_id"] for r in s.collect()}
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 25  # 100x weight: most of the 50 heavy rows drawn
+    assert not any(50 <= i < 60 for i in ids)  # zero weight never wins
+    ids2 = {r["doc_id"] for r in weighted_sample_k(df, 100, "w", "doc_id").collect()}
+    assert ids == ids2
+    assert ids != {r["doc_id"] for r in
+                   weighted_sample_k(df, 100, "w", "doc_id", salt="w1").collect()}
+    assert "TakeOrderedAndProject" in _explain(s)
