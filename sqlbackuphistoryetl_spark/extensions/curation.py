@@ -436,3 +436,43 @@ def chunk_documents(
     return out.select(
         id_col, "c.chunk_id", "c.chunk_start", "c.chunk_text"
     )
+
+
+def assign_split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: list[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split0",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: documents connected by any chain of near-dup pairs
+    draw their split from the GROUP's canonical id, so a train doc's
+    paraphrase can never sit in test. Documents in no pair fall back to
+    their own id — identical to :func:`assign_split` for them (growth
+    stability preserved).
+
+    Plan: connected components over the pair set (extensions/
+    clustering.py — O(diameter) keyed joins on pairs, never corpus-
+    sized), one left join of the tiny component map onto the corpus,
+    then the same map-side md5 CASE as ``assign_split`` keyed on
+    coalesce(component, own id).
+    """
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("node").alias(id_col), F.col("comp").alias("_split_key")
+    )
+    keyed = df.join(comp, id_col, "left").withColumn(
+        "_split_key", F.coalesce("_split_key", F.col(id_col))
+    )
+    out = assign_split(keyed, "_split_key", weights=weights, salt=salt)
+    return out.drop("_split_key")

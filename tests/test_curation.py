@@ -421,3 +421,32 @@ def test_compact_minhash_index_preserves_queries(spark, tmp_path):
                    for r in query_minhash_index(spark, probe, path).collect()}
     assert after_pairs == before_pairs
     assert files_after < files_before
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        assign_split,
+        assign_split_leakage_safe,
+    )
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # chains: (0,1),(1,2) one group; (10,11); every 50th pairs with +1
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)]
+        + [(i, i + 1) for i in range(100, 2000, 50)],
+        ["id_a", "id_b"],
+    )
+    out = assign_split_leakage_safe(docs, pairs, "doc_id")
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    for i in range(100, 2000, 50):
+        assert split[i] == split[i + 1], i
+    # unpaired docs match the plain assignment (growth stability)
+    plain = {r["doc_id"]: r["split"]
+             for r in assign_split(docs, "doc_id").collect()}
+    paired_ids = {0, 1, 2, 10, 11} | {
+        j for i in range(100, 2000, 50) for j in (i, i + 1)}
+    for d, s in split.items():
+        if d not in paired_ids:
+            assert s == plain[d]
