@@ -30,14 +30,19 @@ def test_quality_model_recovers_planted_signal(spark):
     feats = quality_feature_frame(docs).join(
         docs.select("doc_id", "label"), "doc_id"
     )
-    model = train_quality_model(feats, QUALITY_FEATURES)
+    # small L2: the planted classes are perfectly separable, and an
+    # UNregularized logistic optimum diverges (coefficients → ∞) —
+    # L-BFGS then stops at a path-dependent point, which made this test
+    # order-dependent inside the full suite. Regularized, the optimum
+    # is unique and strongly convex: same model from any state.
+    model = train_quality_model(feats, QUALITY_FEATURES, reg_param=0.01)
     scored = score_quality(model, feats)
     acc = scored.filter(
         (F.col("quality_pred") == F.col("label"))
     ).count() / scored.count()
     assert acc >= 0.95
     probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
-    assert probs[0] > 0.9 and probs[1000] < 0.1
+    assert probs[0] > 0.8 and probs[1000] < 0.2
 
 
 def test_scoring_is_map_side(spark):
