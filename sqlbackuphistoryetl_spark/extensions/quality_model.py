@@ -60,13 +60,30 @@ def train_quality_model(
 
 def score_quality(model, docs: DataFrame) -> DataFrame:
     """Score a corpus: input columns + ``quality_prob`` ∈ [0,1] +
-    ``quality_pred``. Pure map-side transform."""
-    from pyspark.ml.functions import vector_to_array
+    ``quality_pred``.
 
-    out = model.transform(docs)
-    return out.withColumn(
-        "quality_prob", vector_to_array(F.col("_prob")).getItem(1)
-    ).drop("_features", "_prob", "_raw")
+    Scoring deliberately does NOT call ``model.transform``: the fitted
+    coefficients are unrolled into a plain codegen'd sigmoid expression
+    (one dot product per row, nulls scored as 0). Besides keeping the
+    whole scoring pass inside whole-stage codegen (no vector UDT
+    columns), this sidesteps a Spark 4.1 serialization hazard —
+    ``ProbabilisticClassificationModel.transform``'s prediction lambda
+    captures the session's ObservationManager, which is not
+    serializable once any ``Observation`` has been registered on the
+    session (our ETL merge path registers them; observed as
+    ``Task not serializable: ObservationManager`` only in whole-suite
+    runs).
+    """
+    lr = model.stages[-1]
+    feature_cols = list(model.stages[0].getInputCols())
+    coefs = list(lr.coefficients.toArray())
+    z = F.lit(float(lr.intercept))
+    for c, w in zip(feature_cols, coefs):
+        z = z + F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.withColumn("quality_prob", prob).withColumn(
+        "quality_pred", (F.col("quality_prob") >= 0.5).cast("double")
+    )
 
 
 def quality_feature_frame(
