@@ -51,50 +51,94 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts_us(df: DataFrame, col: str):
+    """Wall-clock epoch microseconds of a timestamp column as BIGINT,
+    independent of the session timezone AND of how the parquet reader
+    surfaced the column (the driver owns the SparkSession, so neither is
+    under this gate's control):
+
+    - ``timestamp`` (instant): the testdata's NTZ/NANOS micros are taken
+      as-is into the instant, so ``unix_micros`` — which reads the
+      internal UTC micros directly — recovers the stored wall-clock
+      without ever rendering in the session zone.
+    - ``timestamp_ntz``: pure field extraction (``unix_date``/``hour``/
+      ``minute``/``date_part('SECOND')``), all wall-clock-based and
+      timezone-free.
+
+    The DuckDB twin is ``epoch_us(col)`` (truncates ns → µs exactly like
+    the ns-ingest path's ``div 1000``).
+    """
+    dt = dict(df.dtypes).get(col)
+    c = F.col(col)
+    if dt == "timestamp_ntz":
+        return (
+            (
+                F.unix_date(c.cast("date")) * F.lit(86400)
+                + F.hour(c) * F.lit(3600)
+                + F.minute(c) * F.lit(60)
+            ).cast("long")
+            * F.lit(1000000)
+            + F.expr(f"cast(date_part('SECOND', {col}) * 1000000 as bigint)")
+        )
+    return F.unix_micros(c)
+
+
+def _us(wall_clock: str) -> int:
+    """Epoch µs of a 'yyyy-MM-dd HH:mm:ss' wall-clock string (UTC-fixed,
+    computed driver-side so no engine parses it in a session zone)."""
+    import datetime as _dt
+
+    d = _dt.datetime.strptime(wall_clock, "%Y-%m-%d %H:%M:%S")
+    return int(d.replace(tzinfo=_dt.timezone.utc).timestamp()) * 1_000_000
+
+
 # ---------------------------------------------------------------- queries
 
 
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape, engine-proof three ways (the round-1/2 hash was red):
+    """TPC-H Q1 shape, hash-red in rounds 1-3 despite locally-verified
+    value equality — so round 4 removes every driver-environment-sensitive
+    surface instead of iterating on the math:
 
-    1. Per-row quantization via ``floor(x*100 + 0.5)`` — pure IEEE double
-       ops, bit-identical in every engine — then EXACT integer/decimal math
-       only (the pattern that fixed ``hourly_event_rollup``). No
-       double→decimal cast anywhere, so no engine rounding-mode dependence.
-    2. Final aggregates cast to EXPLICIT identical decimal types on both
-       sides (Spark's sum() widens to (28,2), DuckDB's to (38,2) — equal
-       values, different physical types).
-    3. Deterministic total row order on both sides.
+    1. The ship-date filter compares epoch-µs BIGINTs on both sides
+       (``_ts_us`` / ``epoch_us``) — no engine ever parses a timestamp
+       literal in an unknown session timezone.
+    2. Per-row quantization via ``floor(x*100 + 0.5)`` — pure IEEE double
+       ops, bit-identical in every engine — then exact int64 math only.
+    3. The output carries NO decimal columns at all: integer unit sums
+       (cents / 1e-4 / 1e-6 units) as BIGINT, plus two doubles derived
+       from those exact integers by the identical expression text on both
+       sides (sums < 2^53, so the doubles are bit-equal).
     """
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUT))
+    l = _t(spark, sf_dir, "lineitem")
+    l = l.filter(_ts_us(l, "l_shipdate") <= F.lit(_us(SHIP_CUT)))
     qty_c = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
     price_c = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
     disc_c = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
     tax_c = F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
     disc_price_u = price_c * (F.lit(100) - disc_c)  # 1e-4 units, exact int64
     charge_u = disc_price_u * (F.lit(100) + tax_c)  # 1e-6 units, exact int64
-    d30 = lambda c: c.cast("decimal(30,0)")  # noqa: E731
-    # (30,0) × (3,2)/(5,4)/(7,6) stays ≤ 38 digits so DuckDB's decimal
-    # multiply remains exact (beyond 38 it silently falls back to double).
     out = (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (d30(F.sum(qty_c)) * F.lit("0.01").cast("decimal(3,2)"))
-            .cast("decimal(38,2)").alias("sum_qty"),
-            (d30(F.sum(price_c)) * F.lit("0.01").cast("decimal(3,2)"))
-            .cast("decimal(38,2)").alias("sum_base_price"),
-            (d30(F.sum(disc_price_u)) * F.lit("0.0001").cast("decimal(5,4)"))
-            .cast("decimal(38,4)").alias("sum_disc_price"),
-            (d30(F.sum(charge_u)) * F.lit("0.000001").cast("decimal(7,6)"))
-            .cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(qty_c).cast("long").alias("sum_qty_c"),
+            F.sum(price_c).cast("long").alias("sum_base_price_c"),
+            F.sum(disc_price_u).cast("long").alias("sum_disc_price_u"),
+            F.sum(charge_u).cast("long").alias("sum_charge_u"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
-        .withColumn("avg_price", F.col("sum_base_price").cast("double") / F.col("count_order"))
+        .withColumn(
+            "avg_qty",
+            F.col("sum_qty_c") / F.lit(100.0) / F.col("count_order"),
+        )
+        .withColumn(
+            "avg_price",
+            F.col("sum_base_price_c") / F.lit(100.0) / F.col("count_order"),
+        )
     )
     return out.select(
-        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-        "sum_disc_price", "sum_charge", "count_order", "avg_qty", "avg_price",
+        "l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_price_c",
+        "sum_disc_price_u", "sum_charge_u", "count_order", "avg_qty", "avg_price",
     ).orderBy("l_returnflag", "l_linestatus")
 
 
@@ -106,23 +150,16 @@ with q as (
          cast(floor(l_discount * 100.0 + 0.5) as bigint) as disc_c,
          cast(floor(l_tax * 100.0 + 0.5) as bigint) as tax_c
   from lineitem
-  where l_shipdate <= timestamp '{SHIP_CUT}')
+  where epoch_us(l_shipdate) <= {_us(SHIP_CUT)})
 select l_returnflag, l_linestatus,
-       cast(cast(sum(qty_c) as decimal(30,0))
-            * cast(0.01 as decimal(3,2)) as decimal(38,2)) as sum_qty,
-       cast(cast(sum(price_c) as decimal(30,0))
-            * cast(0.01 as decimal(3,2)) as decimal(38,2)) as sum_base_price,
-       cast(cast(sum(price_c * (100 - disc_c)) as decimal(30,0))
-            * cast(0.0001 as decimal(5,4)) as decimal(38,4)) as sum_disc_price,
-       cast(cast(sum(price_c * (100 - disc_c) * (100 + tax_c)) as decimal(30,0))
-            * cast(0.000001 as decimal(7,6)) as decimal(38,6)) as sum_charge,
+       cast(sum(qty_c) as bigint) as sum_qty_c,
+       cast(sum(price_c) as bigint) as sum_base_price_c,
+       cast(sum(price_c * (100 - disc_c)) as bigint) as sum_disc_price_u,
+       cast(sum(price_c * (100 - disc_c) * (100 + tax_c)) as bigint)
+           as sum_charge_u,
        count(*) as count_order,
-       cast(cast(cast(sum(qty_c) as decimal(30,0))
-                 * cast(0.01 as decimal(3,2)) as decimal(38,2)) as double)
-           / count(*) as avg_qty,
-       cast(cast(cast(sum(price_c) as decimal(30,0))
-                 * cast(0.01 as decimal(3,2)) as decimal(38,2)) as double)
-           / count(*) as avg_price
+       cast(sum(qty_c) as bigint) / 100.0 / count(*) as avg_qty,
+       cast(sum(price_c) as bigint) / 100.0 / count(*) as avg_price
 from q
 group by l_returnflag, l_linestatus
 order by l_returnflag, l_linestatus
@@ -674,23 +711,32 @@ def hourly_event_rollup(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+    hour_us = F.lit(3_600_000_000)
+    # Round-4 hardening: the round-1/3 hash-red came from emitting the
+    # bucket as a raw timestamp — date_trunc coerces a timestamp_ntz
+    # input to TIMESTAMP, so under a non-UTC driver session the collected
+    # bucket wall-clock shifts by the zone offset (reproduced locally
+    # under America/New_York). Emit the bucket as epoch-µs BIGINT of the
+    # hour start instead, and the value sum as exact 1e-6-unit BIGINT —
+    # no timestamp, no decimal, nothing session-sensitive.
     return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        ev.withColumn("_us", _ts_us(ev, "ts"))
+        .groupBy(
+            (F.expr("_us div 3600000000") * hour_us).alias("bucket_hour_us"),
+            F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(q).cast("decimal(24,0)")
-             * F.lit("0.000001").cast("decimal(7,6)"))
-            .cast("decimal(18,6)").alias("sum_value"),
+            F.sum(q).cast("long").alias("sum_value_u"),
         )
     )
 
 
 HOURLY_SQL = """
-select date_trunc('hour', ts) as bucket, event_type, count(*) as n_events,
-       cast(cast(sum(cast(floor(value * 1000000 + 0.5) as bigint)) as decimal(24,0))
-            * cast(0.000001 as decimal(7,6)) as decimal(18,6)) as sum_value
+select (epoch_us(ts) // 3600000000) * 3600000000 as bucket_hour_us,
+       event_type, count(*) as n_events,
+       cast(sum(cast(floor(value * 1000000 + 0.5) as bigint)) as bigint)
+           as sum_value_u
 from events group by 1, 2
 """
 
@@ -766,19 +812,36 @@ from ranked where rank <= 5
 
 
 def approx_distinct_users(spark, sf_dir):
-    """approx_count_distinct (HLL++) next to the exact count per
-    event_type (SURVEY §7.2.8). Rows-only gate: sketch estimates are
-    engine-specific so values can't hash-match an oracle; the pytest
-    asserts the estimate lands within 5% of exact."""
+    """approx_count_distinct (HLL++) gated against the exact count per
+    event_type (SURVEY §7.2.8). The raw sketch estimate is
+    engine-specific, so the hashable output is ``(event_type,
+    exact_users, within_5pct)`` — the oracle emits ``true`` for the flag,
+    making the 5%-accuracy CONTRACT itself the cross-engine check
+    instead of leaving a permanent rows-only hole (r3 verdict task 5)."""
     ev = _t(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", rsd=0.02)
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            est.alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+APPROX_DISTINCT_SQL = """
+select event_type, count(distinct user_id) as exact_users, true as within_5pct
+from events group by event_type order by event_type
+"""
 
 
 def text_bpe_token_count(spark, sf_dir):
@@ -1279,9 +1342,14 @@ def chain_state_fold(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     first = F.floor(F.col("value") * 100).cast("long")
+    # Round-4 hardening: order the fold on epoch-µs BIGINT (identical to
+    # the oracle's epoch_us(ts), which truncates ns-encoded driver data
+    # to the same µs the Spark ingest path keeps), and emit the LSNs as
+    # BIGINT — the engine operator's DECIMAL(25,0) stays internal, the
+    # gate compares integer-for-integer.
     derived = ev.select(
         "user_id",
-        "ts",
+        _ts_us(ev, "ts").alias("ts_us"),
         "event_id",
         F.when(F.col("event_id") % 5 == 0, "Full")
         .when(F.col("event_id") % 5 == 3, "Diff")
@@ -1293,24 +1361,30 @@ def chain_state_fold(spark, sf_dir):
     out = chain_status_batch(
         derived,
         key_cols=("user_id",),
-        order_col="ts",
+        order_col="ts_us",
         tiebreak_col="event_id",
     )
     return out.select(
-        "user_id", "kind", "first_lsn", "last_lsn", "chain_head", "status", "seen"
+        "user_id",
+        "kind",
+        F.col("first_lsn").cast("long").alias("first_lsn"),
+        F.col("last_lsn").cast("long").alias("last_lsn"),
+        F.col("chain_head").cast("long").alias("chain_head"),
+        "status",
+        "seen",
     ).orderBy("user_id", "seen")
 
 
 CHAIN_FOLD_SQL = """
 with recursive ev as (
   select user_id,
-         row_number() over (partition by user_id order by ts, event_id) as rn,
+         row_number() over (partition by user_id
+                            order by epoch_us(ts), event_id) as rn,
          case when event_id % 5 = 0 then 'Full'
               when event_id % 5 = 3 then 'Diff'
               else 'Log' end as kind,
-         cast(cast(floor(value * 100) as bigint) as decimal(25,0)) as first_lsn,
-         cast(cast(floor(value * 100) as bigint) + 1 + event_id % 50
-              as decimal(25,0)) as last_lsn
+         cast(floor(value * 100) as bigint) as first_lsn,
+         cast(floor(value * 100) as bigint) + 1 + event_id % 50 as last_lsn
   from events),
 walk as (
   select user_id, rn, kind, first_lsn, last_lsn,
@@ -2875,24 +2949,29 @@ def funnel_view_click_purchase(spark, sf_dir):
     increasing view → click → purchase chain, as ONE user-keyed
     aggregate + a codegen'd fold (no per-step self-join cascade). The
     oracle computes the identical chain with the nested-min CTE form —
-    equality proves the fold implements the greedy semantics."""
+    equality proves the fold implements the greedy semantics. The gate
+    runs the funnel on epoch-µs BIGINT event times (the operator is
+    ts-type-generic) so the emitted step times are identical however the
+    driver's session reads/renders timestamps."""
     from sqlbackuphistoryetl_spark.operators.sessionize import funnel_conversion
 
     ev = _t(spark, sf_dir, "events")
-    return funnel_conversion(ev, ["view", "click", "purchase"])
+    ev = ev.withColumn("ts_us", _ts_us(ev, "ts"))
+    return funnel_conversion(ev, ["view", "click", "purchase"], ts_col="ts_us")
 
 
 FUNNEL_STEPS_SQL = """
-with a as (select user_id, min(ts) as t0 from events
-           where event_type = 'view' group by 1),
-b as (select e.user_id, min(e.ts) as t1 from events e join a using (user_id)
-      where e.event_type = 'click' and e.ts > a.t0 group by 1),
-c as (select e.user_id, min(e.ts) as t2 from events e join b using (user_id)
-      where e.event_type = 'purchase' and e.ts > b.t1 group by 1)
+with ev as (select user_id, event_type, epoch_us(ts) as ts_us from events),
+a as (select user_id, min(ts_us) as t0 from ev
+      where event_type = 'view' group by 1),
+b as (select e.user_id, min(e.ts_us) as t1 from ev e join a using (user_id)
+      where e.event_type = 'click' and e.ts_us > a.t0 group by 1),
+c as (select e.user_id, min(e.ts_us) as t2 from ev e join b using (user_id)
+      where e.event_type = 'purchase' and e.ts_us > b.t1 group by 1)
 select u.user_id, a.t0 as step_0_ts, b.t1 as step_1_ts, c.t2 as step_2_ts,
        cast(a.t0 is not null as int) + cast(b.t1 is not null as int)
          + cast(c.t2 is not null as int) as steps_completed
-from (select distinct user_id from events) u
+from (select distinct user_id from ev) u
 left join a using (user_id)
 left join b using (user_id)
 left join c using (user_id)
@@ -3161,7 +3240,7 @@ _ORACLES: dict[str, str | None] = {
     "hourly_event_rollup": HOURLY_SQL,
     "stream_dedup_sessions": STREAM_DEDUP_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
-    "approx_distinct_users": None,  # HLL estimates are engine-specific
+    "approx_distinct_users": APPROX_DISTINCT_SQL,  # 5%-contract gate
     "text_bpe_token_count": BPE_SQL,
     "lang_id_multi": LANG_MULTI_SQL,
     "p9_fallback_probe": P9_SQL,
@@ -3230,57 +3309,16 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
 }
 
+# Registry order is LOAD-BEARING: the driver's per-round CORRECTNESS
+# gate checks the FIRST 50 entries only. Round 4 therefore front-loads
+# (a) the 36 queries that had never received a CORRECTNESS row through
+# round 3, (b) the 3 hash-red queries (hardened this round) plus the
+# formerly rows-only approx_distinct_users, and (c) the 10 queries last
+# checked in round 2 (ANN / multimodal / near-dup). The 46 queries with
+# a green round-3 row rotate to the back; tests/test_driver_contract.py
+# pins this window so appends can't silently push unchecked gates out.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "w1_latest_order_per_customer": w1_latest_order_per_customer,
-    "w2_canonical_group_id": w2_canonical_group_id,
-    "w3_tail_two_patch": w3_tail_two_patch,
-    "j1_region_revenue": j1_region_revenue,
-    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
-    "j3_filtered_left_join": j3_filtered_left_join,
-    "j5_order_lines_json": j5_order_lines_json,
-    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
-    "p4_watermark_overlap_window": p4_watermark_overlap_window,
-    "a1_watermark_advance": a1_watermark_advance,
-    "a3_retention_cutoff": a3_retention_cutoff,
-    "a4_min_after_threshold": a4_min_after_threshold,
-    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
-    "a7_global_stringagg": a7_global_stringagg,
-    "u1_union_distinct_tail": u1_union_distinct_tail,
-    "o4_first_event_after": o4_first_event_after,
-    "scalar_path_surgery": scalar_path_surgery,
-    "case_type_map": case_type_map,
-    "size_trunc_math": size_trunc_math,
-    "retention_filter_counts": retention_filter_counts,
-    "datefmt_stopat": datefmt_stopat,
-    "json_props_extract": json_props_extract,
-    "text_token_count": text_token_count,
-    "text_quality_score": text_quality_score,
-    "lang_id_stopwords": lang_id_stopwords,
-    "doc_fingerprint": doc_fingerprint,
-    "dedup_exact": dedup_exact,
-    "hourly_event_rollup": hourly_event_rollup,
-    "stream_dedup_sessions": stream_dedup_sessions,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "approx_distinct_users": approx_distinct_users,
-    "text_bpe_token_count": text_bpe_token_count,
-    "lang_id_multi": lang_id_multi,
-    "p9_fallback_probe": p9_fallback_probe,
-    "o5_top2_desc": o5_top2_desc,
-    "p3_decimal_lsn_range": p3_decimal_lsn_range,
-    "o1_ordered_chain_page": o1_ordered_chain_page,
-    "o3_top1_scalar": o3_top1_scalar,
-    "a2_nonempty_guard": a2_nonempty_guard,
-    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_one": dedup_keep_one,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
-    "weighted_source_mix": weighted_source_mix,
-    "token_len_histogram": token_len_histogram,
-    "chain_state_fold": chain_state_fold,
-    "token_percentiles": token_percentiles,
-    "quality_repetition": quality_repetition,
+    # --- (a) never driver-checked before round 4 -----------------------
     "contamination_ngram": contamination_ngram,
     "global_shard_ids": global_shard_ids,
     "asof_last_purchase": asof_last_purchase,
@@ -3317,6 +3355,12 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_composition": script_composition,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "weighted_sample_docs": weighted_sample_docs,
+    # --- (b) round-3 reds, hardened in round 4 --------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "hourly_event_rollup": hourly_event_rollup,
+    "chain_state_fold": chain_state_fold,
+    "approx_distinct_users": approx_distinct_users,
+    # --- (c) last checked round 2 ---------------------------------------
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -3327,6 +3371,53 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
+    # --- green in round 3, rotated behind the 50-query window ----------
+    "w1_latest_order_per_customer": w1_latest_order_per_customer,
+    "w2_canonical_group_id": w2_canonical_group_id,
+    "w3_tail_two_patch": w3_tail_two_patch,
+    "j1_region_revenue": j1_region_revenue,
+    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
+    "j3_filtered_left_join": j3_filtered_left_join,
+    "j5_order_lines_json": j5_order_lines_json,
+    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
+    "p4_watermark_overlap_window": p4_watermark_overlap_window,
+    "a1_watermark_advance": a1_watermark_advance,
+    "a3_retention_cutoff": a3_retention_cutoff,
+    "a4_min_after_threshold": a4_min_after_threshold,
+    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
+    "a7_global_stringagg": a7_global_stringagg,
+    "u1_union_distinct_tail": u1_union_distinct_tail,
+    "o4_first_event_after": o4_first_event_after,
+    "scalar_path_surgery": scalar_path_surgery,
+    "case_type_map": case_type_map,
+    "size_trunc_math": size_trunc_math,
+    "retention_filter_counts": retention_filter_counts,
+    "datefmt_stopat": datefmt_stopat,
+    "json_props_extract": json_props_extract,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "lang_id_stopwords": lang_id_stopwords,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "stream_dedup_sessions": stream_dedup_sessions,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_bpe_token_count": text_bpe_token_count,
+    "lang_id_multi": lang_id_multi,
+    "p9_fallback_probe": p9_fallback_probe,
+    "o5_top2_desc": o5_top2_desc,
+    "p3_decimal_lsn_range": p3_decimal_lsn_range,
+    "o1_ordered_chain_page": o1_ordered_chain_page,
+    "o3_top1_scalar": o3_top1_scalar,
+    "a2_nonempty_guard": a2_nonempty_guard,
+    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "dedup_keep_one": dedup_keep_one,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "weighted_source_mix": weighted_source_mix,
+    "token_len_histogram": token_len_histogram,
+    "token_percentiles": token_percentiles,
+    "quality_repetition": quality_repetition,
 }
 
 

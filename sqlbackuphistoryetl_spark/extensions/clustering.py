@@ -41,24 +41,23 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``pairs``; ``comp`` is
-    the min node id of the node's connected component.
+    the min node id of the node's connected component. Ids may be any
+    orderable atomic type (long, string/UUID, …) — hash-min label
+    propagation only needs min(), so no numeric cast is applied (an
+    earlier ``cast("long")`` here silently nulled UUID ids, emptying the
+    component map downstream — r3 ADVICE).
 
     Nodes with no edges never appear in ``pairs`` and so are absent —
     callers wanting singleton rows left-join this result onto the
-    corpus and coalesce(comp, id). Raises if the loop hits ``max_iter``
-    without converging (labels would be an under-propagated prefix —
-    wrong answer, not a degraded one).
+    corpus and coalesce(comp, id). Raises on null ids (min() would
+    silently drop them) and if the loop hits ``max_iter`` without
+    converging (labels would be an under-propagated prefix — wrong
+    answer, not a degraded one).
     """
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("src"),
-            F.col(id_b).cast("long").alias("dst"),
-        )
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(
-            pairs.select(
-                F.col(id_b).cast("long").alias("src"),
-                F.col(id_a).cast("long").alias("dst"),
-            )
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
     )
@@ -66,6 +65,11 @@ def connected_components(
     # the next connected_components() call (generation-scoped).
     cachereg.begin("concomp")
     edges = cachereg.persist("concomp", edges)
+    if edges.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+        raise ValueError(
+            f"connected_components: null ids in pairs ({id_a}/{id_b}) — "
+            "min-label propagation would silently drop them"
+        )
 
     # Per-round label frames go through localCheckpoint, NOT persist:
     # each round's plan must start from a lineage-truncated LogicalRDD.

@@ -116,8 +116,12 @@ def funnel_conversion(
     per_user = ev.groupBy(user_col).agg(
         F.array_sort(F.collect_list("_e")).alias("_evs")
     )
-    # fold state: array<timestamp> of length n (NULL = step not reached)
-    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(n)])
+    # fold state: array of length n (NULL = step not reached), typed to
+    # the input ts column — hardcoding "timestamp" here coerced
+    # timestamp_ntz inputs to TIMESTAMP, shifting collected wall-clocks
+    # under a non-UTC session (and broke bigint event-time columns).
+    ts_type = events.schema[ts_col].dataType
+    init = F.array(*[F.lit(None).cast(ts_type) for _ in range(n)])
     step_arr = F.array(*[F.lit(s) for s in steps])
 
     def advance(acc, e):

@@ -113,11 +113,23 @@ def run_etl(
     prev_hwm = _read_logid_hwm(spark, target_path)
     union = _with_log_id(spark, _cast_load_types(union), prev_hwm)
 
-    # Ride a metric on the append job: max assigned LogID over the
-    # PRE-anti-join batch is a safe high-water mark (ids the anti-join
-    # drops just leave gaps — the surrogate is never dense; SURVEY §1.2).
+    # Ride a metric on the materialization job: max assigned LogID over
+    # the PRE-anti-join batch is a safe high-water mark (ids the
+    # anti-join drops just leave gaps — the surrogate is never dense;
+    # SURVEY §1.2).
     id_obs = Observation()
     union = union.observe(id_obs, F.max("LogID").alias("max_log_id"))
+
+    # Materialize the extracted batch EXACTLY ONCE (r3 verdict task 4).
+    # Deriving the append and the watermark maxima from the same lazy
+    # lineage would re-pull every source server a second time — and rows
+    # arriving between the two pulls could advance a watermark past data
+    # the append job never saw, leaning on the replay buffer to repair
+    # it. The reference computes maxima over the loaded batch
+    # (Invoke-SQLBackupHistoryETL.ps1:46-47); localCheckpoint pins that
+    # snapshot (executor-local storage, truncated lineage) so both
+    # consumers read the identical rows with one source read.
+    union = union.localCheckpoint(eager=True)
 
     overlap_start = (
         min_wm - dt.timedelta(minutes=replay_buffer_minutes) if min_wm else None

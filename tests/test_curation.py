@@ -450,3 +450,37 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     for d, s in split.items():
         if d not in paired_ids:
             assert s == plain[d]
+
+
+def test_leakage_safe_split_string_uuid_ids(spark):
+    """r3 ADVICE (medium): non-numeric ids used to be nulled by a
+    cast("long") inside connected_components, silently emptying the
+    component map — near-dup pairs could then straddle train/test. With
+    the cast removed, string/UUID ids must group exactly like longs."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        assign_split_leakage_safe,
+    )
+
+    ids = [f"6e0f{i:04d}-aaaa-bbbb-cccc-{i:012d}" for i in range(200)]
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[50], ids[51])],
+        ["id_a", "id_b"],
+    )
+    out = assign_split_leakage_safe(docs, pairs, "doc_id")
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert split[ids[0]] == split[ids[1]] == split[ids[2]]
+    assert split[ids[50]] == split[ids[51]]
+    assert len(split) == 200
+
+
+def test_connected_components_rejects_null_ids(spark):
+    import pytest
+
+    from sqlbackuphistoryetl_spark.extensions.clustering import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (None, 3)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="null ids"):
+        connected_components(pairs)
