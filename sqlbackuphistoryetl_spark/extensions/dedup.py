@@ -60,11 +60,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>): per-seed min over xxhash64(seed, shingle).
 
-    Computed entirely MAP-SIDE with higher-order functions
-    (array_min∘transform per seed) — zero shuffle for signatures; the
-    only shuffle in the whole MinHash pipeline is the LSH band join.
-    At 100 TB this is the difference between one pass over the corpus
-    and an exploded 2×-data shuffle of every shingle.
+    Plan: explode to (id, shingle-hash) rows, then ONE Tungsten
+    hash-aggregate computing all per-seed minima — so the pipeline
+    shuffles once here ((id, 8-byte hash) rows, with map-side partial
+    min combining) and once more for the LSH band join. The shuffled
+    payload is the hashed shingle stream, not the text. (A zero-shuffle
+    higher-order-function variant exists but measured 2×-6× slower —
+    see the inline note; the explode+agg plan is the deliberate choice.)
     """
     # explode + Tungsten hash-aggregate: one codegen'd pass computing all
     # per-seed minima. Measured faster than every higher-order-function

@@ -24,7 +24,16 @@ def dbfiles_to_json_agg(backupfile: DataFrame) -> DataFrame:
     live files. Excludes dropped files (state=8,
     Get-BackupHistoryToETL.ps1:68). Deterministic file order by
     file_number (intentional strengthening — FOR JSON PATH order is
-    whatever the scan produced)."""
+    whatever the scan produced).
+
+    DOCUMENTED DEVIATION (NULL semantics): the reference's T-SQL
+    ``bf.state <> 8`` evaluates to UNKNOWN for NULL state and so DROPS
+    NULL-state rows; this engine KEEPS them (``state IS NULL OR state
+    != 8``). msdb's backupfile.state is non-null in practice, so the
+    behaviors coincide on real data — but a file of unknown state is a
+    file the restore script must account for, so keeping is the safer
+    default. Pinned by tests/test_operators.py::
+    test_dbfiles_json_null_state_kept."""
     struct = F.struct(
         F.col("logical_name"),
         F.col("physical_drive"),

@@ -62,10 +62,30 @@ def stream_ingest(
         bounds = batch.agg(F.min("backup_start_date").alias("lo")).first()
         overlap_start = bounds["lo"]
         if "LogID" not in batch.columns:
+            # Surrogate ids ride the same one-row sidecar high-water mark
+            # as the batch ETL (plans/etl.py) — a fixed batch_id stride
+            # over monotonically_increasing_id is NOT collision-free
+            # (mono ids embed the partition id in bits 33+, so ≥128
+            # partitions overflow any stride that still leaves batch
+            # headroom). Replayed batches draw fresh ids from the
+            # current mark; their rows are dropped by the anti-join
+            # anyway, so replays cost id gaps, never collisions.
+            from ..plans.etl import _read_logid_hwm, _write_logid_hwm
+
+            sess = batch.sparkSession
+            prev_hwm = _read_logid_hwm(sess, target_path)
             batch = batch.withColumn(
                 "LogID",
-                (F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 40)).cast("long"),
+                (F.monotonically_increasing_id() + F.lit(prev_hwm + 1)).cast("long"),
             )
+            batch = batch.localCheckpoint(eager=True)  # pin ids once
+            new_hwm = batch.agg(F.max("LogID")).first()[0]
+            idempotent_append(
+                sess, batch, target_path, overlap_start=overlap_start
+            )
+            if new_hwm is not None and new_hwm > prev_hwm:
+                _write_logid_hwm(sess, target_path, new_hwm)
+            return
         idempotent_append(
             batch.sparkSession, batch, target_path, overlap_start=overlap_start
         )
@@ -160,14 +180,20 @@ def stream_dedup_ingest(
     (dedup.py: minhash_lsh_cross), closed over Structured Streaming:
 
       micro-batch → query_minhash_index → anti-join flagged →
-      append corpus → append_minhash_index
+      append_minhash_index → append corpus
 
-    Exactly-once on the doc id even across restarts: a replayed batch's
-    docs now match their own indexed signatures (est_jaccard 1.0 ≥ any
-    threshold) and are dropped by the same screen — the index doubles as
-    the idempotency ledger. Within-batch dups are screened batch-side
-    first (cheap exact md5 + min-id), so a batch can't smuggle its own
-    near-dups past the index.
+    The index append runs FIRST and doubles as the idempotency ledger: a
+    replayed batch's docs match their own indexed signatures
+    (est_jaccard 1.0 ≥ any threshold) and are dropped by the screen, so
+    the corpus never receives a row twice. The two appends are not
+    atomic — a crash BETWEEN them leaves a doc indexed but unstored
+    (screened out on replay instead of duplicated; the dedup contract
+    degrades to at-most-once for the crashed batch, never to corpus
+    duplicates). Repair is one ``sync_index_with_corpus`` run, which
+    reconciles the index against what the corpus actually holds.
+    Within-batch screening is EXACT dedup only (md5 + min-id) — two
+    near-but-not-identical duplicates arriving in the same micro-batch
+    both pass; the first indexed batch screens all later ones.
 
     State is all on disk (index parquet), not in streaming state — no
     watermark needed, unbounded lateness tolerated, and the index is
@@ -201,19 +227,21 @@ def stream_dedup_ingest(
                 text_col=text_col, id_col=id_col,
             ).select(F.col("incoming_id").alias(id_col)).distinct()
             batch = batch.join(flagged, id_col, "left_anti")
-            # one barrier: accepted set reused for corpus + index writes
+            # one barrier: accepted set reused for index + corpus writes
             batch = batch.localCheckpoint(eager=True)
             if batch.isEmpty():
                 return
-            batch.write.mode("append").parquet(corpus_path)
+            # ledger first (see docstring): a crash after this line
+            # screens the batch out on replay instead of duplicating it
             append_minhash_index(batch, index_path, text_col, id_col)
+            batch.write.mode("append").parquet(corpus_path)
         else:
             batch = batch.localCheckpoint(eager=True)
-            batch.write.mode("append").parquet(corpus_path)
             from sqlbackuphistoryetl_spark.extensions.dedup_index import (
                 write_minhash_index,
             )
             write_minhash_index(batch, index_path, text_col, id_col)
+            batch.write.mode("append").parquet(corpus_path)
 
     writer = (
         stream.writeStream.foreachBatch(_screen_batch)

@@ -86,3 +86,31 @@ def test_explode_dbfile_information(spark):
     rows = explode_dbfile_information(df).orderBy("file_number").collect()
     assert [r["logical_name"] for r in rows] == ["d1", "l1"]
     assert rows[0]["physical_name"] == "D:\\a\\f.mdf"
+
+
+def test_dbfiles_json_null_state_kept(spark):
+    """Pins the documented NULL-state deviation (jsonfns.py:
+    dbfiles_to_json_agg): the reference's T-SQL `state <> 8` drops
+    NULL-state backup files (NULL <> 8 is UNKNOWN); this engine keeps
+    them — a file of unknown state must still appear in the restore
+    metadata. state=8 (dropped) is excluded either way."""
+    from pyspark.sql import functions as F
+
+    from sqlbackuphistoryetl_spark.functions.jsonfns import dbfiles_to_json_agg
+
+    rows = [
+        (1, "f_live", "C:", "C:\\f_live.mdf", "D", 1, 0),
+        (1, "f_null", "C:", "C:\\f_null.mdf", "D", 2, None),
+        (1, "f_dropped", "C:", "C:\\f_dropped.mdf", "D", 3, 8),
+    ]
+    bf = spark.createDataFrame(
+        rows,
+        "backup_set_id int, logical_name string, physical_drive string, "
+        "physical_name string, file_type string, file_number int, state int",
+    )
+    out = dbfiles_to_json_agg(bf).collect()
+    assert len(out) == 1
+    import json as _json
+
+    names = [f["logical_name"] for f in _json.loads(out[0]["DBFileInformation"])]
+    assert names == ["f_live", "f_null"]

@@ -387,3 +387,22 @@ def test_cross_contamination_broadcast_bench_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan  # Arrow batches only
+
+
+def test_gate_coarse_filters_push_to_scan(spark):
+    """The driver gates compare event times as epoch-µs bigints (a
+    computed column Catalyst can't push), so each carries a redundant
+    coarse raw-timestamp bound that MUST reach the parquet scan — at
+    100 TB that predicate is the row-group skip. Guards q1/j6/p4."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for fn, col in [
+        (E.q1_pricing_summary, "l_shipdate"),
+        (E.j6_watermark_antijoin_dedup, "ts"),
+        (E.p4_watermark_overlap_window, "ts"),
+    ]:
+        plan = _explain(fn(spark, sf))
+        assert "PushedFilters" in plan, fn.__name__
+        pushed = plan.split("PushedFilters")[1][:400]
+        assert col in pushed, f"{fn.__name__}: no pushed bound on {col}: {pushed}"
