@@ -1454,6 +1454,104 @@ from walk order by user_id, seen
 """
 
 
+def bm25_ranking(spark, sf_dir):
+    """Okapi BM25 relevance over the documents table for a fixed 3-term
+    query (functions/textfns.py: bm25_scores) — the retrieval-quality
+    extension next to tf-idf. Determinism: exact-integer tf/df/dl/avgdl
+    inputs, idf/contribution doubles from identical IEEE expressions,
+    and the per-doc score folded in TERM ORDER on both engines (double
+    addition isn't associative). Score rounded to 6dp, ties broken by
+    doc_id."""
+    from sqlbackuphistoryetl_spark.functions.textfns import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["data", "model", "the"], k1=1.2, b=0.75)
+    return out.select(
+        "doc_id", F.round("bm25", 6).alias("bm25"), "n_matched_terms"
+    )
+
+
+BM25_SQL = r"""
+with base as (
+  select doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     s -> s <> '') as toks
+  from documents),
+dl as (select doc_id, len(toks) as dl,
+              list_filter(toks, s -> s in ('data','model','the')) as qtoks
+       from base),
+stats as (select count(*) as n,
+                 cast(sum(dl) as double) / count(*) as avgdl from dl),
+tf as (select doc_id, dl, term, count(*) as tf
+       from (select doc_id, dl, unnest(qtoks) as term from dl)
+       group by 1, 2, 3),
+dfreq as (select term, count(distinct doc_id) as df_t from tf group by 1),
+contrib as (
+  select tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) as c
+  from tf join dfreq using (term) cross join stats),
+folded as (
+  select doc_id,
+         list_aggregate(list(c order by term), 'sum') as bm25_unordered,
+         count(*) as n_matched_terms
+  from contrib group by doc_id)
+select doc_id, round(bm25_unordered, 6) as bm25, n_matched_terms
+from folded
+"""
+
+
+def ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (extensions/dedup.py:
+    ngram_containment_pairs) — sub-document duplication Jaccard misses:
+    c(A→B)=|A∩B|/|A|. Inverted-index candidates, exact integer
+    shared/size counts, doubles from one division. Same id slice as the
+    Jaccard gate so DuckDB's N² stays bounded."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = ngram_containment_pairs(
+        docs, n=3, min_containment=0.3, max_gram_df=64
+    )
+    return out.select(
+        "id_a", "id_b", "shared", "n_a", "n_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+NGRAM_CONTAINMENT_SQL = r"""
+with toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 500),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+sizes as (select doc_id, len(g) as n_grams from grams),
+posting as (select doc_id, unnest(g) as gram from grams),
+shared as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+  from posting a join posting b
+    on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2)
+select s.id_a, s.id_b, s.shared, za.n_grams as n_a, zb.n_grams as n_b,
+       round(cast(s.shared as double) / za.n_grams, 6) as containment_a,
+       round(cast(s.shared as double) / zb.n_grams, 6) as containment_b
+from shared s
+join sizes za on s.id_a = za.doc_id
+join sizes zb on s.id_b = zb.doc_id
+where greatest(cast(s.shared as double) / za.n_grams,
+               cast(s.shared as double) / zb.n_grams) >= 0.3
+"""
+
+
 # ---------------- approximate paths, oracle-gated at 100% recall
 #
 # Each gate composes the approximate stage (banding/bucketing — the
@@ -3376,6 +3474,8 @@ _ORACLES: dict[str, str | None] = {
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
     "dedup_minhash_lsh": MINHASH_SQL,
+    "bm25_ranking": BM25_SQL,
+    "ngram_containment": NGRAM_CONTAINMENT_SQL,
     "winnowing_overlap_pairs": WINNOWING_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
@@ -3437,6 +3537,9 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_rollup": hourly_event_rollup,
     "chain_state_fold": chain_state_fold,
     "approx_distinct_users": approx_distinct_users,
+    # --- new in round 4 (never checked — must sit in the window) --------
+    "bm25_ranking": bm25_ranking,
+    "ngram_containment": ngram_containment,
     # --- (c) last checked round 2 ---------------------------------------
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3446,9 +3549,9 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
+    # --- green in earlier rounds, rotated behind the 50-query window ---
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
-    # --- green in round 3, rotated behind the 50-query window ----------
     "w1_latest_order_per_customer": w1_latest_order_per_customer,
     "w2_canonical_group_id": w2_canonical_group_id,
     "w3_tail_two_patch": w3_tail_two_patch,

@@ -600,3 +600,97 @@ def script_profile(
         .otherwise(F.lit("other"))
     )
     return out.withColumn("dominant_script", dominant)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document against a fixed
+    term set — the retrieval-quality sibling of :func:`tfidf_top_terms`
+    (training-data curation uses it for query-targeted corpus slices and
+    RAG-index sanity checks).
+
+    score(D) = Σ_q idf(q) · tf(q,D)·(k1+1) / (tf(q,D) + k1·(1−b+b·|D|/avgdl))
+    with idf(q) = ln(1 + (N−df+0.5)/(df+0.5)) (the standard
+    non-negative BM25+ idf), |D| = token count, avgdl its corpus mean.
+
+    Shape at scale: document length is computed MAP-SIDE per row
+    (size of the token split — no explode), avgdl/N are one scalar
+    aggregate broadcast back; the explode is filtered to the query
+    terms BEFORE any shuffle, so the (doc, term) aggregate carries only
+    matching-term rows — query-sized, not corpus-sized. Output rows are
+    docs matching ≥1 term. Tokenization matches tfidf_top_terms
+    (lowercased maximal [a-z0-9]+ runs).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda s: s != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda s: s.isin(terms)).alias("_qtoks"),
+    )
+    # avgdl as one division of an EXACT integer sum (never an
+    # incremental mean) — the repo-wide determinism rule: doubles only
+    # ever come from identical IEEE ops on identical exact inputs
+    stats = base.select(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    tf = (
+        base.filter(F.size("_qtoks") > 0)
+        .select("_id", "_dl", F.explode("_qtoks").alias("term"))
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    # per-doc score: fold contributions in TERM ORDER (array_sort +
+    # sequential aggregate), not F.sum — double addition isn't
+    # associative, and an unordered sum would make the score depend on
+    # partitioning (and never hash-match an oracle)
+    folded = (
+        scored.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term"), F.col("_contrib")))
+            ).alias("_cs"),
+        )
+        .select(
+            "_id",
+            F.aggregate(
+                "_cs", F.lit(0.0), lambda acc, x: acc + x["_contrib"]
+            ).alias("bm25"),
+            F.size("_cs").alias("n_matched_terms"),
+        )
+    )
+    return folded.select(F.col("_id").alias(id_col), "bm25", "n_matched_terms")

@@ -406,3 +406,88 @@ def test_embedding_cross_contamination_equals_exact(spark):
         for r in exact.filter(F.col("cosine") >= 0.35).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 against a hand-derived score on a 3-doc corpus."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sqlbackuphistoryetl_spark.functions.textfns import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data model data pipeline"),        # dl=4, tf(data)=2 tf(model)=1
+            (2, "the cat sat"),                      # dl=3, no query terms... 'the'!
+            (3, "unrelated words here entirely"),    # dl=4, no match
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(
+        docs, ["data", "model"], k1=1.2, b=0.75).collect()}
+    assert set(out) == {1}
+    n, avgdl = 3, (4 + 3 + 4) / 3
+    def idf(df_t):
+        return math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    def contrib(tf, dl, df_t, k1=1.2, b=0.75):
+        return idf(df_t) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    expected = contrib(2, 4, 1) + contrib(1, 4, 1)
+    assert abs(out[1]["bm25"] - expected) < 1e-9
+    assert out[1]["n_matched_terms"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_ngram_containment_subset_doc(spark):
+    """A doc fully contained in a larger one must score containment 1.0
+    from its side even though Jaccard is small."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words only")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in ngram_containment_pairs(
+        docs, n=3, min_containment=0.5).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment_a"] == 1.0          # all of small's grams in big
+    assert r["containment_b"] < 0.1           # big barely overlaps small
+    assert r["shared"] == r["n_a"]
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_ngram_containment_capped_counts_exact(spark):
+    """With a stop-gram cap, surviving pairs' shared counts must equal
+    the uncapped exact counts (the cap only gates candidate generation)."""
+    from pyspark.sql import functions as F
+
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # 'common common common' grams are shared by every doc (hot gram)
+    docs = spark.createDataFrame(
+        [(i, f"common common common unique{i} tail{i} shared shared shared")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["containment_a"])
+        for r in ngram_containment_pairs(docs, n=3, min_containment=0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["containment_a"])
+        for r in ngram_containment_pairs(
+            docs, n=3, min_containment=0.0, max_gram_df=100).collect()
+    }
+    # cap of 100 excludes nothing here: identical outputs
+    assert capped == uncapped
