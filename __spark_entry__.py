@@ -606,10 +606,15 @@ from lineitem
 
 
 def retention_filter_counts(spark, sf_dir):
-    """S6 shape: survivors after a retention cutoff, per group."""
+    """S6 shape: survivors after a retention cutoff, per group
+    (epoch-µs cutoff + pushable coarse bound — see J6)."""
     ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", _ts_us(ev, "ts"))
     return (
-        ev.filter(F.col("ts") >= F.lit(RETENTION_CUT))
+        ev.filter(
+            _coarse_after("ts", RETENTION_CUT)
+            & (F.col("ts_us") >= F.lit(_us(RETENTION_CUT)))
+        )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -617,7 +622,7 @@ def retention_filter_counts(spark, sf_dir):
 
 RETENTION_SQL = f"""
 select event_type, count(*) as n_kept from events
-where ts >= timestamp '{RETENTION_CUT}' group by event_type
+where epoch_us(ts) >= {_us(RETENTION_CUT)} group by event_type
 """
 
 

@@ -354,3 +354,47 @@ def test_streaming_corpus_report_matches_batch(spark, tmp_path):
                 F.sum(F.length("text").cast("long")).alias("c"),
                 F.sum(n_tok.cast("long")).alias("t")).collect()}
     assert got == want and len(got) > 10
+
+
+def test_stream_ingest_assigns_sidecar_logids(spark, tmp_path):
+    """LogID-less landing batches draw surrogate ids from the same
+    sidecar high-water mark as the batch ETL: unique across
+    micro-batches (no fixed-stride collisions), monotone sidecar."""
+    from pyspark.sql import types as T
+
+    from sqlbackuphistoryetl_spark.plans import etl as etl_mod
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "consolidated")
+    ckpt = str(tmp_path / "ckpt")
+    rows = consolidated_rows()
+    noid_schema = T.StructType(
+        [f for f in schema.CONSOLIDATED.fields if f.name != "LogID"]
+    )
+
+    def strip(row):
+        d = dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
+        d.pop("LogID", None)
+        return d
+
+    spark.createDataFrame([strip(r) for r in rows[:10]], noid_schema).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, target, ckpt, noid_schema,
+                      watermark_delay="30 days")
+    q.awaitTermination(120)
+    hwm1 = etl_mod._read_logid_hwm(spark, target)
+    ids1 = [r["LogID"] for r in spark.read.parquet(target).select("LogID").collect()]
+    assert len(ids1) == len(set(ids1)) == 10
+    assert hwm1 >= max(ids1)
+
+    spark.createDataFrame([strip(r) for r in rows[10:]], noid_schema).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, target, ckpt, noid_schema,
+                      watermark_delay="30 days")
+    q.awaitTermination(120)
+    sink = spark.read.parquet(target)
+    ids = [r["LogID"] for r in sink.select("LogID").collect()]
+    assert len(ids) == len(set(ids)) == len(rows)
+    assert etl_mod._read_logid_hwm(spark, target) >= max(ids) and max(ids) > hwm1
