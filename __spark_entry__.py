@@ -8,10 +8,20 @@ the same code paths as the domain pipeline.
 
 Determinism rules used throughout (so Spark and DuckDB hash-match):
 - every computed column is aliased identically on both sides;
-- float SUMs go through per-row DECIMAL casts (exact, order-free);
+- float SUMs are per-row quantized to exact integer units (order-free
+  bigint sums), never summed as doubles or scaled decimals;
 - derived doubles only ever come from *exactly-equal* scalars
-  (IEEE ops on identical inputs are bit-identical);
-- every window/limit has a total deterministic order (ties broken by key).
+  (IEEE ops on identical inputs are bit-identical); multi-term double
+  folds run in an explicit sorted order on both engines;
+- every window/limit has a total deterministic order (ties broken by key);
+- event times are compared and emitted as epoch-µs BIGINTs (`_ts_us` /
+  `epoch_us`), never as raw timestamps — the driver owns the session,
+  so its timezone, NTZ inference, and parquet ts encoding (µs vs NANOS)
+  are all out of this module's control; a redundant coarse raw-ts bound
+  (±2-day slack) keeps parquet pushdown alive next to each exact epoch
+  filter. Verified under a hostile matrix (tools/hostile_sim.py):
+  {UTC, America/New_York, Asia/Kolkata} × {inferTimestampNTZ on/off} ×
+  {µs parquet, TIMESTAMP(NANOS) with nonzero sub-µs}.
 """
 
 from __future__ import annotations

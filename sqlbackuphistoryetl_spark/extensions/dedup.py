@@ -197,7 +197,11 @@ def shingle_jaccard_verify(
     two full-corpus shingle passes into two candidate-sized ones —
     measured ~2s → ~0.6s on the sf0.1 gate, and at 100 TB it is the
     difference between re-reading the corpus and touching only the
-    near-dup cluster docs."""
+    near-dup cluster docs. ``pairs`` is materialized first: it feeds
+    both the id set and the final join, and without a barrier the whole
+    candidate-generation subplan would execute twice (measured 2× on
+    the n-gram gate)."""
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_sid"))
         .union(pairs.select(F.col("id_b").alias("_sid")))
@@ -233,9 +237,11 @@ def ngram_jaccard_verify(
 
     array_intersect/array_union on distinct n-gram sets — built-ins only;
     the join fans each pair to its two docs' gram sets. Gram sets are
-    built only for docs appearing in a candidate pair (semi-join first —
-    see shingle_jaccard_verify), not for the whole corpus twice.
+    built only for docs appearing in a candidate pair (semi-join first,
+    with ``pairs`` materialized once — see shingle_jaccard_verify), not
+    for the whole corpus twice.
     """
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_gid"))
         .union(pairs.select(F.col("id_b").alias("_gid")))
@@ -348,13 +354,20 @@ def ngram_jaccard_all_pairs(
             a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
             .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            # materialized once: the candidate set feeds both the id
+            # semi-join and the re-score join — unbarriered, the capped
+            # pair join would execute twice
+            .localCheckpoint(eager=True)
         )
         # Exact re-score over the FULL gram sets (rebuilt from the
         # persisted posting list — one keyed shuffle, no re-tokenize):
         # values match the uncapped path bit-for-bit. Gram sets are
-        # assembled only for docs that appear in a candidate pair — at
-        # scale the candidates are a sliver of the corpus, so the
-        # collect_list shuffle carries candidate mass, not corpus mass.
+        # assembled only for docs that appear in a candidate pair (one
+        # semi-join) — candidate mass, not corpus mass. NOTE the
+        # re-score must stay ARRAY-based (array_intersect per pair): a
+        # count-join over the full posting list would reintroduce the
+        # hot-gram Σ df(g)² blowup the cap exists to avoid (measured
+        # 30% slower even on the 500-doc gate slice).
         cand_ids = (
             cand.select(F.col("id_a").alias("_gid"))
             .union(cand.select(F.col("id_b").alias("_gid")))
@@ -464,27 +477,33 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     if max_gram_df is not None:
-        # exact re-count of shared grams over the UNCAPPED posting list,
+        cand = cand.localCheckpoint(eager=True)  # consumed twice below
+        # exact re-count of shared grams over the UNCAPPED gram sets,
         # restricted to candidate docs (semi-join) — capped counts only
-        # generate candidates, they never leave this function
+        # generate candidates, they never leave this function. ARRAY
+        # intersect per pair, not a posting count-join: the full posting
+        # includes the hot grams, and re-joining on them would pay the
+        # Σ df(g)² blowup the cap exists to avoid.
         ids = (
             cand.select(F.col("id_a").alias("_gid"))
             .union(cand.select(F.col("id_b").alias("_gid")))
             .distinct()
         )
-        sub = posting.join(ids, "_gid", "left_semi")
-        sa, sb = sub.alias("a"), sub.alias("b")
-        exact = (
-            sa.join(
-                sb,
-                (F.col("a.gram") == F.col("b.gram"))
-                & (F.col("a._gid") < F.col("b._gid")),
-            )
-            .groupBy(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("shared"))
+        by_doc = (
+            posting.join(ids, "_gid", "left_semi")
+            .groupBy("_gid")
+            .agg(F.collect_list("gram").alias("grams"))
         )
-        cand = exact.join(
-            cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
+        cand = (
+            cand.select("id_a", "id_b")
+            .join(ga, F.col("id_a") == F.col("ga._gid"))
+            .join(gb, F.col("id_b") == F.col("gb._gid"))
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("ga.grams", "gb.grams")).alias("shared"),
+            )
         )
 
     za = sizes.select(F.col("_gid").alias("id_a"), F.col("n_grams").alias("n_a"))
