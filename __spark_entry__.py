@@ -1590,7 +1590,11 @@ def winnowing_overlap_pairs(spark, sf_dir):
     from sqlbackuphistoryetl_spark.functions.textfns import winnowing_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, hash_fn="md5_60")
+    # barrier: both self-join sides consume fps — without it the whole
+    # gram-hash → window-min fingerprint pipeline executes twice
+    fps = winnowing_fingerprints(docs, hash_fn="md5_60").localCheckpoint(
+        eager=True
+    )
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
