@@ -301,10 +301,23 @@ def ngram_jaccard_all_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
     max_gram_df: int | None = None,
+    rescore_candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing ≥1 gram — inverted-
     index formulation: explode grams, equi-join on the gram, count
     shared grams per pair, then |A∩B|/(|A|+|B|-|A∩B|).
+
+    ``rescore_candidates_only`` (capped path): when True, the exact
+    re-score assembles gram arrays ONLY for docs appearing in a
+    candidate pair (checkpoint the pair set, semi-join the posting
+    list). That is the production-corpus shape — at web scale the
+    near-dup candidates are a sliver of the corpus, and the
+    corpus-sized collect_list shuffle is the dominant cost the
+    restriction removes. When False (default), gram arrays build over
+    the whole (persisted) posting list with NO barrier job — measured
+    ~25% faster on corpora where the candidate set spans most docs
+    (the gate slice: 6.8 s vs 5.1 s), which is also the regime where
+    the restriction cannot help. Identical output either way.
 
     Scale: never ships gram arrays through the pair join and never forms
     zero-overlap pairs — the join is an equi-join on the gram value, so
@@ -354,29 +367,28 @@ def ngram_jaccard_all_pairs(
             a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
             .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
-            # materialized once: the candidate set feeds both the id
-            # semi-join and the re-score join — unbarriered, the capped
-            # pair join would execute twice
-            .localCheckpoint(eager=True)
         )
         # Exact re-score over the FULL gram sets (rebuilt from the
         # persisted posting list — one keyed shuffle, no re-tokenize):
-        # values match the uncapped path bit-for-bit. Gram sets are
-        # assembled only for docs that appear in a candidate pair (one
-        # semi-join) — candidate mass, not corpus mass. NOTE the
-        # re-score must stay ARRAY-based (array_intersect per pair): a
-        # count-join over the full posting list would reintroduce the
-        # hot-gram Σ df(g)² blowup the cap exists to avoid (measured
-        # 30% slower even on the 500-doc gate slice).
-        cand_ids = (
-            cand.select(F.col("id_a").alias("_gid"))
-            .union(cand.select(F.col("id_b").alias("_gid")))
-            .distinct()
-        )
-        by_doc = (
-            posting.join(cand_ids, "_gid", "left_semi")
-            .groupBy("_gid")
-            .agg(F.collect_list("gram").alias("grams"))
+        # values match the uncapped path bit-for-bit. NOTE the re-score
+        # must stay ARRAY-based (array_intersect per pair): a count-join
+        # over the full posting list would reintroduce the hot-gram
+        # Σ df(g)² blowup the cap exists to avoid (measured 30% slower
+        # even on the 500-doc gate slice). See the docstring for the
+        # candidate-restricted variant trade-off.
+        by_doc_src = posting
+        if rescore_candidates_only:
+            # candidate set feeds both the id semi-join and the re-score
+            # join — barrier it or the capped pair join executes twice
+            cand = cand.localCheckpoint(eager=True)
+            cand_ids = (
+                cand.select(F.col("id_a").alias("_gid"))
+                .union(cand.select(F.col("id_b").alias("_gid")))
+                .distinct()
+            )
+            by_doc_src = posting.join(cand_ids, "_gid", "left_semi")
+        by_doc = by_doc_src.groupBy("_gid").agg(
+            F.collect_list("gram").alias("grams")
         )
         ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
         out = (
@@ -428,6 +440,7 @@ def ngram_containment_pairs(
     n: int = 3,
     min_containment: float = 0.5,
     max_gram_df: int | None = None,
+    rescore_candidates_only: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment for every pair sharing ≥1 gram:
     c(A→B) = |A∩B| / |A| — the sub-document duplication measure Jaccard
@@ -477,22 +490,25 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     if max_gram_df is not None:
-        cand = cand.localCheckpoint(eager=True)  # consumed twice below
-        # exact re-count of shared grams over the UNCAPPED gram sets,
-        # restricted to candidate docs (semi-join) — capped counts only
-        # generate candidates, they never leave this function. ARRAY
-        # intersect per pair, not a posting count-join: the full posting
-        # includes the hot grams, and re-joining on them would pay the
-        # Σ df(g)² blowup the cap exists to avoid.
-        ids = (
-            cand.select(F.col("id_a").alias("_gid"))
-            .union(cand.select(F.col("id_b").alias("_gid")))
-            .distinct()
-        )
-        by_doc = (
-            posting.join(ids, "_gid", "left_semi")
-            .groupBy("_gid")
-            .agg(F.collect_list("gram").alias("grams"))
+        # exact re-count of shared grams over the UNCAPPED gram sets —
+        # capped counts only generate candidates, they never leave this
+        # function. ARRAY intersect per pair, not a posting count-join:
+        # the full posting includes the hot grams, and re-joining on
+        # them would pay the Σ df(g)² blowup the cap exists to avoid.
+        # ``rescore_candidates_only`` trades a barrier + semi-join for a
+        # candidate-mass (vs corpus-mass) collect_list — same trade-off
+        # as ngram_jaccard_all_pairs (see its docstring).
+        by_doc_src = posting
+        if rescore_candidates_only:
+            cand = cand.localCheckpoint(eager=True)  # consumed twice
+            ids = (
+                cand.select(F.col("id_a").alias("_gid"))
+                .union(cand.select(F.col("id_b").alias("_gid")))
+                .distinct()
+            )
+            by_doc_src = posting.join(ids, "_gid", "left_semi")
+        by_doc = by_doc_src.groupBy("_gid").agg(
+            F.collect_list("gram").alias("grams")
         )
         ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
         cand = (

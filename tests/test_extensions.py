@@ -491,3 +491,31 @@ def test_ngram_containment_capped_counts_exact(spark):
     }
     # cap of 100 excludes nothing here: identical outputs
     assert capped == uncapped
+
+
+def test_ngram_rescore_scope_equivalence(spark):
+    """rescore_candidates_only must be a pure performance knob: capped
+    Jaccard and containment outputs are identical either way."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    # hot prefix (df=40, over the cap) + per-pair unique phrases (df=2)
+    # so candidates survive the stop-gram cap and the hot grams still
+    # count in the exact re-score
+    rows = []
+    for i in range(20):
+        body = f"alpha beta gamma secret{i} phrase{i} marker{i} omega theta"
+        rows.append((i, body))
+        rows.append((i + 100, body + f" extra{i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn, kw in (
+        (ngram_jaccard_all_pairs, dict(max_gram_df=10)),
+        (ngram_containment_pairs, dict(max_gram_df=10, min_containment=0.0)),
+    ):
+        a = {tuple(sorted(r.asDict().items()))
+             for r in fn(docs, **kw, rescore_candidates_only=False).collect()}
+        b = {tuple(sorted(r.asDict().items()))
+             for r in fn(docs, **kw, rescore_candidates_only=True).collect()}
+        assert a == b and a, fn.__name__
