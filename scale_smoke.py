@@ -250,7 +250,34 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     t0 = time.perf_counter()
     n_cov = covariance_sums(emb).count()
     timings["covariance_sums"] = round(time.perf_counter() - t0, 2)
+
+    # r4 additions: BM25 relevance scan and asymmetric containment
+    # (production shape: candidate-restricted re-score — near-dup
+    # candidates are a sliver of a synthetic corpus this size). These
+    # stages read a MATERIALIZED copy of the corpus: the synthetic-doc
+    # generator is a pure expression tree, and the gram transform would
+    # otherwise re-evaluate it per gram position (measured 28 s → 9 s
+    # for the posting build at 200k docs) — a real parquet corpus never
+    # has this shape, so the checkpoint keeps the measurement honest.
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+    from sqlbackuphistoryetl_spark.functions.textfns import bm25_scores
+
+    docs_m = docs.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    n_bm25 = bm25_scores(docs_m, ["w1", "w2", "w3"]).count()
+    timings["bm25_scan"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_contain = ngram_containment_pairs(
+        docs_m, n=3, min_containment=0.5, max_gram_df=10_000,
+        rescore_candidates_only=True,
+    ).count()
+    timings["ngram_containment"] = round(time.perf_counter() - t0, 2)
     return {
+        "bm25_docs": n_bm25,
+        "containment_pairs": n_contain,
         "exact_dup_groups": n_exact,
         "minhash_pairs": n_minhash,
         "dup_clusters": n_clusters,

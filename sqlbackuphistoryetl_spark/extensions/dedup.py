@@ -211,6 +211,10 @@ def shingle_jaccard_verify(
         df.join(cand_ids, df[id_col] == cand_ids["_sid"], "left_semi")
         .select(F.col(id_col).alias("_sid"), _shingle_array(text_col, k).alias("sh"))
     )
+    # both join sides consume sh — persist or the candidate-doc shingle
+    # arrays compute twice (the same diamond as the band joins)
+    cachereg.begin("shingle_verify")
+    sh = cachereg.persist("shingle_verify", sh)
     a, b = sh.alias("sa"), sh.alias("sb")
     return (
         pairs.join(a, pairs["id_a"] == F.col("sa._sid"))
@@ -251,6 +255,8 @@ def ngram_jaccard_verify(
         cand_ids, df[id_col] == cand_ids["_gid"], "left_semi"
     )
     gram_df = _gram_sets(candidates_only, text_col, id_col, n)
+    cachereg.begin("ngram_verify")
+    gram_df = cachereg.persist("ngram_verify", gram_df)
     a = gram_df.alias("ga")
     b = gram_df.alias("gb")
     return (
@@ -361,10 +367,17 @@ def ngram_jaccard_all_pairs(
             .filter(F.col("_df") > max_gram_df)
             .select("gram")
         )
-        capped = posting.join(F.broadcast(hot), "gram", "left_anti")
+        # Candidate join on a 64-bit gram hash, not the gram string:
+        # the shuffle carries (id, long) instead of (id, text n-gram)
+        # and the join compares longs. A hash collision can only ADD a
+        # candidate pair (merged grams), never lose one, and the exact
+        # re-score over the true gram sets discards any false positive.
+        capped = posting.join(F.broadcast(hot), "gram", "left_anti").select(
+            "_gid", F.xxhash64("gram").alias("_gh")
+        )
         a, b = capped.alias("a"), capped.alias("b")
         cand = (
-            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
+            a.join(b, (F.col("a._gh") == F.col("b._gh")) & (F.col("a._gid") < F.col("b._gid")))
             .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -387,9 +400,12 @@ def ngram_jaccard_all_pairs(
                 .distinct()
             )
             by_doc_src = posting.join(cand_ids, "_gid", "left_semi")
-        by_doc = by_doc_src.groupBy("_gid").agg(
-            F.collect_list("gram").alias("grams")
-        )
+        by_doc = cachereg.persist(
+            "ngram_jaccard",
+            by_doc_src.groupBy("_gid").agg(
+                F.collect_list("gram").alias("grams")
+            ),
+        )  # aliased into both re-score sides — barrier the collect_list
         ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
         out = (
             cand.join(ga, cand["id_a"] == F.col("ga._gid"))
@@ -407,7 +423,10 @@ def ngram_jaccard_all_pairs(
             out = out.filter(F.col("jaccard") >= min_jaccard)
         return out
 
-    sizes = posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes = cachereg.persist(
+        "ngram_jaccard",
+        posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams")),
+    )  # consumed by both the id_a and id_b size joins
     a, b = posting.alias("a"), posting.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
@@ -467,9 +486,13 @@ def ngram_containment_pairs(
         _gram_sets(_spread(df, id_col), text_col, id_col, n)
         .select("_gid", F.explode("grams").alias("gram")),
     )
-    sizes = posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes = cachereg.persist(
+        "ngram_containment",
+        posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams")),
+    )  # consumed by both the n_a and n_b joins
 
     join_src = posting
+    join_key = "gram"
     if max_gram_df is not None:
         hot = (
             posting.groupBy("gram")
@@ -477,13 +500,21 @@ def ngram_containment_pairs(
             .filter(F.col("_df") > max_gram_df)
             .select("gram")
         )
-        join_src = posting.join(F.broadcast(hot), "gram", "left_anti")
+        # capped candidates join on the 64-bit gram hash (narrow
+        # shuffle, long compare — see ngram_jaccard_all_pairs); safe
+        # because capped counts never leave this function: the exact
+        # array re-count below replaces them. The UNCAPPED path keeps
+        # the string join — its counts ARE the output.
+        join_src = posting.join(F.broadcast(hot), "gram", "left_anti").select(
+            "_gid", F.xxhash64("gram").alias("_gh")
+        )
+        join_key = "_gh"
 
     a, b = join_src.alias("a"), join_src.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col(f"a.{join_key}") == F.col(f"b.{join_key}"))
             & (F.col("a._gid") < F.col("b._gid")),
         )
         .groupBy(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
@@ -507,9 +538,12 @@ def ngram_containment_pairs(
                 .distinct()
             )
             by_doc_src = posting.join(ids, "_gid", "left_semi")
-        by_doc = by_doc_src.groupBy("_gid").agg(
-            F.collect_list("gram").alias("grams")
-        )
+        by_doc = cachereg.persist(
+            "ngram_containment",
+            by_doc_src.groupBy("_gid").agg(
+                F.collect_list("gram").alias("grams")
+            ),
+        )  # aliased into both re-count sides
         ga, gb = by_doc.alias("ga"), by_doc.alias("gb")
         cand = (
             cand.select("id_a", "id_b")
