@@ -331,7 +331,9 @@ def test_cache_generations_bounded_and_releasable(spark, docs, vectors):
         ngram_jaccard_all_pairs(docs).count()
         rp_lsh_topk(vectors, vectors, k=2, planes=16, band_bits=4, dims=4).count()
         embedding_near_dup_pairs(vectors, threshold=0.9).count()
-    assert n_cached() <= base + 5  # one live generation per owner, max
+    # one live GENERATION per owner, max — a generation may hold more
+    # than one frame (ngram_jaccard persists posting + sizes since r4)
+    assert n_cached() <= base + 6
     cachereg.release_caches()
     # back to the foreign baseline: other test modules sharing this
     # session may hold their own (non-cachereg) persisted frames
