@@ -78,22 +78,41 @@ def ns_sf_dir(tmp_path_factory):
     return str(dst)
 
 
-@pytest.mark.parametrize("gate", GATES)
-def test_gate_survives_hostile_session(spark, ns_sf_dir, gate):
+def _run_hostile(spark, sf_dir, gate, tz, infer_ntz):
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
             f"create view {name} as "
-            f"select * from read_parquet('{ns_sf_dir}/{name}.parquet')"
+            f"select * from read_parquet('{sf_dir}/{name}.parquet')"
         )
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    prev_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", infer_ntz)
     try:
-        df = entry_mod.queries()[gate](spark, ns_sf_dir)
+        df = entry_mod.queries()[gate](spark, sf_dir)
         got = _rows_key(df.columns, [tuple(r) for r in df.collect()])
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz)
     orc = con.execute(oracles[gate])
     want = _rows_key([d[0] for d in orc.description], orc.fetchall())
     assert got == want, f"{gate}: {len(got)} vs {len(want)} rows"
+
+
+@pytest.mark.parametrize("gate", GATES)
+def test_gate_survives_hostile_session(spark, ns_sf_dir, gate):
+    _run_hostile(spark, ns_sf_dir, gate, "America/New_York", "true")
+
+
+@pytest.mark.parametrize(
+    "gate",
+    ["q1_pricing_summary", "hourly_event_rollup", "chain_state_fold",
+     "j6_watermark_antijoin_dedup"],
+)
+def test_gate_survives_legacy_ntz_inference(spark, ns_sf_dir, gate):
+    """inferTimestampNTZ=false makes NTZ parquet read as TIMESTAMP
+    instants — the legacy reader behavior; combined with a half-hour
+    offset zone it shifts every rendered wall-clock."""
+    _run_hostile(spark, ns_sf_dir, gate, "Asia/Kolkata", "false")
