@@ -67,3 +67,42 @@ def test_never_green_queries_sit_in_driver_window():
 def test_window_is_full():
     """Fewer than 50 registered queries would waste driver coverage."""
     assert len(entry_mod.queries()) >= DRIVER_WINDOW
+
+
+def test_no_oracle_emits_hugeint():
+    """DuckDB types an uncast ``sum(INTEGER/BIGINT)`` as HUGEINT
+    (int128); the driver's fetch path renders HUGEINT differently from
+    BIGINT, so the value hash diverges even when every value is
+    numerically identical (root cause of all 8 r4 hash-reds). Doctrine:
+    oracle aggregates are always cast to a concrete width. This guard
+    binds every oracle against the sf0.001 tables (``describe`` plans
+    without executing) and asserts no output column types as HUGEINT."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip(f"no testdata at {sf_dir}")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    offenders = []
+    for name, sql in entry_mod.oracle_sql().items():
+        if not sql:
+            continue
+        try:
+            rows = con.execute(
+                f"describe select * from ({sql.rstrip().rstrip(';')}) q"
+            ).fetchall()
+        except Exception as exc:  # unbindable oracle is its own failure
+            offenders.append((name, f"describe failed: {exc}"))
+            continue
+        for col, coltype, *_ in rows:
+            if "HUGEINT" in str(coltype).upper():
+                offenders.append((name, f"{col}: {coltype}"))
+    assert offenders == [], f"oracles emitting HUGEINT/int128: {offenders}"
