@@ -1522,15 +1522,20 @@ def ngram_containment(spark, sf_dir):
     ngram_containment_pairs) — sub-document duplication Jaccard misses:
     c(A→B)=|A∩B|/|A|. Inverted-index candidates, exact integer
     shared/size counts, doubles from one division. Same id slice as the
-    Jaccard gate so DuckDB's N² stays bounded."""
+    Jaccard gate so DuckDB's N² stays bounded. No stop-gram cap here
+    (r4 ADVICE): the oracle has none, and the capped path's equality
+    would silently depend on no pair sharing ONLY grams with df > cap —
+    the 500-doc slice doesn't need the cap, so the gate runs the
+    uncapped path whose counts ARE the output, making gate semantics
+    exactly the oracle's. (dedup_ngram_jaccard keeps its cap and
+    documents the measured no-hot-gram property instead — both cap
+    configurations stay driver-exercised.)"""
     from sqlbackuphistoryetl_spark.extensions.dedup import (
         ngram_containment_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    out = ngram_containment_pairs(
-        docs, n=3, min_containment=0.3, max_gram_df=64
-    )
+    out = ngram_containment_pairs(docs, n=3, min_containment=0.3)
     return out.select(
         "id_a", "id_b", "shared", "n_a", "n_b",
         F.round("containment_a", 6).alias("containment_a"),

@@ -419,6 +419,14 @@ def ngram_jaccard_all_pairs(
                 ).alias("jaccard"),
             )
         )
+        # Unconditional: a 64-bit gram-hash collision in the candidate
+        # join can pair docs sharing ZERO true grams; the exact
+        # re-score types them jaccard 0.0, but with min_jaccard=0.0 no
+        # threshold drops them — violating the "every pair shares ≥1
+        # gram / identical to the uncapped path" contract (r4 ADVICE;
+        # negligible at gate scale, birthday-bound real near 2^32
+        # distinct grams).
+        out = out.filter(F.col("jaccard") > 0)
         if min_jaccard > 0:
             out = out.filter(F.col("jaccard") >= min_jaccard)
         return out
@@ -554,6 +562,11 @@ def ngram_containment_pairs(
                 "id_b",
                 F.size(F.array_intersect("ga.grams", "gb.grams")).alias("shared"),
             )
+            # Unconditional: gram-hash collisions can produce shared=0
+            # candidates the exact re-count exposes; only a positive
+            # min_containment used to drop them (r4 ADVICE — same
+            # contract fix as ngram_jaccard_all_pairs).
+            .filter(F.col("shared") > 0)
         )
 
     za = sizes.select(F.col("_gid").alias("id_a"), F.col("n_grams").alias("n_a"))

@@ -23,7 +23,7 @@ import logging
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
@@ -113,13 +113,6 @@ def run_etl(
     prev_hwm = _read_logid_hwm(spark, target_path)
     union = _with_log_id(spark, _cast_load_types(union), prev_hwm)
 
-    # Ride a metric on the materialization job: max assigned LogID over
-    # the PRE-anti-join batch is a safe high-water mark (ids the
-    # anti-join drops just leave gaps — the surrogate is never dense;
-    # SURVEY §1.2).
-    id_obs = Observation()
-    union = union.observe(id_obs, F.max("LogID").alias("max_log_id"))
-
     # Materialize the extracted batch EXACTLY ONCE (r3 verdict task 4).
     # Deriving the append and the watermark maxima from the same lazy
     # lineage would re-pull every source server a second time — and rows
@@ -131,6 +124,20 @@ def run_etl(
     # consumers read the identical rows with one source read.
     union = union.localCheckpoint(eager=True)
 
+    # Sidecar high-water mark BEFORE the append (r4 ADVICE): with the
+    # reverse order, a crash in the window between append and sidecar
+    # write replays with ids re-derived from a fresh
+    # monotonically_increasing_id layout — fewer partitions on replay
+    # re-writes an hwm LOWER than LogIDs already committed, and the
+    # NEXT batch's ids collide with committed rows. Written first, the
+    # mark always bounds every id the append may commit; a crash after
+    # it costs only an id gap (the surrogate is never dense —
+    # SURVEY §1.2). The max scans the checkpointed snapshot, not the
+    # sources.
+    new_hwm = union.agg(F.max("LogID")).first()[0]
+    if new_hwm is not None and new_hwm > prev_hwm:
+        _write_logid_hwm(spark, target_path, new_hwm)
+
     overlap_start = (
         min_wm - dt.timedelta(minutes=replay_buffer_minutes) if min_wm else None
     )
@@ -139,9 +146,6 @@ def run_etl(
     result.rows_appended = idempotent_append(
         spark, union, target_path, overlap_start=overlap_start
     )
-    new_hwm = id_obs.get["max_log_id"]
-    if new_hwm is not None and new_hwm > prev_hwm:
-        _write_logid_hwm(spark, target_path, new_hwm)
 
     new_marks = (
         union.groupBy(F.col("server_name").alias("ServerName"))

@@ -80,11 +80,17 @@ def stream_ingest(
             )
             batch = batch.localCheckpoint(eager=True)  # pin ids once
             new_hwm = batch.agg(F.max("LogID")).first()[0]
+            # Sidecar BEFORE the append (r4 ADVICE, same ordering as
+            # run_etl): written first, the mark bounds every id the
+            # append may commit, so a crash between the two costs only
+            # an id gap on replay — never a collision from a re-derived
+            # LOWER hwm when the replayed batch lands in fewer
+            # partitions.
+            if new_hwm is not None and new_hwm > prev_hwm:
+                _write_logid_hwm(sess, target_path, new_hwm)
             idempotent_append(
                 sess, batch, target_path, overlap_start=overlap_start
             )
-            if new_hwm is not None and new_hwm > prev_hwm:
-                _write_logid_hwm(sess, target_path, new_hwm)
             return
         idempotent_append(
             batch.sparkSession, batch, target_path, overlap_start=overlap_start

@@ -170,3 +170,42 @@ def test_single_source_read_per_run(spark, tmp_path):
         f"backupset scanned {acc.value} source rows for {n_src}-row table: "
         "extract lineage re-executed"
     )
+
+
+def test_hwm_written_before_append(spark, tmp_path, monkeypatch):
+    """Crash-window ordering (r4 ADVICE): the LogID sidecar is written
+    BEFORE the idempotent append, so a crash between the two leaves an
+    hwm that still bounds every id the crashed attempt may have
+    committed — replays then cost only id gaps, never collisions from a
+    re-derived LOWER hwm."""
+    from sqlbackuphistoryetl_spark.plans import etl as etl_mod
+
+    control = str(tmp_path / "control")
+    target = str(tmp_path / "consolidated")
+    sources = {"SQLNODE01": raw_source_tables(spark)}
+    init_source_servers(spark, control, ["SQLNODE01"],
+                        initial_watermark=dt.datetime(2025, 1, 1, 9, 0))
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_append(*a, **k):
+        raise Boom("simulated crash during append")
+
+    monkeypatch.setattr(etl_mod, "idempotent_append", crash_append)
+    try:
+        run_etl(spark, sources, control, target)
+        raise AssertionError("append crash should propagate")
+    except Boom:
+        pass
+    # the sidecar advanced even though the append never committed
+    hwm_after_crash = etl_mod._read_logid_hwm(spark, target)
+    assert hwm_after_crash > 0
+
+    # recovery run: fresh ids start above the crashed attempt's mark
+    monkeypatch.undo()
+    run_etl(spark, sources, control, target)
+    ids = [r["LogID"] for r in
+           spark.read.parquet(target).select("LogID").collect()]
+    assert len(ids) == len(set(ids))
+    assert min(ids) > hwm_after_crash
