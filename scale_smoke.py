@@ -135,6 +135,30 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     n_ivf = ivf_topk(emb, queries, k=5, n_centroids=256, n_probe=8).count()
     timings["ann_ivf_topk_100q"] = round(time.perf_counter() - t0, 2)
 
+    # persistent inverted file (r5): build once, probe with partition
+    # pruning — probe cost should sit well under the one-shot number
+    # above, and stay flat as the corpus grows (it reads n_probe/C of
+    # the cells, not the corpus).
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        sampled_centroids,
+    )
+
+    ivf_dir = tempfile.mkdtemp(prefix="smoke_ivf_")
+    try:
+        cents = sampled_centroids(emb, 256)
+        t0 = time.perf_counter()
+        ivf_build_index(emb, ivf_dir, centroids=cents)
+        timings["ivf_index_build"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_ivf_probe = ivf_probe_index(
+            spark, ivf_dir, queries, cents, k=5, n_probe=8
+        ).count()
+        timings["ivf_index_probe_100q"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_cross
     from sqlbackuphistoryetl_spark.extensions.packing import pack_sequences
 
@@ -284,6 +308,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "simhash_pairs": n_simhash,
         "ann_rows": n_ann,
         "ivf_rows": n_ivf,
+        "ivf_probe_rows": n_ivf_probe,
         "cross_pairs": n_cross,
         "packed_spans": n_packed,
         "sample_rows": n_sample,

@@ -106,3 +106,41 @@ def test_no_oracle_emits_hugeint():
             if "HUGEINT" in str(coltype).upper():
                 offenders.append((name, f"{col}: {coltype}"))
     assert offenders == [], f"oracles emitting HUGEINT/int128: {offenders}"
+
+
+def test_temperature_scale_cte_tracks_python_loop():
+    """TEMPERATURE_SCALE_CTE's CASE ladder must pick the same scale as
+    temperature_rates' step-down loop (curation.py: scale /= 1e2 while
+    max(count)*scale >= 2**53) for every group count either side could
+    see. The two can only diverge for a single group holding >= 2^53
+    documents (the SQL clamps at 1e0, the loop continues to 1e-2) —
+    beyond any corpus; this test pins the whole shared domain grid."""
+    import duckdb
+
+    case_sql = """
+    select case
+         when m * 1e12 < 9007199254740992.0 then 1e12
+         when m * 1e10 < 9007199254740992.0 then 1e10
+         when m * 1e8  < 9007199254740992.0 then 1e8
+         when m * 1e6  < 9007199254740992.0 then 1e6
+         when m * 1e4  < 9007199254740992.0 then 1e4
+         when m * 1e2  < 9007199254740992.0 then 1e2
+         else 1e0 end
+    from (select cast(? as double) as m)
+    """
+    def python_scale(m: float) -> float:
+        scale = 1e12
+        while m * scale >= 2**53:
+            scale /= 1e2
+        return scale
+
+    con = duckdb.connect()
+    for m in [1, 2, 9006, 9007, 10**5 + 3, 10**7 + 11, 10**9 + 7,
+              10**11 + 13, 9 * 10**13, 9_006_000_000_000_000]:
+        got = con.execute(case_sql, [float(m)]).fetchone()[0]
+        want = python_scale(float(m))
+        assert got == want, (m, got, want)
+
+    # and the CTE string itself still contains the same ladder rungs
+    for rung in ("1e12", "1e10", "1e8", "1e6", "1e4", "1e2", "1e0"):
+        assert rung in entry_mod.TEMPERATURE_SCALE_CTE

@@ -521,3 +521,71 @@ def test_ngram_rescore_scope_equivalence(spark):
         b = {tuple(sorted(r.asDict().items()))
              for r in fn(docs, **kw, rescore_candidates_only=True).collect()}
         assert a == b and a, fn.__name__
+
+
+def test_ivf_index_probe_equals_one_shot(spark, tmp_path):
+    """The persisted inverted file (ivf_build_index → ivf_probe_index)
+    must return exactly what one-shot ivf_topk returns for the same
+    centroids — stored norms/cosines are the same IEEE expressions as
+    recomputed ones — at partial AND full probe."""
+    import random
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_topk,
+        sampled_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = sampled_centroids(vecs, 8)
+    path = str(tmp_path / "ivf")
+    returned = ivf_build_index(vecs, path, centroids=cents)
+    assert returned == cents
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    for n_probe in (3, 8):  # partial (pruned scan) and full probe
+        probe = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 12))
+            for r in ivf_probe_index(
+                spark, path, queries, cents, k=4, n_probe=n_probe
+            ).collect()
+        }
+        one_shot = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 12))
+            for r in ivf_topk(
+                vecs, queries, k=4, n_probe=n_probe, centroids=cents
+            ).collect()
+        }
+        assert probe == one_shot
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """At partial probe the index scan must read only probed cell
+    directories: the IN-list lands on the partition column, so the
+    FileSourceScan's partition filters carry it and the scan reads a
+    strict subset of the cell dirs."""
+    import random
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        sampled_centroids,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = sampled_centroids(vecs, 8)
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, path, centroids=cents)
+    out = ivf_probe_index(
+        spark, path, vecs.filter(F.col("vec_id") == 0), cents, k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
