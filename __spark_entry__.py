@@ -3532,6 +3532,53 @@ _ORACLES: dict[str, str | None] = {
 }
 
 
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage skew-safe aggregation (operators/skew.py: salted_agg):
+    stage 1 aggregates on (user_id, salt) so a hot key fans out across
+    reducers, stage 2 merges the per-salt partials on the true key. The
+    oracle is the PLAIN one-stage group-by — equality proves the
+    algebraic merge (sum-of-sums, sum-of-counts, min-of-mins,
+    max-of-maxs) reconstructs the whole-key aggregate exactly for every
+    key, independent of how the salt split the rows. Values are
+    integer-exact by construction (cents / epoch-µs / counts), so no
+    float reassociation rides on the salt layout."""
+    from sqlbackuphistoryetl_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        _ts_us(ev, "ts").alias("ts_us"),
+    )
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        [
+            ("cents", "sum", "value_cents"),
+            ("event_id", "count", "n_events"),
+            ("ts_us", "min", "first_us"),
+            ("ts_us", "max", "last_us"),
+        ],
+        buckets=16,
+        salt_col="event_id",
+    )
+    return out.orderBy("user_id")
+
+
+SKEW_SALTED_SQL = """
+select user_id,
+       cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint)
+         as value_cents,
+       count(*) as n_events,
+       min(epoch_us(ts)) as first_us,
+       max(epoch_us(ts)) as last_us
+from events group by user_id order by user_id
+"""
+
+_ORACLES["skew_salted_agg"] = SKEW_SALTED_SQL
+
+
 def curation_pipeline_e2e(spark, sf_dir):
     """Composite gate for the full curation pipeline
     (plans/curation_pipeline.py: curate_corpus): exact dedup → MinHash
@@ -3711,6 +3758,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": embedding_covariance,
     # --- (b) new in round 5 (never checked — must sit in the window) ---
     "curation_pipeline_e2e": curation_pipeline_e2e,
+    "skew_salted_agg": skew_salted_agg,
     # --- (c) last checked round 2 (stale greens, r4 verdict task 2) ----
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -3753,7 +3801,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
     "stratified_sample_by_lang": stratified_sample_by_lang,
-    "weighted_source_mix": weighted_source_mix,
     "quality_repetition": quality_repetition,
     # ------------------------------------------------------------------
     # Behind the 50-query window: every gate below has a green round-4
@@ -3794,6 +3841,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_ranking": bm25_ranking,
     "ngram_containment": ngram_containment,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
+    "weighted_source_mix": weighted_source_mix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
