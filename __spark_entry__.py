@@ -1805,7 +1805,11 @@ def ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_INDEX_CACHE:
+        import atexit
+        import shutil
+
         path = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_CENTROID_CACHE[sf_dir] = sampled_centroids(emb, 32)
         ivf_build_index(
             emb, path, centroids=_IVF_CENTROID_CACHE[sf_dir]
@@ -3740,10 +3744,10 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # gate checks the FIRST 50 entries only. Round 5 front-loads (a) the 8
 # round-4 hash-reds (sole cause: uncast DuckDB sum() typing as HUGEINT;
 # oracles now cast — engine untouched), (b) the new
-# curation_pipeline_e2e composite gate, (c) the two multimodal gates
-# last checked round 2, and (d) 39 of the 46 round-3 greens —
-# the full §2 parity block — confirming no regression after two rounds
-# of engine changes. The round-4 greens rotate to the back;
+# curation_pipeline_e2e + skew_salted_agg gates, (c) the two multimodal
+# gates last checked round 2, and (d)+(e) 38 of the 46 round-3 greens
+# (29 §2-parity + 9 extension gates) — confirming no regression after
+# two rounds of engine changes. The round-4 greens rotate to the back;
 # tests/test_driver_contract.py pins this window so appends can't
 # silently push unchecked gates out.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -459,11 +459,11 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("q_n"),
         F.explode(assign_p(F.col(vec_col))).alias("cell"),
     )
-    cand = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # No pair dedup needed: each corpus vector lives in exactly one cell
+    # (single-nearest assignment) and a query's probed cells are
+    # distinct, so a (query, neighbor) pair meets at most once — a
+    # dropDuplicates would only add a shuffle.
+    cand = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(
         "cosine", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
     )
@@ -554,14 +554,20 @@ def ivf_probe_index(
         # Bounded collect: Q·n_probe cell ids (probe batches are small
         # by contract — this is a serving-path operator), deduped
         # driver-side so the IN-list prunes partitions at scan planning
-        # time. Skipped at full probe: every cell is read anyway, and
-        # the collect would run the query-assignment UDF a second time.
+        # time. q is pinned first: the collect and the candidate join
+        # both consume it, and without the barrier the O(Q·C)
+        # assignment matmul would run twice. Skipped at full probe:
+        # every cell is read anyway.
+        q = q.localCheckpoint(eager=True)
         probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
         inverted = inverted.filter(F.col("cell").isin(probed))
-    cand = (
-        q.join(inverted, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # No pair dedup: assignment is single-nearest-cell (one cell per
+    # corpus vector) and a query's probed cells are distinct, so a
+    # (query, neighbor) pair meets through the cell equi-join at most
+    # once — a dropDuplicates here would be a pure extra shuffle on the
+    # serving path.
+    cand = q.join(inverted, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
