@@ -125,6 +125,33 @@ def _coarse_after(col: str, wall_clock: str):
     return F.col(col) >= F.lit(d.strftime("%Y-%m-%d %H:%M:%S"))
 
 
+def _fmt_wall_us(us):
+    """'yyyy-MM-dd HH:mm:ss' string from wall-clock epoch-µs, with NO
+    timestamp rendering in any session zone: the date part rides DATE
+    arithmetic (dates carry no zone; the cast→format round-trip through
+    the session zone cancels exactly), the time part is integer mod.
+    Env-proof completion of the §2.8 STOPAT formatting doctrine — the
+    r5 hostile matrix caught `date_format(instant)` shifting under
+    Asia/Kolkata + legacy NTZ inference."""
+    import datetime as _dt
+
+    days = F.floor(us / F.lit(86_400_000_000)).cast("int")
+    d = F.date_add(F.lit(_dt.date(1970, 1, 1)), days)
+    secs = F.floor(F.pmod(us, F.lit(86_400_000_000)) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return F.concat(
+        F.date_format(d, "yyyy-MM-dd"),
+        F.lit(" "),
+        two(F.floor(secs / 3600)),
+        F.lit(":"),
+        two(F.pmod(F.floor(secs / 60), F.lit(60))),
+        F.lit(":"),
+        two(F.pmod(secs, F.lit(60))),
+    )
+
+
 _IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
@@ -305,7 +332,12 @@ def j2_customers_without_recent_orders(spark, sf_dir):
     orders so the result is non-empty at every SF — an all-customers
     anti-join matches trivially on 0 rows.)"""
     c = _t(spark, sf_dir, "customer")
-    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") > F.lit("2001-06-01"))
+    o = _t(spark, sf_dir, "orders")
+    # epoch-µs threshold (env-proof; r5 hostile matrix) behind the
+    # pushable coarse bound
+    recent = o.filter(_coarse_after("o_orderdate", "2001-06-01 00:00:00")).filter(
+        _ts_us(o, "o_orderdate") > F.lit(_us("2001-06-01 00:00:00"))
+    )
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     orphans = c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
     return (
@@ -452,15 +484,21 @@ from events where epoch_us(ts) < {_us(RETENTION_CUT)}
 
 
 def a4_min_after_threshold(spark, sf_dir):
-    """A4: MIN past a threshold (earliest non-copy-only full after LSN)."""
+    """A4: MIN past a threshold (earliest non-copy-only full after LSN).
+    Threshold and output in epoch-µs (env-proof; the r5 hostile matrix
+    caught the raw-timestamp form shifting a day under Asia/Kolkata +
+    legacy NTZ inference)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") > F.lit("1998-06-15")).agg(
-        F.min("l_shipdate").alias("next_ship")
+    cut = "1998-06-15 00:00:00"
+    return (
+        li.filter(_coarse_after("l_shipdate", cut))
+        .filter(_ts_us(li, "l_shipdate") > F.lit(_us(cut)))
+        .agg(F.min(_ts_us(li, "l_shipdate")).alias("next_ship_us"))
     )
 
 
 A4_SQL = """
-select min(l_shipdate) as next_ship from lineitem
+select min(epoch_us(l_shipdate)) as next_ship_us from lineitem
 where l_shipdate > timestamp '1998-06-15 00:00:00'
 """
 
@@ -504,24 +542,32 @@ A7_SQL = "select string_agg(r_name, ', ' order by r_name) as all_regions from re
 
 
 def u1_union_distinct_tail(spark, sf_dir):
-    """U1+O4: as-of set ∪ first element after the point-in-time."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    before = o.filter(F.col("o_orderdate") <= F.lit(ORDER_PIT))
+    """U1+O4: as-of set ∪ first element after the point-in-time.
+    Point-in-time comparison and output in epoch-µs (env-proof; r5
+    hostile matrix caught the raw-timestamp form drifting 3 rows under
+    Asia/Kolkata + legacy NTZ inference)."""
+    o = _t(spark, sf_dir, "orders")
+    o = o.select("o_orderkey", _ts_us(o, "o_orderdate").alias("o_orderdate_us"))
+    pit = F.lit(_us(ORDER_PIT))
+    before = o.filter(F.col("o_orderdate_us") <= pit)
     first_after = (
-        o.filter(F.col("o_orderdate") > F.lit(ORDER_PIT))
-        .orderBy("o_orderdate", "o_orderkey")
+        o.filter(F.col("o_orderdate_us") > pit)
+        .orderBy("o_orderdate_us", "o_orderkey")
         .limit(1)
     )
-    return before.unionByName(first_after).dropDuplicates(["o_orderkey", "o_orderdate"])
+    return before.unionByName(first_after).dropDuplicates(
+        ["o_orderkey", "o_orderdate_us"]
+    )
 
 
 U1_SQL = f"""
-select o_orderkey, o_orderdate from orders where o_orderdate <= timestamp '{ORDER_PIT}'
+select o_orderkey, epoch_us(o_orderdate) as o_orderdate_us
+from orders where o_orderdate <= timestamp '{ORDER_PIT}'
 union
-select o_orderkey, o_orderdate from
-  (select o_orderkey, o_orderdate from orders
+select o_orderkey, o_orderdate_us from
+  (select o_orderkey, epoch_us(o_orderdate) as o_orderdate_us from orders
    where o_orderdate > timestamp '{ORDER_PIT}'
-   order by o_orderdate, o_orderkey limit 1) t
+   order by o_orderdate_us, o_orderkey limit 1) t
 """
 
 
@@ -638,11 +684,14 @@ where epoch_us(ts) >= {_us(RETENTION_CUT)} group by event_type
 
 
 def datefmt_stopat(spark, sf_dir):
-    """§2.8 datetime literal formatting (STOPAT timestamp rendering)."""
+    """§2.8 datetime literal formatting (STOPAT timestamp rendering),
+    via the zone-free formatter `_fmt_wall_us` — `date_format` on an
+    instant renders in the session zone, which the r5 hostile matrix
+    caught shifting under Asia/Kolkata + legacy NTZ inference."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("stopat_ts"),
+        _fmt_wall_us(_ts_us(o, "o_orderdate")).alias("stopat_ts"),
     )
 
 

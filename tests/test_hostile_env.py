@@ -38,6 +38,14 @@ GATES = [
     "funnel_view_click_purchase",
     "event_sessionization",
     "approx_distinct_users",
+    "asof_last_purchase",
+    "skew_salted_agg",  # r5: _ts_us min/max over events through the salt merge
+    # r5: order/lineitem-date gates hardened to epoch-µs / zone-free
+    # formatting after the full-window Kolkata+legacy matrix caught them
+    "j2_customers_without_recent_orders",
+    "a4_min_after_threshold",
+    "u1_union_distinct_tail",
+    "datefmt_stopat",
 ]
 
 TABLES = [
