@@ -393,7 +393,8 @@ def test_gate_coarse_filters_push_to_scan(spark):
     """The driver gates compare event times as epoch-µs bigints (a
     computed column Catalyst can't push), so each carries a redundant
     coarse raw-timestamp bound that MUST reach the parquet scan — at
-    100 TB that predicate is the row-group skip. Guards q1/j6/p4."""
+    100 TB that predicate is the row-group skip. Guards q1/j6/p4 plus
+    the r5-hardened order/lineitem-date gates (j2/a4)."""
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.001"
@@ -401,6 +402,8 @@ def test_gate_coarse_filters_push_to_scan(spark):
         (E.q1_pricing_summary, "l_shipdate"),
         (E.j6_watermark_antijoin_dedup, "ts"),
         (E.p4_watermark_overlap_window, "ts"),
+        (E.j2_customers_without_recent_orders, "o_orderdate"),
+        (E.a4_min_after_threshold, "l_shipdate"),
     ]:
         plan = _explain(fn(spark, sf))
         assert "PushedFilters" in plan, fn.__name__
