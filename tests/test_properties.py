@@ -8,6 +8,7 @@ from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from sqlbackuphistoryetl_spark import schema
 from sqlbackuphistoryetl_spark.plans.chain_all import restore_plan_all
@@ -208,3 +209,76 @@ def test_token_budget_equals_naive(spark, rows):
         if acc <= budget:
             want.add((i, acc))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 6), st.integers(-1000, 1000)),
+    min_size=1, max_size=60),
+    buckets=st.integers(1, 8))
+def test_salted_agg_equals_plain(spark, rows, buckets):
+    """For ANY (key, value) multiset and ANY bucket count the two-stage
+    salted aggregation equals the plain one-stage group-by on every
+    algebraic op — the merge identity sum∘sum == sum, sum∘count ==
+    count, min∘min == min, max∘max == max holds regardless of how the
+    salt splits a key's rows."""
+    from collections import defaultdict
+
+    from sqlbackuphistoryetl_spark.operators.skew import salted_agg
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "v", "rid"])
+    got = {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("v", "sum", "s"), ("v", "count", "n"),
+             ("v", "min", "lo"), ("v", "max", "hi")],
+            buckets=buckets,
+            salt_col="rid",
+        ).collect()
+    }
+    want = defaultdict(list)
+    for k, v, _ in data:
+        want[k].append(v)
+    assert got == {
+        k: (sum(vs), len(vs), min(vs), max(vs)) for k, vs in want.items()
+    }
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000), n=st.integers(20, 60))
+def test_ivf_full_probe_equals_brute_force(spark, seed, n, tmp_path_factory):
+    """At full probe the persisted-index pipeline (build → probe) must
+    reproduce exact brute-force top-k for ANY corpus: cells partition
+    the corpus, so assignment + cell join + re-rank is lossless."""
+    import random
+
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_probe_index,
+        sampled_centroids,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = sampled_centroids(vecs, 5)
+    path = str(tmp_path_factory.mktemp("ivf_prop") / "idx")
+    ivf_build_index(vecs, path, centroids=cents)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_probe_index(
+            spark, path, queries, cents, k=3, n_probe=len(cents)
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(vecs, queries, k=3).collect()
+    }
+    assert probe == exact
