@@ -3585,6 +3585,56 @@ _ORACLES: dict[str, str | None] = {
 }
 
 
+_JSONL_CACHE: dict[str, str] = {}
+
+
+def jsonl_roundtrip_ingest(spark, sf_dir):
+    """Source-format round trip: documents → sharded JSONL export
+    (extensions/sharding.py: write_sharded_jsonl — stable global order,
+    exact shard sizes) → schema-enforced JSONL ingest
+    (sources/text_corpus.py: read_jsonl_corpus, FAILFAST, no
+    inference). Output is one row per document with md5(text), and the
+    oracle reads the ORIGINAL parquet — equality proves the export +
+    ingest cycle is lossless down to text bytes (JSON escaping,
+    encoding, shard partitioning all round-trip), which is the property
+    a training pipeline needs before it trusts JSONL interchange."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sqlbackuphistoryetl_spark.extensions.sharding import (
+        write_sharded_jsonl,
+    )
+    from sqlbackuphistoryetl_spark.sources.text_corpus import (
+        read_jsonl_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _JSONL_CACHE:
+        path = tempfile.mkdtemp(prefix="jsonl_corpus_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_sharded_jsonl(docs, path, ["doc_id"], shard_size=200)
+        _JSONL_CACHE[sf_dir] = path
+    back = read_jsonl_corpus(
+        spark,
+        _JSONL_CACHE[sf_dir],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ordinal long",
+    )
+    return back.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+select doc_id, lang, source, n_chars, md5(text) as text_md5
+from documents
+"""
+
+_ORACLES["jsonl_roundtrip_ingest"] = JSONL_ROUNDTRIP_SQL
+
+
 def skew_salted_agg(spark, sf_dir):
     """Two-stage skew-safe aggregation (operators/skew.py: salted_agg):
     stage 1 aggregates on (user_id, salt) so a hot key fans out across
@@ -3812,6 +3862,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b) new in round 5 (never checked — must sit in the window) ---
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "skew_salted_agg": skew_salted_agg,
+    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     # --- (c) last checked round 2 (stale greens, r4 verdict task 2) ----
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -3853,7 +3904,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
     "quality_repetition": quality_repetition,
     # ------------------------------------------------------------------
     # Behind the 50-query window: every gate below has a green round-4
@@ -3895,6 +3945,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "weighted_source_mix": weighted_source_mix,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
