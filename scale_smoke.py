@@ -299,6 +299,32 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         rescore_candidates_only=True,
     ).count()
     timings["ngram_containment"] = round(time.perf_counter() - t0, 2)
+
+    # r5: JSONL interchange at corpus scale — sharded export then
+    # schema-enforced ingest; count-parity guards the cycle.
+    from sqlbackuphistoryetl_spark.extensions.sharding import (
+        write_sharded_jsonl,
+    )
+    from sqlbackuphistoryetl_spark.sources.text_corpus import (
+        read_jsonl_corpus,
+    )
+
+    jl_dir = tempfile.mkdtemp(prefix="smoke_jsonl_")
+    try:
+        t0 = time.perf_counter()
+        n_shards = write_sharded_jsonl(
+            docs_m.select("doc_id", "text"), jl_dir, ["doc_id"],
+            shard_size=50_000,
+        )
+        timings["jsonl_export"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_jsonl = read_jsonl_corpus(
+            spark, jl_dir, "doc_id long, text string, ordinal long"
+        ).count()
+        timings["jsonl_ingest"] = round(time.perf_counter() - t0, 2)
+        assert n_jsonl == n_docs, (n_jsonl, n_docs)
+    finally:
+        shutil.rmtree(jl_dir, ignore_errors=True)
     return {
         "bm25_docs": n_bm25,
         "containment_pairs": n_contain,
@@ -320,6 +346,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "sessions": n_sessions,
         "funnel_users": n_funnel,
         "chunks": n_chunks,
+        "jsonl_shards": n_shards,
         "surprisal_docs": n_surp,
         "cov_terms": n_cov,
     }
