@@ -21,7 +21,16 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
   (±2-day slack) keeps parquet pushdown alive next to each exact epoch
   filter. Verified under a hostile matrix (tools/hostile_sim.py):
   {UTC, America/New_York, Asia/Kolkata} × {inferTimestampNTZ on/off} ×
-  {µs parquet, TIMESTAMP(NANOS) with nonzero sub-µs}.
+  {µs parquet, TIMESTAMP(NANOS) with nonzero sub-µs};
+- oracle aggregates are ALWAYS cast to a concrete width: DuckDB types
+  an uncast ``sum(INTEGER/BIGINT)`` as HUGEINT (int128), which the
+  driver's fetch path renders differently from BIGINT — the sole root
+  cause of all 8 round-4 hash-reds. Enforced by
+  tests/test_driver_contract.py::test_no_oracle_emits_hugeint, which
+  binds every oracle through DuckDB ``describe``;
+- date-valued outputs are epoch-µs bigints or strings built by the
+  zone-free formatter ``_fmt_wall_us`` — never ``date_format`` over an
+  instant (renders in the session zone).
 """
 
 from __future__ import annotations
