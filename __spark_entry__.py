@@ -769,6 +769,91 @@ from documents
 """
 
 
+# Frozen quality-classifier coefficients (r5 verdict task 6): scoring
+# with PINNED weights is deterministic even though L-BFGS training is
+# not, so the scoring path of extensions/quality_model.py gets a full
+# DuckDB hash gate. Values are arbitrary-but-plausible signs (longer /
+# stopword-dense docs up, punctuation-soup down); the gate pins the
+# dot-product + quantized-sigmoid machinery, not these numbers.
+FROZEN_QUALITY_INTERCEPT = -0.75
+FROZEN_QUALITY_WEIGHTS = {
+    "f_tokens": 0.004,
+    "f_chars_per_tok": -0.15,
+    "f_punct_ratio": -2.5,
+    "f_stopword_ratio": 3.0,
+}
+
+
+def quality_model_score(spark, sf_dir):
+    """Frozen-weights scoring path of the trainable quality classifier
+    (extensions/quality_model.py: score_with_weights) over the standard
+    engine signals. The logit is quantized to 6dp pre-sigmoid (pure
+    IEEE floor(z·1e6+0.5), engine-identical) so DuckDB's exp() sees the
+    exact same input; the probability is round(6) both sides (the
+    tfidf/entropy transcendental doctrine)."""
+    from sqlbackuphistoryetl_spark.extensions.quality_model import (
+        score_with_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+    stop = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is|in)\\b', 0)")
+    )
+    feats = docs.select(
+        "doc_id",
+        n_tokens.cast("double").alias("f_tokens"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")).alias(
+            "f_chars_per_tok"
+        ),
+        (punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias(
+            "f_punct_ratio"
+        ),
+        (stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")).alias(
+            "f_stopword_ratio"
+        ),
+    )
+    scored = score_with_weights(
+        feats, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT, quantize_dp=6
+    )
+    return scored.select(
+        "doc_id",
+        "f_tokens",
+        F.round("f_punct_ratio", 6).alias("f_punct_ratio"),
+        F.round("quality_prob", 6).alias("quality_prob"),
+        "quality_pred",
+    )
+
+
+QUALITY_MODEL_SQL = r"""
+with f as (
+  select doc_id,
+         cast(len(regexp_extract_all(text, '\S+')) as double) as f_tokens,
+         cast(length(text) as double)
+           / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double)
+           as f_chars_per_tok,
+         cast(len(regexp_extract_all(text, '[^\w\s]')) as double)
+           / cast(greatest(length(text), 1) as double) as f_punct_ratio,
+         cast(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in)\b'))
+              as double)
+           / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double)
+           as f_stopword_ratio
+  from documents),
+z as (
+  select doc_id, f_tokens, f_punct_ratio,
+         floor((-0.75 + 0.004 * f_tokens + (-0.15) * f_chars_per_tok
+                + (-2.5) * f_punct_ratio + 3.0 * f_stopword_ratio) * 1e6 + 0.5)
+           / 1e6 as zq
+  from f)
+select doc_id, f_tokens, round(f_punct_ratio, 6) as f_punct_ratio,
+       round(1.0 / (1.0 + exp(-zq)), 6) as quality_prob,
+       cast(1.0 / (1.0 + exp(-zq)) >= 0.5 as double) as quality_pred
+from z
+"""
+
+
 def lang_id_stopwords(spark, sf_dir):
     """n-gram/stopword language heuristic vs the labeled lang column."""
     docs = _t(spark, sf_dir, "documents")
@@ -3516,6 +3601,7 @@ _ORACLES: dict[str, str | None] = {
     "json_props_extract": JSON_PROPS_SQL,
     "text_token_count": TOKEN_SQL,
     "text_quality_score": QUALITY_SQL,
+    "quality_model_score": QUALITY_MODEL_SQL,
     "lang_id_stopwords": LANG_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -3852,14 +3938,76 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # gate checks the FIRST 50 entries only. Round 5 front-loads (a) the 8
 # round-4 hash-reds (sole cause: uncast DuckDB sum() typing as HUGEINT;
 # oracles now cast — engine untouched), (b) the new
-# curation_pipeline_e2e + skew_salted_agg gates, (c) the two multimodal
-# gates last checked round 2, and (d)+(e) 38 of the 46 round-3 greens
-# (29 §2-parity + 9 extension gates) — confirming no regression after
-# two rounds of engine changes. The round-4 greens rotate to the back;
-# tests/test_driver_contract.py pins this window so appends can't
-# silently push unchecked gates out.
+# Round-6 rotation (r5 verdict task 1): the driver checks the FIRST 50
+# entries, so this round's window holds (a) the new frozen-weights
+# quality_model_score gate (never checked — must sit in the window),
+# (b) the nine gates whose last driver-green row is round 3 (seven
+# map-side text gates + the two sampling gates), and (c) 40 of the 42
+# round-4 greens. Two round-4 greens defer to round 7
+# (temperature_lang_sample_a25 and dedup_cluster_histogram — parameter
+# variants whose base operators ARE in this window); the 50 round-5
+# greens rotate to the back. tests/test_driver_contract.py pins both
+# invariants: never-green gates in-window, and no gate staler than two
+# recorded rounds outside it.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) round-4 hash-reds, oracle HUGEINT cast fixed this round ---
+    # --- (a) new in round 6 -------------------------------------------
+    "quality_model_score": quality_model_score,
+    # --- (b) last driver-green round 3 --------------------------------
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "lang_id_stopwords": lang_id_stopwords,
+    "lang_id_multi": lang_id_multi,
+    "text_bpe_token_count": text_bpe_token_count,
+    "token_len_histogram": token_len_histogram,
+    "token_percentiles": token_percentiles,
+    "weighted_source_mix": weighted_source_mix,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    # --- (c) last driver-green round 4 --------------------------------
+    "contamination_ngram": contamination_ngram,
+    "global_shard_ids": global_shard_ids,
+    "asof_last_purchase": asof_last_purchase,
+    "sequence_packing": sequence_packing,
+    "knn_label_vote": knn_label_vote_gate,
+    "incremental_dedup_cross": incremental_dedup_cross,
+    "pii_redaction": pii_redaction,
+    "quality_rare_tokens": quality_rare_tokens,
+    "packed_sequence_export": packed_sequence_export,
+    "sample_global_k": sample_global_k,
+    "heavy_hitter_grams": heavy_hitter_grams,
+    "embedding_quantize_profile": embedding_quantize_profile,
+    "dedup_source_matrix": dedup_source_matrix,
+    "corpus_version_diff": corpus_version_diff,
+    "chunk_dedup_spans": chunk_dedup_spans,
+    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
+    "boilerplate_line_removal": boilerplate_line_removal,
+    "temperature_lang_sample": temperature_lang_sample,
+    "train_val_test_split": train_val_test_split,
+    "length_outlier_trim": length_outlier_trim,
+    "domain_cap_topn": domain_cap_topn,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "rag_chunking": rag_chunking,
+    "semantic_decontam": semantic_decontam,
+    "script_composition": script_composition,
+    "weighted_sample_docs": weighted_sample_docs,
+    "q1_pricing_summary": q1_pricing_summary,
+    "hourly_event_rollup": hourly_event_rollup,
+    "chain_state_fold": chain_state_fold,
+    "approx_distinct_users": approx_distinct_users,
+    "bm25_ranking": bm25_ranking,
+    "ngram_containment": ngram_containment,
+    "winnowing_overlap_pairs": winnowing_overlap_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "multimodal_metadata": multimodal_metadata,
+    # ------------------------------------------------------------------
+    # Behind the 50-query window. First the two deferred round-4 greens
+    # (round-7 rotation debt), then the 50 round-5 greens.
+    "temperature_lang_sample_a25": temperature_lang_sample_a25,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
     "curation_funnel": curation_funnel,
     "label_centroid_stats": label_centroid_stats,
     "corpus_token_budget": corpus_token_budget,
@@ -3868,14 +4016,11 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": unigram_surprisal,
     "corpus_report": corpus_report,
     "embedding_covariance": embedding_covariance,
-    # --- (b) new in round 5 (never checked — must sit in the window) ---
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "skew_salted_agg": skew_salted_agg,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
-    # --- (c) last checked round 2 (stale greens, r4 verdict task 2) ----
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
-    # --- (d) §2 parity block + §2.8 scalars, last green round 3 --------
     "w1_latest_order_per_customer": w1_latest_order_per_customer,
     "w2_canonical_group_id": w2_canonical_group_id,
     "w3_tail_two_patch": w3_tail_two_patch,
@@ -3905,7 +4050,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_filter_counts": retention_filter_counts,
     "datefmt_stopat": datefmt_stopat,
     "json_props_extract": json_props_extract,
-    # --- (e) extension gates last green round 3 -------------------------
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "stream_dedup_sessions": stream_dedup_sessions,
@@ -3914,61 +4058,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
     "quality_repetition": quality_repetition,
-    # ------------------------------------------------------------------
-    # Behind the 50-query window: every gate below has a green round-4
-    # CORRECTNESS row (or round-3 for the seven map-side text gates at
-    # the end) — they rotate back in next round.
-    "contamination_ngram": contamination_ngram,
-    "global_shard_ids": global_shard_ids,
-    "asof_last_purchase": asof_last_purchase,
-    "sequence_packing": sequence_packing,
-    "knn_label_vote": knn_label_vote_gate,
-    "incremental_dedup_cross": incremental_dedup_cross,
-    "pii_redaction": pii_redaction,
-    "quality_rare_tokens": quality_rare_tokens,
-    "packed_sequence_export": packed_sequence_export,
-    "sample_global_k": sample_global_k,
-    "heavy_hitter_grams": heavy_hitter_grams,
-    "embedding_quantize_profile": embedding_quantize_profile,
-    "dedup_source_matrix": dedup_source_matrix,
-    "corpus_version_diff": corpus_version_diff,
-    "chunk_dedup_spans": chunk_dedup_spans,
-    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
-    "boilerplate_line_removal": boilerplate_line_removal,
-    "temperature_lang_sample": temperature_lang_sample,
-    "temperature_lang_sample_a25": temperature_lang_sample_a25,
-    "train_val_test_split": train_val_test_split,
-    "length_outlier_trim": length_outlier_trim,
-    "domain_cap_topn": domain_cap_topn,
-    "funnel_view_click_purchase": funnel_view_click_purchase,
-    "rag_chunking": rag_chunking,
-    "semantic_decontam": semantic_decontam,
-    "script_composition": script_composition,
-    "dedup_cluster_histogram": dedup_cluster_histogram,
-    "weighted_sample_docs": weighted_sample_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "hourly_event_rollup": hourly_event_rollup,
-    "chain_state_fold": chain_state_fold,
-    "approx_distinct_users": approx_distinct_users,
-    "bm25_ranking": bm25_ranking,
-    "ngram_containment": ngram_containment,
-    "winnowing_overlap_pairs": winnowing_overlap_pairs,
-    "weighted_source_mix": weighted_source_mix,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "embedding_cosine_topk": embedding_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "embedding_near_dup": embedding_near_dup,
-    "multimodal_metadata": multimodal_metadata,
-    "text_token_count": text_token_count,
-    "text_quality_score": text_quality_score,
-    "lang_id_stopwords": lang_id_stopwords,
-    "lang_id_multi": lang_id_multi,
-    "text_bpe_token_count": text_bpe_token_count,
-    "token_len_histogram": token_len_histogram,
-    "token_percentiles": token_percentiles,
 }
 
 

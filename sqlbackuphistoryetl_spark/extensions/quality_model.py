@@ -58,15 +58,45 @@ def train_quality_model(
     return Pipeline(stages=[va, lr]).fit(labeled)
 
 
+def score_with_weights(
+    docs: DataFrame,
+    weights: dict[str, float],
+    intercept: float,
+    quantize_dp: int | None = None,
+) -> DataFrame:
+    """Score with EXPLICIT frozen coefficients: input columns +
+    ``quality_prob`` ∈ [0,1] + ``quality_pred``.
+
+    The linear term is a plain codegen'd expression (one dot product per
+    row, summed in ``weights`` iteration order; nulls scored as 0).
+    With ``quantize_dp`` set, the pre-sigmoid logit is quantized to that
+    many decimal places via ``floor(z·10^dp + 0.5)/10^dp`` — pure IEEE
+    double ops that are bit-identical in every engine — so a SQL oracle
+    computing the same features sees the exact same sigmoid input (the
+    tfidf/entropy transcendental doctrine: quantize the transcendental's
+    INPUT, round its output).
+    """
+    z = F.lit(float(intercept))
+    for c, w in weights.items():
+        z = z + F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+    if quantize_dp is not None:
+        scale = float(10**quantize_dp)
+        z = F.floor(z * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.withColumn("quality_prob", prob).withColumn(
+        "quality_pred", (F.col("quality_prob") >= 0.5).cast("double")
+    )
+
+
 def score_quality(model, docs: DataFrame) -> DataFrame:
-    """Score a corpus: input columns + ``quality_prob`` ∈ [0,1] +
-    ``quality_pred``.
+    """Score a corpus with a FITTED model: input columns +
+    ``quality_prob`` ∈ [0,1] + ``quality_pred``.
 
     Scoring deliberately does NOT call ``model.transform``: the fitted
     coefficients are unrolled into a plain codegen'd sigmoid expression
-    (one dot product per row, nulls scored as 0). Besides keeping the
-    whole scoring pass inside whole-stage codegen (no vector UDT
-    columns), this sidesteps a Spark 4.1 serialization hazard —
+    via :func:`score_with_weights`. Besides keeping the whole scoring
+    pass inside whole-stage codegen (no vector UDT columns), this
+    sidesteps a Spark 4.1 serialization hazard —
     ``ProbabilisticClassificationModel.transform``'s prediction lambda
     captures the session's ObservationManager, which is not
     serializable once any ``Observation`` has been registered on the
@@ -77,12 +107,10 @@ def score_quality(model, docs: DataFrame) -> DataFrame:
     lr = model.stages[-1]
     feature_cols = list(model.stages[0].getInputCols())
     coefs = list(lr.coefficients.toArray())
-    z = F.lit(float(lr.intercept))
-    for c, w in zip(feature_cols, coefs):
-        z = z + F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return docs.withColumn("quality_prob", prob).withColumn(
-        "quality_pred", (F.col("quality_prob") >= 0.5).cast("double")
+    return score_with_weights(
+        docs,
+        dict(zip(feature_cols, (float(w) for w in coefs))),
+        float(lr.intercept),
     )
 
 

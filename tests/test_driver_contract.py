@@ -22,17 +22,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50
 
 
-def _greens_from_past_rounds() -> set[str]:
-    greens: set[str] = set()
+def _green_rounds() -> tuple[dict[str, int], int]:
+    """(last driver-green round per gate, latest recorded round)."""
+    last_green: dict[str, int] = {}
+    latest = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         try:
             data = json.load(open(path))
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         except Exception:
             continue
+        latest = max(latest, rnd)
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                greens.add(name)
-    return greens
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, latest
+
+
+def _greens_from_past_rounds() -> set[str]:
+    return set(_green_rounds()[0])
 
 
 def test_every_query_has_an_oracle():
@@ -61,6 +69,28 @@ def test_never_green_queries_sit_in_driver_window():
     assert stranded == [], (
         f"{len(stranded)} never-green queries are outside the driver's "
         f"{DRIVER_WINDOW}-query window: {stranded}"
+    )
+
+
+def test_no_stale_greens_outside_driver_window():
+    """Rotation forcing function (r5 verdict task 1): a gate parked
+    outside the 50-slot window must have a driver-green CORRECTNESS row
+    from one of the LAST TWO recorded rounds. The moment a new round's
+    CORRECTNESS file lands, any gate that would become 3-rounds-stale
+    turns this red — so the rotation debt can't silently accumulate the
+    way the r3 text/sampling block did. (Never-green gates are the
+    previous test's job; skipped here to avoid double-reporting.)"""
+    names = list(entry_mod.queries())
+    last_green, latest = _green_rounds()
+    stale = [
+        (n, last_green[n])
+        for i, n in enumerate(names)
+        if i >= DRIVER_WINDOW and n in last_green and last_green[n] < latest - 1
+    ]
+    assert stale == [], (
+        f"latest recorded round is r{latest}; these outside-window gates "
+        f"were last driver-green ≥2 rounds ago and must rotate into the "
+        f"first {DRIVER_WINDOW} slots: {stale}"
     )
 
 
