@@ -144,7 +144,16 @@ def _fmt_wall_us(us):
     Asia/Kolkata + legacy NTZ inference."""
     import datetime as _dt
 
-    days = F.floor(us / F.lit(86_400_000_000)).cast("int")
+    # Integer-exact day derivation (r5 advice): us - pmod(us, day) is an
+    # exact multiple of 86_400_000_000; dividing via decimal(38,0) keeps
+    # the quotient exact at ANY epoch, where the old `floor(us / day)`
+    # double path loses integer exactness for |us| >= 2^53 (~year 2255)
+    # and could disagree with the pmod-exact time part.
+    day_us = F.lit(86_400_000_000)
+    days = (
+        (us - F.pmod(us, day_us)).cast("decimal(38,0)")
+        / day_us.cast("decimal(38,0)")
+    ).cast("int")
     d = F.date_add(F.lit(_dt.date(1970, 1, 1)), days)
     secs = F.floor(F.pmod(us, F.lit(86_400_000_000)) / F.lit(1_000_000)).cast(
         "long"

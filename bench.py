@@ -133,11 +133,17 @@ def main() -> None:
     # phantom regression). A third sample on just the >1.5 s queries
     # costs ~15 s and pins min-of-3 steady state for the numbers that
     # dominate the total.
-    for name in [n for n in HEADLINE if timings[n] > 1.5]:
+    # (r5 advice: EXTENDED's heavy entries — ngram_containment,
+    # curation_pipeline_e2e — carry the same noise exposure, so the
+    # third pass covers both baskets.)
+    third = [(n, timings) for n in HEADLINE if timings[n] > 1.5] + [
+        (n, timings_ext) for n in EXTENDED if timings_ext[n] > 1.5
+    ]
+    for name, sink in third:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, SF_DIR))
         dt = round(time.perf_counter() - t0, 3)
-        timings[name] = min(timings[name], dt)
+        sink[name] = min(sink[name], dt)
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -61,16 +61,19 @@ def read_jsonl_corpus(
     return reader.json(path)
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantine) split of a PERMISSIVE read. ``good`` drops the
-    corrupt column; ``quarantine`` keeps only the raw bad lines. A
-    Spark subtlety is handled here: referencing ONLY the corrupt column
-    of a json scan raises AnalysisException (the reader refuses a
-    corrupt-only projection), so the filter runs before the projection
-    narrows."""
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(good, quarantine, pinned) split of a PERMISSIVE read. ``good``
+    drops the corrupt column; ``quarantine`` keeps only the raw bad
+    lines; ``pinned`` is the cached source frame feeding both — call
+    ``pinned.unpersist()`` once both splits are materialized, or the
+    cache blocks accumulate across repeated ingest cycles in a
+    long-lived session. A Spark subtlety is handled here: referencing
+    ONLY the corrupt column of a json scan raises AnalysisException
+    (the reader refuses a corrupt-only projection), so the filter runs
+    before the projection narrows."""
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"no {CORRUPT_COL} column — read with mode=PERMISSIVE")
     pinned = df.cache()  # one scan feeds both splits
     good = pinned.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = pinned.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    return good, bad, pinned

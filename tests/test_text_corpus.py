@@ -51,11 +51,16 @@ def test_permissive_quarantines_corrupt_lines(spark, tmp_path):
     path = _write(tmp_path, GOOD + BAD)
     df = read_jsonl_corpus(spark, path, SCHEMA, mode="PERMISSIVE")
     assert CORRUPT_COL in df.columns
-    good, bad = split_corrupt(df)
+    good, bad, pinned = split_corrupt(df)
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 3]
     raw_bad = sorted(r[CORRUPT_COL] for r in bad.collect())
     assert raw_bad == sorted(BAD)  # raw lines preserved for quarantine
     assert CORRUPT_COL not in good.columns
+    # the pinned handle releases the one-scan cache (r5 advice: repeated
+    # PERMISSIVE cycles must not accumulate storage blocks)
+    assert pinned.is_cached
+    pinned.unpersist()
+    assert not pinned.is_cached
 
 
 def test_split_corrupt_requires_permissive(spark, tmp_path):
