@@ -327,17 +327,22 @@ def ngram_jaccard_all_pairs(
 
     Scale: never ships gram arrays through the pair join and never forms
     zero-overlap pairs — the join is an equi-join on the gram value, so
-    work is Σ_g df(g)². That sum is quadratic in the document frequency
-    of HOT grams ("the quick" at web scale), which no skew-split can
-    reduce — so ``max_gram_df`` applies the standard inverted-index
-    stop-gram bound: grams with df > max_gram_df are dropped from
-    CANDIDATE GENERATION (heavy hitters are few ⇒ broadcast anti-join,
-    zero extra shuffle of the posting list), and surviving candidate
-    pairs are re-scored EXACTLY over their full gram sets, so reported
-    jaccard values are identical to the uncapped path. The only loss is
-    pairs whose every shared gram is hot — at a sane cap (say df > 10⁴)
-    such pairs sit far below any useful similarity threshold. With
-    ``max_gram_df=None`` the fully exact one-join formulation runs.
+    work is Σ_g df(g)². Two reductions keep that sum honest at corpus
+    scale (r5 verdict task 2): (1) grams with df=1 — the overwhelming
+    majority of a real corpus's gram mass — are filtered out BEFORE the
+    self-join (they cannot form a pair; exactness unchanged), via one
+    reusable per-gram df aggregate; (2) ``max_gram_df`` applies the
+    standard inverted-index stop-gram bound for the df² blowup no
+    skew-split can reduce ("the quick" at web scale): grams with
+    df > max_gram_df are dropped from CANDIDATE GENERATION, and — only
+    when such hot grams actually exist — surviving candidate pairs are
+    re-scored EXACTLY over their full gram sets, so reported jaccard
+    values are identical to the uncapped path. When no gram exceeds the
+    cap, the candidate counts are already exact and the re-score is
+    skipped. The only loss is pairs whose every shared gram is hot — at
+    a sane cap (say df > 10⁴) such pairs sit far below any useful
+    similarity threshold. With ``max_gram_df=None`` the fully exact
+    one-join formulation runs.
 
     Pairs with no shared gram have jaccard 0 and are (correctly)
     absent; callers wanting them use min_jaccard=0 semantics downstream.
@@ -356,28 +361,49 @@ def ngram_jaccard_all_pairs(
         .select("_gid", F.explode("grams").alias("gram")),
     )
 
-    if max_gram_df is not None:
-        # Stop-gram pruning: heavy hitters (df > cap) are removed from
-        # the pair-generation join by a broadcast anti-join. The partial
-        # (map-side) aggregation of groupBy(gram) absorbs the hot gram's
-        # row mass before any shuffle.
-        hot = (
-            posting.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("gram")
+    # Per-gram document frequency — ONE partially-aggregated (map-side
+    # combined, skew-safe) pass reused for BOTH stop-gram detection and
+    # the df>=2 pair-ability filter. A gram appearing in one document
+    # can't form a pair, and in a real corpus MOST gram mass is df=1
+    # (7.4M of 7.6M distinct grams at the 200k-doc scale smoke), so
+    # dropping it before the self-join removes ~97% of the join input.
+    gram_df = cachereg.persist(
+        "ngram_jaccard",
+        posting.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")),
+    )
+    if max_gram_df is None:
+        pairable = gram_df.filter(F.col("_df") >= 2)
+        has_hot = False
+    else:
+        pairable = gram_df.filter(
+            (F.col("_df") >= 2) & (F.col("_df") <= max_gram_df)
         )
-        # Candidate join on a 64-bit gram hash, not the gram string:
-        # the shuffle carries (id, long) instead of (id, text n-gram)
-        # and the join compares longs. A hash collision can only ADD a
-        # candidate pair (merged grams), never lose one, and the exact
-        # re-score over the true gram sets discards any false positive.
-        capped = posting.join(F.broadcast(hot), "gram", "left_anti").select(
-            "_gid", F.xxhash64("gram").alias("_gh")
+        # Driver decision on the persisted aggregate: when NO gram
+        # exceeds the cap (the common case at sane caps), the
+        # string-joined candidate counts are already exact over every
+        # gram, so the array re-score stage is skipped entirely
+        # (measured 13 s of 49 s at the 200k smoke).
+        has_hot = (
+            gram_df.filter(F.col("_df") > max_gram_df).limit(1).count() > 0
         )
-        a, b = capped.alias("a"), capped.alias("b")
+
+    # Candidate join input: posting reduced to pairable grams. The
+    # semi-join is AQE-broadcastable when the pairable set is small
+    # (df>=2 grams are the near-dup sliver); joining on the gram STRING
+    # keeps counts exact — the old 64-bit-hash narrowing is moot now
+    # that df=1 mass never reaches the shuffle.
+    # Eager checkpoint before the broadcast build: feeding the filtered
+    # cached aggregate straight into the broadcast exchange measured
+    # ~7 s of inline build at the 200k smoke vs 0.7 s checkpointed +
+    # 1.8 s probe. Pairable is the near-dup gram sliver (df >= 2),
+    # bounded and executor-distributed.
+    pairable = pairable.select("gram").localCheckpoint(eager=True)
+    join_src = posting.join(F.broadcast(pairable), "gram", "left_semi")
+
+    if max_gram_df is not None and has_hot:
+        a, b = join_src.alias("a"), join_src.alias("b")
         cand = (
-            a.join(b, (F.col("a._gh") == F.col("b._gh")) & (F.col("a._gid") < F.col("b._gid")))
+            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
             .select(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -419,23 +445,21 @@ def ngram_jaccard_all_pairs(
                 ).alias("jaccard"),
             )
         )
-        # Unconditional: a 64-bit gram-hash collision in the candidate
-        # join can pair docs sharing ZERO true grams; the exact
-        # re-score types them jaccard 0.0, but with min_jaccard=0.0 no
-        # threshold drops them — violating the "every pair shares ≥1
-        # gram / identical to the uncapped path" contract (r4 ADVICE;
-        # negligible at gate scale, birthday-bound real near 2^32
-        # distinct grams).
+        # Kept from the hash-join era as a zero-cost invariant guard:
+        # candidates now string-join on true grams, so every pair
+        # shares >=1 gram and jaccard is provably > 0 here.
         out = out.filter(F.col("jaccard") > 0)
         if min_jaccard > 0:
             out = out.filter(F.col("jaccard") >= min_jaccard)
         return out
 
+    # Direct-count path: uncapped, or capped with no hot gram — either
+    # way the candidate counts over join_src are exact for every gram.
     sizes = cachereg.persist(
         "ngram_jaccard",
         posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams")),
     )  # consumed by both the id_a and id_b size joins
-    a, b = posting.alias("a"), posting.alias("b")
+    a, b = join_src.alias("a"), join_src.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._gid") < F.col("b._gid")))
         .groupBy(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
@@ -481,12 +505,14 @@ def ngram_containment_pairs(
 
     Scale shape = the inverted-index Jaccard (one posting-list
     materialization, equi-join on the gram, Σ df(g)² bounded by the
-    same ``max_gram_df`` stop-gram cap). Containment needs only shared
-    counts + per-doc set sizes, so no gram arrays ever ship through the
-    pair join — and unlike the Jaccard path no exact re-score stage is
-    needed: the capped shared count is exact for every surviving pair
-    whose grams are all under the cap; with a cap set, pairs are
-    re-counted over the FULL posting list so values stay exact.
+    same df>=2 pair-ability filter and ``max_gram_df`` stop-gram cap —
+    see ngram_jaccard_all_pairs). Containment needs only shared counts
+    + per-doc set sizes, so no gram arrays ever ship through the pair
+    join. With a cap set AND hot grams actually present, surviving
+    pairs are re-counted over the full posting list so values stay
+    exact; when no gram exceeds the cap the string-joined candidate
+    counts are already exact and the re-score is skipped (the 200k-doc
+    smoke's 62 s → ~17 s cut, r5 verdict task 2).
     """
     cachereg.begin("ngram_containment")
     posting = cachereg.persist(
@@ -499,36 +525,41 @@ def ngram_containment_pairs(
         posting.groupBy("_gid").agg(F.count(F.lit(1)).alias("n_grams")),
     )  # consumed by both the n_a and n_b joins
 
-    join_src = posting
-    join_key = "gram"
-    if max_gram_df is not None:
-        hot = (
-            posting.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("gram")
+    # Per-gram df: stop-gram detection + df>=2 pair-ability filter in
+    # one reusable partial-aggregated pass (see ngram_jaccard_all_pairs).
+    gram_df = cachereg.persist(
+        "ngram_containment",
+        posting.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")),
+    )
+    if max_gram_df is None:
+        pairable = gram_df.filter(F.col("_df") >= 2)
+        has_hot = False
+    else:
+        pairable = gram_df.filter(
+            (F.col("_df") >= 2) & (F.col("_df") <= max_gram_df)
         )
-        # capped candidates join on the 64-bit gram hash (narrow
-        # shuffle, long compare — see ngram_jaccard_all_pairs); safe
-        # because capped counts never leave this function: the exact
-        # array re-count below replaces them. The UNCAPPED path keeps
-        # the string join — its counts ARE the output.
-        join_src = posting.join(F.broadcast(hot), "gram", "left_anti").select(
-            "_gid", F.xxhash64("gram").alias("_gh")
+        has_hot = (
+            gram_df.filter(F.col("_df") > max_gram_df).limit(1).count() > 0
         )
-        join_key = "_gh"
+    # Eager checkpoint before the broadcast build: feeding the filtered
+    # cached aggregate straight into the broadcast exchange measured
+    # ~7 s of inline build at the 200k smoke vs 0.7 s checkpointed +
+    # 1.8 s probe. Pairable is the near-dup gram sliver (df >= 2),
+    # bounded and executor-distributed.
+    pairable = pairable.select("gram").localCheckpoint(eager=True)
+    join_src = posting.join(F.broadcast(pairable), "gram", "left_semi")
 
     a, b = join_src.alias("a"), join_src.alias("b")
     cand = (
         a.join(
             b,
-            (F.col(f"a.{join_key}") == F.col(f"b.{join_key}"))
+            (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a._gid") < F.col("b._gid")),
         )
         .groupBy(F.col("a._gid").alias("id_a"), F.col("b._gid").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    if max_gram_df is not None:
+    if max_gram_df is not None and has_hot:
         # exact re-count of shared grams over the UNCAPPED gram sets —
         # capped counts only generate candidates, they never leave this
         # function. ARRAY intersect per pair, not a posting count-join:
@@ -562,10 +593,9 @@ def ngram_containment_pairs(
                 "id_b",
                 F.size(F.array_intersect("ga.grams", "gb.grams")).alias("shared"),
             )
-            # Unconditional: gram-hash collisions can produce shared=0
-            # candidates the exact re-count exposes; only a positive
-            # min_containment used to drop them (r4 ADVICE — same
-            # contract fix as ngram_jaccard_all_pairs).
+            # Invariant guard (candidates string-join on true grams, so
+            # the exact re-count is provably >=1 — kept from the
+            # hash-join era at zero cost).
             .filter(F.col("shared") > 0)
         )
 

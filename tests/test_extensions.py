@@ -593,3 +593,29 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     # the driver-side IN-list itself: `cell#… IN (…)` or `cell#… = n`
     # (Catalyst folds a single-probe list to equality).
     assert m and re.search(r"cell#\d+L? (IN \(|= )", m.group(1)), plan
+
+
+def test_capped_no_hot_skips_rescore(spark):
+    """r6 cost cut: with a cap no gram exceeds, the string-joined
+    candidate counts are exact, so the array re-score (collect_list +
+    array_intersect) must NOT appear in the plan; with hot grams
+    present it must. Guards the has_hot driver decision both ways."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma secret{i % 4} tail{i % 4} word{i}")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    lazy_no_hot = ngram_containment_pairs(
+        docs, n=3, min_containment=0.0, max_gram_df=10_000
+    )
+    plan = lazy_no_hot._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan, plan
+    lazy_hot = ngram_containment_pairs(
+        docs, n=3, min_containment=0.0, max_gram_df=5
+    )
+    plan_hot = lazy_hot._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan_hot, plan_hot
