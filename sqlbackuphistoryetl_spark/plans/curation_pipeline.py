@@ -80,12 +80,15 @@ def curate_corpus(
 
     def _mark(name: str, df: DataFrame, pin: bool = False) -> DataFrame:
         if report:
-            # ``pin`` marks an expensive barrier (the near-dup pair
-            # join): with per-stage counts on, every later count would
-            # re-run it from scratch — checkpoint once so the 5 counts
-            # downstream read the materialized stage instead (measured
-            # ~3× on the composite gate). With report=False nothing is
-            # materialized and the pipeline stays one lazy job graph.
+            # ``pin`` marks an expensive barrier: with per-stage counts
+            # on, every later count would re-run it from scratch —
+            # checkpoint once so the counts downstream read the
+            # materialized stage instead. Two pins: the near-dup pair
+            # join (measured ~3× on the composite gate) and the
+            # boilerplate rewrite (r5 verdict task 4 — its join output
+            # otherwise recomputes stages 1-3 for each of the 4+ counts
+            # after it). With report=False nothing is materialized and
+            # the pipeline stays one lazy job graph.
             if pin:
                 df = df.localCheckpoint(eager=True)
             rep.stage_counts[name] = df.count()
@@ -123,6 +126,7 @@ def curate_corpus(
         docs.drop(text_col).join(cleaned, id_col).withColumnRenamed(
             "clean_text", text_col
         ),
+        pin=True,
     )
 
     # 4. token counts once — reused by every later stage
