@@ -90,8 +90,12 @@ def jdbc_update_watermark(
         props.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
+        # ANSI-quoted identifiers: Spark's JDBC writer creates columns
+        # quoted (case-preserved), so case-folding engines (Derby →
+        # upper) would not resolve the unquoted names; SQL Server
+        # accepts the quoted form under its default QUOTED_IDENTIFIER.
         stmt = conn.prepareStatement(
-            f"update {table} set LastETLDatetime = ? where ServerName = ?"  # noqa: S608 — table name is config, values parameterized
+            f'update {table} set "LastETLDatetime" = ? where "ServerName" = ?'  # noqa: S608 — table name is config, values parameterized
         )
         stmt.setTimestamp(1, jvm.java.sql.Timestamp(int(new_mark.timestamp() * 1000)))
         stmt.setString(2, server_name)
