@@ -46,6 +46,10 @@ GATES = [
     "a4_min_after_threshold",
     "u1_union_distinct_tail",
     "datefmt_stopat",
+    # r6: frozen-weights sigmoid scoring — transcendental output parity
+    # must hold regardless of session zone (it has no time inputs; this
+    # pins that nothing in the scoring plan grows one by accident).
+    "quality_model_score",
 ]
 
 TABLES = [
