@@ -1725,6 +1725,67 @@ where greatest(cast(s.shared as double) / za.n_grams,
 """
 
 
+def ngram_containment_capped(spark, sf_dir):
+    """The CAPPED containment path under a deliberately low stop-gram
+    cap (max_gram_df=25), so the r6 split is driver-exercised end to
+    end: candidates come only from grams with 2 <= df <= cap, and when
+    any gram exceeds the cap the exact array re-score stage runs (the
+    has_hot branch). The oracle encodes the capped semantics exactly —
+    a pair appears iff it shares >=1 under-cap gram, scored over its
+    FULL gram sets — so the gate is hash-exact in BOTH branches; which
+    branch runs depends only on the data's gram df profile."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    out = ngram_containment_pairs(
+        docs, n=3, min_containment=0.3, max_gram_df=25
+    )
+    return out.select(
+        "id_a", "id_b", "shared", "n_a", "n_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+NGRAM_CONTAINMENT_CAPPED_SQL = r"""
+with toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents where doc_id < 400),
+grams as (
+  select doc_id,
+         case when len(t) >= 3
+              then list_distinct(list_transform(range(len(t)-2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              else [array_to_string(t, ' ')] end as g
+  from toks),
+sizes as (select doc_id, len(g) as n_grams from grams),
+posting as (select doc_id, unnest(g) as gram from grams),
+gdf as (select gram, count(*) as df from posting group by 1),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from posting a
+  join posting b on a.gram = b.gram and a.doc_id < b.doc_id
+  join gdf on gdf.gram = a.gram
+  where gdf.df <= 25),
+shared as (
+  select c.id_a, c.id_b, count(*) as shared
+  from cand c
+  join posting a on a.doc_id = c.id_a
+  join posting b on b.doc_id = c.id_b and b.gram = a.gram
+  group by 1, 2)
+select s.id_a, s.id_b, s.shared, za.n_grams as n_a, zb.n_grams as n_b,
+       round(cast(s.shared as double) / za.n_grams, 6) as containment_a,
+       round(cast(s.shared as double) / zb.n_grams, 6) as containment_b
+from shared s
+join sizes za on s.id_a = za.doc_id
+join sizes zb on s.id_b = zb.doc_id
+where greatest(cast(s.shared as double) / za.n_grams,
+               cast(s.shared as double) / zb.n_grams) >= 0.3
+"""
+
+
 # ---------------- approximate paths, oracle-gated at 100% recall
 #
 # Each gate composes the approximate stage (banding/bucketing — the
@@ -3678,6 +3739,7 @@ _ORACLES: dict[str, str | None] = {
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
+    "ngram_containment_capped": NGRAM_CONTAINMENT_CAPPED_SQL,
     "winnowing_overlap_pairs": WINNOWING_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
@@ -3948,16 +4010,16 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # round-4 hash-reds (sole cause: uncast DuckDB sum() typing as HUGEINT;
 # oracles now cast — engine untouched), (b) the new
 # Round-6 rotation (r5 verdict task 1): the driver checks the FIRST 50
-# entries, so this round's window holds (a) the new frozen-weights
-# quality_model_score gate (never checked — must sit in the window),
-# (b) the nine gates whose last driver-green row is round 3 (seven
-# map-side text gates + the two sampling gates), and (c) 40 of the 42
-# round-4 greens. Two round-4 greens defer to round 7
-# (temperature_lang_sample_a25 and dedup_cluster_histogram — parameter
-# variants whose base operators ARE in this window); the 50 round-5
-# greens rotate to the back. tests/test_driver_contract.py pins both
-# invariants: never-green gates in-window, and no gate staler than two
-# recorded rounds outside it.
+# entries, so this round's window holds (a) the two NEW gates
+# (quality_model_score, ngram_containment_capped — never checked, must
+# sit in the window), (b) the nine gates whose last driver-green row is
+# round 3 (seven map-side text gates + the two sampling gates), and
+# (c) 39 of the 42 round-4 greens. Three round-4 greens defer to
+# round 7 (temperature_lang_sample_a25 and dedup_cluster_histogram —
+# parameter variants whose base operators ARE in this window — plus
+# script_composition); the 50 round-5 greens rotate to the back.
+# tests/test_driver_contract.py pins both invariants: never-green gates
+# in-window, and no gate staler than two recorded rounds outside it.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 6 -------------------------------------------
     "quality_model_score": quality_model_score,
@@ -3996,7 +4058,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rag_chunking": rag_chunking,
     "semantic_decontam": semantic_decontam,
-    "script_composition": script_composition,
     "weighted_sample_docs": weighted_sample_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "hourly_event_rollup": hourly_event_rollup,
@@ -4004,6 +4065,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
     "ngram_containment": ngram_containment,
+    "ngram_containment_capped": ngram_containment_capped,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -4013,10 +4075,11 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
     # ------------------------------------------------------------------
-    # Behind the 50-query window. First the two deferred round-4 greens
-    # (round-7 rotation debt), then the 50 round-5 greens.
+    # Behind the 50-query window. First the three deferred round-4
+    # greens (round-7 rotation debt), then the 50 round-5 greens.
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "dedup_cluster_histogram": dedup_cluster_histogram,
+    "script_composition": script_composition,
     "curation_funnel": curation_funnel,
     "label_centroid_stats": label_centroid_stats,
     "corpus_token_budget": corpus_token_budget,

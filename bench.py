@@ -60,10 +60,9 @@ EXTENDED = [
     "global_shard_ids",
     # round-4 operators, first recorded in BENCH_r05 (r4 verdict task 5).
     # ngram_containment: the gate runs the uncapped exact path on the
-    # <500-id slice; the capped web-scale path's 500k-doc smoke number
-    # (~135 s exact re-count; MinHash-candidate fallback via
-    # rescore_candidates_only documented in extensions/dedup.py) lives
-    # in scale_smoke.py, not here.
+    # <500-id slice; the capped web-scale path's corpus numbers (r6
+    # df>=2-prefilter rework: 62.5 s → ~29 s standalone at 200k docs)
+    # live in scale_smoke.py, not here.
     "bm25_ranking",
     "ngram_containment",
     # round-5 composite: full curate_corpus with per-stage counts (the
