@@ -3643,6 +3643,153 @@ union all select i, j, s from cnt
 """
 
 
+# ---------------- round-6 additions: spans / SemDeDup / Gopher rules
+
+
+def dup_window_spans(spark, sf_dir):
+    """Exact duplicated-substring spans, the sliding-window form of
+    Lee et al. 2022 (extensions/dedup.py:duplicated_window_spans):
+    every corpus-duplicated 6-token window is marked and adjacent hits
+    merge into maximal spans via the pos − row_number island trick —
+    identical arithmetic both engines, so the gate is integer-exact
+    (positions and counts only, no floats)."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        duplicated_window_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_window_spans(docs, window_tokens=6, min_occurrences=2)
+
+
+DUP_SPANS_SQL = r"""
+with toks as (
+  select doc_id, regexp_split_to_array(trim(lower(text)), '\s+') as t
+  from documents),
+pos as (
+  select doc_id, t, unnest(range(len(t) - 5)) as p
+  from toks where len(t) >= 6),
+wins as (
+  select doc_id, cast(p as int) as pos,
+         array_to_string(t[p+1 : p+6], ' ') as win
+  from pos),
+dup as (select win from wins group by win having count(*) >= 2),
+hits as (select w.doc_id, w.pos from wins w join dup d using (win)),
+isl as (
+  select doc_id, pos,
+         pos - row_number() over (partition by doc_id order by pos) as grp
+  from hits)
+select doc_id,
+       min(pos) as span_start,
+       max(pos) + 5 as span_end,
+       max(pos) - min(pos) + 6 as span_tokens,
+       cast(count(*) as int) as n_windows
+from isl
+group by doc_id, grp
+"""
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with the oracle-replicable strata
+    quantizer (extensions/similarity.py:strata_centroids): md5-min
+    pseudo-random centroid per id-modulo stratum, map-side argmax-cosine
+    assignment, prune iff a lower-id same-cell neighbor has cosine >=
+    0.35 (the corpus's near-dup bar — see embedding_near_dup). Output
+    is fully discrete (id, cell, keep): assignment/threshold near-ties
+    between double-precision engines would need two cosines within
+    ~1e-15, which the synthetic corpus cannot produce."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        semdedup_prune as _prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _prune(emb, k_clusters=16, threshold=0.35)
+
+
+SEMDEDUP_SQL = """
+with cents as (
+  select cast(vec_id % 16 as int) as cell,
+         min_by(embedding, md5(cast(vec_id as varchar))) as centroid
+  from embeddings group by 1),
+scored as (
+  select e.vec_id, e.embedding, c.cell,
+         list_cosine_similarity(e.embedding::double[],
+                                c.centroid::double[]) as cos
+  from embeddings e cross join cents c),
+assigned as (
+  select vec_id, embedding, cell from (
+    select *, row_number() over (partition by vec_id
+                                 order by cos desc, cell) as rn
+    from scored) where rn = 1),
+pruned as (
+  select distinct b.vec_id as pid
+  from assigned a join assigned b
+    on a.cell = b.cell and a.vec_id < b.vec_id
+  where list_cosine_similarity(a.embedding::double[],
+                               b.embedding::double[]) >= 0.35)
+select a.vec_id, a.cell, (p.pid is null) as keep
+from assigned a left join pruned p on a.vec_id = p.pid
+"""
+
+
+def gopher_quality(spark, sf_dir):
+    """The published Gopher/MassiveText rule set as one map-side pass
+    (functions/textfns.py:gopher_quality_flags). Every threshold is an
+    integer cross-multiplication (no float division anywhere), so the
+    composite is engine-exact with zero rounding doctrine. On this
+    synthetic corpus the 2-of-8 stopword floor never passes (the vocab
+    carries only 'the'); n_stop_distinct still varies 0/1 and is
+    value-checked."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *gopher_quality_flags("text"))
+
+
+GOPHER_SQL = r"""
+with base as (
+  select doc_id,
+         len(regexp_extract_all(text, '\S+')) as nw,
+         length(regexp_replace(text, '\s', '', 'g')) as nns,
+         length(text) - length(replace(text, '#', '')) as nh,
+         len(regexp_extract_all(text, '(\.\.\.|…)')) as ne,
+         len(regexp_split_to_array(text, '\n')) as nl,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         l -> regexp_matches(l, '^\s*[-*•]'))) as nb,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) as nee,
+         len(list_filter(regexp_extract_all(text, '\S+'),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) as na,
+         (cast(regexp_matches(lower(text), '\bthe\b') as int)
+          + cast(regexp_matches(lower(text), '\bbe\b') as int)
+          + cast(regexp_matches(lower(text), '\bto\b') as int)
+          + cast(regexp_matches(lower(text), '\bof\b') as int)
+          + cast(regexp_matches(lower(text), '\band\b') as int)
+          + cast(regexp_matches(lower(text), '\bthat\b') as int)
+          + cast(regexp_matches(lower(text), '\bhave\b') as int)
+          + cast(regexp_matches(lower(text), '\bwith\b') as int)) as nsd
+  from documents),
+flags as (
+  select doc_id, nw, nsd,
+         (nw >= 50 and nw <= 100000) as r_word_count,
+         (nw > 0 and 3*nw <= nns and nns <= 10*nw) as r_mean_word_len,
+         (nw > 0 and 10*(nh + ne) <= nw) as r_symbol_ratio,
+         (10*nb <= 9*nl) as r_bullet_lines,
+         (10*nee <= 3*nl) as r_ellipsis_lines,
+         (nw > 0 and 5*na >= 4*nw) as r_alpha_words,
+         (nsd >= 2) as r_stopwords
+  from base)
+select doc_id, nw as n_words, nsd as n_stop_distinct,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+       r_ellipsis_lines, r_alpha_words, r_stopwords,
+       (r_word_count and r_mean_word_len and r_symbol_ratio
+        and r_bullet_lines and r_ellipsis_lines and r_alpha_words
+        and r_stopwords) as pass_gopher
+from flags
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _ORACLES: dict[str, str | None] = {
@@ -3736,6 +3883,9 @@ _ORACLES: dict[str, str | None] = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     # approximate/Python paths, oracle-gated at 100% recall (the exact
     # re-score makes outputs equal the exact answer — see each docstring)
+    "dup_window_spans": DUP_SPANS_SQL,
+    "semdedup_prune": SEMDEDUP_SQL,
+    "gopher_quality": GOPHER_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4010,16 +4160,16 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # round-4 hash-reds (sole cause: uncast DuckDB sum() typing as HUGEINT;
 # oracles now cast — engine untouched), (b) the new
 # Round-6 rotation (r5 verdict task 1): the driver checks the FIRST 50
-# entries, so this round's window holds (a) the two NEW gates
-# (quality_model_score, ngram_containment_capped — never checked, must
-# sit in the window), (b) the nine gates whose last driver-green row is
-# round 3 (seven map-side text gates + the two sampling gates), and
-# (c) 39 of the 42 round-4 greens. Three round-4 greens defer to
-# round 7 (temperature_lang_sample_a25 and dedup_cluster_histogram —
-# parameter variants whose base operators ARE in this window — plus
-# script_composition); the 50 round-5 greens rotate to the back.
-# tests/test_driver_contract.py pins both invariants: never-green gates
-# in-window, and no gate staler than two recorded rounds outside it.
+# entries, so this round's window holds (a) the five NEW gates
+# (quality_model_score, ngram_containment_capped, dup_window_spans,
+# semdedup_prune, gopher_quality — never checked, must sit in the
+# window), (b) the nine gates whose last driver-green row is round 3
+# (seven map-side text gates + the two sampling gates), and (c) 36 of
+# the 42 round-4 greens. Six round-4 greens defer to round 7 — listed
+# in ROTATION_DEFERRED below — and the 50 round-5 greens rotate to the
+# back. tests/test_driver_contract.py pins the invariants: never-green
+# gates in-window; parked gates green within the last two recorded
+# rounds, except the bounded ROTATION_DEFERRED set (three rounds).
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 6 -------------------------------------------
     "quality_model_score": quality_model_score,
@@ -4043,10 +4193,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "quality_rare_tokens": quality_rare_tokens,
     "packed_sequence_export": packed_sequence_export,
-    "sample_global_k": sample_global_k,
+    "dup_window_spans": dup_window_spans,
     "heavy_hitter_grams": heavy_hitter_grams,
-    "embedding_quantize_profile": embedding_quantize_profile,
-    "dedup_source_matrix": dedup_source_matrix,
+    "semdedup_prune": semdedup_prune,
+    "gopher_quality": gopher_quality,
     "corpus_version_diff": corpus_version_diff,
     "chunk_dedup_spans": chunk_dedup_spans,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
@@ -4075,11 +4225,15 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "multimodal_metadata": multimodal_metadata,
     # ------------------------------------------------------------------
-    # Behind the 50-query window. First the three deferred round-4
-    # greens (round-7 rotation debt), then the 50 round-5 greens.
+    # Behind the 50-query window. First the six ROTATION_DEFERRED
+    # round-4 greens (round-7 rotation debt), then the 50 round-5
+    # greens.
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "script_composition": script_composition,
+    "sample_global_k": sample_global_k,
+    "embedding_quantize_profile": embedding_quantize_profile,
+    "dedup_source_matrix": dedup_source_matrix,
     "curation_funnel": curation_funnel,
     "label_centroid_stats": label_centroid_stats,
     "corpus_token_budget": corpus_token_budget,
@@ -4131,6 +4285,30 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_one": dedup_keep_one,
     "quality_repetition": quality_repetition,
 }
+
+# Structural rotation debt, made explicit and bounded. The registry
+# holds more than 2×50 gates, so not every gate can get a driver-green
+# row every two rounds — the overflow (at most ``len(registry) − 100``
+# gates) may go THREE rounds between checks, and must be named here.
+# tests/test_driver_contract.py enforces: (a) this set is no larger
+# than the structural deficit, (b) every member is actually parked
+# outside the window, (c) members are at most three recorded rounds
+# stale, and (d) every other parked gate is green within two. Rotate
+# membership every round — a gate may not defer twice in a row, since
+# the 3-round cap forces it into the next window.
+ROTATION_DEFERRED: frozenset[str] = frozenset(
+    {
+        # r4-green parameter variants whose base operators are in the
+        # r6 window (temperature_lang_sample, dedup_clusters), plus the
+        # four standalone r4-greens displaced by the five new r6 gates.
+        "temperature_lang_sample_a25",
+        "dedup_cluster_histogram",
+        "script_composition",
+        "sample_global_k",
+        "embedding_quantize_profile",
+        "dedup_source_matrix",
+    }
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

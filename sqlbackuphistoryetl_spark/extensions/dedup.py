@@ -1069,3 +1069,90 @@ def bloom_might_contain(
     return incoming.join(
         verdicts, incoming[key_col] == verdicts["_bk"], "left"
     ).drop("_bk")
+
+
+# ------------------------------------------------------- duplicated spans
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the sliding-window form of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): every duplicated token run of length >= ``window_tokens``
+    contains at least one duplicated exact window of that length, so
+    marking duplicated windows and merging the adjacent hits per
+    document recovers the maximal duplicated spans without a suffix
+    array.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_windows)``
+    — one row per maximal duplicated span, token positions 0-based
+    inclusive. ``min_occurrences`` is the corpus-wide occurrence bar
+    for a window (within-doc repeats count); ``cross_doc_only=True``
+    additionally requires the window to appear in >= 2 distinct docs.
+
+    Scale shape: the explode emits one row per token position (O(total
+    tokens), never O(docs²)); duplicate election is ONE shuffle keyed
+    by the window, and the island merge is ONE shuffle keyed by the doc
+    id. With the default exact windows the election shuffle carries the
+    window text (O(corpus bytes · window_tokens / stride-1) — exact,
+    gate-checkable); at corpus scale pass ``hash_windows=True`` to ship
+    64-bit xxhash64 keys instead (a collision can only mint one false
+    ``window_tokens``-long span per colliding pair, p ≈ 2^-64 — the
+    C4 ``chunk_dedup`` above accepts the same trade on md5).
+    A hot boilerplate window is a skewed election key: AQE's skew
+    handling splits it, and ``collect_set`` in the cross-doc path is
+    bounded by the distinct-doc count of that window.
+    """
+    from pyspark.sql import Window
+
+    L = int(window_tokens)
+    if L < 1:
+        raise ValueError("window_tokens must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    ).filter(F.size("_toks") >= L)
+    tokens = F.col("_toks")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - L),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, L)),
+    )
+    exploded = toks.select("doc_id", F.posexplode(wins).alias("pos", "win"))
+    if hash_windows:
+        exploded = exploded.select(
+            "doc_id", "pos", F.xxhash64("win").alias("win")
+        )
+    we = Window.partitionBy("win")
+    occ = F.count(F.lit(1)).over(we)
+    hits = exploded.withColumn("_occ", occ)
+    if cross_doc_only:
+        hits = hits.withColumn("_nd", F.size(F.collect_set("doc_id").over(we)))
+        hits = hits.filter(
+            (F.col("_occ") >= min_occurrences) & (F.col("_nd") >= 2)
+        )
+    else:
+        hits = hits.filter(F.col("_occ") >= min_occurrences)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("_grp", F.col("pos") - F.row_number().over(wd))
+    return (
+        isl.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )

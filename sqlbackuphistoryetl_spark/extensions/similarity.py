@@ -1084,3 +1084,134 @@ def embedding_cross_contamination(
         .dropDuplicates(["corpus_id", "bench_id"])
         .select("corpus_id", "bench_id", F.col("cosine"))
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def strata_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(cell, centroid)`` — a deterministic, engine-replicable pseudo-
+    quantizer: centroid ``i`` is the vector whose ``md5(id)`` is minimal
+    within the ``id % k`` stratum. Effectively a random k-sample (md5 is
+    a uniform draw), reproducible bit-for-bit by any engine with md5 —
+    which is what lets :func:`semdedup_prune`'s clustering be
+    oracle-checked, unlike k-means. One hash aggregate, no sort."""
+    return corpus.groupBy(
+        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("cell")
+    ).agg(
+        F.min_by(F.col(vec_col), F.md5(F.col(id_col).cast("string"))).alias(
+            "centroid"
+        )
+    )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    k_clusters: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space, then
+    prune near-duplicates WITHIN each cluster only — the cluster
+    restriction is what bounds the pairwise stage to O(Σ n_c²) instead
+    of O(N²), the published trade that makes semantic dedup feasible at
+    corpus scale.
+
+    Returns ``(vec_id, cell, keep)`` — one row per input vector;
+    ``keep = false`` iff a LOWER-id vector in the same cluster has
+    cosine >= ``threshold`` (min-id representative election, the same
+    deterministic keep-one rule as the exact-dedup path).
+
+    Clustering is pluggable: the default :func:`strata_centroids` is
+    deterministic and oracle-replicable (the gate path); pass
+    ``centroids=[(cell, vec), ...]`` from
+    :func:`train_centroids_kmeans` for real Lloyd's cells in
+    production — the prune semantics are identical.
+
+    Scale shape: assignment is one map-side pass over a broadcast
+    centroid literal (O(N·k·d) flops inside whole-stage codegen, no
+    shuffle, no UDF); the intra-cluster pair join shuffles on the cell
+    id (k keys — a hot cell is AQE's skew-join case, and the published
+    SemDeDup recipe sizes k so clusters stay small); the keep election
+    is one anti-join on the id. Nothing driver-side beyond the k×d
+    centroid table.
+    """
+    if centroids is None:
+        rows = strata_centroids(corpus, k_clusters, id_col, vec_col).collect()
+        centroids = [(int(r["cell"]), list(r["centroid"])) for r in rows]
+    if not centroids:
+        raise ValueError("empty corpus: no centroids")
+
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<double>")
+                .alias("cvec"),
+            )
+            for cell, vec in sorted(centroids)
+        ]
+    )
+    v = F.col(vec_col)
+    # let-bind the doc norm (see _unit: HOF lambdas have no cross-
+    # iteration CSE), score every centroid once, then fold an argmax —
+    # strict '>' keeps the FIRST (lowest cell) on an exact tie, matching
+    # the oracle's (cos desc, cell asc) election.
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            (_dot(v, c["cvec"]) / (_norm(v) * _norm(c["cvec"]))).alias("cos"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("cell"), F.lit(-2.0).alias("cos")),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_svec"),
+        best["cell"].alias("cell"),
+    )
+
+    a = assigned.select(
+        F.col("cell"),
+        F.col("_sid").alias("_ida"),
+        F.col("_svec").alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("_sid").alias("_idb"),
+        F.col("_svec").alias("_vb"),
+    )
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_cos",
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias("_pruned_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned, assigned["_sid"] == pruned["_pruned_id"], "left"
+        )
+        .select(
+            F.col("_sid").alias(id_col),
+            "cell",
+            F.col("_pruned_id").isNull().alias("keep"),
+        )
+    )

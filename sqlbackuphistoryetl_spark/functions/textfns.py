@@ -11,6 +11,9 @@ each returns a Column usable in any select/agg.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -694,3 +697,74 @@ def bm25_scores(
         )
     )
     return folded.select(F.col("_id").alias(id_col), "bm25", "n_matched_terms")
+
+
+def gopher_quality_flags(text: Column | str) -> list[Column]:
+    """The published Gopher/MassiveText document-quality rule set (Rae
+    et al. 2021, app. A): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-
+    word fraction, and the 2-of-8 stopword floor. One map-side pass,
+    all built-ins inside whole-stage codegen.
+
+    Every threshold compare is INTEGER-cross-multiplied (e.g. mean word
+    length in [3, 10] is ``3·n_words <= n_nonspace <= 10·n_words``), so
+    the flags are engine-exact — no float division anywhere, which is
+    what lets the composite be value-hash-gated without a rounding
+    doctrine. Returns named boolean columns plus ``n_words`` and the
+    AND-composite ``pass_gopher``.
+    """
+    t = _c(text)
+    words = F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
+    n_words = F.size(words).cast("long")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.|…)"), F.lit(0))).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike(r"[a-zA-Z]"))
+    ).cast("long")
+    low = F.lower(t)
+    n_stop_distinct = reduce(
+        add,
+        [
+            F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ],
+    ).cast("int")
+
+    r_word_count = (n_words >= 50) & (n_words <= 100_000)
+    r_mean_word_len = (n_words > 0) & (
+        (3 * n_words <= n_nonspace) & (n_nonspace <= 10 * n_words)
+    )
+    r_symbol_ratio = (n_words > 0) & (10 * (n_hash + n_ellipsis) <= n_words)
+    r_bullet_lines = 10 * n_bullet <= 9 * n_lines
+    r_ellipsis_lines = 10 * n_ell_end <= 3 * n_lines
+    r_alpha_words = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    r_stopwords = n_stop_distinct >= 2
+    return [
+        n_words.alias("n_words"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_lines.alias("r_bullet_lines"),
+        r_ellipsis_lines.alias("r_ellipsis_lines"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_bullet_lines
+            & r_ellipsis_lines
+            & r_alpha_words
+            & r_stopwords
+        ).alias("pass_gopher"),
+    ]

@@ -332,8 +332,10 @@ def test_cache_generations_bounded_and_releasable(spark, docs, vectors):
         rp_lsh_topk(vectors, vectors, k=2, planes=16, band_bits=4, dims=4).count()
         embedding_near_dup_pairs(vectors, threshold=0.9).count()
     # one live GENERATION per owner, max — a generation may hold more
-    # than one frame (ngram_jaccard persists posting + sizes since r4)
-    assert n_cached() <= base + 6
+    # than one frame (ngram_jaccard persists posting + sizes since r4,
+    # plus the per-gram df aggregate since the r6 prefilter rework —
+    # it backs both a driver decision and the candidate semi-join)
+    assert n_cached() <= base + 7
     cachereg.release_caches()
     # back to the foreign baseline: other test modules sharing this
     # session may hold their own (non-cachereg) persisted frames

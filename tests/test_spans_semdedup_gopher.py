@@ -1,0 +1,216 @@
+"""Unit tests for the three round-6 extension operators: exact
+duplicated-window spans (Lee et al. 2022 sliding-window form), SemDeDup
+cluster-restricted semantic pruning, and the Gopher/MassiveText
+composite quality rules."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.dedup import duplicated_window_spans
+from sqlbackuphistoryetl_spark.extensions.similarity import (
+    semdedup_prune,
+    strata_centroids,
+)
+from sqlbackuphistoryetl_spark.functions.textfns import gopher_quality_flags
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+        for r in df.collect()
+    )
+
+
+class TestDuplicatedWindowSpans:
+    def test_cross_doc_shared_run(self, spark):
+        # docs share the 5-token run "a b c d e"; L=4 recovers it as a
+        # maximal span in both (two overlapping dup windows each)
+        df = _docs(spark, [(1, "a b c d e f g h"), (2, "x y a b c d e z")])
+        got = _spans(duplicated_window_spans(df, window_tokens=4))
+        assert got == [(1, 0, 4, 5, 2), (2, 2, 6, 5, 2)]
+
+    def test_within_doc_repeat_counts_by_default(self, spark):
+        # "p q r s" occurs at pos 0 and 4 of the same doc: two islands
+        df = _docs(spark, [(7, "p q r s p q r s")])
+        got = _spans(duplicated_window_spans(df, window_tokens=4))
+        assert got == [(7, 0, 3, 4, 1), (7, 4, 7, 4, 1)]
+
+    def test_cross_doc_only_drops_within_doc_repeats(self, spark):
+        df = _docs(spark, [(7, "p q r s p q r s"), (8, "k l m n o")])
+        got = duplicated_window_spans(
+            df, window_tokens=4, cross_doc_only=True
+        ).count()
+        assert got == 0
+
+    def test_min_occurrences(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a b c d x"), (2, "y a b c d"), (3, "z z a b c d")],
+        )
+        # "a b c d" occurs 3× → present at bar 3, absent at bar 4
+        assert duplicated_window_spans(df, window_tokens=4, min_occurrences=3).count() == 3
+        assert duplicated_window_spans(df, window_tokens=4, min_occurrences=4).count() == 0
+
+    def test_short_docs_have_no_windows(self, spark):
+        df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+        assert duplicated_window_spans(df, window_tokens=4).count() == 0
+        # at L=3 the whole docs are one shared window
+        got = _spans(duplicated_window_spans(df, window_tokens=3))
+        assert got == [(1, 0, 2, 3, 1), (2, 0, 2, 3, 1)]
+
+    def test_hash_windows_matches_exact(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "a quick brown fox jumps over the lazy cat"),
+                (3, "entirely different tokens here with no overlap at all"),
+            ],
+        )
+        exact = _spans(duplicated_window_spans(df, window_tokens=4))
+        hashed = _spans(
+            duplicated_window_spans(df, window_tokens=4, hash_windows=True)
+        )
+        assert exact == hashed
+        assert exact  # the fixture does contain a shared run
+
+    def test_case_and_whitespace_normalized(self, spark):
+        df = _docs(spark, [(1, "A  B\tC D"), (2, "a b c d")])
+        got = _spans(duplicated_window_spans(df, window_tokens=4))
+        assert got == [(1, 0, 3, 4, 1), (2, 0, 3, 4, 1)]
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+class TestSemDeDup:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_matches_python_reference(self, spark):
+        # deterministic reference: strata centroids by md5-min, argmax
+        # cosine assignment (tie → lowest cell), prune iff a lower-id
+        # same-cell neighbor has cosine >= tau
+        import hashlib
+
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.99, 0.1, 0.0],
+            [0.0, 0.98, 0.2],
+            [0.0, 0.0, 1.0],
+            [1.0, 0.05, 0.0],
+        ]
+        k, tau = 2, 0.9
+        df = self._emb(spark, vecs)
+        got = {
+            r["vec_id"]: (r["cell"], r["keep"])
+            for r in semdedup_prune(df, k_clusters=k, threshold=tau).collect()
+        }
+
+        cents = {}
+        for i, v in enumerate(vecs):
+            s = i % k
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            if s not in cents or h < cents[s][0]:
+                cents[s] = (h, v)
+        cent_list = sorted((s, v) for s, (_, v) in cents.items())
+        assign = {}
+        for i, v in enumerate(vecs):
+            best = max(cent_list, key=lambda cv: (_cos(v, cv[1]), -cv[0]))
+            assign[i] = best[0]
+        keep = {}
+        for i, v in enumerate(vecs):
+            keep[i] = not any(
+                j < i and assign[j] == assign[i] and _cos(vecs[j], v) >= tau
+                for j in range(len(vecs))
+            )
+        want = {i: (assign[i], keep[i]) for i in range(len(vecs))}
+        assert got == want
+
+    def test_prune_is_cluster_restricted(self, spark):
+        # two identical vectors forced into different cells via explicit
+        # centroids pointing opposite ways → no prune despite cosine 1
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semdedup_prune(
+                df,
+                threshold=0.5,
+                centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            ).collect()
+        }
+        # both land in cell 0 (nearest centroid) → id 1 pruned
+        assert out == {0: True, 1: False}
+
+    def test_strata_centroids_deterministic(self, spark):
+        df = self._emb(spark, [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.2, 0.8]])
+        a = {r["cell"]: list(r["centroid"]) for r in strata_centroids(df, 2).collect()}
+        b = {r["cell"]: list(r["centroid"]) for r in strata_centroids(df, 2).collect()}
+        assert a == b and set(a) == {0, 1}
+
+
+class TestGopherFlags:
+    def _flags(self, spark, text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return df.select(*gopher_quality_flags("text")).first().asDict()
+
+    def test_word_count_bounds(self, spark):
+        ok = " ".join(["the", "of"] + ["word"] * 48)  # exactly 50
+        r = self._flags(spark, ok)
+        assert r["n_words"] == 50 and r["r_word_count"] and r["pass_gopher"]
+        r = self._flags(spark, " ".join(["word"] * 49))
+        assert not r["r_word_count"] and not r["pass_gopher"]
+
+    def test_mean_word_length_boundaries(self, spark):
+        # mean exactly 3 (inclusive) vs below
+        assert self._flags(spark, "abc def ghi")["r_mean_word_len"]
+        assert not self._flags(spark, "ab cd ef")["r_mean_word_len"]
+        assert self._flags(spark, "a" * 10 + " " + "b" * 10)["r_mean_word_len"]
+        assert not self._flags(spark, "a" * 11 + " " + "b" * 11)["r_mean_word_len"]
+
+    def test_symbol_ratio(self, spark):
+        # 10 hash-free words pass; 1 symbol per 2 words fails (0.5 > 0.1);
+        # exactly 1 per 10 words passes (<=)
+        assert self._flags(spark, " ".join(["w"] * 10))["r_symbol_ratio"]
+        assert not self._flags(spark, "w ...")["r_symbol_ratio"]
+        assert self._flags(spark, " ".join(["w"] * 9) + " #tag")["r_symbol_ratio"]
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join(["- item"] * 10)
+        assert not self._flags(spark, bullets)["r_bullet_lines"]
+        mixed = "\n".join(["- item"] * 8 + ["prose line", "more prose"])
+        assert self._flags(spark, mixed)["r_bullet_lines"]
+        dots = "\n".join(["trailing..."] * 4 + ["clean"] * 6)
+        assert not self._flags(spark, dots)["r_ellipsis_lines"]
+        few = "\n".join(["trailing..."] * 3 + ["clean"] * 7)
+        assert self._flags(spark, few)["r_ellipsis_lines"]
+
+    def test_alpha_word_fraction(self, spark):
+        assert self._flags(spark, "a b c d 1")["r_alpha_words"]  # 4/5 = 0.8
+        assert not self._flags(spark, "a b c 1 2")["r_alpha_words"]  # 3/5
+
+    def test_stopword_floor(self, spark):
+        assert self._flags(spark, "the cat sat with me")["r_stopwords"]
+        r = self._flags(spark, "the cat sat near me")
+        assert r["n_stop_distinct"] == 1 and not r["r_stopwords"]
+
+    def test_empty_text(self, spark):
+        r = self._flags(spark, "")
+        assert not r["pass_gopher"] and not r["r_mean_word_len"]
