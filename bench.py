@@ -69,6 +69,12 @@ EXTENDED = [
     # count actions are part of what the gate measures; report=False is
     # the lazy single-job production path).
     "curation_pipeline_e2e",
+    # round-6 operators, first recorded in BENCH_r06: sliding-window
+    # exact-substring spans, SemDeDup cluster-restricted pruning, and
+    # the map-side Gopher rule composite.
+    "dup_window_spans",
+    "semdedup_prune",
+    "gopher_quality",
 ]
 
 

@@ -325,7 +325,36 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         assert n_jsonl == n_docs, (n_jsonl, n_docs)
     finally:
         shutil.rmtree(jl_dir, ignore_errors=True)
+
+    # r6: sliding-window exact-substring spans (hash_windows — the
+    # 64-bit-key corpus path; every 50th doc is a near-dup sharing a
+    # 39-token prefix, so real spans exist) and SemDeDup pruning (k
+    # sized for ~200-vector cells: the pairwise stage is O(Σ n_c²) BY
+    # DESIGN — the measurement tracks that published cost envelope).
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        duplicated_window_spans,
+    )
+    from sqlbackuphistoryetl_spark.extensions.similarity import semdedup_prune
+
+    t0 = time.perf_counter()
+    n_spans = duplicated_window_spans(
+        docs_m, window_tokens=8, hash_windows=True
+    ).count()
+    timings["dup_window_spans"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_semkeep = (
+        semdedup_prune(
+            emb, k_clusters=max(256, n_docs // 200), threshold=0.9
+        )
+        .filter("not keep")
+        .count()
+    )
+    timings["semdedup_prune"] = round(time.perf_counter() - t0, 2)
+
     return {
+        "span_rows": n_spans,
+        "semdedup_pruned": n_semkeep,
         "bm25_docs": n_bm25,
         "containment_pairs": n_contain,
         "exact_dup_groups": n_exact,

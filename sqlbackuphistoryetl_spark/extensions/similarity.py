@@ -1117,6 +1117,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assignment: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster the embedding space, then
     prune near-duplicates WITHIN each cluster only — the cluster
@@ -1135,10 +1136,13 @@ def semdedup_prune(
     :func:`train_centroids_kmeans` for real Lloyd's cells in
     production — the prune semantics are identical.
 
-    Scale shape: assignment is one map-side pass over a broadcast
-    centroid literal (O(N·k·d) flops inside whole-stage codegen, no
-    shuffle, no UDF); the intra-cluster pair join shuffles on the cell
-    id (k keys — a hot cell is AQE's skew-join case, and the published
+    Scale shape: assignment is one map-side pass — at small k a
+    broadcast centroid LITERAL folded inside whole-stage codegen (no
+    shuffle, no UDF; the oracle-checked gate path), above ~64 centroids
+    the same Arrow-batched numpy matmul the IVF quantizer uses (a k×d
+    literal would mint k·d codegen expressions); both elect (cos desc,
+    cell asc). The intra-cluster pair join shuffles on the cell id
+    (k keys — a hot cell is AQE's skew-join case, and the published
     SemDeDup recipe sizes k so clusters stay small); the keep election
     is one anti-join on the id. Nothing driver-side beyond the k×d
     centroid table.
@@ -1148,39 +1152,52 @@ def semdedup_prune(
         centroids = [(int(r["cell"]), list(r["centroid"])) for r in rows]
     if not centroids:
         raise ValueError("empty corpus: no centroids")
+    if assignment not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown assignment strategy: {assignment}")
+    ordered = sorted(centroids)
 
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in vec])
-                .cast("array<double>")
-                .alias("cvec"),
-            )
-            for cell, vec in sorted(centroids)
-        ]
-    )
     v = F.col(vec_col)
-    # let-bind the doc norm (see _unit: HOF lambdas have no cross-
-    # iteration CSE), score every centroid once, then fold an argmax —
-    # strict '>' keeps the FIRST (lowest cell) on an exact tie, matching
-    # the oracle's (cos desc, cell asc) election.
-    scored = F.transform(
-        carr,
-        lambda c: F.struct(
-            c["cell"].alias("cell"),
-            (_dot(v, c["cvec"]) / (_norm(v) * _norm(c["cvec"]))).alias("cos"),
-        ),
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(F.lit(-1).alias("cell"), F.lit(-2.0).alias("cos")),
-        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
-    )
+    if assignment == "literal" or (assignment == "auto" and len(ordered) <= 64):
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cell)).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    .cast("array<double>")
+                    .alias("cvec"),
+                )
+                for cell, vec in ordered
+            ]
+        )
+        # let-bind the doc norm (see _unit: HOF lambdas have no cross-
+        # iteration CSE), score every centroid once, then fold an argmax
+        # — strict '>' keeps the FIRST (lowest cell) on an exact tie,
+        # matching the oracle's (cos desc, cell asc) election.
+        scored = F.transform(
+            carr,
+            lambda c: F.struct(
+                c["cell"].alias("cell"),
+                (_dot(v, c["cvec"]) / (_norm(v) * _norm(c["cvec"]))).alias(
+                    "cos"
+                ),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(-1).alias("cell"), F.lit(-2.0).alias("cos")),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )
+        cell_col = best["cell"]
+    else:
+        # numpy argmax picks the FIRST max → lowest list index → lowest
+        # cell after the sort: same tie election as the literal path.
+        nearest = _nearest_centroids_udf([vec for _, vec in ordered], 1)
+        cell_labels = F.array(*[F.lit(int(cell)) for cell, _ in ordered])
+        cell_col = F.element_at(cell_labels, F.get(nearest(v), 0) + 1)
     assigned = corpus.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_svec"),
-        best["cell"].alias("cell"),
+        cell_col.alias("cell"),
     )
 
     a = assigned.select(

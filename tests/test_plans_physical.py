@@ -409,3 +409,65 @@ def test_gate_coarse_filters_push_to_scan(spark):
         assert "PushedFilters" in plan, fn.__name__
         pushed = plan.split("PushedFilters")[1][:400]
         assert col in pushed, f"{fn.__name__}: no pushed bound on {col}: {pushed}"
+
+
+def test_duplicated_spans_plan_shape(spark):
+    """Span dedup must stay O(total tokens): no pair join at all (the
+    election is a window function on the win key), no Python, no
+    cartesian; exactly two exchanges — the window-key election and the
+    per-doc island merge."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import duplicated_window_spans
+
+    df = duplicated_window_spans(_docs(spark), window_tokens=3)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # two hash exchanges: the win-key election and the per-doc island
+    # pass (the span groupBy rides the doc_id partitioning — clustering
+    # on a key subset satisfies the aggregate's distribution)
+    assert plan.count("hashpartitioning(") == 2
+
+
+def test_semdedup_assignment_is_map_side(spark):
+    """SemDeDup's centroid assignment must be a pure map stage (broadcast
+    literal argmax, no UDF, no shuffle); the only joins are the cell-keyed
+    pair join and the keep anti/left join — equi-joins, never a cartesian."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        semdedup_prune,
+        strata_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    # assignment alone (explicit centroids → no collect in the plan path)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    pruned = semdedup_prune(vecs, threshold=0.9, centroids=cents)
+    plan = _explain(pruned)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # strata quantizer is ONE aggregation (sort-based: min_by carries an
+    # array-typed buffer, which hash agg doesn't support) with a single
+    # exchange — no window, no join, no Python
+    cplan = _explain(strata_centroids(vecs, 4))
+    assert "Aggregate" in cplan and "Window" not in cplan
+    assert cplan.count("hashpartitioning(") == 1
+    assert "Join" not in cplan
+    assert "BatchEvalPython" not in cplan
+
+
+def test_gopher_flags_single_pass_no_shuffle(spark):
+    """The Gopher composite is one whole-stage-codegen projection: no
+    exchange, no Python, no join anywhere in the plan."""
+    from sqlbackuphistoryetl_spark.functions.textfns import gopher_quality_flags
+
+    df = _docs(spark).select("doc_id", *gopher_quality_flags("text"))
+    plan = _explain(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "codegen id" in plan  # the projection compiles into codegen

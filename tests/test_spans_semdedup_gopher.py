@@ -159,6 +159,26 @@ class TestSemDeDup:
         # both land in cell 0 (nearest centroid) → id 1 pruned
         assert out == {0: True, 1: False}
 
+    def test_arrow_assignment_matches_literal(self, spark):
+        """The large-k Arrow matmul path must elect the same cells (and
+        so the same keeps) as the codegen literal path — including the
+        (cos desc, cell asc) tie rule via numpy's first-max argmax."""
+        vecs = [[(i * 7 % 13) / 13.0, (i * 5 % 11) / 11.0, 1.0] for i in range(60)]
+        df = self._emb(spark, vecs)
+        lit = {
+            (r["vec_id"], r["cell"], r["keep"])
+            for r in semdedup_prune(
+                df, k_clusters=8, threshold=0.95, assignment="literal"
+            ).collect()
+        }
+        arw = {
+            (r["vec_id"], r["cell"], r["keep"])
+            for r in semdedup_prune(
+                df, k_clusters=8, threshold=0.95, assignment="arrow"
+            ).collect()
+        }
+        assert lit == arw
+
     def test_strata_centroids_deterministic(self, spark):
         df = self._emb(spark, [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.2, 0.8]])
         a = {r["cell"]: list(r["centroid"]) for r in strata_centroids(df, 2).collect()}
