@@ -3789,6 +3789,151 @@ select doc_id, nw as n_words, nsd as n_stop_distinct,
 from flags
 """
 
+def gopher_repetition(spark, sf_dir):
+    """The repetition half of the published Gopher filter (Rae et al.
+    2021, table A1): duplicate line/paragraph fractions (element + char
+    mass), top 2/3/4-gram char fractions, repeated 5..10-gram coverage
+    (functions/textfns.py:gopher_repetition). Every stat is an integer
+    and every flag an integer cross-multiplication, so the row is
+    engine-exact end to end. Coverage is DISTINCT-position based (the
+    declarative form), not the order-dependent greedy scan some
+    reimplementations use — documented at the function."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        gopher_repetition as _rep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return _rep(docs)
+
+
+GOPHER_REPETITION_SQL = r"""
+with base as (
+  select doc_id,
+         regexp_extract_all(text, '\S+') as words,
+         regexp_split_to_array(text, '\n') as lines,
+         regexp_split_to_array(text, '\n{2,}') as paras,
+         cast(length(regexp_replace(text, '\s', '', 'g')) as bigint) as nns
+  from documents),
+mapside as (
+  select doc_id, nns,
+         cast(len(words) as bigint) as n_words,
+         cast(len(lines) as bigint) as n_lines,
+         cast(len(lines) - len(list_distinct(lines)) as bigint) as dup_lines,
+         cast(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              as bigint) as line_chars,
+         cast(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+            - coalesce(list_sum(list_transform(list_distinct(lines),
+                                               x -> length(x))), 0)
+              as bigint) as dup_line_chars,
+         cast(len(paras) as bigint) as n_paras,
+         cast(len(paras) - len(list_distinct(paras)) as bigint) as dup_paras,
+         cast(coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+              as bigint) as para_chars,
+         cast(coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+            - coalesce(list_sum(list_transform(list_distinct(paras),
+                                               x -> length(x))), 0)
+              as bigint) as dup_para_chars
+  from base),
+grams as (
+  select doc_id, n, p,
+         array_to_string(words[p : p + n - 1], ' ') as gram
+  from (
+    select b.doc_id, nn.n, b.words,
+           unnest(generate_series(1, len(b.words) - nn.n + 1)) as p
+    from base b
+    cross join (select unnest([2,3,4,5,6,7,8,9,10]) as n) nn)),
+counted as (
+  select doc_id, n, p - 1 as pos, gram,
+         cast(length(gram) - n + 1 as bigint) as glen,
+         count(*) over (partition by doc_id, n, gram) as cnt
+  from grams),
+top as (
+  select doc_id,
+         cast(coalesce(max(case when n = 2 then cnt * glen end), 0)
+              as bigint) as top2_chars,
+         cast(coalesce(max(case when n = 3 then cnt * glen end), 0)
+              as bigint) as top3_chars,
+         cast(coalesce(max(case when n = 4 then cnt * glen end), 0)
+              as bigint) as top4_chars
+  from counted where cnt >= 2 and n <= 4 group by doc_id),
+cov as (
+  select distinct doc_id, n, wpos
+  from (
+    select doc_id, n,
+           unnest(generate_series(pos, pos + n - 1)) as wpos
+    from counted where cnt >= 2 and n >= 5)),
+wl as (
+  select doc_id, i - 1 as wpos, cast(length(words[i]) as bigint) as wlen
+  from (
+    select doc_id, words,
+           unnest(generate_series(1, len(words))) as i
+    from base)),
+rep as (
+  select c.doc_id,
+         cast(coalesce(sum(case when c.n = 5 then w.wlen end), 0) as bigint)
+           as rep5_chars,
+         cast(coalesce(sum(case when c.n = 6 then w.wlen end), 0) as bigint)
+           as rep6_chars,
+         cast(coalesce(sum(case when c.n = 7 then w.wlen end), 0) as bigint)
+           as rep7_chars,
+         cast(coalesce(sum(case when c.n = 8 then w.wlen end), 0) as bigint)
+           as rep8_chars,
+         cast(coalesce(sum(case when c.n = 9 then w.wlen end), 0) as bigint)
+           as rep9_chars,
+         cast(coalesce(sum(case when c.n = 10 then w.wlen end), 0) as bigint)
+           as rep10_chars
+  from cov c join wl w on c.doc_id = w.doc_id and c.wpos = w.wpos
+  group by c.doc_id),
+joined as (
+  select m.*,
+         cast(coalesce(t.top2_chars, 0) as bigint) as top2_chars,
+         cast(coalesce(t.top3_chars, 0) as bigint) as top3_chars,
+         cast(coalesce(t.top4_chars, 0) as bigint) as top4_chars,
+         cast(coalesce(r.rep5_chars, 0) as bigint) as rep5_chars,
+         cast(coalesce(r.rep6_chars, 0) as bigint) as rep6_chars,
+         cast(coalesce(r.rep7_chars, 0) as bigint) as rep7_chars,
+         cast(coalesce(r.rep8_chars, 0) as bigint) as rep8_chars,
+         cast(coalesce(r.rep9_chars, 0) as bigint) as rep9_chars,
+         cast(coalesce(r.rep10_chars, 0) as bigint) as rep10_chars
+  from mapside m
+  left join top t using (doc_id)
+  left join rep r using (doc_id))
+select doc_id, n_words, nns,
+       n_lines, dup_lines, line_chars, dup_line_chars,
+       n_paras, dup_paras, para_chars, dup_para_chars,
+       top2_chars, top3_chars, top4_chars,
+       rep5_chars, rep6_chars, rep7_chars, rep8_chars, rep9_chars,
+       rep10_chars,
+       (10 * dup_lines <= 3 * n_lines) as r_dup_line,
+       (10 * dup_paras <= 3 * n_paras) as r_dup_para,
+       (5 * dup_line_chars <= line_chars) as r_dup_line_char,
+       (5 * dup_para_chars <= para_chars) as r_dup_para_char,
+       (5 * top2_chars <= nns) as r_top2,
+       (50 * top3_chars <= 9 * nns) as r_top3,
+       (25 * top4_chars <= 4 * nns) as r_top4,
+       (20 * rep5_chars <= 3 * nns) as r_rep5,
+       (50 * rep6_chars <= 7 * nns) as r_rep6,
+       (100 * rep7_chars <= 13 * nns) as r_rep7,
+       (25 * rep8_chars <= 3 * nns) as r_rep8,
+       (100 * rep9_chars <= 11 * nns) as r_rep9,
+       (10 * rep10_chars <= nns) as r_rep10,
+       ((10 * dup_lines <= 3 * n_lines)
+        and (10 * dup_paras <= 3 * n_paras)
+        and (5 * dup_line_chars <= line_chars)
+        and (5 * dup_para_chars <= para_chars)
+        and (5 * top2_chars <= nns)
+        and (50 * top3_chars <= 9 * nns)
+        and (25 * top4_chars <= 4 * nns)
+        and (20 * rep5_chars <= 3 * nns)
+        and (50 * rep6_chars <= 7 * nns)
+        and (100 * rep7_chars <= 13 * nns)
+        and (25 * rep8_chars <= 3 * nns)
+        and (100 * rep9_chars <= 11 * nns)
+        and (10 * rep10_chars <= nns)) as pass_repetition
+from joined
+"""
+
+
 
 # ---------------------------------------------------------------- registry
 
@@ -3886,6 +4031,7 @@ _ORACLES: dict[str, str | None] = {
     "dup_window_spans": DUP_SPANS_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
     "gopher_quality": GOPHER_SQL,
+    "gopher_repetition": GOPHER_REPETITION_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4173,6 +4319,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 6 -------------------------------------------
     "quality_model_score": quality_model_score,
+    "gopher_repetition": gopher_repetition,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

@@ -75,6 +75,7 @@ EXTENDED = [
     "dup_window_spans",
     "semdedup_prune",
     "gopher_quality",
+    "gopher_repetition",
 ]
 
 

@@ -768,3 +768,216 @@ def gopher_quality_flags(text: Column | str) -> list[Column]:
             & r_stopwords
         ).alias("pass_gopher"),
     ]
+
+
+#: Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1)
+#: as integer ratios (numerator, denominator) of the max allowed
+#: fraction, so every compare below is an exact cross-multiplication.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line": (3, 10),        # duplicate-line fraction      <= 0.30
+    "dup_para": (3, 10),        # duplicate-paragraph fraction <= 0.30
+    "dup_line_char": (1, 5),    # duplicate-line char fraction <= 0.20
+    "dup_para_char": (1, 5),    # duplicate-para char fraction <= 0.20
+    "top2": (1, 5),             # top 2-gram char fraction     <= 0.20
+    "top3": (9, 50),            # top 3-gram char fraction     <= 0.18
+    "top4": (4, 25),            # top 4-gram char fraction     <= 0.16
+    "rep5": (3, 20),            # repeated 5-gram coverage     <= 0.15
+    "rep6": (7, 50),            # repeated 6-gram coverage     <= 0.14
+    "rep7": (13, 100),          # repeated 7-gram coverage     <= 0.13
+    "rep8": (3, 25),            # repeated 8-gram coverage     <= 0.12
+    "rep9": (11, 100),          # repeated 9-gram coverage     <= 0.11
+    "rep10": (1, 10),           # repeated 10-gram coverage    <= 0.10
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The repetition half of the Gopher/MassiveText quality filter
+    (Rae et al. 2021, table A1) — the published complement of
+    ``gopher_quality_flags``: duplicate line / paragraph fractions (by
+    element and by character mass), top 2/3/4-gram character fractions,
+    and the fraction of characters covered by any repeated 5..10-gram.
+
+    Stat definitions are made engine-exact (every numerator and
+    denominator is an integer; flags are integer cross-multiplied
+    against :data:`GOPHER_REPETITION_THRESHOLDS`):
+
+    - ``dup_lines`` = occurrences beyond the first of each repeated
+      line = ``n_lines - n_distinct_lines``; char twin weighs each
+      such occurrence by its length. Paragraphs split on blank lines
+      (``\\n{2,}``). Both are pure map-side array algebra — NO shuffle.
+    - ``top{2,3,4}_chars`` = max over n-grams occurring >= 2 times of
+      ``count * gram_nonspace_chars`` (0 when nothing repeats). A
+      scalar max, so engine tie-breaking can't differ.
+    - ``rep{5..10}_chars`` = nonspace chars of word POSITIONS covered
+      by at least one occurrence of a duplicated n-gram (distinct
+      positions — overlapping occurrences never double-count, unlike
+      the greedy left-to-right scan in common reimplementations, which
+      is order-dependent and not declaratively expressible).
+
+    Scale shape: one explode emits one row per (position, n) pair —
+    O(9 · total tokens), never O(docs²); frequency election is ONE
+    shuffle keyed by (doc, n, gram); coverage resolution is one
+    distinct + one join keyed by (doc, position). All denominators ride
+    map-side. With ``hash_grams=True`` the election key is a 64-bit
+    xxhash64 instead of the gram text (ship at corpus scale; a
+    collision needs two distinct same-doc grams at p ~= 2^-64).
+
+    Returns one row per input row: the integer stats, each rule flag,
+    and the AND-composite ``pass_repetition``.
+    """
+    doc = F.col(id_col)
+    t = _c(text_col)
+    words = F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
+
+    def _dup_stats(arr: Column, prefix: str) -> list[Column]:
+        n = F.size(arr).cast("long")
+        chars = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dchars = chars - F.aggregate(
+            F.array_distinct(arr), F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x),
+        )
+        return [
+            n.alias(f"n_{prefix}s"),
+            (n - F.size(F.array_distinct(arr)).cast("long")).alias(
+                f"dup_{prefix}s"
+            ),
+            chars.alias(f"{prefix}_chars"),
+            dchars.alias(f"dup_{prefix}_chars"),
+        ]
+
+    base = df.select(
+        doc.alias("__doc"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("nns"),
+        *_dup_stats(F.split(t, "\n"), "line"),
+        *_dup_stats(F.split(t, "\n{2,}"), "para"),
+    )
+
+    # One (pos, n, gram) row per window of every order 2..10 in one
+    # explode; gram char mass = nonspace chars = len(gram) - (n - 1).
+    # sequence() is clamped to a floor of [1] (Spark descends when
+    # stop < start, which would hand slice() a zero start on docs
+    # shorter than n words); the filter() drops that degenerate window.
+    # The lambdas MUST stay single-argument: PySpark HOFs dispatch on
+    # arity, and a second parameter would silently receive the array
+    # index (not a closure default).
+    def _mk_gram(n: int):
+        return lambda p: F.struct(
+            F.lit(n).alias("n"),
+            (p - 1).alias("pos"),
+            F.concat_ws(" ", F.slice(words, p, n)).alias("gram"),
+        )
+
+    def _long_enough(n: int):
+        return lambda _g: F.size(words) >= n
+
+    gram_arrays = F.flatten(
+        F.array(*[
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)),
+                    ),
+                    _mk_gram(n),
+                ),
+                _long_enough(n),
+            )
+            for n in range(2, 11)
+        ])
+    )
+    grams = df.select(
+        doc.alias("__doc"), F.explode(gram_arrays).alias("g")
+    ).select(
+        "__doc",
+        F.col("g.n").alias("n"),
+        F.col("g.pos").alias("pos"),
+        (F.xxhash64("g.gram") if hash_grams else F.col("g.gram")).alias(
+            "gram"
+        ),
+        (F.length("g.gram") - F.col("g.n") + 1).cast("long").alias("glen"),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__doc", "n", "gram")
+    counted = grams.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
+        F.col("cnt") >= 2
+    )
+
+    top = (
+        counted.filter(F.col("n") <= 4)
+        .groupBy("__doc")
+        .agg(*[
+            F.max(
+                F.when(F.col("n") == n, F.col("cnt") * F.col("glen"))
+            ).alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ])
+    )
+
+    word_lens = df.select(
+        doc.alias("__doc"),
+        F.posexplode(words).alias("wpos", "w"),
+    ).select("__doc", "wpos", F.length("w").cast("long").alias("wlen"))
+    covered = (
+        counted.filter(F.col("n") >= 5)
+        .select(
+            "__doc", "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("wpos"),
+        )
+        .distinct()
+        .join(word_lens, ["__doc", "wpos"])
+        .groupBy("__doc")
+        .agg(*[
+            F.sum(F.when(F.col("n") == n, F.col("wlen"))).alias(
+                f"rep{n}_chars"
+            )
+            for n in range(5, 11)
+        ])
+    )
+
+    stat_cols = (
+        ["top2_chars", "top3_chars", "top4_chars"]
+        + [f"rep{n}_chars" for n in range(5, 11)]
+    )
+    out = base.join(top, "__doc", "left").join(covered, "__doc", "left")
+    for c in stat_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast("long")))
+
+    th = GOPHER_REPETITION_THRESHOLDS
+    flags = {
+        "r_dup_line": th["dup_line"][1] * F.col("dup_lines")
+        <= th["dup_line"][0] * F.col("n_lines"),
+        "r_dup_para": th["dup_para"][1] * F.col("dup_paras")
+        <= th["dup_para"][0] * F.col("n_paras"),
+        "r_dup_line_char": th["dup_line_char"][1] * F.col("dup_line_chars")
+        <= th["dup_line_char"][0] * F.col("line_chars"),
+        "r_dup_para_char": th["dup_para_char"][1] * F.col("dup_para_chars")
+        <= th["dup_para_char"][0] * F.col("para_chars"),
+        **{
+            f"r_top{n}": th[f"top{n}"][1] * F.col(f"top{n}_chars")
+            <= th[f"top{n}"][0] * F.col("nns")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"r_rep{n}": th[f"rep{n}"][1] * F.col(f"rep{n}_chars")
+            <= th[f"rep{n}"][0] * F.col("nns")
+            for n in range(5, 11)
+        },
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    out = out.withColumn(
+        "pass_repetition", reduce(lambda a, b: a & b, map(F.col, flags))
+    )
+    return out.withColumnRenamed("__doc", id_col)

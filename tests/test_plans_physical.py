@@ -471,3 +471,19 @@ def test_gopher_flags_single_pass_no_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "codegen id" in plan  # the projection compiles into codegen
+
+
+def test_gopher_repetition_bounded_shuffles_no_python(spark):
+    """The repetition half shuffles exactly where the algorithm needs
+    it — gram-frequency election and coverage resolution — with no
+    Python and no cartesian anywhere. Exchange count is pinned as an
+    upper bound so a regression into a join cascade (one shuffle per
+    n-gram order) fails loudly."""
+    from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
+
+    plan = _explain(gopher_repetition(_docs(spark)))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 9 gram orders must NOT each pay their own exchange
+    assert plan.count("Exchange hashpartitioning") <= 8

@@ -234,3 +234,100 @@ class TestGopherFlags:
     def test_empty_text(self, spark):
         r = self._flags(spark, "")
         assert not r["pass_gopher"] and not r["r_mean_word_len"]
+
+
+class TestGopherRepetition:
+    def _one(self, spark, text, **kw):
+        from sqlbackuphistoryetl_spark.functions.textfns import (
+            gopher_repetition,
+        )
+
+        df = _docs(spark, [(1, text)])
+        return gopher_repetition(df, **kw).collect()[0].asDict()
+
+    def test_duplicate_lines_and_chars(self, spark):
+        r = self._one(spark, "a b\na b\nc d")
+        assert (r["n_lines"], r["dup_lines"]) == (3, 1)
+        # the repeated "a b" occurrence beyond the first weighs 3 chars
+        assert (r["line_chars"], r["dup_line_chars"]) == (9, 3)
+        # 1/3 of lines duplicated > 0.30 bar
+        assert not r["r_dup_line"]
+
+    def test_duplicate_paragraphs(self, spark):
+        r = self._one(spark, "p q r\n\np q r\n\nx y")
+        assert (r["n_paras"], r["dup_paras"]) == (3, 1)
+        assert (r["para_chars"], r["dup_para_chars"]) == (13, 5)
+        # lines: ["p q r", "", "p q r", "", "x y"] — the blank repeat
+        # counts too (definitional: element algebra, not semantics)
+        assert (r["n_lines"], r["dup_lines"]) == (5, 2)
+        assert not r["r_dup_para"]
+
+    def test_top_ngram_char_mass(self, spark):
+        # "foo bar" ×3 (6 nonspace chars), "foo bar foo" ×2,
+        # "foo bar foo bar" ×2; 21 nonspace chars total
+        r = self._one(spark, "foo bar foo bar foo bar baz")
+        assert r["top2_chars"] == 3 * 6
+        assert r["top3_chars"] == 2 * 9
+        assert r["top4_chars"] == 2 * 12
+        assert r["nns"] == 21
+        assert not r["r_top2"] and not r["r_top3"] and not r["r_top4"]
+
+    def test_top_ngram_requires_a_repeat(self, spark):
+        # every n-gram unique -> all top masses 0, flags pass
+        r = self._one(spark, "one two three four five six")
+        assert r["top2_chars"] == r["top3_chars"] == r["top4_chars"] == 0
+        assert r["r_top2"] and r["r_top3"] and r["r_top4"]
+
+    def test_repeated_ngram_coverage_distinct_positions(self, spark):
+        # "v w x y z" ×2: both occurrences' positions covered (10 chars
+        # of 21); no repeated 6-gram
+        r = self._one(spark, "v w x y z v w x y z tail end here")
+        assert r["rep5_chars"] == 10
+        assert r["rep6_chars"] == 0
+        assert not r["r_rep5"]  # 10/21 > 0.15
+
+    def test_overlapping_occurrences_never_double_count(self, spark):
+        # "a a a a a a a" — the 5-gram "a a a a a" occurs at pos 0,1,2;
+        # coverage is every position once = 7 chars, not 15
+        r = self._one(spark, "a a a a a a a")
+        assert r["rep5_chars"] == 7
+
+    def test_short_and_empty_docs(self, spark):
+        for text in ("short", ""):
+            r = self._one(spark, text)
+            assert r["top2_chars"] == 0 and r["rep10_chars"] == 0
+            assert r["pass_repetition"]
+
+    def test_hash_grams_matches_exact(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import (
+            gopher_repetition,
+        )
+
+        df = _docs(
+            spark,
+            [
+                (1, "a b\na b\nc d"),
+                (2, "foo bar foo bar foo bar baz"),
+                (3, "v w x y z v w x y z tail end here"),
+            ],
+        )
+        exact = sorted(map(tuple, gopher_repetition(df).collect()))
+        hashed = sorted(
+            map(tuple, gopher_repetition(df, hash_grams=True).collect())
+        )
+        assert exact == hashed
+
+    def test_plan_has_no_cartesian(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import (
+            gopher_repetition,
+        )
+
+        df = _docs(spark, [(1, "a b c"), (2, "d e f")])
+        plan = (
+            gopher_repetition(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
