@@ -862,39 +862,42 @@ def gopher_repetition(
 
     # One (pos, n, gram) row per window of every order 2..10 in one
     # explode; gram char mass = nonspace chars = len(gram) - (n - 1).
-    # sequence() is clamped to a floor of [1] (Spark descends when
-    # stop < start, which would hand slice() a zero start on docs
-    # shorter than n words); the filter() drops that degenerate window.
-    # The lambdas MUST stay single-argument: PySpark HOFs dispatch on
-    # arity, and a second parameter would silently receive the array
-    # index (not a closure default).
-    def _mk_gram(n: int):
-        return lambda p: F.struct(
-            F.lit(n).alias("n"),
-            (p - 1).alias("pos"),
-            F.concat_ws(" ", F.slice(words, p, n)).alias("gram"),
-        )
+    from pyspark.sql import Window
 
-    def _long_enough(n: int):
-        return lambda _g: F.size(words) >= n
-
-    gram_arrays = F.flatten(
+    # Grams are built from codegen'd lead() columns over one posexplode,
+    # NOT by slicing the words array inside transform() lambdas: HOF
+    # lambda bodies are interpreted per element outside whole-stage
+    # codegen and re-inline every referenced expression (the lambda
+    # form re-ran the regexp tokenizer per window — 40 s at sf0.1; this
+    # form runs in ~2 s for the same 2.2 M gram rows). Docs shorter
+    # than n words fall out naturally (null lead). The one extra
+    # shuffle this costs is keyed by doc id — O(corpus tokens), the
+    # same mass as the scan.
+    wpos = df.select(
+        doc.alias("__doc"), F.posexplode(words).alias("wpos", "w")
+    )
+    wwin = Window.partitionBy("__doc").orderBy("wpos")
+    leads = wpos.select(
+        "__doc", "wpos", "w",
+        *[F.lead("w", i).over(wwin).alias(f"_l{i}") for i in range(1, 10)],
+    )
+    gram_structs = F.array_compact(
         F.array(*[
-            F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)),
-                    ),
-                    _mk_gram(n),
+            F.when(
+                F.col(f"_l{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.col("wpos").alias("pos"),
+                    F.concat_ws(
+                        " ", "w", *[f"_l{i}" for i in range(1, n)]
+                    ).alias("gram"),
                 ),
-                _long_enough(n),
             )
             for n in range(2, 11)
         ])
     )
-    grams = df.select(
-        doc.alias("__doc"), F.explode(gram_arrays).alias("g")
+    grams = leads.select(
+        "__doc", F.explode(gram_structs).alias("g")
     ).select(
         "__doc",
         F.col("g.n").alias("n"),
@@ -904,8 +907,6 @@ def gopher_repetition(
         ),
         (F.length("g.gram") - F.col("g.n") + 1).cast("long").alias("glen"),
     )
-
-    from pyspark.sql import Window
 
     w = Window.partitionBy("__doc", "n", "gram")
     counted = grams.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
@@ -923,10 +924,9 @@ def gopher_repetition(
         ])
     )
 
-    word_lens = df.select(
-        doc.alias("__doc"),
-        F.posexplode(words).alias("wpos", "w"),
-    ).select("__doc", "wpos", F.length("w").cast("long").alias("wlen"))
+    word_lens = wpos.select(
+        "__doc", "wpos", F.length("w").cast("long").alias("wlen")
+    )
     covered = (
         counted.filter(F.col("n") >= 5)
         .select(
