@@ -1194,21 +1194,28 @@ def semdedup_prune(
         nearest = _nearest_centroids_udf([vec for _, vec in ordered], 1)
         cell_labels = F.array(*[F.lit(int(cell)) for cell, _ in ordered])
         cell_col = F.element_at(cell_labels, F.get(nearest(v), 0) + 1)
+    # The norm is computed ONCE per vector here and carried through the
+    # pair join: HOF lambdas are interpreted per element, so evaluating
+    # _norm per PAIR would triple the pair stage's lambda evals for a
+    # bit-identical result (same expression, same rounding — only the
+    # evaluation count changes). Measured 3.1 s -> ~1 s at sf0.1.
     assigned = corpus.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_svec"),
         cell_col.alias("cell"),
-    )
+    ).withColumn("_snorm", _norm(F.col("_svec")))
 
     a = assigned.select(
         F.col("cell"),
         F.col("_sid").alias("_ida"),
         F.col("_svec").alias("_va"),
+        F.col("_snorm").alias("_na"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col("_sid").alias("_idb"),
         F.col("_svec").alias("_vb"),
+        F.col("_snorm").alias("_nb"),
     )
     pruned = (
         a.join(b, "cell")
@@ -1216,7 +1223,7 @@ def semdedup_prune(
         .withColumn(
             "_cos",
             _dot(F.col("_va"), F.col("_vb"))
-            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+            / (F.col("_na") * F.col("_nb")),
         )
         .filter(F.col("_cos") >= F.lit(float(threshold)))
         .select(F.col("_idb").alias("_pruned_id"))
