@@ -3933,6 +3933,72 @@ select doc_id, n_words, nns,
 from joined
 """
 
+def ccnet_perplexity(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020) with the corpus
+    as its own reference LM (extensions/lm_filter.py). Per-bigram
+    log-likelihoods are integer micro-nats, the per-doc sum is an exact
+    bigint (float-order-free), nll is ONE division of exact integers,
+    and the head/middle/tail split is a per-language ntile over
+    (nll asc nulls last, doc_id) — a total order, so the tiles are
+    engine-exact."""
+    from sqlbackuphistoryetl_spark.extensions.lm_filter import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(docs)
+    return out.select(
+        "doc_id", "lang", "n_bigrams", "nll_u", "nll",
+        out["bucket"].cast("int").alias("bucket"), "bucket_name",
+    )
+
+
+CCNET_SQL = r"""
+with toks as (
+  select doc_id, lang, regexp_extract_all(text, '\S+') as words
+  from documents),
+big as (
+  select doc_id, lang, words[i] as w1, words[i + 1] as w2
+  from (select doc_id, lang, words,
+               unnest(generate_series(1, len(words) - 1)) as i
+        from toks)),
+c12 as (select w1, w2, cast(count(*) as bigint) as c12
+        from big group by 1, 2),
+c1 as (select w1, cast(count(*) as bigint) as c1 from big group by 1),
+v as (select cast(count(distinct w) as bigint) as v
+      from (select unnest(words) as w from toks)),
+sc as (
+  select b.doc_id,
+         cast(round(ln((c1.c1 + v.v) / (c12.c12 + 1)) * 1000000)
+              as bigint) as ll_u
+  from big b
+  join c12 using (w1, w2)
+  join c1 using (w1)
+  cross join v),
+per as (
+  select doc_id, cast(count(*) as bigint) as n_bigrams,
+         cast(sum(ll_u) as bigint) as nll_u
+  from sc group by 1),
+alldocs as (
+  select d.doc_id, d.lang,
+         coalesce(p.n_bigrams, 0) as n_bigrams,
+         coalesce(p.nll_u, 0) as nll_u,
+         case when coalesce(p.n_bigrams, 0) > 0
+              then cast(p.nll_u as double)
+                   / cast(p.n_bigrams * 1000000 as double)
+         end as nll
+  from documents d left join per p using (doc_id)),
+tiled as (
+  select *, cast(ntile(3) over (partition by lang
+      order by nll asc nulls last, doc_id asc) as int) as bucket
+  from alldocs)
+select doc_id, lang, n_bigrams, nll_u, nll, bucket,
+       case bucket when 1 then 'head' when 2 then 'middle'
+            else 'tail' end as bucket_name
+from tiled
+"""
+
+
 
 
 # ---------------------------------------------------------------- registry
@@ -4032,6 +4098,7 @@ _ORACLES: dict[str, str | None] = {
     "semdedup_prune": SEMDEDUP_SQL,
     "gopher_quality": GOPHER_SQL,
     "gopher_repetition": GOPHER_REPETITION_SQL,
+    "ccnet_perplexity": CCNET_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4320,6 +4387,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 6 -------------------------------------------
     "quality_model_score": quality_model_score,
     "gopher_repetition": gopher_repetition,
+    "ccnet_perplexity": ccnet_perplexity,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

@@ -76,6 +76,7 @@ EXTENDED = [
     "semdedup_prune",
     "gopher_quality",
     "gopher_repetition",
+    "ccnet_perplexity",
 ]
 
 

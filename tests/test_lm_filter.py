@@ -1,0 +1,125 @@
+"""Unit tests for the CCNet-style bigram-LM perplexity filter
+(extensions/lm_filter.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.lm_filter import (
+    _MICRO,
+    ccnet_bucket,
+    ccnet_perplexity_buckets,
+    score_nll,
+    train_bigram_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+CORPUS = [
+    (1, "the cat sat", "en"),
+    (2, "the cat ran", "en"),
+    (3, "zx qq zz", "en"),
+    (4, "solo", "en"),
+    (5, "le chat", "fr"),
+]
+# vocab: the cat sat ran zx qq zz solo le chat -> 10 distinct
+V = 10
+
+
+def _u(c1, c12):
+    return round(math.log((c1 + V) / (c12 + 1)) * _MICRO)
+
+
+class TestTrainScore:
+    def test_counts_and_vocab(self, spark):
+        c12, c1, v = train_bigram_lm(_docs(spark, CORPUS))
+        assert v == V
+        pairs = {(r["w1"], r["w2"]): r["c12"] for r in c12.collect()}
+        assert pairs[("the", "cat")] == 2
+        assert pairs[("cat", "sat")] == 1
+        assert ("sat", "the") not in pairs  # bigrams never cross docs
+        ctx = {r["w1"]: r["c1"] for r in c1.collect()}
+        assert ctx == {"the": 2, "cat": 2, "zx": 1, "qq": 1, "le": 1}
+
+    def test_nll_matches_hand_math(self, spark):
+        df = _docs(spark, CORPUS)
+        c12, c1, v = train_bigram_lm(df)
+        got = {
+            r["doc_id"]: r
+            for r in score_nll(df, c12, c1, v, keep_cols=["lang"]).collect()
+        }
+        exp1 = _u(2, 2) + _u(2, 1)  # (the,cat) + (cat,sat)
+        assert got[1]["nll_u"] == exp1
+        assert got[1]["nll"] == exp1 / (2 * _MICRO)
+        assert got[1]["n_bigrams"] == 2
+
+    def test_short_doc_is_null_scored(self, spark):
+        df = _docs(spark, CORPUS)
+        c12, c1, v = train_bigram_lm(df)
+        r = {
+            x["doc_id"]: x for x in score_nll(df, c12, c1, v).collect()
+        }[4]
+        assert (r["n_bigrams"], r["nll_u"], r["nll"]) == (0, 0, None)
+
+    def test_oov_scores_as_unseen(self, spark):
+        train = _docs(spark, CORPUS)
+        c12, c1, v = train_bigram_lm(train)
+        test = _docs(spark, [(9, "totally novel words", "en")])
+        r = score_nll(test, c12, c1, v).collect()[0]
+        # both bigrams unseen, both contexts unseen: ln((0+V)/(0+1))
+        assert r["nll_u"] == 2 * round(math.log(V) * _MICRO)
+
+    def test_min_count_prunes_bigrams(self, spark):
+        df = _docs(spark, CORPUS)
+        c12, c1, v = train_bigram_lm(df, min_count=2)
+        assert {(r["w1"], r["w2"]) for r in c12.collect()} == {("the", "cat")}
+        # pruned pair (cat, sat) now scores as unseen: c12 -> 0
+        got = {
+            r["doc_id"]: r["nll_u"]
+            for r in score_nll(df, c12, c1, v).collect()
+        }
+        assert got[1] == _u(2, 2) + _u(2, 0)
+
+
+class TestBuckets:
+    def test_head_middle_tail_per_lang(self, spark):
+        out = {
+            r["doc_id"]: (r["bucket"], r["bucket_name"])
+            for r in ccnet_perplexity_buckets(_docs(spark, CORPUS)).collect()
+        }
+        # en has 4 docs -> ANSI ntile sizes the tiles 2,1,1 (extras to
+        # the FIRST tiles): fluent 1,2 share head, 3 middle, unscorable
+        # 4 tail; fr has one doc -> head
+        assert out[1] == (1, "head")
+        assert out[2] == (1, "head")
+        assert out[3] == (2, "middle")
+        assert out[4] == (3, "tail")
+        assert out[5] == (1, "head")
+
+    def test_bucket_window_is_per_language_not_global(self, spark):
+        df = _docs(spark, CORPUS)
+        c12, c1, v = train_bigram_lm(df)
+        scored = score_nll(df, c12, c1, v, keep_cols=["lang"])
+        plan = (
+            ccnet_bucket(scored)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pipeline_plan_no_cartesian_no_python(self, spark):
+        plan = (
+            ccnet_perplexity_buckets(_docs(spark, CORPUS))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
