@@ -3998,6 +3998,66 @@ select doc_id, lang, n_bigrams, nll_u, nll, bucket,
 from tiled
 """
 
+def dsir_selection(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023,
+    extensions/sampling.py:dsir_resample): hashed unigram+bigram
+    bag-of-n-grams models on target (lang='en') vs the full corpus,
+    per-doc log-ratio weights in exact integer micro-nats, Gumbel-top-k
+    selection with deterministic md5 draws. Top-100 by (key desc, id) —
+    a total order."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, docs.filter(F.col("lang") == "en"), k=100, n_buckets=4096
+    )
+
+
+DSIR_SQL = r"""
+with toks as (
+  select doc_id, lang, regexp_extract_all(text, '\S+') as words
+  from documents),
+grams as (
+  select doc_id, lang, gram from (
+    select doc_id, lang, unnest(words) as gram from toks
+    union all
+    select doc_id, lang, words[i] || ' ' || words[i + 1] as gram
+    from (select doc_id, lang, words,
+                 unnest(generate_series(1, len(words) - 1)) as i
+          from toks))),
+b as (
+  select doc_id, lang,
+         cast(('0x' || substr(md5(gram), 1, 8))::ubigint % 4096
+              as bigint) as bucket
+  from grams),
+cq as (select bucket, cast(count(*) as bigint) as cq from b group by 1),
+cp as (select bucket, cast(count(*) as bigint) as cp
+       from b where lang = 'en' group by 1),
+tot as (select (select cast(count(*) as bigint) from b where lang = 'en')
+                 as tp,
+               (select cast(count(*) as bigint) from b) as tq),
+delta as (
+  select cq.bucket,
+         cast(round(ln(((coalesce(cp.cp, 0) + 1.0) / (tot.tp + 4096.0))
+                       / ((cq.cq + 1.0) / (tot.tq + 4096.0)))
+                    * 1000000.0) as bigint) as du
+  from cq left join cp using (bucket) cross join tot),
+sc as (
+  select b.doc_id, cast(count(*) as bigint) as n_feats,
+         cast(sum(d.du) as bigint) as logw_u
+  from b join delta d using (bucket) group by 1),
+keyed as (
+  select doc_id, n_feats, logw_u,
+         cast(logw_u as double) / 1000000.0
+         + (-ln(-ln((('0x' || substr(md5('dsir' || '|'
+                     || cast(doc_id as varchar)), 1, 8))::ubigint + 0.5)
+                    / 4294967296.0))) as gkey
+  from sc)
+select doc_id, n_feats, logw_u
+from keyed order by gkey desc, doc_id asc limit 100
+"""
+
+
 
 
 
@@ -4099,6 +4159,7 @@ _ORACLES: dict[str, str | None] = {
     "gopher_quality": GOPHER_SQL,
     "gopher_repetition": GOPHER_REPETITION_SQL,
     "ccnet_perplexity": CCNET_SQL,
+    "dsir_selection": DSIR_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4388,6 +4449,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model_score": quality_model_score,
     "gopher_repetition": gopher_repetition,
     "ccnet_perplexity": ccnet_perplexity,
+    "dsir_selection": dsir_selection,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

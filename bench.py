@@ -77,6 +77,7 @@ EXTENDED = [
     "gopher_quality",
     "gopher_repetition",
     "ccnet_perplexity",
+    "dsir_selection",
 ]
 
 

@@ -173,3 +173,137 @@ def weighted_sample_k(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def _hashed_gram_buckets(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One ``(doc, bucket)`` row per unigram AND bigram occurrence,
+    bucketed by the first 8 md5 hex chars mod ``n_buckets`` — the
+    hashed bag-of-n-grams featurization of DSIR (Xie et al. 2023).
+    md5 (not xxhash64) so any engine reproduces the buckets. The gram
+    arrays are built from a BOUND words column (map-side, no shuffle;
+    the gopher_repetition per-element-re-eval lesson)."""
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    toks = docs.select(
+        F.col(id_col).alias("__doc"), *(extra_cols or []), words.alias("__w")
+    )
+    w = F.col("__w")
+    tail = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(w, 1, tail).alias("a"), F.slice(w, 2, tail).alias("b")
+        ),
+        lambda p: F.concat_ws(" ", p["a"], p["b"]),
+    )
+    return toks.select(
+        "__doc", *(extra_cols or []),
+        F.explode(F.concat(w, bigrams)).alias("gram"),
+    ).select(
+        "__doc", *(extra_cols or []),
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+            F.lit(int(n_buckets)),
+        ).alias("bucket"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit
+    add-one-smoothed hashed bag-of-n-grams models on the TARGET (the
+    distribution you want) and the RAW corpus, then weigh each raw doc
+    by its gram-wise log probability ratio.
+
+    Returns ``(doc_id, n_feats, logw_u)``: ``logw_u`` is the log-ratio
+    sum in integer MICRO-NATS — each bucket's delta is rounded once,
+    so the per-doc sum is an exact bigint, immune to float summation
+    order (the repo determinism doctrine; see lm_filter).
+
+    Scale shape: two corpus-shuffle hash aggregates (bucket counts,
+    map-side combinable), a ≤ ``n_buckets``-row delta table that joins
+    back BROADCAST, and one per-doc hash aggregate. Driver state is
+    two scalar totals. No Python anywhere.
+    """
+    rawg = _hashed_gram_buckets(raw, n_buckets, text_col, id_col)
+    tgtg = _hashed_gram_buckets(target, n_buckets, text_col, id_col)
+    cq = rawg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    cp = tgtg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    tq, tp = (
+        rawg.count(),
+        tgtg.count(),
+    )
+    # identical expression shape to the oracle: two double divisions,
+    # one ln, one round — on exact integer inputs
+    b = float(n_buckets)
+    delta = (
+        cq.join(cp, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
+                        / F.lit(float(tp) + b)
+                    )
+                    / ((F.col("cq") + F.lit(1.0)) / F.lit(float(tq) + b))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("du"),
+        )
+    )
+    return (
+        rawg.join(F.broadcast(delta), "bucket")
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("du").alias("logw_u"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k over the importance
+    log-weights — sampling k docs WITHOUT replacement with probability
+    proportional to their importance ratio (the Gumbel-max trick; the
+    md5 draw makes it deterministic in (id, salt), same contract as
+    ``weighted_sample_k``). ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — bounded per-partition heaps, no global
+    sort. Returns ``(doc_id, n_feats, logw_u)`` for the selected k."""
+    lw = dsir_logweights(raw, target, n_buckets, text_col, id_col)
+    u = (
+        F.conv(F.substring(det_key(id_col, salt), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_HEX_SPACE))  # u ∈ (0, 1) strictly: gumbel finite
+    gumbel = -F.log(-F.log(u))
+    key = F.col("logw_u").cast("double") / F.lit(1_000_000.0) + gumbel
+    return (
+        lw.withColumn("_gkey", key)
+        .orderBy(F.col("_gkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_gkey")
+    )

@@ -379,3 +379,113 @@ def test_weighted_sample_k_bias_and_determinism(spark):
     assert ids != {r["doc_id"] for r in
                    weighted_sample_k(df, 100, "w", "doc_id", salt="w1").collect()}
     assert "TakeOrderedAndProject" in _explain(s)
+
+
+class TestDSIR:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def _hand_logw(self, raw_docs, target_docs, n_buckets):
+        import hashlib
+        import math
+
+        def grams(text):
+            ws = text.split()
+            return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+        def bucket(g):
+            return (
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            )
+
+        cq, cp = {}, {}
+        for _, t in raw_docs:
+            for g in grams(t):
+                cq[bucket(g)] = cq.get(bucket(g), 0) + 1
+        for _, t in target_docs:
+            for g in grams(t):
+                cp[bucket(g)] = cp.get(bucket(g), 0) + 1
+        tq, tp = sum(cq.values()), sum(cp.values())
+        du = {
+            b: round(
+                math.log(
+                    ((cp.get(b, 0) + 1.0) / (tp + n_buckets))
+                    / ((c + 1.0) / (tq + n_buckets))
+                )
+                * 1e6
+            )
+            for b, c in cq.items()
+        }
+        out = {}
+        for i, t in raw_docs:
+            gs = grams(t)
+            out[i] = (len(gs), sum(du[bucket(g)] for g in gs))
+        return out
+
+    RAW = [
+        (1, "spark shuffle join spark shuffle", "en"),
+        (2, "der die das und der die", "de"),
+        (3, "spark join window agg", "en"),
+    ]
+
+    def test_logweights_match_hand_math(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import (
+            dsir_logweights,
+        )
+
+        raw = self._frame(spark, self.RAW)
+        target = raw.filter(F.col("lang") == "en")
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw_u"])
+            for r in dsir_logweights(raw, target, n_buckets=64).collect()
+        }
+        exp = self._hand_logw(
+            [(i, t) for i, t, _ in self.RAW],
+            [(i, t) for i, t, lang in self.RAW if lang == "en"],
+            64,
+        )
+        assert got == exp
+
+    def test_on_target_docs_outweigh_off_target(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import (
+            dsir_logweights,
+        )
+
+        raw = self._frame(spark, self.RAW)
+        lw = {
+            r["doc_id"]: r["logw_u"]
+            for r in dsir_logweights(
+                raw, raw.filter(F.col("lang") == "en"), n_buckets=64
+            ).collect()
+        }
+        assert lw[1] > lw[2] and lw[3] > lw[2]
+
+    def test_resample_deterministic_and_bounded(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import (
+            dsir_resample,
+        )
+
+        raw = self._frame(spark, self.RAW)
+        tgt = raw.filter(F.col("lang") == "en")
+        s1 = sorted(r["doc_id"] for r in dsir_resample(raw, tgt, 2).collect())
+        s2 = sorted(r["doc_id"] for r in dsir_resample(raw, tgt, 2).collect())
+        assert s1 == s2 and len(s1) == 2
+
+    def test_plan_broadcast_delta_and_topk(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.sampling import (
+            dsir_resample,
+        )
+
+        raw = self._frame(spark, self.RAW)
+        plan = (
+            dsir_resample(raw, raw.filter(F.col("lang") == "en"), 2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
