@@ -4057,6 +4057,32 @@ select doc_id, n_feats, logw_u
 from keyed order by gkey desc, doc_id asc limit 100
 """
 
+def edit_distance_pairs(spark, sf_dir):
+    """Exact edit-distance similarity self-join via PassJoin segment
+    indexing (extensions/dedup.py:edit_distance_join) — pigeonhole
+    equi-join candidates, levenshtein verify, 100% recall by
+    construction. Gate surface: 60-char prefixes, d = 5 (the corpus's
+    near-dup bar); the oracle is the brute-force all-pairs quadratic,
+    so the gate proves the pruned join loses nothing."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        edit_distance_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    return edit_distance_join(docs, max_dist=5)
+
+
+EDIT_DISTANCE_SQL = r"""
+with d as (select doc_id, substr(text, 1, 60) as text from documents)
+select a.doc_id as id_a, b.doc_id as id_b,
+       cast(levenshtein(a.text, b.text) as int) as ed
+from d a join d b on a.doc_id < b.doc_id
+where levenshtein(a.text, b.text) <= 5
+"""
+
+
 
 
 
@@ -4160,6 +4186,7 @@ _ORACLES: dict[str, str | None] = {
     "gopher_repetition": GOPHER_REPETITION_SQL,
     "ccnet_perplexity": CCNET_SQL,
     "dsir_selection": DSIR_SQL,
+    "edit_distance_pairs": EDIT_DISTANCE_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4450,6 +4477,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": gopher_repetition,
     "ccnet_perplexity": ccnet_perplexity,
     "dsir_selection": dsir_selection,
+    "edit_distance_pairs": edit_distance_pairs,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

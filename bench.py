@@ -78,6 +78,7 @@ EXTENDED = [
     "gopher_repetition",
     "ccnet_perplexity",
     "dsir_selection",
+    "edit_distance_pairs",
 ]
 
 

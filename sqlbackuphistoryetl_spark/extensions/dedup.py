@@ -1156,3 +1156,128 @@ def duplicated_window_spans(
             "n_windows",
         )
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join — every pair with
+    ``levenshtein(a, b) <= max_dist`` — via PassJoin segment indexing
+    (Li, Deng, Feng 2011, "PASS-JOIN: A Partition-based Method for
+    Similarity Joins"): partition each string into ``d+1`` contiguous
+    segments; if ed(s, t) <= d, the edit script touches at most d of
+    them, so at least one segment survives UNTOUCHED and appears in t
+    verbatim, shifted by at most ±d (net indels before it). Candidates
+    are therefore an EQUI-join on (claimed-length, segment-index,
+    segment-text) — 100% recall by pigeonhole, no similarity sketch —
+    then one levenshtein verify. Both Spark and DuckDB ship the same
+    unit-cost levenshtein, which is what makes the operator
+    oracle-checkable end to end.
+
+    Returns ``(id_a, id_b, ed)`` with ``id_a < id_b``.
+
+    Scale shape: the segment index is d+1 short rows per string; the
+    probe side enumerates (length-offset × segment × ±d window) =
+    O(d³) SHORT substring keys per string (PassJoin's multi-match
+    window would tighten to O(d²) — this uses the simpler sound ±d
+    bound), all map-side; candidates shuffle once on the segment key
+    carrying IDS ONLY (full texts join back just for the verified
+    candidate set). Strings shorter than d+1 chars can't be segmented;
+    any qualifying partner is then <= 2d chars, so the <= 2d-char
+    stragglers pair off in a tiny length-bucketed cross join (empty
+    for real corpora at small d — documented cost O(|tiny|²)).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d = int(max_dist)
+    parts = d + 1
+    strs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("int").alias("__len"),
+    )
+
+    def _bound(i, L):  # segment i of a length-L string: [start, start+slen)
+        start = F.floor(i * L / F.lit(float(parts))).cast("int")
+        nxt = F.floor((i + 1) * L / F.lit(float(parts))).cast("int")
+        return start, nxt - start
+
+    seggable = strs.filter(F.col("__len") >= parts)
+    segs = seggable.select(
+        "__id", "__t",
+        F.col("__len").alias("L"),
+        F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+    )
+    s_start, s_len = _bound(F.col("i"), F.col("L"))
+    segs = segs.select(
+        F.col("__id").alias("sid"), "L", "i",
+        F.col("__t").substr(s_start + 1, s_len).alias("seg"),
+    )
+
+    probes = (
+        seggable.select(
+            "__id", "__t", "__len",
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("o"),
+        )
+        .withColumn("L", F.col("__len") + F.col("o"))
+        .filter(F.col("L") >= parts)
+        .select(
+            "__id", "__t", "__len", "L",
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+        )
+    )
+    p_start, p_len = _bound(F.col("i"), F.col("L"))
+    probes = (
+        probes.withColumn("p", p_start)
+        .withColumn("slen", p_len)
+        .withColumn("qlo", F.greatest(F.lit(0), F.col("p") - d))
+        .withColumn("qhi", F.least(F.col("__len") - F.col("slen"), F.col("p") + d))
+        .filter(F.col("qhi") >= F.col("qlo"))
+        .select(
+            "__id", "__t", "L", "i", "slen",
+            F.explode(F.sequence(F.col("qlo"), F.col("qhi"))).alias("q"),
+        )
+        .select(
+            F.col("__id").alias("pid"), "L", "i",
+            F.col("__t").substr(F.col("q") + 1, F.col("slen")).alias("seg"),
+        )
+    )
+
+    cand = (
+        segs.join(probes, ["L", "i", "seg"])
+        .filter(F.col("sid") < F.col("pid"))
+        .select("sid", "pid")
+        .distinct()
+    )
+
+    tiny = strs.filter(F.col("__len") <= 2 * d)
+    tiny_cand = (
+        tiny.select(F.col("__id").alias("sid"), F.col("__len").alias("_la"))
+        .crossJoin(
+            tiny.select(F.col("__id").alias("pid"), F.col("__len").alias("_lb"))
+        )
+        .filter(
+            (F.col("sid") < F.col("pid"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= d)
+        )
+        .select("sid", "pid")
+    )
+
+    a = strs.select(F.col("__id").alias("sid"), F.col("__t").alias("_ta"))
+    b = strs.select(F.col("__id").alias("pid"), F.col("__t").alias("_tb"))
+    return (
+        cand.unionByName(tiny_cand)
+        .distinct()
+        .join(a, "sid")
+        .join(b, "pid")
+        .withColumn("ed", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("ed") <= d)
+        .select(
+            F.col("sid").alias("id_a"),
+            F.col("pid").alias("id_b"),
+            F.col("ed").cast("int").alias("ed"),
+        )
+    )
