@@ -1268,13 +1268,16 @@ def edit_distance_join(
 
     a = strs.select(F.col("__id").alias("sid"), F.col("__t").alias("_ta"))
     b = strs.select(F.col("__id").alias("pid"), F.col("__t").alias("_tb"))
+    # thresholded levenshtein = banded DP, O(d·n) per verify instead of
+    # O(n²) (returns -1 above the bound — exact within it), the verify-
+    # stage half of PassJoin's cost model
     return (
         cand.unionByName(tiny_cand)
         .distinct()
         .join(a, "sid")
         .join(b, "pid")
-        .withColumn("ed", F.levenshtein("_ta", "_tb"))
-        .filter(F.col("ed") <= d)
+        .withColumn("ed", F.levenshtein("_ta", "_tb", d))
+        .filter(F.col("ed") >= 0)
         .select(
             F.col("sid").alias("id_a"),
             F.col("pid").alias("id_b"),
