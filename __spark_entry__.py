@@ -4083,6 +4083,63 @@ where levenshtein(a.text, b.text) <= 5
 """
 
 
+def unimax_lang_budget(spark, sf_dir):
+    """UniMax epoch-capped language budget split (Chung et al. 2023;
+    extensions/sampling.py:unimax_allocation — closed-form waterfilling
+    over prefix sums, cross-multiplied integer predicates throughout).
+    Gate surface: budget = 9/5 of the corpus's own token count with a
+    2-epoch cap — at the test corpus's language skew the tail languages
+    hit their cap and the head language waterfills, so both branches of
+    the allocation are driver-exercised. The budget scalar is ONE
+    driver-side agg (sanctioned scalar collect)."""
+    from sqlbackuphistoryetl_spark.extensions.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tokens"),
+    )
+    total = tok.agg(F.sum("n_tokens").cast("bigint").alias("t")).collect()[0]["t"]
+    return unimax_allocation(tok, (9 * int(total)) // 5, max_epochs=2)
+
+
+UNIMAX_SQL = r"""
+with tok as (
+  select doc_id, lang, len(regexp_extract_all(text, '\S+')) as t
+  from documents),
+cnt as (select lang, cast(sum(t) as bigint) as corpus_tokens
+        from tok group by lang),
+tot as (select cast((9 * sum(corpus_tokens)) // 5 as bigint) as b from cnt),
+w as (
+  select lang, corpus_tokens,
+         cast(corpus_tokens * 2 as bigint) as cap_tokens,
+         row_number() over (order by corpus_tokens * 2, lang) as pos,
+         cast(coalesce(sum(corpus_tokens * 2) over (
+              order by corpus_tokens * 2, lang
+              rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as prefix,
+         cast(count(*) over () as bigint) as n
+  from cnt),
+f as (
+  select w.*, b,
+         case when cap_tokens * (n - pos + 1) <= b - prefix
+              then 1 else 0 end as is_capped
+  from w cross join tot),
+s as (
+  select f.*,
+         cast(sum(is_capped) over () as bigint) as m,
+         cast(sum(case when is_capped = 1 then cap_tokens else 0 end)
+              over () as bigint) as s_m
+  from f)
+select lang, corpus_tokens, cap_tokens,
+       cast(is_capped as int) as is_capped,
+       cast(case when is_capped = 1 then cap_tokens
+                 else (b - s_m) // (n - m) end as bigint) as alloc_tokens
+from s
+"""
+
+
 
 
 
@@ -4187,6 +4244,7 @@ _ORACLES: dict[str, str | None] = {
     "ccnet_perplexity": CCNET_SQL,
     "dsir_selection": DSIR_SQL,
     "edit_distance_pairs": EDIT_DISTANCE_SQL,
+    "unimax_lang_budget": UNIMAX_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4478,6 +4536,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_perplexity": ccnet_perplexity,
     "dsir_selection": dsir_selection,
     "edit_distance_pairs": edit_distance_pairs,
+    "unimax_lang_budget": unimax_lang_budget,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

@@ -307,3 +307,90 @@ def dsir_resample(
         .limit(k)
         .drop("_gkey")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int = 3,
+    lang_col: str = "lang",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining").
+
+    Splits a total training-token budget across languages as uniformly
+    as possible, subject to a per-language repeat cap: no language may
+    contribute more than ``max_epochs`` passes over its corpus. The
+    classic waterfilling solution — walk languages in ascending order
+    of capacity; a language whose cap is below the current fair share
+    takes its full cap and donates the leftover to the rest — has a
+    closed form over prefix sums, so the whole allocation is ONE window
+    computation, not an iterative driver loop:
+
+        capped(i)  <=>  cap_i * (n - i + 1) <= B - prefix_caps(i-1)
+
+    (cross-multiplied integer comparison — no rational arithmetic, the
+    same doctrine as ``gopher_quality_flags``). Uncapped languages
+    split the remainder evenly: ``(B - sum capped caps) div n_uncapped``
+    (integer floor; engines agree for non-negative operands).
+
+    Scale notes: the per-language token counts are one hash-agg over
+    the corpus (map-side partials); the waterfilling window then runs
+    over ``n_languages`` rows — hundreds, not corpus-sized — so its
+    single-task window is bounded and cheap. Overflow bound:
+    ``cap * n_langs`` must fit int64 — fine through ~4e15 corpus
+    tokens * 1000 languages.
+
+    Output: one row per language —
+    (lang, corpus_tokens, cap_tokens, is_capped, alloc_tokens).
+    """
+    cnt = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("corpus_tokens")
+    )
+    cap = cnt.withColumn(
+        "cap_tokens", F.col("corpus_tokens") * F.lit(int(max_epochs))
+    )
+    order = Window.orderBy("cap_tokens", "lang")
+    everything = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(int(total_budget))
+    w = (
+        cap.withColumn("_pos", F.row_number().over(order))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(everything))
+        .withColumn(
+            "is_capped",
+            (
+                F.col("cap_tokens") * (F.col("_n") - F.col("_pos") + 1)
+                <= b - F.col("_prefix")
+            ).cast("int"),
+        )
+    )
+    s = (
+        w.withColumn("_m", F.sum("is_capped").over(everything))
+        .withColumn(
+            "_s_m",
+            F.sum(
+                F.when(F.col("is_capped") == 1, F.col("cap_tokens")).otherwise(0)
+            ).over(everything),
+        )
+    )
+    alloc = F.when(F.col("is_capped") == 1, F.col("cap_tokens")).otherwise(
+        F.expr(f"({int(total_budget)} - _s_m) div (_n - _m)")
+    )
+    return s.select(
+        "lang",
+        "corpus_tokens",
+        "cap_tokens",
+        "is_capped",
+        alloc.cast("bigint").alias("alloc_tokens"),
+    )

@@ -17,6 +17,7 @@ from sqlbackuphistoryetl_spark.extensions.sampling import (
     hash_rate_filter,
     rate_threshold_hex,
     stratified_sample,
+    unimax_allocation,
     weighted_mix,
 )
 from sqlbackuphistoryetl_spark.functions.textfns import token_length_histogram
@@ -358,6 +359,7 @@ def test_weighted_sample_k_bias_and_determinism(spark):
     from tests.test_plans_physical import _explain
 
     from sqlbackuphistoryetl_spark.extensions.sampling import (
+    unimax_allocation,
         weighted_sample_k,
     )
 
@@ -432,6 +434,7 @@ class TestDSIR:
 
     def test_logweights_match_hand_math(self, spark):
         from sqlbackuphistoryetl_spark.extensions.sampling import (
+    unimax_allocation,
             dsir_logweights,
         )
 
@@ -450,6 +453,7 @@ class TestDSIR:
 
     def test_on_target_docs_outweigh_off_target(self, spark):
         from sqlbackuphistoryetl_spark.extensions.sampling import (
+    unimax_allocation,
             dsir_logweights,
         )
 
@@ -464,6 +468,7 @@ class TestDSIR:
 
     def test_resample_deterministic_and_bounded(self, spark):
         from sqlbackuphistoryetl_spark.extensions.sampling import (
+    unimax_allocation,
             dsir_resample,
         )
 
@@ -475,6 +480,7 @@ class TestDSIR:
 
     def test_plan_broadcast_delta_and_topk(self, spark):
         from sqlbackuphistoryetl_spark.extensions.sampling import (
+    unimax_allocation,
             dsir_resample,
         )
 
@@ -489,3 +495,86 @@ class TestDSIR:
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestUniMax:
+    """unimax_allocation == reference waterfilling loop, plus the
+    invariants the closed form must preserve."""
+
+    @staticmethod
+    def _py_unimax(counts: dict[str, int], budget: int, epochs: int):
+        """Reference loop: ascending caps; language i is capped iff its
+        cap fits the fair share over ALL languages still in the pool;
+        the first uncapped language ends capping (waterfilling)."""
+        langs = sorted(counts.items(), key=lambda kv: (kv[1] * epochs, kv[0]))
+        n, remaining, m = len(langs), budget, 0
+        out = {}
+        for i, (lang, c) in enumerate(langs):
+            cap = c * epochs
+            if m == i and cap * (n - i) <= remaining:
+                out[lang] = (c, cap, 1, cap)
+                remaining -= cap
+                m += 1
+        share = remaining // (n - m) if n > m else 0
+        for lang, c in counts.items():
+            if lang not in out:
+                out[lang] = (c, c * epochs, 0, share)
+        return out
+
+    def _run(self, spark, counts, budget, epochs):
+        rows = [(f"d{lang}{i}", lang, 1)
+                for lang, c in counts.items() for i in range(c)]
+        df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens long")
+        got = {
+            r["lang"]: (r["corpus_tokens"], r["cap_tokens"],
+                        r["is_capped"], r["alloc_tokens"])
+            for r in unimax_allocation(df, budget, max_epochs=epochs).collect()
+        }
+        assert got == self._py_unimax(counts, budget, epochs)
+        return got
+
+    def test_partial_capping(self, spark):
+        counts = {"en": 100, "fr": 30, "de": 20, "zh": 10}
+        got = self._run(spark, counts, budget=150, epochs=2)
+        # zh and de hit the 2-epoch cap; en and fr waterfill the rest
+        assert got["zh"] == (10, 20, 1, 20)
+        assert got["de"] == (20, 40, 1, 40)
+        assert got["fr"][2] == 0 and got["en"][2] == 0
+        assert got["fr"][3] == got["en"][3] == (150 - 60) // 2
+
+    def test_all_capped_when_budget_exceeds_caps(self, spark):
+        counts = {"a": 5, "b": 7}
+        got = self._run(spark, counts, budget=1000, epochs=3)
+        assert all(v[2] == 1 and v[3] == v[1] for v in got.values())
+
+    def test_none_capped_small_budget(self, spark):
+        counts = {"a": 50, "b": 60, "c": 70}
+        got = self._run(spark, counts, budget=30, epochs=1)
+        assert all(v[2] == 0 and v[3] == 10 for v in got.values())
+
+    def test_invariants_on_grid(self, spark):
+        counts = {"a": 13, "b": 29, "c": 101, "d": 7, "e": 55}
+        total = sum(counts.values())
+        for epochs in (1, 2, 4):
+            for budget in (0, 1, total // 3, total, 2 * total,
+                           epochs * total - 1, epochs * total,
+                           epochs * total + 1):
+                got = self._run(spark, counts, budget, epochs)
+                allocs = {k: v[3] for k, v in got.items()}
+                caps = {k: v[1] for k, v in got.items()}
+                # feasibility: nobody exceeds their epoch cap
+                assert all(allocs[k] <= caps[k] for k in counts)
+                # budget never overspent; leftover < number of uncapped
+                # languages unless every language is capped
+                spent = sum(allocs.values())
+                n_uncapped = sum(1 for v in got.values() if v[2] == 0)
+                assert spent <= budget or n_uncapped == 0
+                if n_uncapped:
+                    assert budget - spent < n_uncapped
+
+    def test_tie_break_deterministic(self, spark):
+        # equal caps order by lang name; result must be stable
+        counts = {"x": 10, "y": 10, "z": 10}
+        a = self._run(spark, counts, budget=25, epochs=1)
+        b = self._run(spark, counts, budget=25, epochs=1)
+        assert a == b
