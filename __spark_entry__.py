@@ -4140,6 +4140,44 @@ from s
 """
 
 
+def pmi_collocations_gate(spark, sf_dir):
+    """Top-100 PMI collocations over the documents corpus (Church &
+    Hanks 1990; extensions/lm_filter.py:pmi_collocations). PMI in
+    integer micro-nats from a fixed-shape double ratio — the score_nll
+    determinism doctrine; rank-k cut tie-broken on (w1, w2)."""
+    from sqlbackuphistoryetl_spark.extensions.lm_filter import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=100)
+
+
+PMI_SQL = r"""
+with toks as (
+  select regexp_extract_all(text, '\S+') as words from documents),
+uni as (select unnest(words) as w from toks),
+ucnt as (select w, cast(count(*) as bigint) as c from uni group by w),
+big as (
+  select words[i] as w1, words[i + 1] as w2
+  from (select words, unnest(generate_series(1, len(words) - 1)) as i
+        from toks)),
+cb as (select w1, w2, cast(count(*) as bigint) as c12
+       from big group by 1, 2),
+tot as (select cast((select count(*) from uni) as bigint) as n_tok,
+               cast((select count(*) from big) as bigint) as n_big)
+select cb.w1, cb.w2, cb.c12, a.c as c1, b.c as c2,
+       cast(round(ln((cast(cb.c12 as double) * n_tok * n_tok)
+                     / (cast(n_big as double) * a.c * b.c))
+                  * 1000000.0) as bigint) as pmi_u
+from cb
+join ucnt a on cb.w1 = a.w
+join ucnt b on cb.w2 = b.w
+cross join tot
+where cb.c12 >= 5
+order by pmi_u desc, cb.w1, cb.w2
+limit 100
+"""
+
+
 
 
 
@@ -4245,6 +4283,7 @@ _ORACLES: dict[str, str | None] = {
     "dsir_selection": DSIR_SQL,
     "edit_distance_pairs": EDIT_DISTANCE_SQL,
     "unimax_lang_budget": UNIMAX_SQL,
+    "pmi_collocations": PMI_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4537,6 +4576,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_selection": dsir_selection,
     "edit_distance_pairs": edit_distance_pairs,
     "unimax_lang_budget": unimax_lang_budget,
+    "pmi_collocations": pmi_collocations_gate,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

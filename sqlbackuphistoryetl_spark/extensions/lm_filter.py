@@ -196,3 +196,72 @@ def ccnet_perplexity_buckets(
         docs, c12, c1, v, text_col, id_col, keep_cols=[lang_col]
     )
     return ccnet_bucket(scored, lang_col, id_col, n_buckets)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990, "Word Association Norms, Mutual Information, and
+    Lexicography") — the classic corpus-statistics pass for surfacing
+    multiword expressions ("San Francisco") and boilerplate phrases
+    worth inspecting during curation.
+
+        pmi(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) )
+                    = ln( (c12 * N * N) / (B * c1 * c2) )
+
+    with c12 the bigram count, c1/c2 full unigram counts, N total
+    tokens, B total bigrams. The ratio is assembled as ONE fixed-shape
+    double expression (numerator and denominator each a left-assoc
+    product of exact-integer-valued doubles), so any engine computing
+    the same shape lands on the same IEEE value; the result is rounded
+    to integer MICRO-NATS (same doctrine as ``score_nll`` — ln differs
+    across engines only in the last ulp, moving the rounding only
+    within ~3e-9 of a boundary). ``min_count`` kills the degenerate
+    hapax pairs that would otherwise own the top of any PMI ranking.
+
+    Plan shape: unigram and bigram hash-aggs (map-side partials), two
+    equi-joins on word keys to attach c1/c2, the two corpus totals ride
+    in on a broadcast 1-row frame, and ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject — bounded per-partition heaps, no global
+    sort. Ties break on (w1, w2) for a deterministic cut at rank k.
+    """
+    big = _doc_bigrams(docs, text_col, id_col, [])
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    uni = docs.select(F.explode(words).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= int(min_count))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c").cast("bigint").alias("n_tok")).crossJoin(
+            big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+        )
+    )
+    scored = (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(totals)
+        .withColumn(
+            "pmi_u",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
+                )
+                * 1_000_000.0
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c12", "c1", "c2", "pmi_u")
+        .orderBy(F.col("pmi_u").desc(), "w1", "w2")
+        .limit(int(k))
+    )

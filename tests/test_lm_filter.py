@@ -11,6 +11,7 @@ from sqlbackuphistoryetl_spark.extensions.lm_filter import (
     _MICRO,
     ccnet_bucket,
     ccnet_perplexity_buckets,
+    pmi_collocations,
     score_nll,
     train_bigram_lm,
 )
@@ -123,3 +124,54 @@ class TestBuckets:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestPMICollocations:
+    def test_hand_computed_pmi(self, spark):
+        import math
+
+        docs = _docs(spark, [(1, "a b", "en"), (2, "a b", "en"), (3, "a c a b", "en")])
+        out = {
+            (r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"], r["pmi_u"])
+            for r in pmi_collocations(docs, min_count=1, k=10).collect()
+        }
+        # unigrams a:4 b:3 c:1 (N=8); bigrams (a,b):3 (a,c):1 (c,a):1 (B=5)
+        assert out[("a", "b")][:3] == (3, 4, 3)
+        assert out[("a", "b")][3] == round(math.log((3 * 8 * 8) / (5 * 4 * 3)) * 1e6)
+        assert out[("a", "c")][3] == round(math.log((1 * 8 * 8) / (5 * 4 * 1)) * 1e6)
+        assert out[("c", "a")][3] == round(math.log((1 * 8 * 8) / (5 * 1 * 4)) * 1e6)
+
+    def test_min_count_prunes_hapax(self, spark):
+        docs = _docs(spark, [(1, "a b", "en"), (2, "a b", "en"), (3, "a c a b", "en")])
+        pairs = {
+            (r["w1"], r["w2"])
+            for r in pmi_collocations(docs, min_count=2, k=10).collect()
+        }
+        assert pairs == {("a", "b")}
+
+    def test_topk_cut_is_deterministic(self, spark):
+        # x y and p q are symmetric — identical pmi; tie-break on (w1, w2)
+        docs = _docs(spark, [(1, "x y", "en"), (2, "p q", "en"), (3, "x y", "en"), (4, "p q", "en")])
+        top = pmi_collocations(docs, min_count=1, k=1).collect()
+        assert (top[0]["w1"], top[0]["w2"]) == ("p", "q")
+
+    def test_ranking_favors_exclusive_pairs(self, spark):
+        # "v w" always co-occur; "a" pairs with many partners
+        docs = _docs(spark, [(1, "v w", "en"), (2, "v w", "en"), (3, "v w", "en"), (4, "a b a c a d a e", "en")])
+        rows = pmi_collocations(docs, min_count=1, k=20).collect()
+        ranks = {(r["w1"], r["w2"]): i for i, r in enumerate(rows)}
+        assert ranks[("v", "w")] < min(
+            rank for pair, rank in ranks.items() if "a" in pair
+        )
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        docs = _docs(spark, [(1, "a b c", "en"), (2, "b c d", "en")])
+        plan = (
+            pmi_collocations(docs, min_count=1, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
