@@ -4178,6 +4178,47 @@ limit 100
 """
 
 
+def hard_negative_mining(spark, sf_dir):
+    """Per-query top-5 different-label neighbors with positive-margin
+    annotation (DPR-style hard-negative mining;
+    extensions/similarity.py:mine_hard_negatives). Same determinism
+    contract as embedding_cosine_topk: full-precision ranking, 6 dp
+    rounded outputs, neighbor-id tie-break."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mine_hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+HARD_NEGATIVE_SQL = r"""
+with q as (
+  select vec_id as query_id, label as q_label, embedding as q_vec
+  from embeddings where vec_id < 10),
+scored as (
+  select q.query_id, q.q_label, c.vec_id as neighbor_id,
+         c.label as neighbor_label,
+         list_cosine_similarity(q.q_vec::double[],
+                                c.embedding::double[]) as cos_full
+  from q, embeddings c where c.vec_id <> q.query_id),
+pos as (
+  select query_id, max(cos_full) as pos_full
+  from scored where neighbor_label = q_label group by query_id),
+neg as (
+  select query_id, neighbor_id, neighbor_label, cos_full,
+         row_number() over (partition by query_id
+                            order by cos_full desc, neighbor_id) as rank
+  from scored where neighbor_label <> q_label)
+select n.query_id, n.neighbor_id, n.neighbor_label,
+       round(n.cos_full, 6) as cosine, n.rank,
+       round(p.pos_full, 6) as pos_cosine,
+       round(round(p.pos_full, 6) - round(n.cos_full, 6), 6) as margin
+from neg n left join pos p using (query_id)
+where n.rank <= 5
+"""
+
+
 
 
 
@@ -4284,6 +4325,7 @@ _ORACLES: dict[str, str | None] = {
     "edit_distance_pairs": EDIT_DISTANCE_SQL,
     "unimax_lang_budget": UNIMAX_SQL,
     "pmi_collocations": PMI_SQL,
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4577,6 +4619,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": edit_distance_pairs,
     "unimax_lang_budget": unimax_lang_budget,
     "pmi_collocations": pmi_collocations_gate,
+    "hard_negative_mining": hard_negative_mining,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,

@@ -115,6 +115,90 @@ def brute_force_topk(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / dense-retrieval training
+    (the in-batch-negatives refinement of Karpukhin et al. 2020, DPR):
+    for each query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label, each annotated with how close it sits to the
+    query's best same-label positive:
+
+        margin = cos(query, best positive) - cos(query, negative)
+
+    Small (or negative) margins are the hard negatives worth training
+    on; large margins are easy negatives. One corpus pass computes both
+    sides: the scored frame splits into a positives branch (max cosine
+    per query over same-label rows, self excluded) and a negatives
+    branch (per-query top-k window over different-label rows), joined
+    back on the query id. Queries ride in on a broadcast, so the plan
+    is a single broadcast-nested-loop scoring pass — the same shape as
+    :func:`brute_force_topk`; swap the scoring pass to the IVF/LSH
+    candidate path at corpus scale.
+
+    Determinism contract (oracle-gated): ranks use full-precision
+    cosine (identical IEEE ops on identical inputs); emitted cosines
+    and margins are rounded to 6 dp, ties break on neighbor id.
+
+    Output: (query_id, neighbor_id, neighbor_label, cosine, rank,
+    pos_cosine, margin) — ``pos_cosine``/``margin`` NULL when a query
+    has no same-label positive.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+    )
+    positives = (
+        scored.filter(F.col("neighbor_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("_pos_full"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    negatives = (
+        scored.filter(F.col("neighbor_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        negatives.join(positives, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+            F.round("_pos_full", 6).alias("pos_cosine"),
+            F.round(
+                F.round("_pos_full", 6) - F.round("cosine", 6), 6
+            ).alias("margin"),
+        )
+    )
+
+
 def _rp_sketch(vec, planes: int, dims: int):
     """b-bit random-hyperplane sign sketch. Plane weights are the
     deterministic hash h(plane, dim) mapped to [-1, 1] — reproducible

@@ -17,6 +17,7 @@ from sqlbackuphistoryetl_spark.extensions.multimodal import (
 )
 from sqlbackuphistoryetl_spark.extensions.similarity import (
     brute_force_topk,
+    mine_hard_negatives,
     rp_lsh_topk,
 )
 
@@ -621,3 +622,75 @@ def test_capped_no_hot_skips_rescore(spark):
     )
     plan_hot = lazy_hot._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" in plan_hot, plan_hot
+
+
+class TestHardNegativeMining:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_ranks_margins_and_exclusions(self, spark):
+        corpus = self._emb(spark, [
+            (0, [1.0, 0.0], 0),        # query
+            (1, [0.9, 0.1], 0),        # positive (same label, not a negative)
+            (2, [1.0, 0.01], 1),       # hard negative: cos ~ 1
+            (3, [0.0, 1.0], 1),        # easy negative: cos 0
+            (4, [-1.0, 0.0], 2),       # antipodal negative: cos -1
+        ])
+        out = {
+            r["neighbor_id"]: r
+            for r in mine_hard_negatives(
+                corpus, corpus.filter(F.col("vec_id") == 0), k=5
+            ).collect()
+        }
+        # the same-label row is never a negative; self is excluded
+        assert set(out) == {2, 3, 4}
+        assert [out[i]["rank"] for i in (2, 3, 4)] == [1, 2, 3]
+        # margins grow as negatives get easier, hard one is negative
+        pos = out[2]["pos_cosine"]
+        assert all(abs(r["pos_cosine"] - pos) < 1e-9 for r in out.values())
+        assert out[2]["margin"] < 0 < out[3]["margin"] < out[4]["margin"]
+        assert abs(out[3]["margin"] - pos) < 1e-6
+        assert abs(out[4]["margin"] - (pos + 1.0)) < 1e-6
+
+    def test_no_positive_yields_null_margin(self, spark):
+        corpus = self._emb(spark, [
+            (0, [1.0, 0.0], 7),   # unique label: no positive exists
+            (1, [0.5, 0.5], 1),
+            (2, [0.0, 1.0], 2),
+        ])
+        rows = mine_hard_negatives(
+            corpus, corpus.filter(F.col("vec_id") == 0), k=5
+        ).collect()
+        assert len(rows) == 2
+        assert all(r["pos_cosine"] is None and r["margin"] is None for r in rows)
+
+    def test_k_truncates_per_query(self, spark):
+        corpus = self._emb(
+            spark,
+            [(i, [1.0, float(i) / 10.0], i % 2) for i in range(12)],
+        )
+        out = mine_hard_negatives(
+            corpus, corpus.filter(F.col("vec_id") < 2), k=3
+        ).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == {0, 1}
+        for q, rows in per_q.items():
+            assert len(rows) == 3
+            assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+            # every returned negative has the other parity's label
+            assert all(r["neighbor_label"] != q % 2 for r in rows)
+
+    def test_queries_are_broadcast(self, spark):
+        corpus = self._emb(spark, [(i, [1.0, 0.5], i % 3) for i in range(20)])
+        plan = (
+            mine_hard_negatives(corpus, corpus.filter(F.col("vec_id") < 2), k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "BatchEvalPython" not in plan
