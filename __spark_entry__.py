@@ -4747,13 +4747,23 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
     {
         # r4-green parameter variants whose base operators are in the
         # r6 window (temperature_lang_sample, dedup_clusters), plus the
-        # four standalone r4-greens displaced by the five new r6 gates.
+        # r4-green standalones displaced by the eight new r6 gates
+        # (five from the rotation session, three late-r6: unimax / pmi /
+        # hard-negatives). All 13 = the structural deficit exactly; all
+        # must rotate into the r7 window.
         "temperature_lang_sample_a25",
         "dedup_cluster_histogram",
         "script_composition",
         "sample_global_k",
         "embedding_quantize_profile",
         "dedup_source_matrix",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "multimodal_metadata",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_cosine_topk",
     }
 )
 

@@ -79,6 +79,9 @@ EXTENDED = [
     "ccnet_perplexity",
     "dsir_selection",
     "edit_distance_pairs",
+    "unimax_lang_budget",
+    "pmi_collocations",
+    "hard_negative_mining",
 ]
 
 
