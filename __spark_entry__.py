@@ -4219,6 +4219,36 @@ where n.rank <= 5
 """
 
 
+def bpe_merge_candidates(spark, sf_dir):
+    """Top-50 BPE merge candidates at the initial character vocab
+    (Sennrich et al. 2016; functions/textfns.py:bpe_pair_counts) —
+    the distributed pair-count pass of tokenizer fitting. Exact
+    integer counts; (lhs, rhs) tie-break at the rank-k cut."""
+    from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=50)
+
+
+BPE_PAIRS_SQL = r"""
+with wc as (
+  select w, cast(count(*) as bigint) as c
+  from (select unnest(regexp_extract_all(text, '\S+')) as w
+        from documents)
+  group by w),
+pos as (
+  select chars, c, unnest(generate_series(1, len(chars))) as i
+  from (select string_split(w, '') as chars, c from wc)),
+p as (
+  select chars[i] as lhs, coalesce(chars[i + 1], '</w>') as rhs, c
+  from pos)
+select lhs, rhs, cast(sum(c) as bigint) as pair_count
+from p group by 1, 2
+order by pair_count desc, lhs, rhs
+limit 50
+"""
+
+
 
 
 
@@ -4326,6 +4356,7 @@ _ORACLES: dict[str, str | None] = {
     "unimax_lang_budget": UNIMAX_SQL,
     "pmi_collocations": PMI_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
+    "bpe_merge_candidates": BPE_PAIRS_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4620,6 +4651,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_lang_budget": unimax_lang_budget,
     "pmi_collocations": pmi_collocations_gate,
     "hard_negative_mining": hard_negative_mining,
+    "bpe_merge_candidates": bpe_merge_candidates,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -4764,6 +4796,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embedding_cosine_topk",
+        "winnowing_overlap_pairs",
     }
 )
 

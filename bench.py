@@ -82,6 +82,7 @@ EXTENDED = [
     "unimax_lang_budget",
     "pmi_collocations",
     "hard_negative_mining",
+    "bpe_merge_candidates",
 ]
 
 

@@ -578,3 +578,57 @@ class TestUniMax:
         a = self._run(spark, counts, budget=25, epochs=1)
         b = self._run(spark, counts, budget=25, epochs=1)
         assert a == b
+
+
+class TestBPEPairCounts:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_hand_counts_with_end_marker(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        out = {
+            (r["lhs"], r["rhs"]): r["pair_count"]
+            for r in bpe_pair_counts(
+                self._docs(spark, ["aa ab", "ab"]), k=10
+            ).collect()
+        }
+        # words: aa x1, ab x2
+        assert out == {
+            ("a", "a"): 1, ("a", "</w>"): 1,
+            ("a", "b"): 2, ("b", "</w>"): 2,
+        }
+
+    def test_within_word_repeats_count_per_occurrence(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        out = {
+            (r["lhs"], r["rhs"]): r["pair_count"]
+            for r in bpe_pair_counts(self._docs(spark, ["aaa"]), k=10).collect()
+        }
+        assert out[("a", "a")] == 2  # both adjacent positions of 'aaa'
+
+    def test_topk_cut_and_ordering(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        rows = bpe_pair_counts(
+            self._docs(spark, ["ab ab ab cd cd xy"]), k=2
+        ).collect()
+        assert len(rows) == 2
+        # (a,b) and (b,</w>) tie at 3; lexicographic (lhs, rhs) breaks it
+        assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["pair_count"]) == ("a", "b", 3)
+        assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["pair_count"]) == ("b", "</w>", 3)
+
+    def test_plan_take_ordered_no_python(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        plan = (
+            bpe_pair_counts(self._docs(spark, ["ab cd"]), k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
