@@ -4249,6 +4249,90 @@ limit 50
 """
 
 
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Reciprocal Rank Fusion of a BM25 list and a dense-cosine list
+    (Cormack et al. 2009; extensions/similarity.py:rrf_fuse). Sparse
+    side: the bm25_ranking gate's fixed 3-term query, top-100. Dense
+    side: brute-force cosine top-100 for the vec_id-0 query vector
+    (documents and embeddings share the id space). rrf folds sparse
+    then dense — fixed order, one IEEE division per term."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from sqlbackuphistoryetl_spark.functions.textfns import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w_s = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    sparse = (
+        bm25_scores(docs, ["data", "model", "the"], k1=1.2, b=0.75)
+        .withColumn("rank", F.row_number().over(w_s))
+        .filter(F.col("rank") <= 100)
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=100
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([sparse, dense], topn=20)
+    return fused.select(
+        "doc_id",
+        F.col("rank_1").alias("rank_sparse"),
+        F.col("rank_2").alias("rank_dense"),
+        F.round("rrf", 9).alias("rrf"),
+    )
+
+
+HYBRID_RRF_SQL = r"""
+with base as (
+  select doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     s -> s <> '') as toks
+  from documents),
+dl as (select doc_id, len(toks) as dl,
+              list_filter(toks, s -> s in ('data','model','the')) as qtoks
+       from base),
+stats as (select count(*) as n,
+                 cast(sum(dl) as double) / count(*) as avgdl from dl),
+tf as (select doc_id, dl, term, count(*) as tf
+       from (select doc_id, dl, unnest(qtoks) as term from dl)
+       group by 1, 2, 3),
+dfreq as (select term, count(distinct doc_id) as df_t from tf group by 1),
+contrib as (
+  select tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) as c
+  from tf join dfreq using (term) cross join stats),
+folded as (
+  select doc_id, list_aggregate(list(c order by term), 'sum') as bm25
+  from contrib group by doc_id),
+sparse as (
+  select doc_id,
+         row_number() over (order by bm25 desc, doc_id) as rank_sparse
+  from folded
+  qualify rank_sparse <= 100),
+q as (select embedding as q_vec from embeddings where vec_id = 0),
+dense as (
+  select c.vec_id as doc_id,
+         row_number() over (
+           order by list_cosine_similarity(q.q_vec::double[],
+                                           c.embedding::double[]) desc,
+                    c.vec_id) as rank_dense
+  from q, embeddings c where c.vec_id <> 0
+  qualify rank_dense <= 100)
+select coalesce(s.doc_id, d.doc_id) as doc_id,
+       cast(s.rank_sparse as bigint) as rank_sparse,
+       cast(d.rank_dense as bigint) as rank_dense,
+       round(coalesce(1.0 / (60.0 + s.rank_sparse), 0.0)
+             + coalesce(1.0 / (60.0 + d.rank_dense), 0.0), 9) as rrf
+from sparse s full outer join dense d using (doc_id)
+order by coalesce(1.0 / (60.0 + s.rank_sparse), 0.0)
+         + coalesce(1.0 / (60.0 + d.rank_dense), 0.0) desc,
+         coalesce(s.doc_id, d.doc_id)
+limit 20
+"""
+
+
 
 
 
@@ -4357,6 +4441,7 @@ _ORACLES: dict[str, str | None] = {
     "pmi_collocations": PMI_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "bpe_merge_candidates": BPE_PAIRS_SQL,
+    "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
@@ -4652,6 +4737,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": pmi_collocations_gate,
     "hard_negative_mining": hard_negative_mining,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -4691,10 +4777,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "hourly_event_rollup": hourly_event_rollup,
     "chain_state_fold": chain_state_fold,
-    "approx_distinct_users": approx_distinct_users,
+    "ngram_containment_capped": ngram_containment_capped,
     "bm25_ranking": bm25_ranking,
     "ngram_containment": ngram_containment,
-    "ngram_containment_capped": ngram_containment_capped,
+    "approx_distinct_users": approx_distinct_users,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -4797,6 +4883,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "dedup_simhash",
         "embedding_cosine_topk",
         "winnowing_overlap_pairs",
+        "approx_distinct_users",
     }
 )
 

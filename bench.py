@@ -83,6 +83,7 @@ EXTENDED = [
     "pmi_collocations",
     "hard_negative_mining",
     "bpe_merge_candidates",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -199,6 +199,61 @@ def mine_hard_negatives(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009,
+    "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+    Learning Methods") — the standard way to combine heterogeneous
+    retrieval systems (BM25 + dense ANN, multiple ANN probes, ...)
+    without score calibration:
+
+        rrf(d) = SUM_lists 1 / (k + rank_list(d))
+
+    over the UNION of the input lists; a document missing from a list
+    contributes nothing for it. k=60 is the published default that
+    damps the head of each list.
+
+    Determinism contract: each ``1/(k + rank)`` is one IEEE division of
+    exact integers, and the per-document sum folds the lists in ARGUMENT
+    ORDER (double addition is not associative), so any engine summing in
+    the same list order lands on the same double. Ties at a top-n cut
+    break on the id.
+
+    Inputs are top-N lists — per-system bounded frames, so the
+    full-outer merge is broadcast-sized no matter the corpus behind
+    them; the heavy lifting (BM25 scoring, ANN search) happens upstream
+    in the systems being fused.
+
+    Output: ``(id_col, rank_1..rank_N, rrf)`` with ranks NULL where a
+    list didn't retrieve the document.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    merged = None
+    for i, r in enumerate(rankings, start=1):
+        side = r.select(
+            F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+        )
+        merged = side if merged is None else merged.join(
+            side, id_col, "full_outer"
+        )
+    score = None
+    for i in range(1, len(rankings) + 1):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    out = merged.withColumn("rrf", score)
+    if topn is not None:
+        out = out.orderBy(F.col("rrf").desc(), id_col).limit(int(topn))
+    return out
+
+
 def _rp_sketch(vec, planes: int, dims: int):
     """b-bit random-hyperplane sign sketch. Plane weights are the
     deterministic hash h(plane, dim) mapped to [-1, 1] — reproducible

@@ -19,6 +19,7 @@ from sqlbackuphistoryetl_spark.extensions.similarity import (
     brute_force_topk,
     mine_hard_negatives,
     rp_lsh_topk,
+    rrf_fuse,
 )
 
 
@@ -694,3 +695,42 @@ class TestHardNegativeMining:
         )
         assert "BroadcastNestedLoopJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRRFFuse:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rank long")
+
+    def test_hand_math_and_union_semantics(self, spark):
+        a = self._rank(spark, [(1, 1), (2, 2)])
+        b = self._rank(spark, [(2, 1), (3, 2)])
+        out = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["rank_1"] == 1 and out[1]["rank_2"] is None
+        assert abs(out[1]["rrf"] - 1 / 61) < 1e-12
+        assert abs(out[2]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+        assert abs(out[3]["rrf"] - 1 / 62) < 1e-12
+
+    def test_consensus_beats_single_list_head(self, spark):
+        # doc 2 is mid-list in BOTH systems, doc 1 tops only one —
+        # the k=60 damping makes the consensus doc win
+        a = self._rank(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._rank(spark, [(4, 1), (2, 2), (5, 3)])
+        top = rrf_fuse([a, b], topn=1).collect()[0]
+        assert top["doc_id"] == 2
+
+    def test_topn_tie_breaks_on_id(self, spark):
+        a = self._rank(spark, [(7, 1), (9, 2)])
+        b = self._rank(spark, [(9, 1), (7, 2)])
+        rows = rrf_fuse([a, b], topn=2).collect()
+        # symmetric ranks -> equal rrf; id ascending decides
+        assert [r["doc_id"] for r in rows] == [7, 9]
+
+    def test_three_lists_and_custom_k(self, spark):
+        lists = [self._rank(spark, [(1, r)]) for r in (1, 2, 3)]
+        out = rrf_fuse(lists, k=10).collect()[0]
+        assert abs(out["rrf"] - (1 / 11 + 1 / 12 + 1 / 13)) < 1e-12
+
+    def test_empty_rankings_rejected(self, spark):
+        with pytest.raises(ValueError):
+            rrf_fuse([])
