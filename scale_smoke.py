@@ -352,7 +352,49 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     )
     timings["semdedup_prune"] = round(time.perf_counter() - t0, 2)
 
+    # r6 late additions: the two corpus-heavy tokenizer/statistics
+    # passes (PMI collocations, BPE pair counting — both all-token
+    # explodes with map-side-partial aggregation) plus the UniMax
+    # budget split (one hash agg + a languages-sized window; measured
+    # to prove the waterfilling adds nothing on top of the count pass).
+    from sqlbackuphistoryetl_spark.extensions.lm_filter import (
+        pmi_collocations,
+    )
+    from sqlbackuphistoryetl_spark.extensions.sampling import (
+        unimax_allocation,
+    )
+    from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+    t0 = time.perf_counter()
+    n_pmi = pmi_collocations(docs_m, min_count=5, k=100).count()
+    timings["pmi_collocations"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_bpe = bpe_pair_counts(docs_m, k=50).count()
+    timings["bpe_pair_counts"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    tok = docs_m.select(
+        "doc_id",
+        # synthetic 20-language skewed mix so the waterfilling has real
+        # capped AND uncapped languages at any corpus size
+        F.concat(
+            F.lit("l"), F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(20))
+        ).alias("lang"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias(
+            "n_tokens"
+        ),
+    )
+    total = tok.agg(F.sum("n_tokens").cast("bigint").alias("t")).collect()[0][
+        "t"
+    ]
+    n_unimax = unimax_allocation(tok, (9 * int(total)) // 5, 2).count()
+    timings["unimax_allocation"] = round(time.perf_counter() - t0, 2)
+
     return {
+        "pmi_rows": n_pmi,
+        "bpe_rows": n_bpe,
+        "unimax_langs": n_unimax,
         "span_rows": n_spans,
         "semdedup_pruned": n_semkeep,
         "bm25_docs": n_bm25,

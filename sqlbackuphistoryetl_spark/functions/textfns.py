@@ -1011,6 +1011,11 @@ def bpe_pair_counts(
     (lhs, rhs) — named lhs/rhs because LEFT/RIGHT are SQL keywords;
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (bounded
     per-partition heaps).
+
+    Character granularity is Unicode codepoints (``split(w, '')``);
+    byte-level BPE (the GPT-2 convention) would instead seed from
+    ``encode(w, 'utf-8')`` bytes — same plan shape, different initial
+    vocab.
     """
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     wc = (
