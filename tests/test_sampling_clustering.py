@@ -632,3 +632,42 @@ class TestBPEPairCounts:
         )
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestR6LateOpEmptyInputs:
+    def test_unimax_empty_corpus(self, spark):
+        df = spark.createDataFrame([], "doc_id string, lang string, n_tokens long")
+        assert unimax_allocation(df, 1000, 2).count() == 0
+
+    def test_pmi_empty_corpus(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.lm_filter import pmi_collocations
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert pmi_collocations(docs, min_count=1, k=5).count() == 0
+
+    def test_bpe_empty_corpus(self, spark):
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert bpe_pair_counts(docs, k=5).count() == 0
+
+    def test_hard_negatives_empty_queries(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        empty = emb.filter("vec_id < 0")
+        assert mine_hard_negatives(emb, empty, k=3).count() == 0
+
+    def test_rrf_empty_list_contributes_nothing(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.similarity import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+        b = spark.createDataFrame([], "doc_id long, rank long")
+        rows = rrf_fuse([a, b]).collect()
+        assert len(rows) == 1
+        assert rows[0]["rank_2"] is None
+        assert abs(rows[0]["rrf"] - 1 / 61) < 1e-12
