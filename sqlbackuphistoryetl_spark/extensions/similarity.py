@@ -184,7 +184,7 @@ def mine_hard_negatives(
         .filter(F.col("rank") <= k)
     )
     return (
-        negatives.join(positives, "query_id", "left")
+        negatives.join(F.broadcast(positives), "query_id", "left")
         .select(
             "query_id",
             "neighbor_id",
@@ -224,24 +224,38 @@ def rrf_fuse(
     the same list order lands on the same double. Ties at a top-n cut
     break on the id.
 
-    Inputs are top-N lists — per-system bounded frames, so the
-    full-outer merge is broadcast-sized no matter the corpus behind
-    them; the heavy lifting (BM25 scoring, ANN search) happens upstream
-    in the systems being fused.
+    Inputs are top-N lists — per-system bounded frames; the heavy
+    lifting (BM25 scoring, ANN search) happens upstream in the systems
+    being fused. The merge is a UNION + one hash-aggregate pivot on the
+    id (equi full-outer joins can't broadcast in Spark, so the naive
+    N−1 join chain sort-merges even bounded lists; the union shape is
+    one exchange total and indifferent to N). Each list is assumed to
+    rank a document at most once.
 
     Output: ``(id_col, rank_1..rank_N, rrf)`` with ranks NULL where a
     list didn't retrieve the document.
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
-    merged = None
-    for i, r in enumerate(rankings, start=1):
-        side = r.select(
-            F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("bigint").alias("_rank"),
+            F.lit(i).alias("_list"),
         )
-        merged = side if merged is None else merged.join(
-            side, id_col, "full_outer"
-        )
+        for i, r in enumerate(rankings, start=1)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_list") == i, F.col("_rank"))).alias(
+                f"rank_{i}"
+            )
+            for i in range(1, len(rankings) + 1)
+        ]
+    )
     score = None
     for i in range(1, len(rankings) + 1):
         term = F.coalesce(
