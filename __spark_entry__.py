@@ -4865,10 +4865,10 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
     {
         # r4-green parameter variants whose base operators are in the
         # r6 window (temperature_lang_sample, dedup_clusters), plus the
-        # r4-green standalones displaced by the eight new r6 gates
-        # (five from the rotation session, three late-r6: unimax / pmi /
-        # hard-negatives). All 13 = the structural deficit exactly; all
-        # must rotate into the r7 window.
+        # r4-green standalones displaced by the TEN new r6 gates (five
+        # from the rotation session; five late-r6: unimax / pmi /
+        # hard-negatives / bpe / rrf). All 15 = the structural deficit
+        # exactly; all 15 must rotate into the r7 window.
         "temperature_lang_sample_a25",
         "dedup_cluster_histogram",
         "script_composition",

@@ -376,10 +376,13 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     t0 = time.perf_counter()
     tok = docs_m.select(
         "doc_id",
-        # synthetic 20-language skewed mix so the waterfilling has real
-        # capped AND uncapped languages at any corpus size
+        # synthetic 20-language SKEWED mix (language k holds 2k+1/400
+        # of the docs) so the waterfilling caps the tail languages and
+        # waterfills the head at any corpus size — a uniform mix would
+        # degenerate to the all-uncapped branch
         F.concat(
-            F.lit("l"), F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(20))
+            F.lit("l"),
+            F.floor(F.sqrt(F.pmod(F.col("doc_id"), F.lit(400)))).cast("int"),
         ).alias("lang"),
         F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias(
             "n_tokens"

@@ -132,13 +132,16 @@ def mine_hard_negatives(
         margin = cos(query, best positive) - cos(query, negative)
 
     Small (or negative) margins are the hard negatives worth training
-    on; large margins are easy negatives. One corpus pass computes both
-    sides: the scored frame splits into a positives branch (max cosine
-    per query over same-label rows, self excluded) and a negatives
-    branch (per-query top-k window over different-label rows), joined
-    back on the query id. Queries ride in on a broadcast, so the plan
-    is a single broadcast-nested-loop scoring pass — the same shape as
-    :func:`brute_force_topk`; swap the scoring pass to the IVF/LSH
+    on; large margins are easy negatives. ONE scoring pass computes
+    both sides: norms are hoisted to per-row columns BEFORE the pair
+    join (the SemDeDup hoist — per-pair cost is one dot + one divide,
+    and hoisting changes no IEEE value because each norm is the same
+    ops on the same operands, just evaluated once), then a single
+    query-partitioned Window both ranks the different-label rows and
+    takes the same-label max (``pos``) over the whole partition —
+    no second scoring pass, no rejoin. Queries ride in on a broadcast,
+    so the pair stage is one broadcast-nested-loop join — the same
+    shape as :func:`brute_force_topk`; swap it for the IVF/LSH
     candidate path at corpus scale.
 
     Determinism contract (oracle-gated): ranks use full-precision
@@ -154,48 +157,46 @@ def mine_hard_negatives(
             F.col(id_col).alias("query_id"),
             F.col(label_col).alias("q_label"),
             F.col(vec_col).alias("q_vec"),
-        )
+        ).withColumn("q_norm", _norm(F.col("q_vec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("c_vec"),
-    )
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             _dot(F.col("q_vec"), F.col("c_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+            / (F.col("q_norm") * F.col("c_norm")),
         )
-    )
-    positives = (
-        scored.filter(F.col("neighbor_label") == F.col("q_label"))
-        .groupBy("query_id")
-        .agg(F.max("cosine").alias("_pos_full"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    negatives = (
-        scored.filter(F.col("neighbor_label") != F.col("q_label"))
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    is_neg = F.col("neighbor_label") != F.col("q_label")
+    ranked = (
+        scored.withColumn(
+            "_pos_full",
+            F.max(F.when(~is_neg, F.col("cosine"))).over(w_all),
+        )
+        .filter(is_neg)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    return (
-        negatives.join(F.broadcast(positives), "query_id", "left")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            F.round("cosine", 6).alias("cosine"),
-            "rank",
-            F.round("_pos_full", 6).alias("pos_cosine"),
-            F.round(
-                F.round("_pos_full", 6) - F.round("cosine", 6), 6
-            ).alias("margin"),
-        )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+        F.round("_pos_full", 6).alias("pos_cosine"),
+        F.round(
+            F.round("_pos_full", 6) - F.round("cosine", 6), 6
+        ).alias("margin"),
     )
 
 
