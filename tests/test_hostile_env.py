@@ -50,6 +50,10 @@ GATES = [
     # must hold regardless of session zone (it has no time inputs; this
     # pins that nothing in the scoring plan grows one by accident).
     "quality_model_score",
+    # r6 late: micro-nat ln parity through the PMI ratio — same
+    # transcendental-output class as quality_model_score; no time
+    # inputs, pinned so the fixed-shape-ratio doctrine can't drift.
+    "pmi_collocations",
 ]
 
 TABLES = [
