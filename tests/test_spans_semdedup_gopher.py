@@ -413,4 +413,9 @@ class TestEditDistanceJoin:
             if "seg#" in line and "Join" in line:
                 assert "levenshtein" not in line
         assert plan.count("levenshtein") <= 2
+        # the verify is the THRESHOLDED levenshtein (banded DP: O(d·n)
+        # per candidate, not O(n²)) — the bound argument must survive
+        import re
+
+        assert re.search(r"levenshtein\([^)]*Some\(2\)", plan)
         assert "BatchEvalPython" not in plan
