@@ -392,12 +392,17 @@ def ngram_jaccard_all_pairs(
     # (df>=2 grams are the near-dup sliver); joining on the gram STRING
     # keeps counts exact — the old 64-bit-hash narrowing is moot now
     # that df=1 mass never reaches the shuffle.
-    # Eager checkpoint before the broadcast build: feeding the filtered
-    # cached aggregate straight into the broadcast exchange measured
-    # ~7 s of inline build at the 200k smoke vs 0.7 s checkpointed +
-    # 1.8 s probe. Pairable is the near-dup gram sliver (df >= 2),
-    # bounded and executor-distributed.
-    pairable = pairable.select("gram").localCheckpoint(eager=True)
+    # Eager materialization before the broadcast build: feeding the
+    # filtered cached aggregate straight into the broadcast exchange
+    # measured ~7 s of inline build at the 200k smoke vs 0.7 s
+    # materialized + 1.8 s probe. Pairable is the near-dup gram sliver
+    # (df >= 2), bounded and executor-distributed. A registered persist,
+    # NOT localCheckpoint: the checkpoint's storage blocks were owned by
+    # nobody (GC-timing cache leak, caught by the cache-accounting
+    # test), and unpersisting a checkpoint would break the release
+    # contract — persist keeps lineage, so a released frame recomputes.
+    pairable = cachereg.persist("ngram_jaccard", pairable.select("gram"))
+    pairable.count()
     join_src = posting.join(F.broadcast(pairable), "gram", "left_semi")
 
     if max_gram_df is not None and has_hot:
@@ -541,12 +546,11 @@ def ngram_containment_pairs(
         has_hot = (
             gram_df.filter(F.col("_df") > max_gram_df).limit(1).count() > 0
         )
-    # Eager checkpoint before the broadcast build: feeding the filtered
-    # cached aggregate straight into the broadcast exchange measured
-    # ~7 s of inline build at the 200k smoke vs 0.7 s checkpointed +
-    # 1.8 s probe. Pairable is the near-dup gram sliver (df >= 2),
-    # bounded and executor-distributed.
-    pairable = pairable.select("gram").localCheckpoint(eager=True)
+    # Eager materialization before the broadcast build — registered
+    # persist, not localCheckpoint, for the same ownership/release
+    # reasons as the jaccard twin above.
+    pairable = cachereg.persist("ngram_containment", pairable.select("gram"))
+    pairable.count()
     join_src = posting.join(F.broadcast(pairable), "gram", "left_semi")
 
     a, b = join_src.alias("a"), join_src.alias("b")
