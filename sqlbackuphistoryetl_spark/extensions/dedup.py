@@ -201,7 +201,10 @@ def shingle_jaccard_verify(
     both the id set and the final join, and without a barrier the whole
     candidate-generation subplan would execute twice (measured 2× on
     the n-gram gate)."""
-    pairs = pairs.localCheckpoint(eager=True)
+    cachereg.begin("shingle_verify")
+    # registered persist, not localCheckpoint: the barrier blocks get an
+    # owner (releasable, recomputable) instead of waiting on GC
+    pairs = cachereg.persist("shingle_verify", pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_sid"))
         .union(pairs.select(F.col("id_b").alias("_sid")))
@@ -213,7 +216,6 @@ def shingle_jaccard_verify(
     )
     # both join sides consume sh — persist or the candidate-doc shingle
     # arrays compute twice (the same diamond as the band joins)
-    cachereg.begin("shingle_verify")
     sh = cachereg.persist("shingle_verify", sh)
     a, b = sh.alias("sa"), sh.alias("sb")
     return (
@@ -245,7 +247,8 @@ def ngram_jaccard_verify(
     with ``pairs`` materialized once — see shingle_jaccard_verify), not
     for the whole corpus twice.
     """
-    pairs = pairs.localCheckpoint(eager=True)
+    cachereg.begin("ngram_verify")
+    pairs = cachereg.persist("ngram_verify", pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_gid"))
         .union(pairs.select(F.col("id_b").alias("_gid")))
@@ -255,7 +258,6 @@ def ngram_jaccard_verify(
         cand_ids, df[id_col] == cand_ids["_gid"], "left_semi"
     )
     gram_df = _gram_sets(candidates_only, text_col, id_col, n)
-    cachereg.begin("ngram_verify")
     gram_df = cachereg.persist("ngram_verify", gram_df)
     a = gram_df.alias("ga")
     b = gram_df.alias("gb")
@@ -424,7 +426,7 @@ def ngram_jaccard_all_pairs(
         if rescore_candidates_only:
             # candidate set feeds both the id semi-join and the re-score
             # join — barrier it or the capped pair join executes twice
-            cand = cand.localCheckpoint(eager=True)
+            cand = cachereg.persist("ngram_jaccard", cand)
             cand_ids = (
                 cand.select(F.col("id_a").alias("_gid"))
                 .union(cand.select(F.col("id_b").alias("_gid")))
@@ -574,7 +576,7 @@ def ngram_containment_pairs(
         # as ngram_jaccard_all_pairs (see its docstring).
         by_doc_src = posting
         if rescore_candidates_only:
-            cand = cand.localCheckpoint(eager=True)  # consumed twice
+            cand = cachereg.persist("ngram_containment", cand)  # consumed twice
             ids = (
                 cand.select(F.col("id_a").alias("_gid"))
                 .union(cand.select(F.col("id_b").alias("_gid")))
