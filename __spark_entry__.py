@@ -4249,6 +4249,67 @@ limit 50
 """
 
 
+def bpe_segment_fixed(spark, sf_dir):
+    """BPE segmentation under a FIXED merge list (extensions/bpe.py:
+    bpe_segment_corpus — the greedy left-to-right aggregate fold,
+    vocab-sized application, broadcast join-back). The merge chain
+    t+h → th+e → the+</w> exercises multi-char symbols, cascaded
+    merges, and end-marker merges. The oracle is an INDEPENDENT
+    encoding: symbol sequences as chr(31)-double-separated strings
+    where one merge = one non-overlapping string replace (boundary
+    separators keep partial-symbol matches impossible; fuzz-verified
+    against the fold). Output is (doc_id, n_tokens, tok_md5) — md5 of
+    the chr(30)-joined token stream."""
+    from sqlbackuphistoryetl_spark.extensions.bpe import bpe_segment_corpus
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "t"), ("s", "c")]
+    docs = _t(spark, sf_dir, "documents")
+    seg = bpe_segment_corpus(docs, merges)
+    return seg.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("\x1e", "tokens")).alias("tok_md5"),
+    )
+
+
+BPE_SEGMENT_SQL = r"""
+with w as (
+  select doc_id, words[i] as word, i as pos
+  from (select doc_id, regexp_extract_all(text, '\S+') as words,
+               unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) as i
+        from documents)),
+segd as (
+  select doc_id, pos,
+         trim(
+           replace(replace(replace(replace(replace(
+             repeat(chr(31), 2)
+               || array_to_string(
+                    list_append(string_split(word, ''), '</w>'),
+                    repeat(chr(31), 2))
+               || repeat(chr(31), 2),
+             chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+             chr(31)||'th'||chr(31)),
+             chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+             chr(31)||'the'||chr(31)),
+             chr(31)||'the'||chr(31)||chr(31)||'</w>'||chr(31),
+             chr(31)||'the</w>'||chr(31)),
+             chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31),
+             chr(31)||'at'||chr(31)),
+             chr(31)||'s'||chr(31)||chr(31)||'c'||chr(31),
+             chr(31)||'sc'||chr(31)),
+           chr(31)) as seg
+  from w),
+per_doc as (
+  select doc_id,
+         string_agg(seg, repeat(chr(31), 2) order by pos) as all_toks
+  from segd group by doc_id)
+select doc_id,
+       cast(len(string_split(all_toks, repeat(chr(31), 2))) as int) as n_tokens,
+       md5(replace(all_toks, repeat(chr(31), 2), chr(30))) as tok_md5
+from per_doc
+"""
+
+
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Reciprocal Rank Fusion of a BM25 list and a dense-cosine list
     (Cormack et al. 2009; extensions/similarity.py:rrf_fuse). Sparse
@@ -4441,6 +4502,7 @@ _ORACLES: dict[str, str | None] = {
     "pmi_collocations": PMI_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "bpe_merge_candidates": BPE_PAIRS_SQL,
+    "bpe_segment_fixed": BPE_SEGMENT_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -4737,6 +4799,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": pmi_collocations_gate,
     "hard_negative_mining": hard_negative_mining,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_segment_fixed": bpe_segment_fixed,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
@@ -4865,10 +4928,11 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
     {
         # r4-green parameter variants whose base operators are in the
         # r6 window (temperature_lang_sample, dedup_clusters), plus the
-        # r4-green standalones displaced by the TEN new r6 gates (five
-        # from the rotation session; five late-r6: unimax / pmi /
-        # hard-negatives / bpe / rrf). All 15 = the structural deficit
-        # exactly; all 15 must rotate into the r7 window.
+        # r4-green standalones displaced by the ELEVEN new r6 gates
+        # (five from the rotation session; six late-r6: unimax / pmi /
+        # hard-negatives / bpe pair-count / bpe segment / rrf). All 16
+        # = the structural deficit exactly; all 16 must rotate into the
+        # r7 window.
         "temperature_lang_sample_a25",
         "dedup_cluster_histogram",
         "script_composition",
@@ -4884,6 +4948,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "embedding_cosine_topk",
         "winnowing_overlap_pairs",
         "approx_distinct_users",
+        "ngram_containment",
     }
 )
 

@@ -83,6 +83,7 @@ EXTENDED = [
     "pmi_collocations",
     "hard_negative_mining",
     "bpe_merge_candidates",
+    "bpe_segment_fixed",
     "hybrid_rrf_retrieval",
 ]
 

@@ -1,0 +1,272 @@
+"""Distributed BPE tokenizer: fit, segment, encode.
+
+Byte-Pair Encoding subword tokenization (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units") as a
+Spark-native training + application pipeline. The published algorithm
+is a greedy loop — count adjacent symbol pairs, merge the most frequent
+pair, repeat — whose naive form touches every token occurrence every
+iteration. The scale insight (same as the reference implementation's
+word-frequency dict) is that everything after the first aggregation
+operates on the DISTINCT-WORD vocabulary:
+
+- ``initial_vocab``: ONE corpus pass → (word, count, syms) where syms
+  is the character sequence + end-of-word marker. This is the only
+  corpus-sized job in the whole fit.
+- ``bpe_fit``: each merge iteration runs two VOCAB-sized jobs (pair
+  count + top-1 collect, merge application) — bounded by vocabulary,
+  not corpus, no matter how many TB the corpus is. Per-round frames go
+  through ``localCheckpoint`` (the connected-components precedent:
+  persist would tie every round's cache to an O(rounds)-deep plan).
+- ``bpe_segment_corpus``: applies the learned merges to the distinct
+  words (vocab-sized jobs again), then broadcast-joins the word→tokens
+  map back onto the corpus — re-tokenizing 100 TB is one map-side
+  join, not a per-document loop.
+- ``bpe_encode_corpus``: same, with tokens mapped to dense integer ids
+  (deterministic id assignment: merge order first, then leftover
+  initial symbols lexicographically).
+
+Everything is JVM-side: the greedy within-word merge is an
+``F.aggregate`` fold (array accumulator), not a UDF. The merge fold
+reproduces the reference's left-to-right non-overlapping application
+exactly — parity-tested against a pure-Python reference BPE in
+``tests/test_bpe.py``.
+
+The pair-count pass itself is oracle-gated through
+``functions/textfns.py: bpe_pair_counts`` (the ``bpe_merge_candidates``
+gate); ``initial_vocab`` + ``pair_counts_from_vocab`` reproduce that
+gate's numbers bit-for-bit (asserted in tests). The iterative fit and
+the segmentation are gate-exempt by the same doctrine as
+``train_centroids_kmeans``: a driver loop is not one SQL query — their
+correctness contract is reference-implementation parity instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: end-of-word marker — rides as an ordinary symbol so merges can cross
+#: into it (learning e.g. ("e", "</w>") → "e</w>", the reference's way
+#: of giving word-final subwords their own identity)
+END = "</w>"
+
+
+def initial_vocab(
+    docs: DataFrame, text_col: str = "text", end_marker: str = END
+) -> DataFrame:
+    """(word, count, syms) — the one corpus-sized aggregation.
+
+    ``syms`` = the word's characters plus the end marker; every later
+    fit/segment job is bounded by the number of DISTINCT words.
+    """
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        .withColumn(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(end_marker))),
+        )
+    )
+
+
+def pair_counts_from_vocab(vocab: DataFrame) -> DataFrame:
+    """(lhs, rhs, pair_count) over the current symbol sequences,
+    occurrence-counted (a pair twice inside one word counts twice,
+    scaled by word frequency) — the quantity the reference argmaxes.
+    One explode + one map-side-partial hash aggregate, vocab-sized."""
+    s = F.col("syms")
+    pairs = F.arrays_zip(
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))).alias("lhs"),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))).alias("rhs"),
+    )
+    return (
+        vocab.select("count", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+
+
+def _apply_merge(syms, lhs: str, rhs: str, merged: str):
+    """Greedy left-to-right non-overlapping application of ONE merge
+    rule to a symbol array — the reference semantics — as a pure
+    ``F.aggregate`` fold. ``try_element_at(acc, -1)`` on the empty
+    accumulator is NULL (ANSI mode makes plain ``element_at`` throw),
+    so the first element always appends."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_fit(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    end_marker: str = END,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Returns the ordered merge list ``[(lhs, rhs), ...]`` — the entire
+    trained tokenizer state (segmentation is a pure function of it).
+    Stops early when no pair reaches ``min_pair_count``.
+
+    Cost model: one corpus pass (``initial_vocab``), then per merge two
+    vocab-sized jobs. Ties at the argmax break on (lhs, rhs) so the
+    learned tokenizer is deterministic across runs and partitionings.
+    Per-round vocab frames go through eager ``localCheckpoint`` to keep
+    the plan flat (the O(rounds) lineage would otherwise compound —
+    same rationale as ``clustering.connected_components``).
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    vocab = (
+        initial_vocab(docs, text_col, end_marker)
+        .select("count", "syms")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            pair_counts_from_vocab(vocab)
+            .filter(F.col("pair_count") >= int(min_pair_count))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+        merges.append((lhs, rhs))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), lhs, rhs, lhs + rhs)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def segment_vocab(
+    vocab: DataFrame, merges: list[tuple[str, str]], rounds_per_checkpoint: int = 8
+) -> DataFrame:
+    """Apply an ordered merge list to a (…, syms) vocab frame — k
+    vocab-sized transformations, checkpointed every few rounds to bound
+    both lineage depth and codegen expression size."""
+    out = vocab
+    for i, (lhs, rhs) in enumerate(merges):
+        out = out.withColumn(
+            "syms", _apply_merge(F.col("syms"), lhs, rhs, lhs + rhs)
+        )
+        if (i + 1) % int(rounds_per_checkpoint) == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_segment_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = END,
+) -> DataFrame:
+    """(doc_id, tokens, n_tokens) — the corpus re-tokenized under the
+    learned merges.
+
+    Segmentation happens ONCE PER DISTINCT WORD (vocab-sized jobs),
+    then the word→tokens map broadcast-joins back onto the corpus in
+    word order: posexplode the document's words, attach each word's
+    token array, re-assemble with one doc-keyed aggregation ordered by
+    position (``array_sort`` on (pos, tokens) structs → flatten — no
+    window, one shuffle on the doc id).
+    """
+    seg = F.broadcast(
+        segment_vocab(
+            initial_vocab(docs, text_col, end_marker), merges
+        ).select("word", F.col("syms").alias("toks"))
+    )
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    ).join(seg, "word")
+    assembled = exploded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "toks"))
+                ),
+                lambda st: st["toks"],
+            )
+        ).alias("tokens")
+    )
+    return assembled.withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_vocab_table(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    end_marker: str = END,
+) -> DataFrame:
+    """(token, token_id) — deterministic dense ids for every token the
+    segmented corpus can emit: merge products first in merge order,
+    then the surviving initial symbols (single characters + the end
+    marker) lexicographically after. Merge-order ids mean a tokenizer
+    extended with more merges keeps its existing ids stable."""
+    merge_products = [lhs + rhs for lhs, rhs in merges]
+    seg = segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
+    leftovers = (
+        seg.select(F.explode("syms").alias("token"))
+        .distinct()
+        .filter(~F.col("token").isin(merge_products) if merge_products else F.lit(True))
+    )
+    spark = docs.sparkSession
+    base = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(merge_products)],
+        "token string, token_id long",
+    )
+    n_base = len(merge_products)
+    # single-partition window is fine here: the frame holds the
+    # surviving INITIAL symbols only (≈ alphabet size), not the corpus
+    extra = leftovers.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy("token")).cast("long")
+        + F.lit(n_base - 1),
+    )
+    return base.unionByName(extra.select("token", "token_id"))
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = END,
+) -> DataFrame:
+    """(doc_id, token_ids, n_tokens) — segmented corpus with tokens
+    mapped to the dense ids of :func:`bpe_vocab_table` via a broadcast
+    join on the token string (a literal map expression would mint one
+    codegen node per vocab entry — fine at toy size, fatal at a 50k
+    BPE vocabulary; the join is scale-indifferent). Position-ordered
+    reassembly is the same one-shuffle array_sort/flatten shape as
+    :func:`bpe_segment_corpus`."""
+    tok_tbl = F.broadcast(bpe_vocab_table(docs, merges, text_col, end_marker))
+    seg = bpe_segment_corpus(docs, merges, text_col, id_col, end_marker)
+    exploded = seg.select(
+        F.col(id_col), F.posexplode("tokens").alias("pos", "token")
+    ).join(tok_tbl, "token")
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda st: st["token_id"],
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids"))
+    )

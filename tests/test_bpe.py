@@ -1,0 +1,179 @@
+"""Distributed BPE tokenizer vs a pure-Python reference implementation.
+
+The reference below is the textbook Sennrich et al. (2016) algorithm on
+a word-frequency dict: count adjacent symbol pairs (occurrence-weighted,
+overlapping), merge the argmax pair greedily left-to-right
+non-overlapping, repeat. The Spark fit/segment must reproduce it
+EXACTLY — merges in order, segmentations per word, ids stable.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.extensions.bpe import (
+    END,
+    bpe_encode_corpus,
+    bpe_fit,
+    bpe_segment_corpus,
+    bpe_vocab_table,
+    initial_vocab,
+    pair_counts_from_vocab,
+)
+
+
+def ref_vocab(texts):
+    wc = Counter(w for t in texts for w in t.split())
+    return {w: (c, list(w) + [END]) for w, c in wc.items()}
+
+
+def ref_pair_counts(vocab):
+    pc = Counter()
+    for c, syms in vocab.values():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += c
+    return pc
+
+
+def ref_apply_merge(syms, lhs, rhs):
+    out = []
+    for x in syms:
+        if out and out[-1] == lhs and x == rhs:
+            out[-1] = lhs + rhs
+        else:
+            out.append(x)
+    return out
+
+
+def ref_fit(texts, n_merges, min_pair_count=2):
+    vocab = ref_vocab(texts)
+    merges = []
+    for _ in range(n_merges):
+        pc = ref_pair_counts(vocab)
+        eligible = [(n, p) for p, n in pc.items() if n >= min_pair_count]
+        if not eligible:
+            break
+        # argmax with (lhs, rhs) tie-break, matching the Spark orderBy
+        best = max(n for n, _ in eligible)
+        lhs, rhs = sorted(p for n, p in eligible if n == best)[0]
+        merges.append((lhs, rhs))
+        vocab = {
+            w: (c, ref_apply_merge(s, lhs, rhs))
+            for w, (c, s) in vocab.items()
+        }
+    return merges, vocab
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower widest widest widest",
+    "newest newest newest newest newest newest",
+]
+
+
+class TestBPEFit:
+    def test_merges_match_reference(self, spark):
+        got = bpe_fit(_docs(spark, CORPUS), n_merges=8)
+        want, _ = ref_fit(CORPUS, 8)
+        assert got == want
+
+    def test_initial_pair_counts_match_gate_machinery(self, spark):
+        """initial_vocab + pair_counts_from_vocab must equal the
+        oracle-gated textfns.bpe_pair_counts numbers bit-for-bit."""
+        from sqlbackuphistoryetl_spark.functions.textfns import bpe_pair_counts
+
+        docs = _docs(spark, CORPUS)
+        via_vocab = {
+            (r["lhs"], r["rhs"]): r["pair_count"]
+            for r in pair_counts_from_vocab(initial_vocab(docs)).collect()
+        }
+        via_gate = {
+            (r["lhs"], r["rhs"]): r["pair_count"]
+            for r in bpe_pair_counts(docs, k=1000).collect()
+        }
+        assert via_vocab == via_gate
+
+    def test_early_stop_on_min_pair_count(self, spark):
+        # every word unique, every pair count 1 -> no merge at min 2
+        assert bpe_fit(_docs(spark, ["ab cd ef"]), n_merges=5) == []
+
+    def test_deterministic_across_runs(self, spark):
+        a = bpe_fit(_docs(spark, CORPUS), n_merges=5)
+        b = bpe_fit(_docs(spark, CORPUS), n_merges=5)
+        assert a == b
+
+
+class TestBPESegment:
+    def test_segmentation_matches_reference(self, spark):
+        docs = _docs(spark, CORPUS)
+        merges, ref_v = ref_fit(CORPUS, 8)
+        got = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_segment_corpus(docs, merges).collect()
+        }
+        for i, text in enumerate(CORPUS):
+            want = [t for w in text.split() for t in ref_v[w][1]]
+            assert got[i] == want, (i, got[i], want)
+
+    def test_roundtrip_reconstructs_text(self, spark):
+        docs = _docs(spark, CORPUS)
+        merges = bpe_fit(docs, n_merges=6)
+        for r in bpe_segment_corpus(docs, merges).collect():
+            rebuilt = "".join(r["tokens"]).replace(END, " ").strip()
+            assert rebuilt == CORPUS[r["doc_id"]]
+
+    def test_zero_merges_is_character_segmentation(self, spark):
+        docs = _docs(spark, ["ab c"])
+        rows = bpe_segment_corpus(docs, []).collect()
+        assert rows[0]["tokens"] == ["a", "b", END, "c", END]
+        assert rows[0]["n_tokens"] == 5
+
+    def test_segment_plan_has_no_python(self, spark):
+        docs = _docs(spark, CORPUS)
+        plan = (
+            bpe_segment_corpus(docs, [("l", "o"), ("lo", "w")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEval" not in plan
+
+
+class TestBPEEncode:
+    def test_ids_are_dense_stable_and_decodable(self, spark):
+        docs = _docs(spark, CORPUS)
+        merges = bpe_fit(docs, n_merges=6)
+        tbl = {r["token"]: r["token_id"] for r in bpe_vocab_table(docs, merges).collect()}
+        # dense 0..n-1, merge products first in merge order
+        assert sorted(tbl.values()) == list(range(len(tbl)))
+        for i, (lhs, rhs) in enumerate(merges):
+            assert tbl[lhs + rhs] == i
+        inv = {v: k for k, v in tbl.items()}
+        seg = {r["doc_id"]: r["tokens"] for r in bpe_segment_corpus(docs, merges).collect()}
+        for r in bpe_encode_corpus(docs, merges).collect():
+            assert [inv[i] for i in r["token_ids"]] == seg[r["doc_id"]]
+            assert r["n_tokens"] == len(r["token_ids"])
+
+    def test_extending_merges_keeps_existing_ids(self, spark):
+        docs = _docs(spark, CORPUS)
+        m6 = bpe_fit(docs, n_merges=6)
+        m4 = m6[:4]
+        t4 = {r["token"]: r["token_id"] for r in bpe_vocab_table(docs, m4).collect()}
+        t6 = {r["token"]: r["token_id"] for r in bpe_vocab_table(docs, m6).collect()}
+        for i, (lhs, rhs) in enumerate(m4):
+            assert t4[lhs + rhs] == t6[lhs + rhs] == i
+
+
+def test_fit_rejects_negative_merges(spark):
+    with pytest.raises(ValueError):
+        bpe_fit(None, -1)  # validated before touching the frame
