@@ -207,25 +207,21 @@ def bpe_segment_corpus(
     return assembled.withColumn("n_tokens", F.size("tokens"))
 
 
-def bpe_vocab_table(
-    docs: DataFrame,
-    merges: list[tuple[str, str]],
-    text_col: str = "text",
-    end_marker: str = END,
+def _vocab_table_from_seg(
+    seg: DataFrame, merge_products: list[str], spark
 ) -> DataFrame:
-    """(token, token_id) — deterministic dense ids for every token the
-    segmented corpus can emit: merge products first in merge order,
-    then the surviving initial symbols (single characters + the end
-    marker) lexicographically after. Merge-order ids mean a tokenizer
-    extended with more merges keeps its existing ids stable."""
-    merge_products = [lhs + rhs for lhs, rhs in merges]
-    seg = segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
+    """Dense ids over an already-segmented vocab frame — merge products
+    first in merge order, surviving initial symbols lexicographically
+    after."""
     leftovers = (
         seg.select(F.explode("syms").alias("token"))
         .distinct()
-        .filter(~F.col("token").isin(merge_products) if merge_products else F.lit(True))
+        .filter(
+            ~F.col("token").isin(merge_products)
+            if merge_products
+            else F.lit(True)
+        )
     )
-    spark = docs.sparkSession
     base = spark.createDataFrame(
         [(t, i) for i, t in enumerate(merge_products)],
         "token string, token_id long",
@@ -241,6 +237,23 @@ def bpe_vocab_table(
     return base.unionByName(extra.select("token", "token_id"))
 
 
+def bpe_vocab_table(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    end_marker: str = END,
+) -> DataFrame:
+    """(token, token_id) — deterministic dense ids for every token the
+    segmented corpus can emit: merge products first in merge order,
+    then the surviving initial symbols (single characters + the end
+    marker) lexicographically after. Merge-order ids mean a tokenizer
+    extended with more merges keeps its existing ids stable."""
+    seg = segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
+    return _vocab_table_from_seg(
+        seg, [lhs + rhs for lhs, rhs in merges], docs.sparkSession
+    )
+
+
 def bpe_encode_corpus(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -249,23 +262,48 @@ def bpe_encode_corpus(
     end_marker: str = END,
 ) -> DataFrame:
     """(doc_id, token_ids, n_tokens) — segmented corpus with tokens
-    mapped to the dense ids of :func:`bpe_vocab_table` via a broadcast
-    join on the token string (a literal map expression would mint one
-    codegen node per vocab entry — fine at toy size, fatal at a 50k
-    BPE vocabulary; the join is scale-indifferent). Position-ordered
-    reassembly is the same one-shuffle array_sort/flatten shape as
-    :func:`bpe_segment_corpus`."""
-    tok_tbl = F.broadcast(bpe_vocab_table(docs, merges, text_col, end_marker))
-    seg = bpe_segment_corpus(docs, merges, text_col, id_col, end_marker)
-    exploded = seg.select(
-        F.col(id_col), F.posexplode("tokens").alias("pos", "token")
-    ).join(tok_tbl, "token")
-    return (
-        exploded.groupBy(id_col)
+    mapped to the dense ids of :func:`bpe_vocab_table`.
+
+    The segmented vocab is computed ONCE (checkpointed, vocab-sized)
+    and feeds both the id table and the word→ids map, and ids attach at
+    the VOCAB level — a per-word posexplode over distinct words, never
+    a per-token explode of the corpus. The corpus itself is touched
+    exactly like :func:`bpe_segment_corpus`: one word-count pass inside
+    ``initial_vocab`` and one broadcast join-back + doc-keyed
+    reassembly shuffle. (A literal map expression instead of the join
+    would mint one codegen node per vocab entry — fine at toy size,
+    fatal at a 50k BPE vocabulary.)"""
+    seg = segment_vocab(
+        initial_vocab(docs, text_col, end_marker), merges
+    ).localCheckpoint(eager=True)
+    tok_tbl = F.broadcast(
+        _vocab_table_from_seg(
+            seg, [lhs + rhs for lhs, rhs in merges], docs.sparkSession
+        )
+    )
+    word_ids = (
+        seg.select("word", F.posexplode("syms").alias("pos", "token"))
+        .join(tok_tbl, "token")
+        .groupBy("word")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
                 lambda st: st["token_id"],
+            ).alias("id_toks")
+        )
+    )
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    ).join(F.broadcast(word_ids), "word")
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id_toks"))),
+                    lambda st: st["id_toks"],
+                )
             ).alias("token_ids")
         )
         .withColumn("n_tokens", F.size("token_ids"))
