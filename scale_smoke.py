@@ -374,6 +374,18 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["bpe_pair_counts"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
+    from sqlbackuphistoryetl_spark.extensions.bpe import (
+        bpe_fit,
+        bpe_segment_corpus,
+    )
+
+    merges = bpe_fit(docs_m, n_merges=10)
+    timings["bpe_fit_10_merges"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_bpe_seg = bpe_segment_corpus(docs_m, merges).count()
+    timings["bpe_segment_corpus"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
     tok = docs_m.select(
         "doc_id",
         # synthetic 20-language SKEWED mix (language k holds 2k+1/400
@@ -397,6 +409,8 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     return {
         "pmi_rows": n_pmi,
         "bpe_rows": n_bpe,
+        "bpe_seg_docs": n_bpe_seg,
+        "n_bpe_merges": len(merges),
         "unimax_langs": n_unimax,
         "span_rows": n_spans,
         "semdedup_pruned": n_semkeep,
