@@ -4310,6 +4310,114 @@ from per_doc
 """
 
 
+def bpe_packed_export(spark, sf_dir):
+    """END-TO-END training-data export: corpus → BPE encode (fixed
+    merges, dense ids) → concat-and-chunk packing at 128 ids →
+    materialized id streams (extensions/bpe.py + extensions/packing.py:
+    materialize_id_sequences). The oracle recomputes the whole chain
+    independently: replace-chain segmentation, VALUES-table ids,
+    window cumsum packing, list-slice reassembly. Output (seq_id,
+    seq_tokens, ids_md5) — md5 of the comma-joined id stream."""
+    from sqlbackuphistoryetl_spark.extensions.bpe import bpe_encode_corpus
+    from sqlbackuphistoryetl_spark.extensions.packing import (
+        materialize_id_sequences,
+        pack_sequences,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "t"), ("s", "c")]
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_corpus(docs, merges)
+    spans = pack_sequences(enc, "n_tokens", ["doc_id"], seq_len=128)
+    seqs = materialize_id_sequences(spans, enc)
+    return seqs.select(
+        "seq_id",
+        "seq_tokens",
+        F.md5(
+            F.concat_ws(",", F.transform("seq_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
+BPE_PACKED_SQL = r"""
+with w as (
+  select doc_id, words[i] as word, i as pos
+  from (select doc_id, regexp_extract_all(text, '\S+') as words,
+               unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) as i
+        from documents)),
+segd as (
+  select doc_id, pos,
+         string_split(
+           trim(
+             replace(replace(replace(replace(replace(
+               repeat(chr(31), 2)
+                 || array_to_string(
+                      list_append(string_split(word, ''), '</w>'),
+                      repeat(chr(31), 2))
+                 || repeat(chr(31), 2),
+               chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+               chr(31)||'th'||chr(31)),
+               chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+               chr(31)||'the'||chr(31)),
+               chr(31)||'the'||chr(31)||chr(31)||'</w>'||chr(31),
+               chr(31)||'the</w>'||chr(31)),
+               chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31),
+               chr(31)||'at'||chr(31)),
+               chr(31)||'s'||chr(31)||chr(31)||'c'||chr(31),
+               chr(31)||'sc'||chr(31)),
+             chr(31)),
+           repeat(chr(31), 2)) as toks
+  from w),
+tok_rows as (
+  select doc_id, pos, j, toks[j] as token
+  from (select doc_id, pos, toks,
+               unnest(generate_series(1, len(toks))) as j
+        from segd)),
+products(token, token_id) as (
+  values ('th', 0), ('the', 1), ('the</w>', 2), ('at', 3), ('sc', 4)),
+leftover as (
+  select token,
+         cast(row_number() over (order by token) + 4 as bigint) as token_id
+  from (select distinct token from tok_rows
+        where token not in (select token from products))),
+ids as (
+  select token, cast(token_id as bigint) as token_id from products
+  union all select token, token_id from leftover),
+doc_ids as (
+  select t.doc_id,
+         list(i.token_id order by t.pos, t.j) as token_ids,
+         cast(count(*) as bigint) as n_tok
+  from tok_rows t join ids i using (token) group by t.doc_id),
+c as (
+  select doc_id, token_ids, n_tok,
+         cast(sum(n_tok) over (order by doc_id
+              rows unbounded preceding) as bigint) as cum_end
+  from doc_ids),
+s as (
+  select doc_id, token_ids, n_tok, cum_end - n_tok as cum_start, cum_end
+  from c where n_tok > 0),
+spans as (
+  select s.doc_id, s.token_ids, cast(g.seq_id as bigint) as seq_id,
+         cast(greatest(0, g.seq_id * 128 - s.cum_start) as bigint) as tb,
+         cast(least(s.cum_end, (g.seq_id + 1) * 128) - s.cum_start
+              as bigint) as te
+  from s, unnest(generate_series(s.cum_start // 128, (s.cum_end - 1) // 128))
+         as g(seq_id)),
+pieces as (
+  select seq_id, doc_id, token_ids[tb + 1 : te] as piece
+  from spans),
+seqs as (
+  select seq_id,
+         flatten(list(piece order by doc_id)) as seq_ids
+  from pieces group by seq_id)
+select seq_id,
+       cast(len(seq_ids) as int) as seq_tokens,
+       md5(array_to_string(list_transform(seq_ids,
+                                          x -> cast(x as varchar)), ','))
+           as ids_md5
+from seqs
+"""
+
+
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Reciprocal Rank Fusion of a BM25 list and a dense-cosine list
     (Cormack et al. 2009; extensions/similarity.py:rrf_fuse). Sparse
@@ -4503,6 +4611,7 @@ _ORACLES: dict[str, str | None] = {
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "bpe_merge_candidates": BPE_PAIRS_SQL,
     "bpe_segment_fixed": BPE_SEGMENT_SQL,
+    "bpe_packed_export": BPE_PACKED_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -4800,6 +4909,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_segment_fixed": bpe_segment_fixed,
+    "bpe_packed_export": bpe_packed_export,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     # --- (b) last driver-green round 3 --------------------------------
     "text_token_count": text_token_count,
@@ -4928,11 +5038,11 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
     {
         # r4-green parameter variants whose base operators are in the
         # r6 window (temperature_lang_sample, dedup_clusters), plus the
-        # r4-green standalones displaced by the ELEVEN new r6 gates
-        # (five from the rotation session; six late-r6: unimax / pmi /
-        # hard-negatives / bpe pair-count / bpe segment / rrf). All 16
-        # = the structural deficit exactly; all 16 must rotate into the
-        # r7 window.
+        # r4-green standalones displaced by the TWELVE new r6 gates
+        # (five from the rotation session; seven late-r6: unimax / pmi /
+        # hard-negatives / bpe pair-count / bpe segment / bpe packed
+        # export / rrf). All 17 = the structural deficit exactly; all
+        # 17 must rotate into the r7 window.
         "temperature_lang_sample_a25",
         "dedup_cluster_histogram",
         "script_composition",
@@ -4949,6 +5059,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "winnowing_overlap_pairs",
         "approx_distinct_users",
         "ngram_containment",
+        "bm25_ranking",
     }
 )
 

@@ -84,6 +84,7 @@ EXTENDED = [
     "hard_negative_mining",
     "bpe_merge_candidates",
     "bpe_segment_fixed",
+    "bpe_packed_export",
     "hybrid_rrf_retrieval",
 ]
 

@@ -177,3 +177,44 @@ def materialize_sequences(
         F.size(flat).alias("seq_tokens"),
         F.concat_ws(" ", flat).alias("seq_text"),
     )
+
+
+def materialize_id_sequences(
+    spans: DataFrame,
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+) -> DataFrame:
+    """:func:`materialize_sequences` over ENCODED corpora — slices
+    integer token-id arrays (e.g. :func:`~..bpe.bpe_encode_corpus`
+    output) instead of re-tokenizing text, producing the fixed-length
+    id streams a training job memory-maps. Same shape: one join
+    (spans → encoded), one seq-keyed aggregate whose grouped state is
+    bounded by seq_len ids.
+
+    Output: (seq_id, seq_tokens, seq_ids) — ``seq_ids`` is the packed
+    ``array<long>`` stream, full ``seq_len`` everywhere but the final
+    remainder sequence.
+    """
+    piece = F.slice(
+        F.col(tokens_col),
+        F.col("tok_begin") + 1,
+        F.col("tok_end") - F.col("tok_begin"),
+    )
+    # pack_sequences passes its input columns through, so spans may
+    # already carry tokens_col — drop it to keep the join unambiguous
+    spans = spans.drop(tokens_col)
+    per = spans.join(
+        encoded.select(F.col(id_col), F.col(tokens_col)), id_col
+    ).select("seq_id", F.col(id_col).alias("_d"), piece.alias("_piece"))
+    agg = per.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d"), F.col("_piece")))
+        ).alias("_parts")
+    )
+    flat = F.flatten(F.transform("_parts", lambda s: s["_piece"]))
+    return agg.select(
+        "seq_id",
+        F.size(flat).alias("seq_tokens"),
+        flat.alias("seq_ids"),
+    )

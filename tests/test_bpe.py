@@ -177,3 +177,32 @@ class TestBPEEncode:
 def test_fit_rejects_negative_merges(spark):
     with pytest.raises(ValueError):
         bpe_fit(None, -1)  # validated before touching the frame
+
+
+class TestPackedIdExport:
+    def test_id_streams_slice_and_concat_correctly(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.packing import (
+            materialize_id_sequences,
+            pack_sequences,
+        )
+
+        docs = _docs(spark, CORPUS)
+        merges = bpe_fit(docs, n_merges=6)
+        enc = bpe_encode_corpus(docs, merges)
+        spans = pack_sequences(enc, "n_tokens", ["doc_id"], seq_len=7)
+        seqs = {
+            r["seq_id"]: r["seq_ids"]
+            for r in materialize_id_sequences(spans, enc).collect()
+        }
+        # reference: concat all docs' ids in doc order, chunk by 7
+        ids = {r["doc_id"]: r["token_ids"] for r in enc.collect()}
+        stream = [t for d in sorted(ids) for t in ids[d]]
+        want = {
+            i: stream[i * 7 : (i + 1) * 7]
+            for i in range((len(stream) + 6) // 7)
+        }
+        assert seqs == want
+        # every sequence but the tail is exactly seq_len
+        for i, s in seqs.items():
+            if i < len(seqs) - 1:
+                assert len(s) == 7
