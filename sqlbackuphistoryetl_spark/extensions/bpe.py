@@ -112,12 +112,19 @@ def bpe_fit(
     text_col: str = "text",
     min_pair_count: int = 2,
     end_marker: str = END,
+    initial_merges: list[tuple[str, str]] | None = None,
 ) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merge rules from the corpus.
+    """Learn ``n_merges`` NEW BPE merge rules from the corpus.
 
     Returns the ordered merge list ``[(lhs, rhs), ...]`` — the entire
     trained tokenizer state (segmentation is a pure function of it).
     Stops early when no pair reaches ``min_pair_count``.
+
+    ``initial_merges`` resumes training from an existing tokenizer:
+    the vocab is pre-segmented under them (vocab-sized jobs) and the
+    returned list is ``initial_merges + the new rules`` — combined with
+    :func:`bpe_vocab_table`'s merge-order-first ids, extending a
+    tokenizer never renumbers its existing tokens.
 
     Cost model: one corpus pass (``initial_vocab``), then per merge two
     vocab-sized jobs. Ties at the argmax break on (lhs, rhs) so the
@@ -128,12 +135,11 @@ def bpe_fit(
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
-    vocab = (
-        initial_vocab(docs, text_col, end_marker)
-        .select("count", "syms")
-        .localCheckpoint(eager=True)
-    )
-    merges: list[tuple[str, str]] = []
+    vocab = initial_vocab(docs, text_col, end_marker).select("count", "syms")
+    if initial_merges:
+        vocab = segment_vocab(vocab, list(initial_merges))
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = list(initial_merges or [])
     for _ in range(int(n_merges)):
         top = (
             pair_counts_from_vocab(vocab)

@@ -206,3 +206,13 @@ class TestPackedIdExport:
         for i, s in seqs.items():
             if i < len(seqs) - 1:
                 assert len(s) == 7
+
+
+def test_fit_resume_equals_full_fit(spark):
+    """Fitting 4 merges then resuming for 4 more must equal one 8-merge
+    fit — the incremental-extension contract."""
+    docs = _docs(spark, CORPUS)
+    full = bpe_fit(docs, n_merges=8)
+    first = bpe_fit(docs, n_merges=4)
+    resumed = bpe_fit(docs, n_merges=4, initial_merges=first)
+    assert resumed == full
