@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 
 #: end-of-word marker — rides as an ordinary symbol so merges can cross
 #: into it (learning e.g. ("e", "</w>") → "e</w>", the reference's way
-#: of giving word-final subwords their own identity)
+#: of giving word-final subwords their own identity).
+#: CONTRACT (same caveat as the reference implementation): the marker
+#: must not occur as a substring of corpus words, or a learned merge
+#: could mint a product that collides with it and corrupt
+#: marker-based detokenization. For adversarial text (raw HTML where a
+#: word may literally contain "</w>"), pass a corpus-safe
+#: ``end_marker`` such as "\x00w" to every entry point.
 END = "</w>"
 
 
@@ -122,16 +128,23 @@ def bpe_fit(
 
     ``initial_merges`` resumes training from an existing tokenizer:
     the vocab is pre-segmented under them (vocab-sized jobs) and the
-    returned list is ``initial_merges + the new rules`` — combined with
-    :func:`bpe_vocab_table`'s merge-order-first ids, extending a
-    tokenizer never renumbers its existing tokens.
+    returned list is ``initial_merges + the new rules``. MERGE-PRODUCT
+    ids stay stable under extension (:func:`bpe_vocab_table` numbers
+    them in merge order); ids of the LEFTOVER initial symbols follow
+    the products, so they can shift when an extension adds products —
+    persist the vocab table alongside the merges when decode stability
+    for single-character tokens matters.
 
     Cost model: one corpus pass (``initial_vocab``), then per merge two
     vocab-sized jobs. Ties at the argmax break on (lhs, rhs) so the
     learned tokenizer is deterministic across runs and partitionings.
-    Per-round vocab frames go through eager ``localCheckpoint`` to keep
-    the plan flat (the O(rounds) lineage would otherwise compound —
-    same rationale as ``clustering.connected_components``).
+    The vocab frame checkpoints every few rounds (lineage/codegen
+    bound, the ``clustering.connected_components`` rationale);
+    checkpoint blocks of dropped rounds are freed by ContextCleaner as
+    the Python references die — fine at the few-thousand-merge scale
+    this in-Spark trainer targets (a 50k-merge production vocabulary
+    wants exported pair counts + a driver-side loop, as the reference
+    implementations do).
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
@@ -154,7 +167,12 @@ def bpe_fit(
         merges.append((lhs, rhs))
         vocab = vocab.withColumn(
             "syms", _apply_merge(F.col("syms"), lhs, rhs, lhs + rhs)
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every few rounds, not every round: bounds lineage
+        # depth at 8 stacked folds while cutting the orphan-block churn
+        # (each eager checkpoint leaves blocks only ContextCleaner frees)
+        if len(merges) % 8 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
@@ -185,17 +203,22 @@ def bpe_segment_corpus(
     learned merges.
 
     Segmentation happens ONCE PER DISTINCT WORD (vocab-sized jobs),
-    then the word→tokens map broadcast-joins back onto the corpus in
-    word order: posexplode the document's words, attach each word's
-    token array, re-assemble with one doc-keyed aggregation ordered by
-    position (``array_sort`` on (pos, tokens) structs → flatten — no
-    window, one shuffle on the doc id).
+    then the word→tokens map joins back onto the corpus in word order:
+    posexplode the document's words, attach each word's token array,
+    re-assemble with one doc-keyed aggregation ordered by position
+    (``array_sort`` on (pos, tokens) structs → flatten — no window, one
+    shuffle on the doc id). The join-back is left UNHINTED: AQE
+    broadcasts the map while it fits and falls back to a hash join at
+    web-scale vocabularies (1e8+ distinct words would blow the 8 GB
+    broadcast limit a forced hint insists on).
+
+    Empty, whitespace-only, and NULL texts yield ``(doc_id, [], 0)``
+    rather than vanishing — callers join this output back to the
+    corpus and must not lose rows.
     """
-    seg = F.broadcast(
-        segment_vocab(
-            initial_vocab(docs, text_col, end_marker), merges
-        ).select("word", F.col("syms").alias("toks"))
-    )
+    seg = segment_vocab(
+        initial_vocab(docs, text_col, end_marker), merges
+    ).select("word", F.col("syms").alias("toks"))
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     exploded = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "word")
@@ -210,12 +233,27 @@ def bpe_segment_corpus(
             )
         ).alias("tokens")
     )
-    return assembled.withColumn("n_tokens", F.size("tokens"))
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "tokens", F.expr("cast(array() as array<string>)")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
 
 
 def _vocab_table_from_seg(
     seg: DataFrame, merge_products: list[str], spark
 ) -> DataFrame:
+    # distinct merge RULES can mint the same product string (e.g.
+    # (ab,c) and (a,bc) both yield "abc") — a token string gets ONE id
+    # (first mention wins), or the encode join would fan out every
+    # occurrence of the colliding token
+    merge_products = list(dict.fromkeys(merge_products))
     """Dense ids over an already-segmented vocab frame — merge products
     first in merge order, surviving initial symbols lexicographically
     after."""
@@ -252,8 +290,10 @@ def bpe_vocab_table(
     """(token, token_id) — deterministic dense ids for every token the
     segmented corpus can emit: merge products first in merge order,
     then the surviving initial symbols (single characters + the end
-    marker) lexicographically after. Merge-order ids mean a tokenizer
-    extended with more merges keeps its existing ids stable."""
+    marker) lexicographically after. Merge-order ids keep MERGE-PRODUCT
+    ids stable when a tokenizer is extended; leftover-symbol ids follow
+    the products and can shift across extensions (see
+    :func:`bpe_fit`)."""
     seg = segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
     return _vocab_table_from_seg(
         seg, [lhs + rhs for lhs, rhs in merges], docs.sparkSession
@@ -275,10 +315,13 @@ def bpe_encode_corpus(
     the VOCAB level — a per-word posexplode over distinct words, never
     a per-token explode of the corpus. The corpus itself is touched
     exactly like :func:`bpe_segment_corpus`: one word-count pass inside
-    ``initial_vocab`` and one broadcast join-back + doc-keyed
-    reassembly shuffle. (A literal map expression instead of the join
-    would mint one codegen node per vocab entry — fine at toy size,
-    fatal at a 50k BPE vocabulary.)"""
+    ``initial_vocab`` and one UNHINTED join-back (AQE broadcasts while
+    the map fits) + doc-keyed reassembly shuffle. (A literal map
+    expression instead of the join would mint one codegen node per
+    vocab entry — fine at toy size, fatal at a 50k BPE vocabulary.)
+
+    Same empty-doc contract as :func:`bpe_segment_corpus`:
+    empty/whitespace/NULL texts produce ``(doc_id, [], 0)``."""
     seg = segment_vocab(
         initial_vocab(docs, text_col, end_marker), merges
     ).localCheckpoint(eager=True)
@@ -301,16 +344,23 @@ def bpe_encode_corpus(
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     exploded = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "word")
-    ).join(F.broadcast(word_ids), "word")
+    ).join(word_ids, "word")
+    assembled = exploded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id_toks"))),
+                lambda st: st["id_toks"],
+            )
+        ).alias("token_ids")
+    )
     return (
-        exploded.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "id_toks"))),
-                    lambda st: st["id_toks"],
-                )
-            ).alias("token_ids")
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "token_ids", F.expr("cast(array() as array<long>)")
+            ).alias("token_ids"),
         )
         .withColumn("n_tokens", F.size("token_ids"))
     )

@@ -203,8 +203,13 @@ def shingle_jaccard_verify(
     the n-gram gate)."""
     cachereg.begin("shingle_verify")
     # registered persist, not localCheckpoint: the barrier blocks get an
-    # owner (releasable, recomputable) instead of waiting on GC
+    # owner (releasable, recomputable) instead of waiting on GC. The
+    # count() materializes the cache BEFORE the two consumers plan
+    # against it — concurrent stages racing an unfilled cache can both
+    # compute a partition (Spark block writes are first-wins, not
+    # locked), which is the double execution the barrier exists to stop.
     pairs = cachereg.persist("shingle_verify", pairs)
+    pairs.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_sid"))
         .union(pairs.select(F.col("id_b").alias("_sid")))
@@ -248,7 +253,9 @@ def ngram_jaccard_verify(
     for the whole corpus twice.
     """
     cachereg.begin("ngram_verify")
+    # registered persist + eager count: see shingle_jaccard_verify
     pairs = cachereg.persist("ngram_verify", pairs)
+    pairs.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_gid"))
         .union(pairs.select(F.col("id_b").alias("_gid")))
@@ -427,6 +434,7 @@ def ngram_jaccard_all_pairs(
             # candidate set feeds both the id semi-join and the re-score
             # join — barrier it or the capped pair join executes twice
             cand = cachereg.persist("ngram_jaccard", cand)
+            cand.count()
             cand_ids = (
                 cand.select(F.col("id_a").alias("_gid"))
                 .union(cand.select(F.col("id_b").alias("_gid")))
@@ -577,6 +585,7 @@ def ngram_containment_pairs(
         by_doc_src = posting
         if rescore_candidates_only:
             cand = cachereg.persist("ngram_containment", cand)  # consumed twice
+            cand.count()
             ids = (
                 cand.select(F.col("id_a").alias("_gid"))
                 .union(cand.select(F.col("id_b").alias("_gid")))

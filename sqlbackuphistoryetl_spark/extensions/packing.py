@@ -158,24 +158,40 @@ def materialize_sequences(
         F.col(id_col),
         F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)).alias("_toks"),
     )
-    piece = F.slice(
-        "_toks", F.col("tok_begin") + 1, F.col("tok_end") - F.col("tok_begin")
-    )
-    per = spans.join(toks, id_col).select(
-        "seq_id", F.col(id_col).alias("_d"), piece.alias("_piece")
-    )
-    # array_sort on array<struct> orders by the leading field (_d) —
-    # unique per sequence, so the concat order is total
-    agg = per.groupBy("seq_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_d"), F.col("_piece")))
-        ).alias("_parts")
-    )
+    agg = _reassemble(spans, toks, id_col, "_toks")
     flat = F.flatten(F.transform("_parts", lambda s: s["_piece"]))
     return agg.select(
         "seq_id",
         F.size(flat).alias("seq_tokens"),
         F.concat_ws(" ", flat).alias("seq_text"),
+    )
+
+
+def _reassemble(
+    spans: DataFrame, tokens_df: DataFrame, id_col: str, tokens_col: str
+) -> DataFrame:
+    """Shared slice-join-sort core of the sequence materializers:
+    attach each span's document token array, cut the span's slice, and
+    collect slices per sequence sorted by document id. Returns
+    (seq_id, _parts) with ``_parts`` an array of (_d, _piece) structs —
+    array_sort on array<struct> orders by the leading field (_d),
+    unique per sequence, so the concat order is total. ``spans`` may
+    already carry ``tokens_col`` (pack_sequences passes input columns
+    through); it is dropped so the join stays unambiguous."""
+    piece = F.slice(
+        F.col(tokens_col),
+        F.col("tok_begin") + 1,
+        F.col("tok_end") - F.col("tok_begin"),
+    )
+    per = (
+        spans.drop(tokens_col)
+        .join(tokens_df.select(F.col(id_col), F.col(tokens_col)), id_col)
+        .select("seq_id", F.col(id_col).alias("_d"), piece.alias("_piece"))
+    )
+    return per.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d"), F.col("_piece")))
+        ).alias("_parts")
     )
 
 
@@ -196,22 +212,7 @@ def materialize_id_sequences(
     ``array<long>`` stream, full ``seq_len`` everywhere but the final
     remainder sequence.
     """
-    piece = F.slice(
-        F.col(tokens_col),
-        F.col("tok_begin") + 1,
-        F.col("tok_end") - F.col("tok_begin"),
-    )
-    # pack_sequences passes its input columns through, so spans may
-    # already carry tokens_col — drop it to keep the join unambiguous
-    spans = spans.drop(tokens_col)
-    per = spans.join(
-        encoded.select(F.col(id_col), F.col(tokens_col)), id_col
-    ).select("seq_id", F.col(id_col).alias("_d"), piece.alias("_piece"))
-    agg = per.groupBy("seq_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_d"), F.col("_piece")))
-        ).alias("_parts")
-    )
+    agg = _reassemble(spans, encoded, id_col, tokens_col)
     flat = F.flatten(F.transform("_parts", lambda s: s["_piece"]))
     return agg.select(
         "seq_id",

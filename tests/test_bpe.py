@@ -216,3 +216,31 @@ def test_fit_resume_equals_full_fit(spark):
     first = bpe_fit(docs, n_merges=4)
     resumed = bpe_fit(docs, n_merges=4, initial_merges=first)
     assert resumed == full
+
+
+class TestReviewRegressions:
+    def test_duplicate_merge_products_get_one_id(self, spark):
+        """Distinct merge RULES minting the same product string (e.g.
+        (ab,c) and (a,bc) → 'abc') must not duplicate vocab rows or fan
+        out the encode join."""
+        docs = _docs(spark, ["abc abc"])
+        merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]
+        tbl = bpe_vocab_table(docs, merges).collect()
+        tokens = [r["token"] for r in tbl]
+        assert len(tokens) == len(set(tokens))  # no duplicate token rows
+        seg = {r["doc_id"]: r["tokens"] for r in bpe_segment_corpus(docs, merges).collect()}
+        enc = {r["doc_id"]: r for r in bpe_encode_corpus(docs, merges).collect()}
+        assert enc[0]["n_tokens"] == len(seg[0])  # no fan-out
+        inv = {r["token_id"]: r["token"] for r in tbl}
+        assert [inv[i] for i in enc[0]["token_ids"]] == seg[0]
+
+    def test_empty_and_whitespace_docs_survive(self, spark):
+        docs = _docs(spark, ["ab ab", "", "   "])
+        merges = bpe_fit(docs, n_merges=2)
+        seg = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+               for r in bpe_segment_corpus(docs, merges).collect()}
+        enc = {r["doc_id"]: (r["token_ids"], r["n_tokens"])
+               for r in bpe_encode_corpus(docs, merges).collect()}
+        assert set(seg) == set(enc) == {0, 1, 2}
+        assert seg[1] == ([], 0) and seg[2] == ([], 0)
+        assert enc[1] == ([], 0) and enc[2] == ([], 0)
