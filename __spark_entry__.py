@@ -4418,6 +4418,47 @@ from seqs
 """
 
 
+def bpe_roundtrip_decode(spark, sf_dir):
+    """Full corpus→ids→corpus BPE round trip (r6 verdict task 2):
+    encode under the fixed merge chain, decode the id streams back to
+    text (extensions/bpe.py:bpe_decode_corpus — one-row broadcast
+    id→token map, map-side transform, end-marker word rebuild), and
+    emit the md5 of the reconstructed text. The oracle never touches
+    BPE at all: decode(encode(x)) must equal x with whitespace
+    normalized to single spaces, so the expected text is just the
+    '\\S+' tokens of the original document joined by ' ' — the
+    strongest possible round-trip check (any segmentation, id
+    assignment, or decode bug diverges from it)."""
+    from sqlbackuphistoryetl_spark.extensions.bpe import (
+        bpe_decode_corpus,
+        bpe_encode_corpus,
+        bpe_vocab_table,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "t"), ("s", "c")]
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_corpus(docs, merges)
+    vocab = bpe_vocab_table(docs, merges)
+    dec = bpe_decode_corpus(enc, vocab)
+    return dec.select(
+        "doc_id",
+        F.length("text").cast("int").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+BPE_ROUNDTRIP_SQL = r"""
+with norm as (
+  select doc_id,
+         array_to_string(regexp_extract_all(text, '\S+'), ' ') as t
+  from documents)
+select doc_id,
+       cast(len(t) as int) as text_len,
+       md5(t) as text_md5
+from norm
+"""
+
+
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Reciprocal Rank Fusion of a BM25 list and a dense-cosine list
     (Cormack et al. 2009; extensions/similarity.py:rrf_fuse). Sparse
@@ -4612,6 +4653,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_merge_candidates": BPE_PAIRS_SQL,
     "bpe_segment_fixed": BPE_SEGMENT_SQL,
     "bpe_packed_export": BPE_PACKED_SQL,
+    "bpe_roundtrip_decode": BPE_ROUNDTRIP_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -4882,118 +4924,35 @@ from counts
 
 _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 
-# Registry order is LOAD-BEARING: the driver's per-round CORRECTNESS
-# gate checks the FIRST 50 entries only. Round 5 front-loads (a) the 8
-# round-4 hash-reds (sole cause: uncast DuckDB sum() typing as HUGEINT;
-# oracles now cast — engine untouched), (b) the new
-# Round-6 rotation (r5 verdict task 1): the driver checks the FIRST 50
-# entries, so this round's window holds (a) the five NEW gates
-# (quality_model_score, ngram_containment_capped, dup_window_spans,
-# semdedup_prune, gopher_quality — never checked, must sit in the
-# window), (b) the nine gates whose last driver-green row is round 3
-# (seven map-side text gates + the two sampling gates), and (c) 36 of
-# the 42 round-4 greens. Six round-4 greens defer to round 7 — listed
-# in ROTATION_DEFERRED below — and the 50 round-5 greens rotate to the
-# back. tests/test_driver_contract.py pins the invariants: never-green
-# gates in-window; parked gates green within the last two recorded
-# rounds, except the bounded ROTATION_DEFERRED set (three rounds).
+# Registry order is LOAD-BEARING: the driver checks the FIRST 50
+# entries only. From round 7 on the order is COMPUTED, not
+# hand-maintained: tools/rotation.py ranks gates never-green-first,
+# then stalest-green-first (name tiebreak), from the committed
+# CORRECTNESS_r*.json history; tests/test_driver_contract.py asserts
+# the shipped window and ROTATION_DEFERRED equal the computed ones.
+# Regenerate with `python tools/regen_registry.py` after appending
+# a new gate or when a new CORRECTNESS_r*.json lands.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) new in round 6 -------------------------------------------
-    "quality_model_score": quality_model_score,
-    "gopher_repetition": gopher_repetition,
-    "ccnet_perplexity": ccnet_perplexity,
-    "dsir_selection": dsir_selection,
-    "edit_distance_pairs": edit_distance_pairs,
-    "unimax_lang_budget": unimax_lang_budget,
-    "pmi_collocations": pmi_collocations_gate,
-    "hard_negative_mining": hard_negative_mining,
-    "bpe_merge_candidates": bpe_merge_candidates,
-    "bpe_segment_fixed": bpe_segment_fixed,
-    "bpe_packed_export": bpe_packed_export,
-    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
-    # --- (b) last driver-green round 3 --------------------------------
-    "text_token_count": text_token_count,
-    "text_quality_score": text_quality_score,
-    "lang_id_stopwords": lang_id_stopwords,
-    "lang_id_multi": lang_id_multi,
-    "text_bpe_token_count": text_bpe_token_count,
-    "token_len_histogram": token_len_histogram,
-    "token_percentiles": token_percentiles,
-    "weighted_source_mix": weighted_source_mix,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
-    # --- (c) last driver-green round 4 --------------------------------
-    "contamination_ngram": contamination_ngram,
-    "global_shard_ids": global_shard_ids,
-    "asof_last_purchase": asof_last_purchase,
-    "sequence_packing": sequence_packing,
-    "knn_label_vote": knn_label_vote_gate,
-    "incremental_dedup_cross": incremental_dedup_cross,
-    "pii_redaction": pii_redaction,
-    "quality_rare_tokens": quality_rare_tokens,
-    "packed_sequence_export": packed_sequence_export,
-    "dup_window_spans": dup_window_spans,
-    "heavy_hitter_grams": heavy_hitter_grams,
-    "semdedup_prune": semdedup_prune,
-    "gopher_quality": gopher_quality,
-    "corpus_version_diff": corpus_version_diff,
-    "chunk_dedup_spans": chunk_dedup_spans,
-    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
-    "boilerplate_line_removal": boilerplate_line_removal,
-    "temperature_lang_sample": temperature_lang_sample,
-    "train_val_test_split": train_val_test_split,
-    "length_outlier_trim": length_outlier_trim,
-    "domain_cap_topn": domain_cap_topn,
-    "funnel_view_click_purchase": funnel_view_click_purchase,
-    "rag_chunking": rag_chunking,
-    "semantic_decontam": semantic_decontam,
-    "weighted_sample_docs": weighted_sample_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "hourly_event_rollup": hourly_event_rollup,
-    "chain_state_fold": chain_state_fold,
-    "ngram_containment_capped": ngram_containment_capped,
-    "bm25_ranking": bm25_ranking,
-    "ngram_containment": ngram_containment,
+    # --- driver window (never-green gates first, then stalest
+    # greens by (round, name); latest recorded round: r6) ---
+    "bpe_roundtrip_decode": bpe_roundtrip_decode,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
-    "winnowing_overlap_pairs": winnowing_overlap_pairs,
+    "bm25_ranking": bm25_ranking,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
-    "embedding_cosine_topk": embedding_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "embedding_near_dup": embedding_near_dup,
-    "multimodal_metadata": multimodal_metadata,
-    # ------------------------------------------------------------------
-    # Behind the 50-query window. First the six ROTATION_DEFERRED
-    # round-4 greens (round-7 rotation debt), then the 50 round-5
-    # greens.
-    "temperature_lang_sample_a25": temperature_lang_sample_a25,
-    "dedup_cluster_histogram": dedup_cluster_histogram,
-    "script_composition": script_composition,
-    "sample_global_k": sample_global_k,
-    "embedding_quantize_profile": embedding_quantize_profile,
     "dedup_source_matrix": dedup_source_matrix,
-    "curation_funnel": curation_funnel,
-    "label_centroid_stats": label_centroid_stats,
-    "corpus_token_budget": corpus_token_budget,
-    "event_sessionization": event_sessionization,
-    "char_entropy_quality": char_entropy_quality,
-    "unigram_surprisal": unigram_surprisal,
-    "corpus_report": corpus_report,
-    "embedding_covariance": embedding_covariance,
-    "curation_pipeline_e2e": curation_pipeline_e2e,
-    "skew_salted_agg": skew_salted_agg,
-    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
-    "multimodal_featurize_ann": multimodal_featurize_ann,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "w1_latest_order_per_customer": w1_latest_order_per_customer,
-    "w2_canonical_group_id": w2_canonical_group_id,
-    "w3_tail_two_patch": w3_tail_two_patch,
-    "j1_region_revenue": j1_region_revenue,
-    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
-    "j3_filtered_left_join": j3_filtered_left_join,
-    "j5_order_lines_json": j5_order_lines_json,
-    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
-    "p4_watermark_overlap_window": p4_watermark_overlap_window,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_quantize_profile": embedding_quantize_profile,
+    "multimodal_metadata": multimodal_metadata,
+    "ngram_containment": ngram_containment,
+    "sample_global_k": sample_global_k,
+    "script_composition": script_composition,
+    "temperature_lang_sample_a25": temperature_lang_sample_a25,
+    "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "a1_watermark_advance": a1_watermark_advance,
     "a2_nonempty_guard": a2_nonempty_guard,
     "a3_retention_cutoff": a3_retention_cutoff,
@@ -5001,27 +4960,103 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
+    "case_type_map": case_type_map,
+    "char_entropy_quality": char_entropy_quality,
+    "corpus_report": corpus_report,
+    "corpus_token_budget": corpus_token_budget,
+    "curation_funnel": curation_funnel,
+    "curation_pipeline_e2e": curation_pipeline_e2e,
+    "datefmt_stopat": datefmt_stopat,
+    "dedup_clusters": dedup_clusters,
+    "dedup_exact": dedup_exact,
+    "dedup_keep_one": dedup_keep_one,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "doc_fingerprint": doc_fingerprint,
+    "embedding_covariance": embedding_covariance,
+    "event_sessionization": event_sessionization,
+    "j1_region_revenue": j1_region_revenue,
+    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
+    "j3_filtered_left_join": j3_filtered_left_join,
+    "j5_order_lines_json": j5_order_lines_json,
+    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
+    "json_props_extract": json_props_extract,
+    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
+    "label_centroid_stats": label_centroid_stats,
+    "multimodal_featurize_ann": multimodal_featurize_ann,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "o1_ordered_chain_page": o1_ordered_chain_page,
+    # ---------------------------------------------------------------
+    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
+    # overflow (rotates into the next window), then the fresh greens.
     "o3_top1_scalar": o3_top1_scalar,
     "o4_first_event_after": o4_first_event_after,
     "o5_top2_desc": o5_top2_desc,
     "p3_decimal_lsn_range": p3_decimal_lsn_range,
+    "p4_watermark_overlap_window": p4_watermark_overlap_window,
     "p9_fallback_probe": p9_fallback_probe,
-    "u1_union_distinct_tail": u1_union_distinct_tail,
-    "scalar_path_surgery": scalar_path_surgery,
-    "case_type_map": case_type_map,
-    "size_trunc_math": size_trunc_math,
+    "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
-    "datefmt_stopat": datefmt_stopat,
-    "json_props_extract": json_props_extract,
-    "doc_fingerprint": doc_fingerprint,
-    "dedup_exact": dedup_exact,
+    "scalar_path_surgery": scalar_path_surgery,
+    "size_trunc_math": size_trunc_math,
+    "skew_salted_agg": skew_salted_agg,
     "stream_dedup_sessions": stream_dedup_sessions,
     "text_tfidf_top_terms": text_tfidf_top_terms,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_one": dedup_keep_one,
-    "quality_repetition": quality_repetition,
+    "u1_union_distinct_tail": u1_union_distinct_tail,
+    "unigram_surprisal": unigram_surprisal,
+    "w1_latest_order_per_customer": w1_latest_order_per_customer,
+    "w2_canonical_group_id": w2_canonical_group_id,
+    "w3_tail_two_patch": w3_tail_two_patch,
+    # --- fresh greens (eligible to park two rounds) ---------------
+    "asof_last_purchase": asof_last_purchase,
+    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
+    "boilerplate_line_removal": boilerplate_line_removal,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_packed_export": bpe_packed_export,
+    "bpe_segment_fixed": bpe_segment_fixed,
+    "ccnet_perplexity": ccnet_perplexity,
+    "chain_state_fold": chain_state_fold,
+    "chunk_dedup_spans": chunk_dedup_spans,
+    "contamination_ngram": contamination_ngram,
+    "corpus_version_diff": corpus_version_diff,
+    "domain_cap_topn": domain_cap_topn,
+    "dsir_selection": dsir_selection,
+    "dup_window_spans": dup_window_spans,
+    "edit_distance_pairs": edit_distance_pairs,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "global_shard_ids": global_shard_ids,
+    "gopher_quality": gopher_quality,
+    "gopher_repetition": gopher_repetition,
+    "hard_negative_mining": hard_negative_mining,
+    "heavy_hitter_grams": heavy_hitter_grams,
+    "hourly_event_rollup": hourly_event_rollup,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "incremental_dedup_cross": incremental_dedup_cross,
+    "knn_label_vote": knn_label_vote_gate,
+    "lang_id_multi": lang_id_multi,
+    "lang_id_stopwords": lang_id_stopwords,
+    "length_outlier_trim": length_outlier_trim,
+    "ngram_containment_capped": ngram_containment_capped,
+    "packed_sequence_export": packed_sequence_export,
+    "pii_redaction": pii_redaction,
+    "pmi_collocations": pmi_collocations_gate,
+    "q1_pricing_summary": q1_pricing_summary,
+    "quality_model_score": quality_model_score,
+    "quality_rare_tokens": quality_rare_tokens,
+    "rag_chunking": rag_chunking,
+    "semantic_decontam": semantic_decontam,
+    "semdedup_prune": semdedup_prune,
+    "sequence_packing": sequence_packing,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "temperature_lang_sample": temperature_lang_sample,
+    "text_bpe_token_count": text_bpe_token_count,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "token_len_histogram": token_len_histogram,
+    "token_percentiles": token_percentiles,
+    "train_val_test_split": train_val_test_split,
+    "unimax_lang_budget": unimax_lang_budget,
+    "weighted_sample_docs": weighted_sample_docs,
+    "weighted_source_mix": weighted_source_mix,
 }
 
 # Structural rotation debt, made explicit and bounded. The registry
@@ -5036,30 +5071,27 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the 3-round cap forces it into the next window.
 ROTATION_DEFERRED: frozenset[str] = frozenset(
     {
-        # r4-green parameter variants whose base operators are in the
-        # r6 window (temperature_lang_sample, dedup_clusters), plus the
-        # r4-green standalones displaced by the TWELVE new r6 gates
-        # (five from the rotation session; seven late-r6: unimax / pmi /
-        # hard-negatives / bpe pair-count / bpe segment / bpe packed
-        # export / rrf). All 17 = the structural deficit exactly; all
-        # 17 must rotate into the r7 window.
-        "temperature_lang_sample_a25",
-        "dedup_cluster_histogram",
-        "script_composition",
-        "sample_global_k",
-        "embedding_quantize_profile",
-        "dedup_source_matrix",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_near_dup",
-        "multimodal_metadata",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "embedding_cosine_topk",
-        "winnowing_overlap_pairs",
-        "approx_distinct_users",
-        "ngram_containment",
-        "bm25_ranking",
+        # Computed by tools/rotation.py (see tools/regen_registry.py):
+        # parked gates whose last green row predates the latest
+        # recorded round — they rotate into the NEXT window.
+        "o3_top1_scalar",
+        "o4_first_event_after",
+        "o5_top2_desc",
+        "p3_decimal_lsn_range",
+        "p4_watermark_overlap_window",
+        "p9_fallback_probe",
+        "quality_repetition",
+        "retention_filter_counts",
+        "scalar_path_surgery",
+        "size_trunc_math",
+        "skew_salted_agg",
+        "stream_dedup_sessions",
+        "text_tfidf_top_terms",
+        "u1_union_distinct_tail",
+        "unigram_surprisal",
+        "w1_latest_order_per_customer",
+        "w2_canonical_group_id",
+        "w3_tail_two_patch",
     }
 )
 

@@ -300,6 +300,77 @@ def bpe_vocab_table(
     )
 
 
+def bpe_decode_corpus(
+    enc: DataFrame,
+    vocab_tbl: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    end_marker: str = END,
+) -> DataFrame:
+    """(doc_id, text) — invert :func:`bpe_encode_corpus`: map dense ids
+    back to token strings, concatenate, and rebuild words at the
+    end-marker boundaries. ``decode(encode(x))`` reproduces ``x`` with
+    whitespace normalized to single spaces (tokenization splits on
+    ``\\S+``, so the original inter-word whitespace is the one thing
+    BPE does not preserve) — the audit a training-data user runs
+    against a packed shard before trusting it.
+
+    Scale shape: the id→token mapping folds to a ONE-ROW frame holding
+    a ``map_from_entries`` of the whole vocab table, cross-joined onto
+    the corpus (a broadcast nested-loop join of a single row), and the
+    per-document translation is a map-side ``transform`` + string
+    rebuild — zero corpus shuffles, zero per-token explodes, no joins
+    keyed on the corpus. The map row is vocab-sized (a 50k-token BPE
+    vocabulary is ~1 MB; even a 1M-entry vocab is tens of MB, inside
+    broadcast bounds). A token id absent from ``vocab_tbl`` raises
+    (``raise_error``) rather than silently dropping bytes — a decode
+    that "works" by skipping unknown ids corrupts the audit it exists
+    to serve.
+
+    ``vocab_tbl`` is the (token, token_id) frame of
+    :func:`bpe_vocab_table` — pass the SAME table the encode used (or
+    its persisted copy; see the id-stability caveat on
+    :func:`bpe_fit`).
+    """
+    id2tok = vocab_tbl.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token_id", "token"))
+        ).alias("__id2tok")
+    )
+    toks = F.transform(
+        F.col(ids_col), lambda i: F.try_element_at("__id2tok", i)
+    )
+    joined = F.concat_ws("", toks)
+    # concat_ws silently skips NULLs, so an unknown id would vanish —
+    # guard BEFORE the concat (same projection, one codegen pass)
+    checked = F.when(
+        F.exists(toks, lambda t: t.isNull()),
+        F.raise_error(
+            F.concat(
+                F.lit("bpe_decode_corpus: token id(s) not in vocab table: "),
+                F.to_json(
+                    F.filter(
+                        F.col(ids_col),
+                        lambda i: F.try_element_at("__id2tok", i).isNull(),
+                    )
+                ),
+            )
+        ),
+    ).otherwise(joined)
+    n = len(end_marker)
+    body = F.when(
+        F.endswith(checked, F.lit(end_marker)),
+        F.substring(checked, 1, F.length(checked) - n),
+    ).otherwise(checked)
+    return (
+        enc.join(F.broadcast(id2tok))
+        .select(
+            id_col,
+            F.replace(body, F.lit(end_marker), F.lit(" ")).alias("text"),
+        )
+    )
+
+
 def bpe_encode_corpus(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from sqlbackuphistoryetl_spark.extensions.bpe import (
     END,
+    bpe_decode_corpus,
     bpe_encode_corpus,
     bpe_fit,
     bpe_segment_corpus,
@@ -244,3 +245,52 @@ class TestReviewRegressions:
         assert set(seg) == set(enc) == {0, 1, 2}
         assert seg[1] == ([], 0) and seg[2] == ([], 0)
         assert enc[1] == ([], 0) and enc[2] == ([], 0)
+
+
+class TestBPEDecode:
+    """bpe_decode_corpus (r6 verdict task 2): the id→text inverse."""
+
+    def test_decode_inverts_encode_whitespace_normalized(self, spark):
+        texts = CORPUS + ["  leading and   inner\twhitespace ", "", "   "]
+        docs = _docs(spark, texts)
+        merges = bpe_fit(docs, n_merges=6)
+        enc = bpe_encode_corpus(docs, merges)
+        vocab = bpe_vocab_table(docs, merges)
+        got = {r["doc_id"]: r["text"]
+               for r in bpe_decode_corpus(enc, vocab).collect()}
+        assert got == {i: " ".join(t.split()) for i, t in enumerate(texts)}
+
+    def test_decode_is_map_side_no_corpus_shuffle(self, spark):
+        """The id→token map folds to ONE row and cross-joins broadcast:
+        the corpus side must see no Exchange keyed on it (zero corpus
+        shuffles) and no Python evaluation."""
+        docs = _docs(spark, CORPUS)
+        merges = [("l", "o"), ("lo", "w")]
+        dec = bpe_decode_corpus(
+            bpe_encode_corpus(docs, merges), bpe_vocab_table(docs, merges)
+        )
+        plan = dec._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    def test_unknown_token_id_raises(self, spark):
+        docs = _docs(spark, CORPUS)
+        merges = [("l", "o")]
+        vocab = bpe_vocab_table(docs, merges)
+        bogus = spark.createDataFrame(
+            [(0, [999_999])], "doc_id long, token_ids array<bigint>"
+        )
+        with pytest.raises(Exception, match="not in vocab table"):
+            bpe_decode_corpus(bogus, vocab).collect()
+
+    def test_custom_end_marker_roundtrip(self, spark):
+        """Adversarial text containing the default marker round-trips
+        under a corpus-safe end marker."""
+        texts = ["a</w>b a</w>b c", "c c c"]
+        docs = _docs(spark, texts)
+        merges = bpe_fit(docs, n_merges=3, end_marker="\x00w")
+        enc = bpe_encode_corpus(docs, merges, end_marker="\x00w")
+        vocab = bpe_vocab_table(docs, merges, end_marker="\x00w")
+        got = {r["doc_id"]: r["text"]
+               for r in bpe_decode_corpus(enc, vocab, end_marker="\x00w").collect()}
+        assert got == {i: " ".join(t.split()) for i, t in enumerate(texts)}

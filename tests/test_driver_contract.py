@@ -118,6 +118,34 @@ def test_no_stale_greens_outside_driver_window():
     )
 
 
+def test_window_matches_computed_rotation():
+    """Window assembly is no longer hand-maintained (r6 verdict task 7):
+    ``tools/rotation.py`` computes next-window membership and the
+    ROTATION_DEFERRED set purely from the committed CORRECTNESS_r*.json
+    history (never-green first, then stalest-green, name tiebreak).
+    The shipped registry must match — rotate by re-running the helper,
+    not by hand-picking gates."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotation import compute_rotation, load_green_history
+
+    names = list(entry_mod.queries())
+    last_green, _latest = load_green_history(REPO)
+    window_set, deferred = compute_rotation(names, last_green, DRIVER_WINDOW)
+    shipped = set(names[:DRIVER_WINDOW])
+    assert shipped == window_set, (
+        f"shipped window diverges from computed rotation; "
+        f"rotate IN: {sorted(window_set - shipped)}; "
+        f"rotate OUT: {sorted(shipped - window_set)}"
+    )
+    assert set(entry_mod.ROTATION_DEFERRED) == deferred, (
+        f"ROTATION_DEFERRED diverges from computed rotation; "
+        f"add: {sorted(deferred - set(entry_mod.ROTATION_DEFERRED))}; "
+        f"remove: {sorted(set(entry_mod.ROTATION_DEFERRED) - deferred)}"
+    )
+
+
 def test_window_is_full():
     """Fewer than 50 registered queries would waste driver coverage."""
     assert len(entry_mod.queries()) >= DRIVER_WINDOW
