@@ -3650,7 +3650,8 @@ def dup_window_spans(spark, sf_dir):
     """Exact duplicated-substring spans, the sliding-window form of
     Lee et al. 2022 (extensions/dedup.py:duplicated_window_spans):
     every corpus-duplicated 6-token window is marked and adjacent hits
-    merge into maximal spans via the pos − row_number island trick —
+    merge into maximal NON-OVERLAPPING spans via a lag() interval-merge
+    (same group iff pos − prev_pos <= window length; r6 advice fix) —
     identical arithmetic both engines, so the gate is integer-exact
     (positions and counts only, no floats)."""
     from sqlbackuphistoryetl_spark.extensions.dedup import (
@@ -3676,14 +3677,20 @@ dup as (select win from wins group by win having count(*) >= 2),
 hits as (select w.doc_id, w.pos from wins w join dup d using (win)),
 isl as (
   select doc_id, pos,
-         pos - row_number() over (partition by doc_id order by pos) as grp
-  from hits)
+         case when pos - lag(pos) over (partition by doc_id order by pos)
+                   <= 6 then 0 else 1 end as newg
+  from hits),
+grps as (
+  select doc_id, pos,
+         sum(newg) over (partition by doc_id order by pos
+                         rows unbounded preceding) as grp
+  from isl)
 select doc_id,
        min(pos) as span_start,
        max(pos) + 5 as span_end,
        max(pos) - min(pos) + 6 as span_tokens,
        cast(count(*) as int) as n_windows
-from isl
+from grps
 group by doc_id, grp
 """
 

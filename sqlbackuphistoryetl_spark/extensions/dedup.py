@@ -1154,8 +1154,21 @@ def duplicated_window_spans(
         )
     else:
         hits = hits.filter(F.col("_occ") >= min_occurrences)
+    # maximal-span merge (r6 advice): two duplicated windows at pos p
+    # and p' > p cover one contiguous duplicated region iff p' <= p + L
+    # (their [pos, pos+L-1] intervals overlap or touch). All intervals
+    # share length L and pos is unique per doc, so the running-max
+    # interval merge reduces to a lag() gap test — stride-1 islands
+    # (pos - row_number) would emit OVERLAPPING rows for gaps in 2..L,
+    # double-counting span_tokens for callers that sum or cut spans.
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn("_grp", F.col("pos") - F.row_number().over(wd))
+    gap = F.col("pos") - F.lag("pos").over(wd)
+    isl = hits.withColumn(
+        "_new", F.when(gap.isNull() | (gap > L), 1).otherwise(0)
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return (
         isl.groupBy("doc_id", "_grp")
         .agg(
@@ -1195,10 +1208,10 @@ def edit_distance_join(
     Returns ``(id_a, id_b, ed)`` with ``id_a < id_b``.
 
     Scale shape: the segment index is d+1 short rows per string; the
-    probe side enumerates (length-offset × segment × ±d window) =
-    O(d³) SHORT substring keys per string (PassJoin's multi-match
-    window would tighten to O(d²) — this uses the simpler sound ±d
-    bound), all map-side; candidates shuffle once on the segment key
+    probe side uses PassJoin's multi-match-aware substring selection —
+    O(d²) SHORT substring keys per string instead of the naive
+    (offset × segment × ±d) O(d³) enumeration, all map-side;
+    candidates shuffle once on the segment key
     carrying IDS ONLY (full texts join back just for the verified
     candidate set). Strings shorter than d+1 chars can't be segmented;
     any qualifying partner is then <= 2d chars, so the <= 2d-char
@@ -1245,11 +1258,34 @@ def edit_distance_join(
         )
     )
     p_start, p_len = _bound(F.col("i"), F.col("L"))
+    # multi-match-aware substring selection (the paper's Lemma 3; r6
+    # verdict task 3): with Δ = |probe| − |indexed|, segment i (0-based)
+    # of the indexed string can only match the probe at
+    #   q ∈ [p − i, p + i] ∩ [p + Δ − (d−i), p + Δ + (d−i)]
+    # — the prefix shift is bounded by the errors the first i segments
+    # can absorb and the suffix shift by the last d−i. Per-probe key
+    # count drops from (2d+1)(d+1)(2d+1) = O(d³) to O(d²) (~4.5× fewer
+    # at d=3), fuzz-verified 100% recall vs the ±d window.
+    delta = F.col("__len") - F.col("L")
     probes = (
         probes.withColumn("p", p_start)
         .withColumn("slen", p_len)
-        .withColumn("qlo", F.greatest(F.lit(0), F.col("p") - d))
-        .withColumn("qhi", F.least(F.col("__len") - F.col("slen"), F.col("p") + d))
+        .withColumn(
+            "qlo",
+            F.greatest(
+                F.lit(0),
+                F.col("p") - F.col("i"),
+                F.col("p") + delta - (F.lit(d) - F.col("i")),
+            ),
+        )
+        .withColumn(
+            "qhi",
+            F.least(
+                F.col("__len") - F.col("slen"),
+                F.col("p") + F.col("i"),
+                F.col("p") + delta + (F.lit(d) - F.col("i")),
+            ),
+        )
         .filter(F.col("qhi") >= F.col("qlo"))
         .select(
             "__id", "__t", "L", "i", "slen",

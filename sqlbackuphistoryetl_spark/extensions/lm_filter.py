@@ -111,7 +111,10 @@ def score_nll(
     state beyond V; no Python. The per-doc reduce is a hash aggregate.
     """
     keep = list(keep_cols or [])
-    big = _doc_bigrams(docs, text_col, id_col, keep)
+    # keep_cols re-attach from the docs side after the per-doc reduce,
+    # so the corpus-sized bigram frames don't carry them through the
+    # two count joins (narrower shuffles)
+    big = _doc_bigrams(docs, text_col, id_col, [])
     v = F.lit(int(vocab_size)).cast("long")
     scored = (
         big.join(bigram_counts, ["w1", "w2"], "left")
@@ -128,13 +131,17 @@ def score_nll(
             ).cast("long"),
         )
     )
-    per_doc = scored.groupBy("__doc", *keep).agg(
+    # join back on __doc ONLY and carry keep_cols from the docs side
+    # (r6 advice): a NULL keep value (e.g. lang NULL) never equi-matches
+    # itself, so keying the join on it would resurface a scored doc as
+    # n_bigrams = 0 and silently mis-bucket it downstream
+    per_doc = scored.groupBy("__doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_ll_u").alias("nll_u"),
     )
     all_docs = docs.select(
         F.col(id_col).alias("__doc"), *keep
-    ).join(per_doc, ["__doc", *keep], "left")
+    ).join(per_doc, ["__doc"], "left")
     return all_docs.select(
         F.col("__doc").alias(id_col),
         *keep,

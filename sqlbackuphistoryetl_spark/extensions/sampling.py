@@ -237,12 +237,23 @@ def dsir_logweights(
     """
     rawg = _hashed_gram_buckets(raw, n_buckets, text_col, id_col)
     tgtg = _hashed_gram_buckets(target, n_buckets, text_col, id_col)
-    cq = rawg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    cp = tgtg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
-    tq, tp = (
-        rawg.count(),
-        tgtg.count(),
+    # one gram pass per corpus (r6 advice): the bucket tables are
+    # <= n_buckets rows, so pin THEM and derive the scalar totals as
+    # tiny sums over them — rawg is then evaluated once here (for cq)
+    # and once in the final per-doc join, never a third time for a
+    # count(); tgtg exactly once
+    cq = (
+        rawg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cq"))
+        .localCheckpoint(eager=True)
     )
+    cp = (
+        tgtg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .localCheckpoint(eager=True)
+    )
+    tq = cq.agg(F.sum("cq")).collect()[0][0] or 0
+    tp = cp.agg(F.sum("cp")).collect()[0][0] or 0
     # identical expression shape to the oracle: two double divisions,
     # one ln, one round — on exact integer inputs
     b = float(n_buckets)

@@ -1254,10 +1254,25 @@ def strata_centroids(
     within the ``id % k`` stratum. Effectively a random k-sample (md5 is
     a uniform draw), reproducible bit-for-bit by any engine with md5 —
     which is what lets :func:`semdedup_prune`'s clustering be
-    oracle-checked, unlike k-means. One hash aggregate, no sort."""
-    return corpus.groupBy(
-        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("cell")
-    ).agg(
+    oracle-checked, unlike k-means. One hash aggregate, no sort.
+
+    Numeric ids stratify by ``id % k`` (the gate-checked arithmetic);
+    string/uuid ids — which ``pmod`` would reject with an
+    AnalysisException far from this call site (r6 advice) — stratify by
+    the first 8 md5 hex digits mod k instead, still deterministic and
+    engine-replicable (DuckDB: ``('0x' || substr(md5(id), 1, 8))::bigint
+    % k``)."""
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type in {"tinyint", "smallint", "int", "bigint"}:
+        cell = F.pmod(F.col(id_col), F.lit(k))
+    else:
+        cell = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(k),
+        )
+    return corpus.groupBy(cell.cast("int").alias("cell")).agg(
         F.min_by(F.col(vec_col), F.md5(F.col(id_col).cast("string"))).alias(
             "centroid"
         )

@@ -61,19 +61,25 @@ def read_jsonl_corpus(
     return reader.json(path)
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(good, quarantine, pinned) split of a PERMISSIVE read. ``good``
-    drops the corrupt column; ``quarantine`` keeps only the raw bad
-    lines; ``pinned`` is the cached source frame feeding both — call
-    ``pinned.unpersist()`` once both splits are materialized, or the
-    cache blocks accumulate across repeated ingest cycles in a
-    long-lived session. A Spark subtlety is handled here: referencing
-    ONLY the corrupt column of a json scan raises AnalysisException
-    (the reader refuses a corrupt-only projection), so the filter runs
-    before the projection narrows."""
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) split of a PERMISSIVE read. ``good`` drops
+    the corrupt column; ``quarantine`` keeps only the raw bad lines.
+    One cached scan feeds both splits; the cache is OWNED by the
+    ``cachereg`` generation of this function (r6 advice: the brief
+    3-tuple signature pushed ``pinned.unpersist()`` onto every
+    caller) — the next ``split_corrupt`` call, or
+    ``cachereg.release_caches("text_corpus.split_corrupt")``, releases
+    it, and an early release only costs the cache benefit, never
+    correctness. A Spark subtlety is handled here: referencing ONLY the
+    corrupt column of a json scan raises AnalysisException (the reader
+    refuses a corrupt-only projection), so the filter runs before the
+    projection narrows."""
+    from ..extensions import cachereg
+
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"no {CORRUPT_COL} column — read with mode=PERMISSIVE")
-    pinned = df.cache()  # one scan feeds both splits
+    cachereg.begin("text_corpus.split_corrupt")
+    pinned = cachereg.persist("text_corpus.split_corrupt", df)
     good = pinned.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = pinned.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad, pinned
+    return good, bad

@@ -67,6 +67,23 @@ class TestTrainScore:
         }[4]
         assert (r["n_bigrams"], r["nll_u"], r["nll"]) == (0, 0, None)
 
+    def test_null_keep_col_keeps_score(self, spark):
+        """r6 advice regression: a doc with a NULL keep column (lang)
+        must keep its real score — the join-back keys on the doc id
+        only, so NULL lang can't null-match it into n_bigrams = 0."""
+        df = spark.createDataFrame(
+            [(1, "the cat sat", None), (2, "the cat sat", "en")],
+            "doc_id long, text string, lang string",
+        )
+        c12, c1, v = train_bigram_lm(df)
+        got = {
+            r["doc_id"]: r
+            for r in score_nll(df, c12, c1, v, keep_cols=["lang"]).collect()
+        }
+        assert got[1]["lang"] is None
+        assert got[1]["n_bigrams"] == 2
+        assert got[1]["nll_u"] == got[2]["nll_u"] != 0
+
     def test_oov_scores_as_unseen(self, spark):
         train = _docs(spark, CORPUS)
         c12, c1, v = train_bigram_lm(train)

@@ -38,10 +38,32 @@ class TestDuplicatedWindowSpans:
         assert got == [(1, 0, 4, 5, 2), (2, 2, 6, 5, 2)]
 
     def test_within_doc_repeat_counts_by_default(self, spark):
-        # "p q r s" occurs at pos 0 and 4 of the same doc: two islands
+        # "p q r s" occurs at pos 0 and 4 of the same doc: the two hit
+        # windows [0,3] and [4,7] touch, so the whole doc is ONE
+        # contiguous duplicated region (maximal-span contract)
         df = _docs(spark, [(7, "p q r s p q r s")])
         got = _spans(duplicated_window_spans(df, window_tokens=4))
-        assert got == [(7, 0, 3, 4, 1), (7, 4, 7, 4, 1)]
+        assert got == [(7, 0, 7, 8, 2)]
+
+    def test_gapped_hits_merge_into_one_span(self, spark):
+        # r6 advice regression: duplicated windows at pos 0 and 2 (gap 2
+        # < L=4) overlap — the old stride-1 island trick emitted two
+        # OVERLAPPING rows [0,3] and [2,5], double-counting tokens 2-3.
+        # "a b c d" (pos 0) and "c d e f" (pos 2) are each duplicated
+        # via doc 2/3, but "b c d e" (pos 1) is not.
+        df = _docs(
+            spark,
+            [(1, "a b c d e f"), (2, "a b c d x"), (3, "y c d e f")],
+        )
+        got = [s for s in _spans(duplicated_window_spans(df, window_tokens=4))
+               if s[0] == 1]
+        assert got == [(1, 0, 5, 6, 2)]
+        # no two spans of any doc may overlap
+        all_spans = _spans(duplicated_window_spans(df, window_tokens=4))
+        by_doc = {}
+        for d, s, e, *_ in all_spans:
+            assert all(s > pe for pe in by_doc.get(d, [])), all_spans
+            by_doc.setdefault(d, []).append(e)
 
     def test_cross_doc_only_drops_within_doc_repeats(self, spark):
         df = _docs(spark, [(7, "p q r s p q r s"), (8, "k l m n o")])
@@ -184,6 +206,31 @@ class TestSemDeDup:
         a = {r["cell"]: list(r["centroid"]) for r in strata_centroids(df, 2).collect()}
         b = {r["cell"]: list(r["centroid"]) for r in strata_centroids(df, 2).collect()}
         assert a == b and set(a) == {0, 1}
+
+    def test_strata_centroids_string_ids(self, spark):
+        """r6 advice regression: uuid/string vec ids must stratify (via
+        md5 mod k) instead of failing with an AnalysisException deep in
+        semdedup_prune's default quantizer path."""
+        import hashlib
+
+        ids = ["u-a", "u-b", "u-c", "u-d"]
+        vecs = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.2, 0.8]]
+        df = spark.createDataFrame(
+            list(zip(ids, [[float(x) for x in v] for v in vecs])),
+            "vec_id string, embedding array<float>",
+        )
+        got = {r["cell"]: list(r["centroid"])
+               for r in strata_centroids(df, 2).collect()}
+        cents = {}
+        for i, v in zip(ids, vecs):
+            s = int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 2
+            h = hashlib.md5(i.encode()).hexdigest()
+            if s not in cents or h < cents[s][0]:
+                cents[s] = (h, v)
+        assert got == {s: v for s, (_, v) in cents.items()}
+        # and the full prune path runs end-to-end on string ids
+        pruned = semdedup_prune(df, k_clusters=2, threshold=0.99)
+        assert pruned.count() == 4
 
 
 class TestGopherFlags:

@@ -51,15 +51,21 @@ def test_permissive_quarantines_corrupt_lines(spark, tmp_path):
     path = _write(tmp_path, GOOD + BAD)
     df = read_jsonl_corpus(spark, path, SCHEMA, mode="PERMISSIVE")
     assert CORRUPT_COL in df.columns
-    good, bad, pinned = split_corrupt(df)
+    good, bad = split_corrupt(df)
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 3]
     raw_bad = sorted(r[CORRUPT_COL] for r in bad.collect())
     assert raw_bad == sorted(BAD)  # raw lines preserved for quarantine
     assert CORRUPT_COL not in good.columns
-    # the pinned handle releases the one-scan cache (r5 advice: repeated
-    # PERMISSIVE cycles must not accumulate storage blocks)
-    assert pinned.is_cached
-    pinned.unpersist()
+    # the one-scan cache is generation-owned (r6 advice: 2-tuple API,
+    # cachereg releases it): a second call or an explicit release drops
+    # the blocks, so repeated PERMISSIVE cycles can't accumulate storage
+    from sqlbackuphistoryetl_spark.extensions import cachereg
+
+    live = cachereg._LIVE.get("text_corpus.split_corrupt", [])
+    assert len(live) == 1 and live[0].is_cached
+    pinned = live[0]
+    cachereg.release_caches("text_corpus.split_corrupt")
+    assert not cachereg._LIVE.get("text_corpus.split_corrupt")
     assert not pinned.is_cached
 
 
