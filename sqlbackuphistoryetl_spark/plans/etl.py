@@ -156,6 +156,133 @@ def run_etl(
     return result
 
 
+def run_etl_jdbc(
+    spark: SparkSession,
+    sources: dict[str, SourceTables],
+    url: str,
+    control_table: str = "source_servers",
+    target_table: str = "consolidated",
+    properties: dict[str, str] | None = None,
+    replay_buffer_minutes: int = REPLAY_BUFFER_MINUTES,
+    token_provider=None,
+) -> ETLResult:
+    """The reference's actual deployment shape, end to end over JDBC
+    (Invoke-SQLBackupHistoryETL.ps1:32-71): the control table and the
+    consolidated sink live in the target SQL database; per-server
+    msdb-shaped extracts feed ONE set-based merge; watermarks advance
+    via parameterized UPDATEs. Same recovery semantics as
+    :func:`run_etl` (extract failure ⇒ skip server, watermark
+    untouched; load failure ⇒ abort, replay next run), same
+    one-materialization discipline for the extracted batch.
+
+    JDBC specifics vs the parquet twin:
+
+    - The LogID high-water mark is ONE ``max("LogID")`` query pushed to
+      the target database (index-able there) instead of the parquet
+      sidecar; a missing target table reads as hwm 0 / no existing
+      keys — the first append auto-creates it.
+    - The dup-candidate key slice reads back through Spark's JDBC
+      filter pushdown (``backup_finish_date >= overlap_start`` runs
+      server-side), shipping only the overlap window's key columns.
+    - Watermark updates are per-server parameterized statements
+      (:func:`..plans.sinks.jdbc_update_watermark`) — one row each,
+      the reference's own write shape, injection-impossible.
+    """
+    from ..schema import CONSOLIDATED_KEY
+    from ..sources.readers import jdbc_extract_reader
+    from .sinks import (
+        _resolve_properties,
+        jdbc_append_new_rows,
+        jdbc_update_watermark,
+    )
+
+    props = _resolve_properties(properties, token_provider)
+    result = ETLResult()
+    servers = jdbc_extract_reader(
+        spark,
+        url,
+        f'select "ServerName", "LastETLDatetime" from {control_table}',
+        props,
+    ).collect()
+
+    batches: list[DataFrame] = []
+    min_wm: dt.datetime | None = None
+    for row in servers:
+        name, wm = row["ServerName"], row["LastETLDatetime"]
+        src = sources.get(name)
+        if src is None:
+            log.warning("no source registered for %s — skipping", name)
+            result.servers_skipped.append(name)
+            continue
+        try:
+            batch = extract_backup_history(src, wm, replay_buffer_minutes)
+        except Exception:  # extract failure ⇒ skip server, watermark untouched
+            log.exception("extract failed for %s — skipping", name)
+            result.servers_skipped.append(name)
+            continue
+        batches.append(batch)
+        result.servers_ok.append(name)
+        min_wm = wm if min_wm is None else min(min_wm, wm)
+
+    if not batches:
+        return result
+
+    def _target_reader():
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", target_table)
+        )
+        for k, v in props.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    try:
+        prev_hwm = int(
+            jdbc_extract_reader(
+                spark,
+                url,
+                f'select max("LogID") as "max_log_id" from {target_table}',
+                props,
+            ).first()["max_log_id"]
+            or 0
+        )
+        existing = _target_reader()
+        if min_wm is not None:
+            overlap = min_wm - dt.timedelta(minutes=replay_buffer_minutes)
+            existing = existing.filter(
+                F.col("backup_finish_date") >= F.lit(overlap)
+            )
+        existing = existing.select(*CONSOLIDATED_KEY)
+    except Exception:  # first run: no target table yet
+        log.info("target %s not readable — assuming first run", target_table)
+        prev_hwm = 0
+        existing = batches[0].select(*CONSOLIDATED_KEY).limit(0)
+
+    union = reduce(DataFrame.unionByName, batches)
+    union = _with_log_id(spark, _cast_load_types(union), prev_hwm)
+    # one materialization feeds both the append and the watermark maxima
+    # (the run_etl rationale: rows arriving between two source pulls
+    # could advance a mark past data the append never saw)
+    union = union.localCheckpoint(eager=True)
+
+    result.rows_appended = jdbc_append_new_rows(
+        union, url, target_table, existing, properties=props
+    )
+
+    new_marks = (
+        union.groupBy("server_name")
+        .agg(F.max("backup_finish_date").alias("mx"))
+        .filter(F.col("server_name").isNotNull())
+        .collect()
+    )
+    for r in new_marks:
+        jdbc_update_watermark(
+            spark, url, control_table, r["server_name"], r["mx"], props
+        )
+    return result
+
+
 def _cast_load_types(batch: DataFrame) -> DataFrame:
     """Extract computes sizes as bigint; the table stores int
     (SURVEY §1.2 'int' row — cast on load)."""
