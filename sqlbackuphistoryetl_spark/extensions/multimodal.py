@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a content_type.
 Decode/feature-extraction runs as Arrow-batched pandas iterators
 (``mapInPandas``) — the only place Python touches data, and it touches
-whole columnar batches, never rows. The actual codec calls are STUBBED
-(image/audio libraries are not in this container): ``decode_image``
-raises NotImplementedError behind a clearly-marked gate, while the
-Spark-side plumbing — schema, batch iteration, deterministic metadata —
-is real and tested.
+whole columnar batches, never rows. PNG decodes FOR REAL through the
+stdlib codec in :mod:`.png_codec` (zlib + struct — decode, resize,
+re-encode, real-pixel featurization). Formats that need codec
+libraries this container doesn't ship (JPEG/WebP/audio/video) keep the
+clearly-marked NotImplementedError gate / deterministic-fake paths,
+while the Spark-side plumbing — schema, batch iteration, deterministic
+metadata — is real and tested for all of them.
 
 Scale notes: payload partitions should be sized by bytes
 (spark.sql.files.maxPartitionBytes), not row count; metadata extraction
@@ -43,20 +45,38 @@ PAYLOAD_METADATA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — image codecs are not available in this environment.
+    """Decode an image payload to raw samples.
 
-    Real implementation would Pillow/torchvision-decode the payload;
-    the surrounding mapInPandas plumbing is the tested part.
+    PNG decodes FOR REAL via the stdlib codec
+    (:mod:`.png_codec` — zlib + struct, all five scanline filters,
+    palette expansion; r6 verdict task 6) and returns a
+    ``png_codec.DecodedImage``. Every other format (and the PNG forms
+    the codec doesn't implement: 16-bit, Adam7) still raises behind the
+    documented stub gate — JPEG/WebP/AVIF need codec libraries this
+    container doesn't ship.
     """
+    from . import png_codec
+
+    if png_codec.is_png(payload):
+        try:
+            return png_codec.decode_png(payload)
+        except png_codec.UnsupportedPNG as e:
+            raise NotImplementedError(f"image decode stub: {e}") from e
     raise NotImplementedError("image decode stub: codec libraries not installed")
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — image codecs are not available in this environment.
+    """Resize an image payload to (width, height).
 
-    Real implementation: decode → resample to (width, height) → re-encode.
+    PNG inputs run decode → nearest-neighbor resample → re-encode
+    entirely in the stdlib codec; other formats raise behind the stub
+    gate (see :func:`decode_image`).
     """
-    raise NotImplementedError("image resize stub: codec libraries not installed")
+    from . import png_codec
+
+    img = decode_image(payload)  # raises the stub gate for non-PNG
+    out = png_codec.resize_nearest(img, width, height)
+    return png_codec.encode_png(out.pixels, out.width, out.height, out.channels)
 
 
 FEATURE_SCHEMA = StructType(
@@ -72,34 +92,45 @@ FEATURE_SCHEMA = StructType(
 def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     """(doc_id, payload, content_type) → fixed-dim feature vectors.
 
-    Arrow-batched ``mapInPandas``; the real pipeline would run an image/
-    audio encoder here. This container has no codec libraries, so the
-    decode step is a DETERMINISTIC FAKE (clearly marked): features are
-    derived from the payload's sha256 digest, normalized to [-1, 1] —
-    stable across runs/executors, exercising the real schema, batch
-    iteration, and downstream ANN compatibility (array<float> matches
-    extensions.similarity's vector column contract).
+    Arrow-batched ``mapInPandas``. PNG payloads decode FOR REAL (the
+    stdlib :mod:`.png_codec`) and featurize from decoded pixels — mean
+    block luminance over ``feature_dim`` blocks, scaled to [-1, 1]
+    (``decoder = 'png-zlib'``). Formats without an in-container codec
+    keep the clearly-marked DETERMINISTIC FAKE: features derived from
+    the payload's sha256 digest (``decoder = 'fake-sha256'``) — stable
+    across runs/executors, exercising the real schema, batch iteration,
+    and downstream ANN compatibility (array<float> matches
+    extensions.similarity's vector column contract). Both paths emit
+    the same shape, so mixed-format corpora featurize in one pass.
     """
+    from . import png_codec
 
-    def _feat(digest: bytes) -> list[float]:
+    def _fake(digest: bytes) -> list[float]:
         # DETERMINISTIC FAKE decode: digest bytes → [-1, 1] floats.
         reps = (feature_dim + len(digest) - 1) // len(digest)
         raw = (digest * reps)[:feature_dim]
         return [b / 127.5 - 1.0 for b in raw]
 
+    def _feat(b: bytes | None) -> tuple[list[float] | None, str | None]:
+        if b is None:
+            return None, None
+        if png_codec.is_png(bytes(b)):
+            try:
+                img = png_codec.decode_png(bytes(b))
+                return png_codec.grid_features(img, feature_dim), "png-zlib"
+            except png_codec.UnsupportedPNG:
+                pass  # 16-bit / interlaced: fall through to the fake
+        return _fake(hashlib.sha256(b).digest()), "fake-sha256"
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(
-                lambda b: _feat(hashlib.sha256(b).digest()) if b is not None else None
-            )
+            pairs = pdf["payload"].map(_feat)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "content_type": pdf["content_type"],
-                    "feature": feats,
-                    "decoder": pdf["content_type"].map(
-                        lambda ct: "fake-sha256" if ct else None
-                    ),
+                    "feature": pairs.map(lambda p: p[0]),
+                    "decoder": pairs.map(lambda p: p[1]),
                 }
             )
 
@@ -160,6 +191,15 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
+    from . import png_codec
+
+    def _status(ct, payload) -> str:
+        if ct and ct.startswith("text/"):
+            return "ok"
+        if png_codec.is_png(bytes(payload) if payload is not None else None):
+            return "ok"  # real stdlib decoder exists (png_codec)
+        return "stubbed"
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
@@ -171,9 +211,10 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "decode_status": pdf["content_type"].map(
-                        lambda ct: "ok" if ct and ct.startswith("text/") else "stubbed"
-                    ),
+                    "decode_status": [
+                        _status(ct, p)
+                        for ct, p in zip(pdf["content_type"], payloads)
+                    ],
                 }
             )
 

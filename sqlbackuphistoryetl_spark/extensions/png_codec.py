@@ -1,0 +1,261 @@
+"""Pure-stdlib PNG codec (r6 verdict task 6).
+
+The multimodal path stubbed ALL image decoding behind a
+NotImplementedError gate because no codec libraries ship in this
+container — but PNG (RFC 2083 / ISO 15948) needs nothing beyond
+``zlib`` + ``struct``: signature, chunked layout with CRC-32, IDAT is a
+zlib stream of filtered scanlines. This module implements the decode
+path for the common 8-bit-per-sample forms (grayscale, RGB, palette,
+gray+alpha, RGBA; all five scanline filters) plus a minimal encoder
+(filter 0 + zlib), so ``decode_and_featurize`` can featurize REAL
+pixels for PNG payloads. Interlaced (Adam7) and 16-bit images raise
+``UnsupportedPNG`` — they fall back to the documented stub gate, same
+as non-PNG formats.
+
+Everything here is driver-free pure Python over ``bytes`` — it runs
+inside the Arrow-batched ``mapInPandas`` workers of
+``extensions.multimodal``, one whole payload per call, no Spark API.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PNGError(ValueError):
+    """Malformed PNG payload."""
+
+
+class UnsupportedPNG(NotImplementedError):
+    """Valid PNG, but a form this codec doesn't implement (16-bit,
+    interlaced, <8-bit palette). Callers treat it like the stub gate."""
+
+
+@dataclass
+class DecodedImage:
+    width: int
+    height: int
+    channels: int  # after palette expansion: 1, 2, 3 or 4
+    pixels: bytes  # row-major, width*height*channels samples, 8-bit
+
+
+def is_png(payload: bytes | None) -> bool:
+    return payload is not None and payload[:8] == PNG_SIGNATURE
+
+
+def _chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise PNGError("truncated chunk")
+        crc = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc) == 4 and struct.unpack(">I", crc)[0] != zlib.crc32(
+            ctype + data
+        ):
+            raise PNGError(f"bad CRC in {ctype!r}")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PNGError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo the per-scanline filters (spec §6): each row is one filter
+    byte + width*bpp filtered samples."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        if pos >= len(raw):
+            raise PNGError("truncated pixel data")
+        ftype = raw[pos]
+        pos += 1
+        row = raw[pos : pos + stride]
+        if len(row) != stride:
+            raise PNGError("truncated scanline")
+        pos += stride
+        off = y * stride
+        prev_off = off - stride
+        if ftype == 0:  # None
+            out[off : off + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[off + x - bpp] if x >= bpp else 0
+                out[off + x] = (row[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (row[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[off + x - bpp] if x >= bpp else 0
+                up = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (row[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[off + x - bpp] if x >= bpp else 0
+                up = out[prev_off + x] if y > 0 else 0
+                ul = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                out[off + x] = (row[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise PNGError(f"unknown filter type {ftype}")
+    return out
+
+
+def decode_png(payload: bytes) -> DecodedImage:
+    """Decode an 8-bit non-interlaced PNG to raw samples.
+
+    Palette images expand to RGB through PLTE. Raises :class:`PNGError`
+    for malformed input and :class:`UnsupportedPNG` for valid-but-
+    unimplemented forms (16-bit samples, Adam7 interlace, sub-byte
+    palette depths)."""
+    if not is_png(payload):
+        raise PNGError("not a PNG (bad signature)")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte: bytes | None = None
+    for ctype, data in _chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PNGError("missing IHDR")
+    if color_type not in _CHANNELS:
+        raise PNGError(f"invalid color type {color_type}")
+    if interlace:
+        raise UnsupportedPNG("Adam7 interlace not implemented")
+    if bit_depth != 8:
+        raise UnsupportedPNG(f"bit depth {bit_depth} not implemented")
+    if not idat:
+        raise PNGError("missing IDAT")
+    if width == 0 or height == 0:
+        raise PNGError("zero-dimension image")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # pragma: no cover - zlib message passthrough
+        raise PNGError(f"bad IDAT stream: {e}") from e
+    bpp = _CHANNELS[color_type]
+    pixels = _unfilter(raw, width, height, bpp)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise PNGError("palette image without valid PLTE")
+        n = len(plte) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            if idx >= n:
+                raise PNGError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return DecodedImage(width, height, 3, bytes(rgb))
+    return DecodedImage(width, height, bpp, bytes(pixels))
+
+
+_COLOR_TYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Minimal 8-bit non-interlaced PNG encoder: filter 0 scanlines,
+    one zlib-compressed IDAT. Inverse of :func:`decode_png` for the
+    non-palette forms (``decode(encode(p)) == p`` exactly)."""
+    if channels not in _COLOR_TYPE_FOR_CHANNELS:
+        raise ValueError(f"channels must be 1, 2, 3 or 4, got {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match width*height*channels")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE_FOR_CHANNELS[channels], 0, 0, 0
+    )
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    img: DecodedImage, width: int, height: int
+) -> DecodedImage:
+    """Nearest-neighbor resample (deterministic, codec-free)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    c = img.channels
+    src, out = img.pixels, bytearray(width * height * c)
+    for y in range(height):
+        sy = min(img.height - 1, (y * img.height) // height)
+        for x in range(width):
+            sx = min(img.width - 1, (x * img.width) // width)
+            s = (sy * img.width + sx) * c
+            d = (y * width + x) * c
+            out[d : d + c] = src[s : s + c]
+    return DecodedImage(width, height, c, bytes(out))
+
+
+def grid_features(img: DecodedImage, feature_dim: int) -> list[float]:
+    """Deterministic real-pixel featurization: mean luminance over
+    ``feature_dim`` contiguous pixel blocks, scaled to [-1, 1] — the
+    same output contract as the sha256 fake, but derived from decoded
+    samples. Integer accumulation, so the result is exact and
+    batch-order-free."""
+    c = img.channels
+    n_px = img.width * img.height
+    # luminance: average the non-alpha channels (integer math)
+    color_c = 3 if c in (3, 4) else 1
+    lum = [0] * n_px
+    px = img.pixels
+    for i in range(n_px):
+        base = i * c
+        s = 0
+        for ch in range(color_c):
+            s += px[base + ch]
+        lum[i] = s // color_c
+    out: list[float] = []
+    for b in range(feature_dim):
+        lo = (b * n_px) // feature_dim
+        hi = ((b + 1) * n_px) // feature_dim
+        if hi <= lo:  # more blocks than pixels: repeat the nearest pixel
+            lo = min(lo, n_px - 1)
+            hi = lo + 1
+        block = lum[lo:hi]
+        out.append((sum(block) / len(block)) / 127.5 - 1.0)
+    return out

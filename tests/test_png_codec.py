@@ -1,0 +1,211 @@
+"""Stdlib PNG codec (r6 verdict task 6) — decode against hand-built
+fixtures (independent of the module's own encoder), every scanline
+filter, palette expansion, round trips, and the real-pixel featurize
+path through the Arrow plumbing."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from sqlbackuphistoryetl_spark.extensions.multimodal import (
+    decode_and_featurize,
+    decode_image,
+    extract_payload_metadata,
+    resize_image,
+)
+from sqlbackuphistoryetl_spark.extensions.png_codec import (
+    PNG_SIGNATURE,
+    DecodedImage,
+    PNGError,
+    UnsupportedPNG,
+    decode_png,
+    encode_png,
+    grid_features,
+    is_png,
+    resize_nearest,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png(width, height, color_type, raw_scanlines, extra=b"", bit_depth=8,
+         interlace=0):
+    """Hand-assembled PNG, independent of encode_png."""
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+                       interlace)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestDecode:
+    def test_grayscale_filter_none(self):
+        # 3x2 grayscale, filter 0 rows
+        raw = b"\x00\x0a\x14\x1e" + b"\x00\x28\x32\x3c"
+        img = decode_png(_png(3, 2, 0, raw))
+        assert (img.width, img.height, img.channels) == (3, 2, 1)
+        assert img.pixels == bytes([10, 20, 30, 40, 50, 60])
+
+    def test_rgb_filter_sub(self):
+        # 2x1 RGB, filter 1 (Sub): second pixel stored as delta to first
+        # pixels: (10,20,30), (15,25,35) -> deltas (5,5,5)
+        raw = b"\x01" + bytes([10, 20, 30, 5, 5, 5])
+        img = decode_png(_png(2, 1, 2, raw))
+        assert img.pixels == bytes([10, 20, 30, 15, 25, 35])
+
+    def test_filter_up(self):
+        # 2x2 gray, row0 filter 0 = [100, 200]; row1 filter 2 (Up) with
+        # deltas [10, 56] -> [110, 0] (mod 256)
+        raw = b"\x00" + bytes([100, 200]) + b"\x02" + bytes([10, 56])
+        img = decode_png(_png(2, 2, 0, raw))
+        assert img.pixels == bytes([100, 200, 110, 0])
+
+    def test_filter_average(self):
+        # 2x2 gray. row0 filter 0 = [10, 20].
+        # row1 filter 3: recon[x] = raw + (left + up)//2
+        #   x0: left=0 up=10 -> raw 5 + 5 = 10
+        #   x1: left=10 up=20 -> raw 7 + 15 = 22
+        raw = b"\x00" + bytes([10, 20]) + b"\x03" + bytes([5, 7])
+        img = decode_png(_png(2, 2, 0, raw))
+        assert img.pixels == bytes([10, 20, 10, 22])
+
+    def test_filter_paeth(self):
+        # 2x2 gray. row0 = [1, 9]. row1 filter 4:
+        #   x0: a=0 b=1 c=0 -> paeth=1 (pa=|p-a| with p=1: pa=1,pb=0 -> b)
+        #   raw 4 -> 5
+        #   x1: a=5 b=9 c=1 -> p=13, pa=8 pb=4 pc=12 -> b=9; raw 1 -> 10
+        raw = b"\x00" + bytes([1, 9]) + b"\x04" + bytes([4, 1])
+        img = decode_png(_png(2, 2, 0, raw))
+        assert img.pixels == bytes([1, 9, 5, 10])
+
+    def test_palette_expands_to_rgb(self):
+        plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+        raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+        img = decode_png(_png(2, 2, 3, raw, extra=plte))
+        assert img.channels == 3
+        assert img.pixels == bytes(
+            [255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0]
+        )
+
+    def test_rgba_roundtrip_through_encoder(self):
+        import random
+
+        rnd = random.Random(42)
+        for channels in (1, 2, 3, 4):
+            w, h = 7, 5
+            px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+            img = decode_png(encode_png(px, w, h, channels))
+            assert (img.width, img.height, img.channels) == (w, h, channels)
+            assert img.pixels == px
+
+    def test_bad_signature_and_crc(self):
+        with pytest.raises(PNGError):
+            decode_png(b"not a png at all")
+        good = _png(1, 1, 0, b"\x00\x7f")
+        corrupted = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+        with pytest.raises(PNGError):
+            decode_png(corrupted)
+
+    def test_unsupported_forms_gate(self):
+        with pytest.raises(UnsupportedPNG):
+            decode_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
+        with pytest.raises(UnsupportedPNG):
+            decode_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
+
+    def test_is_png(self):
+        assert is_png(_png(1, 1, 0, b"\x00\x7f"))
+        assert not is_png(b"plain text")
+        assert not is_png(None)
+
+
+class TestResizeAndFeatures:
+    def test_resize_nearest_downsamples(self):
+        # 4x4 gray quadrants -> 2x2 picks the top-left of each quadrant
+        px = bytes(
+            [0, 0, 100, 100,
+             0, 0, 100, 100,
+             200, 200, 50, 50,
+             200, 200, 50, 50]
+        )
+        img = DecodedImage(4, 4, 1, px)
+        out = resize_nearest(img, 2, 2)
+        assert out.pixels == bytes([0, 100, 200, 50])
+
+    def test_grid_features_hand_math(self):
+        # 4 gray pixels, 2 blocks: means (10+30)/2=20, (50+70)/2=60
+        img = DecodedImage(2, 2, 1, bytes([10, 30, 50, 70]))
+        f = grid_features(img, 2)
+        assert f == [20 / 127.5 - 1.0, 60 / 127.5 - 1.0]
+
+    def test_grid_features_rgb_luminance_ignores_alpha(self):
+        img = DecodedImage(1, 1, 4, bytes([30, 60, 90, 255]))
+        f = grid_features(img, 1)
+        assert f == [60 / 127.5 - 1.0]  # (30+60+90)//3, alpha excluded
+
+
+class TestMultimodalIntegration:
+    def test_decode_image_png_real_other_stubbed(self):
+        img = decode_image(encode_png(bytes([7, 8, 9]), 3, 1, 1))
+        assert img.pixels == bytes([7, 8, 9])
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+    def test_resize_image_png_roundtrip(self):
+        src = encode_png(bytes(range(16)), 4, 4, 1)
+        out = decode_png(resize_image(src, 2, 2))
+        assert (out.width, out.height) == (2, 2)
+        assert out.pixels == bytes([0, 2, 8, 10])
+
+    def test_featurize_real_png_vs_fake(self, spark):
+        png1 = encode_png(bytes([10, 30, 50, 70]), 2, 2, 1)
+        png2 = encode_png(bytes([10, 30, 50, 70]), 2, 2, 1)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(png1), "image/png"),
+                (2, bytearray(b"not an image"), "application/octet-stream"),
+                (3, bytearray(png2), "image/png"),
+            ],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = {
+            r["doc_id"]: r for r in decode_and_featurize(df, feature_dim=2).collect()
+        }
+        assert got[1]["decoder"] == "png-zlib"
+        assert got[2]["decoder"] == "fake-sha256"
+        # real-pixel features: block luminance means, hand-computed
+        assert got[1]["feature"] == pytest.approx(
+            [20 / 127.5 - 1.0, 60 / 127.5 - 1.0]
+        )
+        # determinism: identical payloads -> identical features
+        assert got[1]["feature"] == got[3]["feature"]
+        assert len(got[2]["feature"]) == 2
+
+    def test_metadata_marks_png_decodable(self, spark):
+        png = encode_png(bytes([1]), 1, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(png), "image/png"),
+                (2, bytearray(b"\xff\xd8jpeg"), "image/jpeg"),
+                (3, bytearray(b"hello"), "text/plain"),
+            ],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = {
+            r["doc_id"]: r["decode_status"]
+            for r in extract_payload_metadata(df).collect()
+        }
+        assert got == {1: "ok", 2: "stubbed", 3: "ok"}
