@@ -821,11 +821,15 @@ def gopher_repetition(
 
     Scale shape: one explode emits one row per (position, n) pair —
     O(9 · total tokens), never O(docs²); frequency election is ONE
-    shuffle keyed by (doc, n, gram); coverage resolution is one
-    distinct + one join keyed by (doc, position). All denominators ride
-    map-side. With ``hash_grams=True`` the election key is a 64-bit
-    xxhash64 instead of the gram text (ship at corpus scale; a
-    collision needs two distinct same-doc grams at p ~= 2^-64).
+    map-side-combinable HASH AGGREGATE keyed by (doc, n, gram) — not a
+    window, which would sort every gram row inside the shuffle —
+    carrying collected positions only for the n >= 5 coverage rows
+    (bounded by one gram's occurrences within one document); coverage
+    resolution is one distinct + one join keyed by (doc, position).
+    All denominators ride map-side. With ``hash_grams=True`` the
+    election key is a 64-bit xxhash64 instead of the gram text (ship
+    at corpus scale; a collision needs two distinct same-doc grams at
+    p ~= 2^-64).
 
     Returns one row per input row: the integer stats, each rule flag,
     and the AND-composite ``pass_repetition``.
@@ -908,9 +912,23 @@ def gopher_repetition(
         (F.length("g.gram") - F.col("g.n") + 1).cast("long").alias("glen"),
     )
 
-    w = Window.partitionBy("__doc", "n", "gram")
-    counted = grams.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
-        F.col("cnt") >= 2
+    # Frequency election as ONE hash aggregate instead of a window
+    # (r6 verdict task 4): a window count must SORT every gram row by
+    # (doc, n, gram) inside the shuffle; the aggregate form combines
+    # map-side (counts) and carries the positions the coverage stats
+    # need as a collected list ONLY for n >= 5 (top2-4 never needs
+    # positions, so those rows ship count+glen alone). Same exact
+    # outputs, one sort fewer.
+    counted = (
+        grams.groupBy("__doc", "n", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("glen").alias("glen"),
+            F.collect_list(
+                F.when(F.col("n") >= 5, F.col("pos"))
+            ).alias("poss"),
+        )
+        .filter(F.col("cnt") >= 2)
     )
 
     top = (
@@ -929,6 +947,10 @@ def gopher_repetition(
     )
     covered = (
         counted.filter(F.col("n") >= 5)
+        .select(
+            "__doc", "n",
+            F.explode("poss").alias("pos"),
+        )
         .select(
             "__doc", "n",
             F.explode(
