@@ -3738,6 +3738,91 @@ from assigned a left join pruned p on a.vec_id = p.pid
 """
 
 
+def fineweb_quality(spark, sf_dir):
+    """The three FineWeb custom heuristics (Penedo et al. 2024 §3.6;
+    functions/textfns.py:fineweb_quality_flags): line-punctuation
+    floor, short-line ceiling, duplicated-line character-mass ceiling.
+    All integer stats + cross-multiplied flags — engine-exact, no
+    rounding doctrine. One map-side codegen pass.
+
+    The gate corpus is line-structured deterministically on BOTH sides
+    (the boilerplate-gate pattern — the raw synthetic docs are one
+    unpunctuated line, which would pin every flag constant): a nav
+    header line, 5-word body lines with a period on every
+    (i + doc_id) % 7 == 0 line (straddles the 0.12 punct floor), and a
+    duplicated nav footer on even doc_ids (feeds dup_line_chars)."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        fineweb_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            concat(
+              concat_ws('\n', 'NAV MENU',
+                transform(
+                  sequence(0,
+                           cast(floor((size(split(text, ' ')) - 1) / 5)
+                                as int)),
+                  i -> concat(
+                         concat_ws(' ', slice(split(text, ' '), i * 5 + 1, 5)),
+                         case when (i + doc_id) % 7 = 0 then '.'
+                              else '' end))),
+              case when doc_id % 2 = 0 then '\nNAV MENU' else '' end)
+            """
+        ).alias("text"),
+    )
+    return lined.select("doc_id", *fineweb_quality_flags("text"))
+
+
+FINEWEB_SQL = r"""
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents),
+lined as (
+  select doc_id,
+         'NAV MENU' || chr(10)
+         || array_to_string(
+              list_transform(
+                range(0, cast(floor((len(ws) - 1) / 5) as int) + 1),
+                i -> array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ')
+                     || case when (i + doc_id) % 7 = 0 then '.'
+                             else '' end),
+              chr(10))
+         || case when doc_id % 2 = 0 then chr(10) || 'NAV MENU'
+                 else '' end as text
+  from w),
+base as (
+  select doc_id, string_split(text, chr(10)) as lines
+  from lined),
+stats as (
+  select doc_id,
+         cast(len(lines) as bigint) as n_lines,
+         cast(len(list_filter(lines,
+              l -> regexp_matches(rtrim(l), '[.!?"'']$'))) as bigint)
+           as n_punct_lines,
+         cast(len(list_filter(lines, l -> length(l) < 30)) as bigint)
+           as n_short_lines,
+         cast(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+              as bigint) as line_chars,
+         cast(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+              - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                 l -> length(l))), 0)
+              as bigint) as dup_line_chars
+  from base)
+select doc_id, n_lines, n_punct_lines, n_short_lines, line_chars,
+       dup_line_chars,
+       100 * n_punct_lines >= 12 * n_lines as r_line_punct,
+       100 * n_short_lines <= 67 * n_lines as r_short_lines,
+       10 * dup_line_chars <= line_chars as r_dup_line_chars,
+       (100 * n_punct_lines >= 12 * n_lines)
+         and (100 * n_short_lines <= 67 * n_lines)
+         and (10 * dup_line_chars <= line_chars) as pass_fineweb
+from stats
+"""
+
+
 def gopher_quality(spark, sf_dir):
     """The published Gopher/MassiveText rule set as one map-side pass
     (functions/textfns.py:gopher_quality_flags). Every threshold is an
@@ -4672,6 +4757,7 @@ _ORACLES: dict[str, str | None] = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "fineweb_quality": FINEWEB_SQL,
     "multimodal_featurize_ann": MULTIMODAL_FEATURIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
 }
@@ -4943,6 +5029,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r6) ---
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
+    "fineweb_quality": fineweb_quality,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
@@ -4991,10 +5078,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "o1_ordered_chain_page": o1_ordered_chain_page,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "o1_ordered_chain_page": o1_ordered_chain_page,
     "o3_top1_scalar": o3_top1_scalar,
     "o4_first_event_after": o4_first_event_after,
     "o5_top2_desc": o5_top2_desc,
@@ -5081,6 +5168,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "o1_ordered_chain_page",
         "o3_top1_scalar",
         "o4_first_event_after",
         "o5_top2_desc",

@@ -770,6 +770,71 @@ def gopher_quality_flags(text: Column | str) -> list[Column]:
     ]
 
 
+#: terminal punctuation for the FineWeb line filter — the C4 sentence
+#: terminators plus the straight quotes (a line ending in a quoted
+#: sentence counts as punctuated)
+_FINEWEB_LINE_END = r"""[.!?"']$"""
+
+
+def fineweb_quality_flags(text: Column | str) -> list[Column]:
+    """The three FineWeb custom quality heuristics (Penedo et al. 2024,
+    "The FineWeb Datasets", §3.6) — the published filters that, on top
+    of the Gopher + C4 rules, produced the headline quality gain:
+
+    - ``r_line_punct``: fraction of lines ending in terminal
+      punctuation must be >= 0.12 (boilerplate/navigation pages have
+      almost none);
+    - ``r_short_lines``: fraction of lines shorter than 30 characters
+      must be <= 0.67 (link farms and menus are all short lines);
+    - ``r_dup_line_chars``: fraction of characters sitting in
+      duplicated lines (occurrences beyond each line's first) must be
+      <= 0.10 — the same character-mass definition as the Gopher
+      ``dup_line_char`` stat.
+
+    One map-side pass, all built-ins inside whole-stage codegen, and
+    every threshold compare is INTEGER cross-multiplied (e.g. the 0.12
+    bar is ``100 * n_punct_lines >= 12 * n_lines``), so the flags are
+    engine-exact with no float division — the same value-hash doctrine
+    as :func:`gopher_quality_flags`. Lines split on ``\\n``; line
+    length is the raw character count; the empty document is one empty
+    line (fails all three bars, deterministically, in any engine).
+    Returns the integer stats, the three flags, and the AND-composite
+    ``pass_fineweb``.
+    """
+    t = _c(text)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_punct = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(_FINEWEB_LINE_END))
+    ).cast("long")
+    n_short = F.size(
+        F.filter(lines, lambda ln: F.length(ln) < 30)
+    ).cast("long")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_chars = line_chars - F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x),
+    )
+    r_line_punct = 100 * n_punct >= 12 * n_lines
+    r_short_lines = 100 * n_short <= 67 * n_lines
+    r_dup_line_chars = 10 * dup_chars <= line_chars
+    return [
+        n_lines.alias("n_lines"),
+        n_punct.alias("n_punct_lines"),
+        n_short.alias("n_short_lines"),
+        line_chars.alias("line_chars"),
+        dup_chars.alias("dup_line_chars"),
+        r_line_punct.alias("r_line_punct"),
+        r_short_lines.alias("r_short_lines"),
+        r_dup_line_chars.alias("r_dup_line_chars"),
+        (r_line_punct & r_short_lines & r_dup_line_chars).alias(
+            "pass_fineweb"
+        ),
+    ]
+
+
 #: Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1)
 #: as integer ratios (numerator, denominator) of the max allowed
 #: fraction, so every compare below is an exact cross-multiplication.

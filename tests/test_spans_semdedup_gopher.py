@@ -466,3 +466,53 @@ class TestEditDistanceJoin:
 
         assert re.search(r"levenshtein\([^)]*Some\(2\)", plan)
         assert "BatchEvalPython" not in plan
+
+
+class TestFineWebFlags:
+    """fineweb_quality_flags (Penedo et al. 2024 §3.6) — hand math."""
+
+    def _flags(self, spark, text):
+        from sqlbackuphistoryetl_spark.functions.textfns import (
+            fineweb_quality_flags,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return df.select(*fineweb_quality_flags("text")).first().asDict()
+
+    def test_hand_computed_stats(self, spark):
+        # 4 lines: 2 end punctuated (one after trailing spaces), 2 short
+        # (<30 chars), one duplicated pair
+        text = (
+            "This line is long enough and ends with a period.\n"
+            "short menu\n"
+            "short menu\n"
+            "Another line padded out to be long, ending in bang!   "
+        )
+        f = self._flags(spark, text)
+        assert f["n_lines"] == 4
+        assert f["n_punct_lines"] == 2  # rtrim before the end test
+        assert f["n_short_lines"] == 2
+        dup = len("short menu")
+        assert f["dup_line_chars"] == dup
+        assert f["r_line_punct"] is True       # 2/4 >= 0.12
+        assert f["r_short_lines"] is True      # 2/4 <= 0.67
+        # dup fraction = 10 / line_chars; line_chars > 100 -> passes
+        assert f["r_dup_line_chars"] is True
+        assert f["pass_fineweb"] is True
+
+    def test_each_rule_fails_independently(self, spark):
+        # punct floor: 9 unpunctuated long lines, 0 punctuated
+        long = "x" * 40
+        f = self._flags(spark, "\n".join(f"{long} {i}" for i in range(9)))
+        assert f["r_line_punct"] is False and f["r_short_lines"] is True
+        # short ceiling: 3 short lines of 4 -> 0.75 > 0.67
+        f = self._flags(spark, "a.\nb.\nc.\n" + "y" * 40 + ".")
+        assert f["r_short_lines"] is False and f["r_line_punct"] is True
+        # dup ceiling: one line duplicated 5 times dominates char mass
+        f = self._flags(spark, "\n".join(["the same exact line here."] * 5))
+        assert f["r_dup_line_chars"] is False
+
+    def test_empty_doc_is_one_empty_line(self, spark):
+        f = self._flags(spark, "")
+        assert f["n_lines"] == 1 and f["line_chars"] == 0
+        assert f["pass_fineweb"] is False
