@@ -4510,6 +4510,66 @@ from seqs
 """
 
 
+def bpe_fertility_lang(spark, sf_dir):
+    """Per-language tokenizer fertility audit (extensions/bpe.py:
+    bpe_fertility) under the fixed merge chain — exact integer sums
+    (docs, words, tokens, nonspace chars) per language, the standard
+    multilingual tokenizer diagnostic. The oracle recomputes token
+    counts through the independent replace-chain segmentation."""
+    from sqlbackuphistoryetl_spark.extensions.bpe import bpe_fertility
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "t"), ("s", "c")]
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fertility(docs, merges, group_col="lang")
+
+
+BPE_FERTILITY_SQL = r"""
+with w as (
+  select doc_id, words[i] as word, i as pos
+  from (select doc_id, regexp_extract_all(text, '\S+') as words,
+               unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) as i
+        from documents)),
+segd as (
+  select doc_id, pos,
+         trim(
+           replace(replace(replace(replace(replace(
+             repeat(chr(31), 2)
+               || array_to_string(
+                    list_append(string_split(word, ''), '</w>'),
+                    repeat(chr(31), 2))
+               || repeat(chr(31), 2),
+             chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+             chr(31)||'th'||chr(31)),
+             chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+             chr(31)||'the'||chr(31)),
+             chr(31)||'the'||chr(31)||chr(31)||'</w>'||chr(31),
+             chr(31)||'the</w>'||chr(31)),
+             chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31),
+             chr(31)||'at'||chr(31)),
+             chr(31)||'s'||chr(31)||chr(31)||'c'||chr(31),
+             chr(31)||'sc'||chr(31)),
+           chr(31)) as seg
+  from w),
+per_doc as (
+  select doc_id,
+         cast(sum(len(string_split(seg, repeat(chr(31), 2)))) as bigint)
+           as n_tokens
+  from segd group by doc_id),
+base as (
+  select d.lang, d.doc_id,
+         cast(len(regexp_extract_all(d.text, '\S+')) as bigint) as nw,
+         cast(length(regexp_replace(d.text, '\s', '', 'g')) as bigint) as nc,
+         p.n_tokens
+  from documents d join per_doc p using (doc_id))
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(nw) as bigint) as total_words,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(sum(nc) as bigint) as total_chars
+from base group by lang
+"""
+
+
 def bpe_roundtrip_decode(spark, sf_dir):
     """Full corpus→ids→corpus BPE round trip (r6 verdict task 2):
     encode under the fixed merge chain, decode the id streams back to
@@ -4746,6 +4806,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_segment_fixed": BPE_SEGMENT_SQL,
     "bpe_packed_export": BPE_PACKED_SQL,
     "bpe_roundtrip_decode": BPE_ROUNDTRIP_SQL,
+    "bpe_fertility_lang": BPE_FERTILITY_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5028,6 +5089,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r6) ---
+    "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "fineweb_quality": fineweb_quality,
     "ann_ivf_topk": ann_ivf_topk,
@@ -5077,10 +5139,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
-    "multimodal_frame_sample": multimodal_frame_sample,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "multimodal_frame_sample": multimodal_frame_sample,
     "o1_ordered_chain_page": o1_ordered_chain_page,
     "o3_top1_scalar": o3_top1_scalar,
     "o4_first_event_after": o4_first_event_after,
@@ -5168,6 +5230,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "multimodal_frame_sample",
         "o1_ordered_chain_page",
         "o3_top1_scalar",
         "o4_first_event_after",

@@ -86,6 +86,11 @@ EXTENDED = [
     "bpe_segment_fixed",
     "bpe_packed_export",
     "hybrid_rrf_retrieval",
+    # round-7 operators, first recorded in BENCH_r07: the BPE id→text
+    # decode round trip and the FineWeb custom quality trio.
+    "bpe_roundtrip_decode",
+    "fineweb_quality",
+    "bpe_fertility_lang",
 ]
 
 

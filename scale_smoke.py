@@ -406,7 +406,53 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     n_unimax = unimax_allocation(tok, (9 * int(total)) // 5, 2).count()
     timings["unimax_allocation"] = round(time.perf_counter() - t0, 2)
 
+    # r7 additions: PassJoin exact edit-distance join (multi-match-aware
+    # O(d²) probe windows over 40-char prefixes), the Gopher repetition
+    # composite (hash-agg frequency election), the FineWeb custom trio
+    # (map-side), and the BPE id→text decode round trip (one-row
+    # broadcast vocab map — count-parity guards losslessness).
+    from sqlbackuphistoryetl_spark.extensions.bpe import (
+        bpe_decode_corpus,
+        bpe_encode_corpus,
+        bpe_vocab_table,
+    )
+    from sqlbackuphistoryetl_spark.extensions.dedup import edit_distance_join
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        fineweb_quality_flags,
+        gopher_repetition,
+    )
+
+    short = docs_m.select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    t0 = time.perf_counter()
+    n_edit = edit_distance_join(short, max_dist=2).count()
+    timings["edit_distance_join_d2"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_goprep = gopher_repetition(docs_m, hash_grams=True).count()
+    timings["gopher_repetition"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_fineweb = (
+        docs_m.select("doc_id", *fineweb_quality_flags("text"))
+        .filter("pass_fineweb")
+        .count()
+    )
+    timings["fineweb_quality"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    enc = bpe_encode_corpus(docs_m, merges)
+    dec = bpe_decode_corpus(enc, bpe_vocab_table(docs_m, merges))
+    n_dec = dec.filter(F.length("text") > 0).count()
+    timings["bpe_decode_roundtrip"] = round(time.perf_counter() - t0, 2)
+    assert n_dec == n_docs, (n_dec, n_docs)
+
     return {
+        "edit_pairs_d2": n_edit,
+        "gopher_rep_docs": n_goprep,
+        "fineweb_pass": n_fineweb,
+        "bpe_decoded_docs": n_dec,
         "pmi_rows": n_pmi,
         "bpe_rows": n_bpe,
         "bpe_seg_docs": n_bpe_seg,

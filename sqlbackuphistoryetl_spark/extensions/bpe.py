@@ -300,6 +300,52 @@ def bpe_vocab_table(
     )
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = END,
+) -> DataFrame:
+    """Per-group tokenizer fertility audit — the standard multilingual
+    tokenizer diagnostic (tokens per word; see the XLM-R / UniMax
+    tokenizer analyses): a language whose fertility is 2× another's
+    pays 2× the sequence length for the same text, which skews both
+    training cost and any token-budget sampler.
+
+    Returns one row per ``group_col`` value with EXACT integer sums —
+    ``(group, n_docs, total_words, total_tokens, total_chars)`` where
+    total_chars counts non-whitespace characters — leaving the
+    fertility ratio (tokens/words) and compression (chars/token) to
+    the consumer, so the output is engine-exact with no float-division
+    doctrine.
+
+    Scale shape: segmentation cost is the :func:`bpe_segment_corpus`
+    vocab-sized path + one unhinted join-back; the audit itself adds
+    one hash aggregate keyed by the group (languages — tiny)."""
+    seg = bpe_segment_corpus(docs, merges, text_col, id_col, end_marker)
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.size(words).cast("long").alias("__nw"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+        .cast("long")
+        .alias("__nc"),
+    )
+    return (
+        base.join(seg.select(id_col, "n_tokens"), id_col)
+        .groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nw").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("__nc").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def bpe_decode_corpus(
     enc: DataFrame,
     vocab_tbl: DataFrame,

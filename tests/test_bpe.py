@@ -294,3 +294,30 @@ class TestBPEDecode:
         got = {r["doc_id"]: r["text"]
                for r in bpe_decode_corpus(enc, vocab, end_marker="\x00w").collect()}
         assert got == {i: " ".join(t.split()) for i, t in enumerate(texts)}
+
+
+class TestBPEFertility:
+    def test_fertility_sums_match_reference(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.bpe import bpe_fertility
+
+        texts = [("en", "low low lower"), ("en", "newest widest"),
+                 ("de", "low low low low")]
+        docs = spark.createDataFrame(
+            [(i, lang, t) for i, (lang, t) in enumerate(texts)],
+            "doc_id long, lang string, text string",
+        )
+        merges, ref_v = ref_fit([t for _, t in texts], 4)
+        got = {r["lang"]: r for r in bpe_fertility(docs, merges).collect()}
+        import collections
+
+        want = collections.defaultdict(lambda: [0, 0, 0, 0])
+        for lang, t in texts:
+            w = want[lang]
+            w[0] += 1
+            w[1] += len(t.split())
+            w[2] += sum(len(ref_v[x][1]) for x in t.split())
+            w[3] += sum(len(x) for x in t.split())
+        for lang, (nd, nw, nt, nc) in want.items():
+            r = got[lang]
+            assert (r["n_docs"], r["total_words"], r["total_tokens"],
+                    r["total_chars"]) == (nd, nw, nt, nc), lang
