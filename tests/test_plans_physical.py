@@ -487,3 +487,51 @@ def test_gopher_repetition_bounded_shuffles_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # 9 gram orders must NOT each pay their own exchange
     assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_fineweb_flags_single_pass_no_shuffle(spark):
+    """The FineWeb trio is one whole-stage-codegen projection, same
+    contract as the Gopher composite."""
+    from sqlbackuphistoryetl_spark.functions.textfns import (
+        fineweb_quality_flags,
+    )
+
+    df = _docs(spark).select("doc_id", *fineweb_quality_flags("text"))
+    plan = _explain(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "codegen id" in plan
+
+
+def test_gopher_repetition_election_is_aggregate_not_window(spark):
+    """r7 rework: the (doc, n, gram) frequency election must be a
+    map-side-combinable hash aggregate — a Window here would sort every
+    gram row inside the shuffle."""
+    from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
+
+    plan = _explain(gopher_repetition(_docs(spark)))
+    # the only window functions allowed are the lead() gram builders;
+    # a count() window here would mean the election regressed from the
+    # hash aggregate back to a sorting window
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "lead(" in line, line
+            assert "count(" not in line, line
+    assert "partial_count" in plan or "ObjectHashAggregate" in plan
+
+
+def test_edit_distance_probe_window_is_multi_match_bounded(spark):
+    """PassJoin r7: the pair is still found through the tightened
+    multi-match-aware probe windows (recall exhaustively covered by
+    the brute-force + fuzz tests; the ONLY cross join in the plan is
+    the deliberate tiny-string bucket, bounded at <= 2d chars)."""
+    from sqlbackuphistoryetl_spark.extensions.dedup import edit_distance_join
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrst"), (2, "abcdefghijklmnopqrsu")],
+        "doc_id long, text string",
+    )
+    out = edit_distance_join(docs, max_dist=3)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["ed"]) for r in rows] == [(1, 2, 1)]
