@@ -4556,11 +4556,14 @@ per_doc as (
            as n_tokens
   from segd group by doc_id),
 base as (
+  -- LEFT join + coalesce: a zero-word doc has no per_doc row but the
+  -- engine's bpe_fertility still counts it (segment emits n_tokens=0
+  -- by documented contract) — an inner join would silently drop it
   select d.lang, d.doc_id,
          cast(len(regexp_extract_all(d.text, '\S+')) as bigint) as nw,
          cast(length(regexp_replace(d.text, '\s', '', 'g')) as bigint) as nc,
-         p.n_tokens
-  from documents d join per_doc p using (doc_id))
+         coalesce(p.n_tokens, 0) as n_tokens
+  from documents d left join per_doc p using (doc_id))
 select lang,
        cast(count(*) as bigint) as n_docs,
        cast(sum(nw) as bigint) as total_words,

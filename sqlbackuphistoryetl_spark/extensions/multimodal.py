@@ -118,8 +118,12 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
             try:
                 img = png_codec.decode_png(bytes(b))
                 return png_codec.grid_features(img, feature_dim), "png-zlib"
-            except png_codec.UnsupportedPNG:
-                pass  # 16-bit / interlaced: fall through to the fake
+            except (png_codec.UnsupportedPNG, png_codec.PNGError):
+                # 16-bit / interlaced / over-budget, OR a corrupt body
+                # behind a valid signature (routine in crawled data) —
+                # fall through to the fake rather than killing the job;
+                # the decoder column records which path ran
+                pass
         return _fake(hashlib.sha256(b).digest()), "fake-sha256"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,8 +200,11 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
             return "ok"
-        if png_codec.is_png(bytes(payload) if payload is not None else None):
-            return "ok"  # real stdlib decoder exists (png_codec)
+        # header PROBE, not just the signature: 16-bit / interlaced /
+        # over-budget PNGs would pass is_png but raise in decode_image,
+        # and this column's contract is "a real decoder exists for it"
+        if png_codec.probe_png(bytes(payload) if payload is not None else None):
+            return "ok"
         return "stubbed"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -121,13 +121,53 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
-def decode_png(payload: bytes) -> DecodedImage:
+#: decode size cap: raw sample budget (width · height · channels). A
+#: crafted 1 KB payload can declare 100000×100000 and a high-ratio
+#: zlib stream — without the cap, decode materializes gigabytes from
+#: one hostile corpus row (decompression bomb). 2^27 bytes = 128 MB of
+#: samples ≈ a 6500² RGBA image — generous for featurization inputs.
+MAX_SAMPLE_BYTES = 1 << 27
+
+
+def probe_png(payload: bytes | None, max_sample_bytes: int = MAX_SAMPLE_BYTES) -> bool:
+    """Cheap header probe: does :func:`decode_png` implement this
+    payload's FORM? Parses the signature + IHDR only (no IDAT
+    decompression), rejecting 16-bit, interlaced, invalid color types,
+    and over-budget dimensions. A True probe can still fail decode on a
+    corrupt body — it answers "does a decoder exist", the metadata
+    question, in O(1)."""
+    if not is_png(payload) or len(payload) < 33:
+        return False
+    if payload[12:16] != b"IHDR":
+        return False
+    try:
+        width, height, bit_depth, color_type, _c, _f, interlace = (
+            struct.unpack(">IIBBBBB", payload[16:29])
+        )
+    except struct.error:
+        return False
+    return (
+        bit_depth == 8
+        and interlace == 0
+        and color_type in _CHANNELS
+        and 0 < width
+        and 0 < height
+        and width * height * _CHANNELS[color_type] <= max_sample_bytes
+    )
+
+
+def decode_png(
+    payload: bytes, max_sample_bytes: int = MAX_SAMPLE_BYTES
+) -> DecodedImage:
     """Decode an 8-bit non-interlaced PNG to raw samples.
 
     Palette images expand to RGB through PLTE. Raises :class:`PNGError`
     for malformed input and :class:`UnsupportedPNG` for valid-but-
     unimplemented forms (16-bit samples, Adam7 interlace, sub-byte
-    palette depths)."""
+    palette depths) and for images whose declared sample mass exceeds
+    ``max_sample_bytes`` (decompression-bomb guard — the zlib stream is
+    also decompressed with an exact expected-size bound, so a hostile
+    IDAT can't materialize more than the declared raw size)."""
     if not is_png(payload):
         raise PNGError("not a PNG (bad signature)")
     width = height = None
@@ -157,11 +197,22 @@ def decode_png(payload: bytes) -> DecodedImage:
         raise PNGError("missing IDAT")
     if width == 0 or height == 0:
         raise PNGError("zero-dimension image")
+    bpp = _CHANNELS[color_type]
+    if width * height * bpp > max_sample_bytes:
+        raise UnsupportedPNG(
+            f"declared sample mass {width}x{height}x{bpp} exceeds the "
+            f"{max_sample_bytes}-byte decode budget"
+        )
+    # exact expected raw size: one filter byte + stride per scanline;
+    # decompress with that bound so a bomb IDAT can't exceed it
+    expected = height * (1 + width * bpp)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            raise PNGError("IDAT decompresses past the declared size")
     except zlib.error as e:  # pragma: no cover - zlib message passthrough
         raise PNGError(f"bad IDAT stream: {e}") from e
-    bpp = _CHANNELS[color_type]
     pixels = _unfilter(raw, width, height, bpp)
     if color_type == 3:
         if plte is None or len(plte) % 3:

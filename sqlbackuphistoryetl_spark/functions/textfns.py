@@ -797,9 +797,10 @@ def fineweb_quality_flags(text: Column | str) -> list[Column]:
     engine-exact with no float division — the same value-hash doctrine
     as :func:`gopher_quality_flags`. Lines split on ``\\n``; line
     length is the raw character count; the empty document is one empty
-    line (fails all three bars, deterministically, in any engine).
-    Returns the integer stats, the three flags, and the AND-composite
-    ``pass_fineweb``.
+    line — it fails the punctuation and short-line bars (the dup bar is
+    vacuously true at zero character mass), so ``pass_fineweb`` is
+    False, deterministically, in any engine. Returns the integer stats,
+    the three flags, and the AND-composite ``pass_fineweb``.
     """
     t = _c(text)
     lines = F.split(t, "\n")

@@ -156,6 +156,34 @@ def run_etl(
     return result
 
 
+def _jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, props: dict[str, str]
+) -> bool:
+    """Catalog-metadata existence probe via ``DatabaseMetaData
+    .getTables`` — tried with the name as given plus the upper/lower
+    case folds (Derby stores unquoted identifiers upper-cased; Postgres
+    lower; SQL Server as-is). Raises on connection failure — a probe
+    that can't reach the database must abort the run, not report
+    "missing"."""
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        meta = conn.getMetaData()
+        for name in dict.fromkeys([table, table.upper(), table.lower()]):
+            rs = meta.getTables(None, None, name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def run_etl_jdbc(
     spark: SparkSession,
     sources: dict[str, SourceTables],
@@ -237,7 +265,15 @@ def run_etl_jdbc(
             reader = reader.option(k, v)
         return reader.load()
 
-    try:
+    # First-run detection is an EXPLICIT existence probe (JDBC catalog
+    # metadata), never exception-shaped: a bare except around the reads
+    # would turn any transient failure (network blip, expired token,
+    # permissions) into "first run" — empty existing-keys, hwm 0 — and
+    # the append would re-insert the whole replay window with colliding
+    # LogIDs. If the table exists, a failing read now PROPAGATES and
+    # aborts the run (the load-failure contract: watermarks untouched,
+    # next run replays, the anti-join absorbs it).
+    if _jdbc_table_exists(spark, url, target_table, props):
         prev_hwm = int(
             jdbc_extract_reader(
                 spark,
@@ -254,8 +290,8 @@ def run_etl_jdbc(
                 F.col("backup_finish_date") >= F.lit(overlap)
             )
         existing = existing.select(*CONSOLIDATED_KEY)
-    except Exception:  # first run: no target table yet
-        log.info("target %s not readable — assuming first run", target_table)
+    else:
+        log.info("target %s does not exist — first run", target_table)
         prev_hwm = 0
         existing = batches[0].select(*CONSOLIDATED_KEY).limit(0)
 

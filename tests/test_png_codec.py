@@ -209,3 +209,82 @@ class TestMultimodalIntegration:
             for r in extract_payload_metadata(df).collect()
         }
         assert got == {1: "ok", 2: "stubbed", 3: "ok"}
+
+
+class TestHostilePayloads:
+    """Round-7 review fixes: bombs, corrupt bodies, header probe."""
+
+    def test_decompression_bomb_is_rejected_cheaply(self):
+        # 1 KB payload declaring 100000x100000 grayscale: must raise
+        # BEFORE materializing the declared gigabytes
+        import time
+
+        raw = zlib.compress(b"\x00" * 10_000)
+        bomb = _png(100_000, 100_000, 0, b"")  # dims only; IDAT below
+        bomb = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", raw)
+            + _chunk(b"IEND", b"")
+        )
+        t0 = time.perf_counter()
+        with pytest.raises(UnsupportedPNG, match="decode budget"):
+            decode_png(bomb)
+        assert time.perf_counter() - t0 < 1.0
+
+    def test_overlong_idat_is_rejected(self):
+        # 1x1 gray declares 2 raw bytes; IDAT inflates to far more
+        over = zlib.compress(b"\x00\x7f" + b"\xab" * 1000)
+        bad = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", over)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PNGError, match="past the declared size"):
+            decode_png(bad)
+
+    def test_probe_png_matches_decodability(self):
+        from sqlbackuphistoryetl_spark.extensions.png_codec import probe_png
+
+        good = encode_png(bytes([1, 2, 3]), 3, 1, 1)
+        assert probe_png(good)
+        assert not probe_png(b"not png")
+        assert not probe_png(None)
+        assert not probe_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
+        assert not probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
+        # over-budget dims probe False without touching IDAT
+        huge = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 99_999, 99_999, 8, 6, 0, 0, 0))
+        )
+        assert not probe_png(huge)
+
+    def test_corrupt_png_falls_back_to_fake_in_featurize(self, spark):
+        # valid signature + IHDR, corrupt IDAT: the job must NOT die —
+        # the row takes the sha256-fake path with its decoder recorded
+        corrupt = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", b"\x01\x02definitely not zlib")
+            + _chunk(b"IEND", b"")
+        )
+        good = encode_png(bytes([10, 30, 50, 70]), 2, 2, 1)
+        df = spark.createDataFrame(
+            [(1, bytearray(corrupt), "image/png"),
+             (2, bytearray(good), "image/png")],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = {r["doc_id"]: r["decoder"]
+               for r in decode_and_featurize(df, feature_dim=2).collect()}
+        assert got == {1: "fake-sha256", 2: "png-zlib"}
+
+    def test_metadata_probe_not_just_signature(self, spark):
+        # a 16-bit PNG passes is_png but decode_image can't take it:
+        # metadata must say 'stubbed', not 'ok'
+        sixteen = _png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16)
+        df = spark.createDataFrame(
+            [(1, bytearray(sixteen), "image/png")],
+            "doc_id long, payload binary, content_type string",
+        )
+        assert extract_payload_metadata(df).first()["decode_status"] == "stubbed"

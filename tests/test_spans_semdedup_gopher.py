@@ -515,4 +515,9 @@ class TestFineWebFlags:
     def test_empty_doc_is_one_empty_line(self, spark):
         f = self._flags(spark, "")
         assert f["n_lines"] == 1 and f["line_chars"] == 0
+        # punct + short bars fail; the dup bar is vacuously true at
+        # zero char mass (documented contract)
+        assert f["r_line_punct"] is False
+        assert f["r_short_lines"] is False
+        assert f["r_dup_line_chars"] is True
         assert f["pass_fineweb"] is False

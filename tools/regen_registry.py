@@ -10,6 +10,9 @@ The new gate is never-green, so the rotation policy front-loads it into
 the driver window automatically; displaced greens flow into
 ``ROTATION_DEFERRED``. ``tests/test_driver_contract.py::
 test_window_matches_computed_rotation`` fails until this has been run.
+
+``--check`` verifies without writing: exit 1 iff the shipped registry
+differs from the computed order (CI / pre-commit hook form).
 """
 
 from __future__ import annotations
@@ -33,7 +36,9 @@ DEFERRED_PAT = re.compile(
 )
 
 
-def regenerate() -> bool:
+def regenerate(write: bool = True) -> bool:
+    """Returns True iff the shipped registry differs from the computed
+    order (and rewrites it unless ``write=False``)."""
     src = open(ENTRY).read()
     m = FUNCS_PAT.search(src)
     if not m or len(FUNCS_PAT.findall(src)) != 1:
@@ -89,15 +94,23 @@ def regenerate() -> bool:
     out = FUNCS_PAT.sub(lambda _: new_funcs, src)
     out = DEFERRED_PAT.sub(lambda _: new_deferred, out)
     changed = out != src
-    if changed:
+    if changed and write:
         open(ENTRY, "w").write(out)
     print(
         f"registry: {len(entries)} gates; window {len(win)}; "
         f"deferred {len(parked_def)}; "
-        + ("REWRITTEN" if changed else "already in computed order")
+        + (
+            ("REWRITTEN" if write else "STALE (--check)")
+            if changed
+            else "already in computed order"
+        )
     )
     return changed
 
 
 if __name__ == "__main__":
-    sys.exit(0 if regenerate() is not None else 1)
+    check = "--check" in sys.argv[1:]
+    changed = regenerate(write=not check)
+    # --check: nonzero exit iff stale (hook/CI form); rewrite mode
+    # always exits 0 — it just fixed whatever was stale
+    sys.exit(1 if (check and changed) else 0)
