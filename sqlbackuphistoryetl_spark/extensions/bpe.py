@@ -216,9 +216,15 @@ def bpe_segment_corpus(
     rather than vanishing — callers join this output back to the
     corpus and must not lose rows.
     """
-    seg = segment_vocab(
-        initial_vocab(docs, text_col, end_marker), merges
-    ).select("word", F.col("syms").alias("toks"))
+    # eager checkpoint, same as bpe_encode_corpus: the downstream
+    # consumers re-plan the chained merge folds otherwise, and a
+    # fold-chain under a generator/join build side re-pays multi-second
+    # codegen per job (measured 6.5 s for a 31-word vocab)
+    seg = (
+        segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
+        .localCheckpoint(eager=True)
+        .select("word", F.col("syms").alias("toks"))
+    )
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     exploded = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "word")
@@ -294,7 +300,11 @@ def bpe_vocab_table(
     ids stable when a tokenizer is extended; leftover-symbol ids follow
     the products and can shift across extensions (see
     :func:`bpe_fit`)."""
-    seg = segment_vocab(initial_vocab(docs, text_col, end_marker), merges)
+    # eager checkpoint for the same codegen-per-job reason as
+    # bpe_segment_corpus / bpe_encode_corpus
+    seg = segment_vocab(
+        initial_vocab(docs, text_col, end_marker), merges
+    ).localCheckpoint(eager=True)
     return _vocab_table_from_seg(
         seg, [lhs + rhs for lhs, rhs in merges], docs.sparkSession
     )
@@ -362,13 +372,17 @@ def bpe_decode_corpus(
     against a packed shard before trusting it.
 
     Scale shape: the id→token mapping folds to a ONE-ROW frame holding
-    a ``map_from_entries`` of the whole vocab table, cross-joined onto
-    the corpus (a broadcast nested-loop join of a single row), and the
-    per-document translation is a map-side ``transform`` + string
-    rebuild — zero corpus shuffles, zero per-token explodes, no joins
-    keyed on the corpus. The map row is vocab-sized (a 50k-token BPE
-    vocabulary is ~1 MB; even a 1M-entry vocab is tens of MB, inside
-    broadcast bounds). A token id absent from ``vocab_tbl`` raises
+    a POSITIONAL token array (ids are dense 0..V-1 by
+    :func:`bpe_vocab_table` construction, so ``element_at`` is an O(1)
+    index access; a sparse caller-supplied table falls back to the map
+    form, whose per-lookup linear scan is measurably slower),
+    cross-joined onto the corpus (a broadcast nested-loop join of a
+    single row); the per-document translation is a map-side
+    ``transform`` + string rebuild — zero corpus shuffles, zero
+    per-token explodes, no joins keyed on the corpus. The lookup row is
+    vocab-sized (a 50k-token BPE vocabulary is ~1 MB; even a 1M-entry
+    vocab is tens of MB, inside broadcast bounds). A token id absent
+    from ``vocab_tbl`` raises
     (``raise_error``) rather than silently dropping bytes — a decode
     that "works" by skipping unknown ids corrupts the audit it exists
     to serve.
@@ -378,17 +392,54 @@ def bpe_decode_corpus(
     its persisted copy; see the id-stability caveat on
     :func:`bpe_fit`).
     """
-    id2tok = vocab_tbl.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("token_id", "token"))
-        ).alias("__id2tok")
+    # Lookup structure: ids are DENSE 0..V-1 by bpe_vocab_table's
+    # construction, so the id→token table folds to a POSITIONAL array
+    # (element_at on an array is an O(1) index access). The map form
+    # (map_from_entries + try_element_at) is kept as the fallback for
+    # caller-supplied sparse tables, but Spark's GetMapValue is a
+    # LINEAR scan per lookup — O(|vocab|) per token, measured ~6×
+    # slower end-to-end at an 800-token vocab and catastrophically
+    # worse at a 50k BPE vocabulary.
+    stats = vocab_tbl.agg(
+        F.count(F.lit(1)).alias("n"), F.max("token_id").alias("mx")
+    ).first()
+    dense = stats["n"] > 0 and stats["n"] == int(stats["mx"]) + 1
+    if dense:
+        id2tok = vocab_tbl.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_id", "token"))),
+                lambda s: s["token"],
+            ).alias("__id2tok")
+        )
+
+        def _lookup(i):
+            return F.try_element_at("__id2tok", (i + 1).cast("int"))
+
+    else:
+        id2tok = vocab_tbl.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token_id", "token"))
+            ).alias("__id2tok")
+        )
+
+        def _lookup(i):
+            return F.try_element_at("__id2tok", i)
+
+    # materialize the translated array ONCE in its own projection —
+    # referencing the transform twice (null guard + concat) would
+    # re-run every lookup
+    translated = (
+        enc.join(F.broadcast(id2tok))
+        .select(
+            id_col,
+            F.col(ids_col).alias("__ids"),
+            F.transform(F.col(ids_col), _lookup).alias("__toks"),
+        )
     )
-    toks = F.transform(
-        F.col(ids_col), lambda i: F.try_element_at("__id2tok", i)
-    )
+    toks = F.col("__toks")
     joined = F.concat_ws("", toks)
     # concat_ws silently skips NULLs, so an unknown id would vanish —
-    # guard BEFORE the concat (same projection, one codegen pass)
+    # guard BEFORE the concat
     checked = F.when(
         F.exists(toks, lambda t: t.isNull()),
         F.raise_error(
@@ -396,8 +447,10 @@ def bpe_decode_corpus(
                 F.lit("bpe_decode_corpus: token id(s) not in vocab table: "),
                 F.to_json(
                     F.filter(
-                        F.col(ids_col),
-                        lambda i: F.try_element_at("__id2tok", i).isNull(),
+                        F.arrays_zip(
+                            F.col("__ids").alias("id"), toks.alias("tok")
+                        ),
+                        lambda z: z["tok"].isNull(),
                     )
                 ),
             )
@@ -408,12 +461,9 @@ def bpe_decode_corpus(
         F.endswith(checked, F.lit(end_marker)),
         F.substring(checked, 1, F.length(checked) - n),
     ).otherwise(checked)
-    return (
-        enc.join(F.broadcast(id2tok))
-        .select(
-            id_col,
-            F.replace(body, F.lit(end_marker), F.lit(" ")).alias("text"),
-        )
+    return translated.select(
+        id_col,
+        F.replace(body, F.lit(end_marker), F.lit(" ")).alias("text"),
     )
 
 
