@@ -226,3 +226,50 @@ def test_temperature_scale_cte_tracks_python_loop():
     # and the CTE string itself still contains the same ladder rungs
     for rung in ("1e12", "1e10", "1e8", "1e6", "1e4", "1e2", "1e0"):
         assert rung in entry_mod.TEMPERATURE_SCALE_CTE
+
+
+def test_rotation_policy_is_self_consistent_over_rounds():
+    """Pure-function check of tools/rotation.py on synthetic histories:
+    simulate rounds where the driver greens exactly the computed window
+    each time, and assert the standing invariants at every step —
+    never-green gates always in-window, parked gates within their
+    staleness budget, deferred == parked-not-green-in-latest-round, and
+    the deferred overflow exactly equal to the structural deficit once
+    the rotation reaches steady state."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotation import compute_rotation
+
+    window = 10
+    names = [f"g{i:03d}" for i in range(27)]  # deficit = 7
+    last_green: dict[str, int] = {}
+    for rnd in range(1, 8):
+        window_set, deferred = compute_rotation(names, last_green, window)
+        assert len(window_set) == window
+        # never-green gates must be in the window
+        for n in names:
+            if n not in last_green:
+                assert n in window_set or len(
+                    [m for m in names if m not in last_green]
+                ) > window
+        # deferred gates are parked and within the 3-round cap
+        latest = max(last_green.values(), default=0)
+        for n in deferred:
+            assert n not in window_set
+            assert last_green[n] >= latest - 2
+        # parked non-deferred gates are green in the latest round
+        for n in names:
+            if n not in window_set and n not in deferred and n in last_green:
+                assert last_green[n] == latest
+        # driver greens the window this round
+        for n in window_set:
+            last_green[n] = rnd
+    # steady state: every gate green, overflow == structural deficit
+    assert set(last_green) == set(names)
+    window_set, deferred = compute_rotation(names, last_green, window)
+    assert len(deferred) == len(names) - 2 * window
+    # and no gate can be deferred twice in a row: deferring requires a
+    # green in the latest round's predecessor, but a gate deferred last
+    # round wasn't greened, so two consecutive deferrals would breach
+    # the 3-round cap the assertions above enforce.
