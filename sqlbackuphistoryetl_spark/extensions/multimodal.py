@@ -226,3 +226,122 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, PAYLOAD_METADATA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """(doc_id, payload, ...) → (doc_id, dhash, decoder): the 64-bit
+    perceptual difference hash of every decodable image payload
+    (PNG via the stdlib codec; see :func:`png_codec.dhash`).
+    Non-decodable payloads surface with a NULL dhash and
+    ``decoder = NULL`` rather than vanishing or failing the job —
+    callers filter or route them. Arrow-batched ``mapInPandas``,
+    embarrassingly parallel, no shuffle."""
+    from . import png_codec
+
+    def _one(b) -> tuple[int | None, str | None]:
+        if b is None:
+            return None, None
+        if png_codec.is_png(bytes(b)):
+            try:
+                img = png_codec.decode_png(bytes(b))
+                # dHash sign bit stays clear at hash_w*hash_h <= 63 bits
+                # only for 7x9 grids; at the default 64 bits map the
+                # unsigned hash into the signed long domain explicitly
+                h = png_codec.dhash(img, hash_w, hash_h)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                return h, "png-zlib"
+            except (png_codec.UnsupportedPNG, png_codec.PNGError):
+                return None, None
+        return None, None
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pairs = pdf["payload"].map(_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pairs.map(lambda p: p[0]).astype("object"),
+                    "decoder": pairs.map(lambda p: p[1]),
+                }
+            )
+
+    return df.mapInPandas(_batches, DHASH_SCHEMA)
+
+
+def image_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual near-duplicate pairs from 64-bit dHashes:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.
+
+    Candidate generation is the pigeonhole band join (the PassJoin /
+    LSH doctrine, never all-pairs): the hash splits into
+    ``max_hamming + 1`` bit-bands, so any pair within ``max_hamming``
+    bits agrees EXACTLY on at least one band — candidates are an
+    equi-join on (band index, band value), 100% recall by
+    construction. Verification is one JVM-side
+    ``bit_count(a ^ b)`` — no Python. Scale shape: ``max_hamming + 1``
+    short rows per image, one shuffle keyed by the band, exact-hash
+    duplicates are the only hot keys (AQE skew handles boilerplate
+    images)."""
+    from pyspark.sql import functions as F
+
+    if max_hamming < 0 or max_hamming > 16:
+        raise ValueError("max_hamming must be in [0, 16]")
+    n_bands = int(max_hamming) + 1
+    width = 64 // n_bands  # leftover high bits fold into the last band
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    def _band(i):
+        bits = (64 - i * width) if i == n_bands - 1 else width
+        shifted = F.shiftrightunsigned(F.col("__h"), i * width)
+        # a full-width band (max_hamming=0) is the hash itself; a
+        # 64-bit mask literal would overflow the signed long domain
+        return (
+            shifted
+            if bits >= 64
+            else shifted.bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
+        )
+
+    bands = h.select(
+        "__id", "__h",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bi"), _band(i).alias("bv"))
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("__id", "__h", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = bands
+    b = bands.select(
+        F.col("__id").alias("__id2"), F.col("__h").alias("__h2"), "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("__id") < F.col("__id2"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("__h").bitwiseXOR(F.col("__h2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

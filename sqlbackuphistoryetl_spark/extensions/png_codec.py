@@ -282,6 +282,41 @@ def resize_nearest(
     return DecodedImage(width, height, c, bytes(out))
 
 
+def luminance(img: DecodedImage) -> DecodedImage:
+    """Single-channel integer luminance (mean of the non-alpha
+    channels — the same rule :func:`grid_features` uses)."""
+    c = img.channels
+    if c == 1:
+        return img
+    color_c = 3 if c in (3, 4) else 1
+    px = img.pixels
+    out = bytearray(img.width * img.height)
+    for i in range(img.width * img.height):
+        base = i * c
+        s = 0
+        for ch in range(color_c):
+            s += px[base + ch]
+        out[i] = s // color_c
+    return DecodedImage(img.width, img.height, 1, bytes(out))
+
+
+def dhash(img: DecodedImage, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash (dHash), the standard perceptual image
+    fingerprint: resample luminance to ``(hash_w + 1) × hash_h`` and
+    emit one bit per horizontal neighbor pair (left > right). Two
+    images whose content matches up to mild recompression / resizing
+    land within a few hamming bits; the default 8×8 grid gives the
+    usual 64-bit hash. Deterministic: integer luminance +
+    nearest-neighbor resampling, no floats."""
+    g = resize_nearest(luminance(img), hash_w + 1, hash_h)
+    px, bits = g.pixels, 0
+    for y in range(hash_h):
+        row = y * (hash_w + 1)
+        for x in range(hash_w):
+            bits = (bits << 1) | (1 if px[row + x] > px[row + x + 1] else 0)
+    return bits
+
+
 def grid_features(img: DecodedImage, feature_dim: int) -> list[float]:
     """Deterministic real-pixel featurization: mean luminance over
     ``feature_dim`` contiguous pixel blocks, scaled to [-1, 1] — the

@@ -288,3 +288,99 @@ class TestHostilePayloads:
             "doc_id long, payload binary, content_type string",
         )
         assert extract_payload_metadata(df).first()["decode_status"] == "stubbed"
+
+
+class TestImageDHash:
+    """Perceptual dHash + banded hamming near-dup join (r7)."""
+
+    def _img_png(self, seed, w=16, h=16, flip=None):
+        import random
+
+        rnd = random.Random(seed)
+        px = bytearray(rnd.randrange(256) for _ in range(w * h))
+        if flip is not None:
+            px[flip] ^= 0xFF
+        return encode_png(bytes(px), w, h, 1)
+
+    def test_dhash_deterministic_and_locality(self):
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            decode_png as dec,
+            dhash,
+        )
+
+        a = dec(self._img_png(1))
+        b = dec(self._img_png(1))
+        c = dec(self._img_png(2))
+        assert dhash(a) == dhash(b)
+        # a single flipped pixel moves few bits; a different image many
+        near = dec(self._img_png(1, flip=40))
+        ham_near = bin(dhash(a) ^ dhash(near)).count("1")
+        ham_far = bin(dhash(a) ^ dhash(c)).count("1")
+        assert ham_near < ham_far
+        assert ham_near <= 6
+
+    def test_near_dup_banded_join_matches_brute_force(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            image_dhash,
+            image_near_dup,
+        )
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            decode_png as dec,
+            dhash,
+        )
+
+        payloads = {
+            1: self._img_png(1),
+            2: self._img_png(1),            # exact dup of 1
+            3: self._img_png(1, flip=40),   # near dup of 1
+            4: self._img_png(9),            # unrelated
+            5: b"not an image",              # undecodable -> NULL hash
+        }
+        df = spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in payloads.items()],
+            "doc_id long, payload binary",
+        )
+        hashes = image_dhash(df)
+        got_h = {r["doc_id"]: r["dhash"] for r in hashes.collect()}
+        assert got_h[5] is None and got_h[1] == got_h[2]
+
+        for t in (0, 3, 6):
+            got = sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in image_near_dup(hashes, max_hamming=t).collect()
+            )
+            # brute force over the decodable payloads
+            hs = {
+                k: dhash(dec(v))
+                for k, v in payloads.items()
+                if k != 5
+            }
+
+            def _signed(x):
+                return x - (1 << 64) if x >= 1 << 63 else x
+
+            want = sorted(
+                (a, b, bin(hs[a] ^ hs[b]).count("1"))
+                for a in hs
+                for b in hs
+                if a < b and bin(hs[a] ^ hs[b]).count("1") <= t
+            )
+            assert got == want, (t, got, want)
+
+    def test_near_dup_plan_is_banded_not_cartesian(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            image_near_dup,
+        )
+
+        hashes = spark.createDataFrame(
+            [(i, i * 7919) for i in range(20)], "doc_id long, dhash long"
+        )
+        plan = (
+            image_near_dup(hashes, max_hamming=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "PythonUDF" not in plan  # verify is JVM bit_count
