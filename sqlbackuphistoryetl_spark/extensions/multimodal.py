@@ -345,3 +345,78 @@ def image_near_dup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("afp", LongType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> object:
+    """Decode an audio payload to raw samples.
+
+    WAV/PCM decodes FOR REAL via the stdlib codec (:mod:`.wav_codec` —
+    RIFF parsing, 16/8-bit PCM) and returns a
+    ``wav_codec.DecodedAudio``; compressed codecs (MP3/AAC/Opus/FLAC)
+    raise behind the documented stub gate — they need libraries this
+    container doesn't ship."""
+    from . import wav_codec
+
+    if wav_codec.is_wav(payload):
+        try:
+            return wav_codec.decode_wav(payload)
+        except wav_codec.UnsupportedWAV as e:
+            raise NotImplementedError(f"audio decode stub: {e}") from e
+    raise NotImplementedError("audio decode stub: codec libraries not installed")
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → (doc_id, sample_rate, channels,
+    n_samples, afp, decoder): metadata plus the 64-bit energy-delta
+    fingerprint of every decodable audio payload (WAV/PCM via
+    :func:`wav_codec.energy_fingerprint` — the audio twin of the image
+    dHash). Non-decodable payloads surface with NULLs. Near-duplicate
+    recordings then dedup through the SAME pigeonhole band join as
+    images: ``image_near_dup(fps, hash_col="afp")``. Arrow-batched
+    ``mapInPandas``, no shuffle."""
+    from . import wav_codec
+
+    def _one(b):
+        if b is None or not wav_codec.is_wav(bytes(b)):
+            return None, None, None, None, None
+        try:
+            a = wav_codec.decode_wav(bytes(b))
+        except (wav_codec.UnsupportedWAV, wav_codec.WAVError):
+            return None, None, None, None, None
+        h = wav_codec.energy_fingerprint(a)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return a.sample_rate, a.channels, len(a.samples), h, "wav-pcm"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf["payload"].map(_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rows.map(lambda r: r[0]).astype("object"),
+                    "channels": rows.map(lambda r: r[1]).astype("object"),
+                    "n_samples": rows.map(lambda r: r[2]).astype("object"),
+                    "afp": rows.map(lambda r: r[3]).astype("object"),
+                    "decoder": rows.map(lambda r: r[4]),
+                }
+            )
+
+    return df.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+#: the banded hamming join is hash-agnostic — audio fingerprints dedup
+#: through the same operator (pass ``hash_col="afp"``)
+audio_near_dup = image_near_dup

@@ -1,0 +1,203 @@
+"""Pure-stdlib WAV/PCM audio codec (round 7).
+
+The multimodal layer stubbed audio decoding the same way it stubbed
+images; like PNG, the WAV container (RIFF, Microsoft/IBM 1991 — the
+format every recorder exports) needs nothing beyond ``struct``: a RIFF
+header, an ``fmt `` chunk, and little-endian PCM frames. This module
+decodes PCM 16-bit and 8-bit WAV to integer samples and derives the
+two deterministic per-block features a training-data pipeline filters
+on — RMS energy and zero-crossing rate — plus a 64-bit energy-delta
+fingerprint (the classic broadcast-monitoring shape: one bit per
+adjacent-block energy comparison, the audio twin of the image dHash),
+which feeds the same banded hamming near-dup join.
+
+Compressed codecs (MP3/AAC/Opus/FLAC) keep the documented stub gate —
+they genuinely need external libraries. Everything here is driver-free
+pure Python over ``bytes``, run inside Arrow-batched ``mapInPandas``
+workers.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+RIFF_MAGIC = b"RIFF"
+WAVE_MAGIC = b"WAVE"
+
+#: decoded-sample budget (count of int samples) — same
+#: decompression-bomb doctrine as png_codec.MAX_SAMPLE_BYTES: a 44-byte
+#: header can declare an arbitrarily large data chunk. 2^26 samples =
+#: ~25 min of 44.1 kHz mono; raise per call for real archives.
+MAX_SAMPLES = 1 << 26
+
+
+class WAVError(ValueError):
+    """Malformed WAV payload."""
+
+
+class UnsupportedWAV(NotImplementedError):
+    """Valid RIFF/WAVE, but a form this codec doesn't implement
+    (compressed codecs, 24/32-bit PCM, float PCM)."""
+
+
+@dataclass
+class DecodedAudio:
+    sample_rate: int
+    channels: int
+    samples: list[int]  # interleaved, int16 range regardless of source depth
+
+
+def is_wav(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and payload[:4] == RIFF_MAGIC
+        and payload[8:12] == WAVE_MAGIC
+    )
+
+
+def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
+    """Decode a PCM WAV payload to interleaved int16-range samples.
+
+    8-bit PCM (unsigned, per the spec) rescales to the int16 range so
+    downstream features are depth-independent. Raises :class:`WAVError`
+    for malformed containers and :class:`UnsupportedWAV` for
+    non-PCM / unimplemented depths or over-budget declared sizes."""
+    if not is_wav(payload):
+        raise WAVError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise WAVError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16:
+        raise WAVError("missing fmt chunk")
+    if data is None:
+        raise WAVError("missing data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:  # PCM
+        raise UnsupportedWAV(f"audio format {audio_format} (only PCM=1)")
+    if channels < 1 or sample_rate < 1:
+        raise WAVError("invalid channel count / sample rate")
+    if bits == 16:
+        count = len(data) // 2
+        if count > max_samples:
+            raise UnsupportedWAV(
+                f"{count} samples exceed the {max_samples}-sample budget"
+            )
+        samples = list(struct.unpack(f"<{count}h", data[: count * 2]))
+    elif bits == 8:
+        if len(data) > max_samples:
+            raise UnsupportedWAV(
+                f"{len(data)} samples exceed the {max_samples}-sample budget"
+            )
+        # 8-bit WAV is unsigned centered at 128 → int16 range
+        samples = [(b - 128) * 256 for b in data]
+    else:
+        raise UnsupportedWAV(f"{bits}-bit PCM not implemented")
+    return DecodedAudio(sample_rate, channels, samples)
+
+
+def encode_wav(audio: DecodedAudio) -> bytes:
+    """Minimal PCM-16 WAV encoder — the decode inverse for int16-range
+    samples (``decode(encode(a)).samples == a.samples`` exactly)."""
+    data = struct.pack(f"<{len(audio.samples)}h", *audio.samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        audio.channels,
+        audio.sample_rate,
+        audio.sample_rate * audio.channels * 2,
+        audio.channels * 2,
+        16,
+    )
+    return (
+        RIFF_MAGIC
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + WAVE_MAGIC
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def to_mono(audio: DecodedAudio) -> DecodedAudio:
+    """Integer channel average (exact, deterministic)."""
+    c = audio.channels
+    if c == 1:
+        return audio
+    s = audio.samples
+    mono = [
+        sum(s[i * c : (i + 1) * c]) // c for i in range(len(s) // c)
+    ]
+    return DecodedAudio(audio.sample_rate, 1, mono)
+
+
+def block_features(
+    audio: DecodedAudio, n_blocks: int = 16
+) -> list[tuple[int, int]]:
+    """``n_blocks`` × (mean |amplitude|, zero crossings) — the two
+    classic silence/noise quality signals, as EXACT integers (no
+    floats, so features are engine- and batch-order-independent).
+    Blocks partition the mono stream contiguously; empty blocks (more
+    blocks than samples) repeat the nearest sample."""
+    mono = to_mono(audio).samples
+    n = len(mono)
+    if n == 0:
+        return [(0, 0)] * n_blocks
+    out = []
+    for b in range(n_blocks):
+        lo = (b * n) // n_blocks
+        hi = ((b + 1) * n) // n_blocks
+        if hi <= lo:
+            lo = min(lo, n - 1)
+            hi = lo + 1
+        block = mono[lo:hi]
+        mean_abs = sum(abs(x) for x in block) // len(block)
+        zc = sum(
+            1
+            for i in range(1, len(block))
+            if (block[i - 1] < 0) != (block[i] < 0)
+        )
+        out.append((mean_abs, zc))
+    return out
+
+
+def energy_fingerprint(audio: DecodedAudio, n_bits: int = 64) -> int:
+    """64-bit energy-delta fingerprint — the audio twin of the image
+    dHash (and the core of classic broadcast-monitoring fingerprints):
+    split the mono stream into ``n_bits + 1`` contiguous blocks and
+    emit one bit per adjacent pair (energy rising). Robust to volume
+    scaling direction and mild clipping; two recordings of the same
+    content land within a few hamming bits, so the SAME banded hamming
+    join as ``multimodal.image_near_dup`` dedups audio."""
+    mono = to_mono(audio).samples
+    n = len(mono)
+    blocks = []
+    nb = n_bits + 1
+    for b in range(nb):
+        lo = (b * n) // nb
+        hi = ((b + 1) * n) // nb
+        if hi <= lo:
+            lo = min(lo, max(n - 1, 0))
+            hi = lo + 1
+        block = mono[lo:hi] if n else [0]
+        blocks.append(sum(x * x for x in block) // len(block))
+    bits = 0
+    for i in range(n_bits):
+        bits = (bits << 1) | (1 if blocks[i + 1] > blocks[i] else 0)
+    return bits

@@ -1,0 +1,152 @@
+"""Stdlib WAV/PCM codec + audio fingerprint (round 7) — hand-built
+RIFF fixtures (independent of the module's own encoder), depth/channel
+handling, bomb guard, and the Arrow fingerprint + banded near-dup path."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from sqlbackuphistoryetl_spark.extensions.multimodal import (
+    audio_fingerprint,
+    audio_near_dup,
+    decode_audio,
+)
+from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+    DecodedAudio,
+    UnsupportedWAV,
+    WAVError,
+    block_features,
+    decode_wav,
+    encode_wav,
+    energy_fingerprint,
+    is_wav,
+    to_mono,
+)
+
+
+def _wav(data: bytes, channels=1, rate=8000, bits=16, audio_format=1) -> bytes:
+    """Hand-assembled RIFF/WAVE, independent of encode_wav."""
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _tone(freq, n, rate=8000, amp=10000):
+    return [int(amp * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+
+
+class TestDecode:
+    def test_pcm16_hand_fixture(self):
+        samples = [0, 1000, -1000, 32767, -32768]
+        a = decode_wav(_wav(struct.pack("<5h", *samples)))
+        assert (a.sample_rate, a.channels) == (8000, 1)
+        assert a.samples == samples
+
+    def test_pcm8_rescales_to_int16_range(self):
+        a = decode_wav(_wav(bytes([128, 255, 0]), bits=8))
+        assert a.samples == [0, 127 * 256, -128 * 256]
+
+    def test_stereo_and_to_mono(self):
+        inter = [100, 200, -100, -200]  # L R L R
+        a = decode_wav(_wav(struct.pack("<4h", *inter), channels=2))
+        assert a.channels == 2
+        m = to_mono(a)
+        assert m.channels == 1 and m.samples == [150, -150]
+
+    def test_roundtrip_through_encoder(self):
+        src = DecodedAudio(44_100, 2, _tone(440, 2000) + _tone(880, 2000))
+        back = decode_wav(encode_wav(src))
+        assert (back.sample_rate, back.channels) == (44_100, 2)
+        assert back.samples == src.samples
+
+    def test_malformed_and_unsupported(self):
+        with pytest.raises(WAVError):
+            decode_wav(b"not audio at all")
+        with pytest.raises(UnsupportedWAV):  # float PCM (format 3)
+            decode_wav(_wav(b"\x00" * 8, audio_format=3))
+        with pytest.raises(UnsupportedWAV):  # 24-bit
+            decode_wav(_wav(b"\x00" * 6, bits=24))
+        assert not is_wav(None) and not is_wav(b"RIFFxxxx")
+
+    def test_declared_size_bomb_guard(self):
+        import time
+
+        big = _wav(struct.pack("<4h", 1, 2, 3, 4))
+        t0 = time.perf_counter()
+        with pytest.raises(UnsupportedWAV, match="budget"):
+            decode_wav(big, max_samples=2)
+        assert time.perf_counter() - t0 < 1.0
+
+
+class TestFeaturesAndFingerprint:
+    def test_block_features_hand_math(self):
+        a = DecodedAudio(8000, 1, [100, -100, 100, -100, 0, 0, 0, 0])
+        feats = block_features(a, n_blocks=2)
+        # block 1: mean|x| = 100, 3 sign crossings (0 counts as >= 0)
+        assert feats[0] == (100, 3)
+        # crossings are counted WITHIN a block only; the -100 -> 0
+        # transition sits on the block boundary and belongs to neither
+        assert feats[1] == (0, 0)
+
+    def test_fingerprint_locality(self):
+        base = _tone(440, 8000) + _tone(880, 8000) + _tone(220, 8000)
+        a = DecodedAudio(8000, 1, base)
+        # same content, uniformly scaled volume -> identical fingerprint
+        scaled = DecodedAudio(8000, 1, [x // 2 for x in base])
+        assert energy_fingerprint(a) == energy_fingerprint(scaled)
+        # different content -> many differing bits
+        other = DecodedAudio(8000, 1, _tone(100, 24000))
+        ham = bin(energy_fingerprint(a) ^ energy_fingerprint(other)).count("1")
+        assert ham > 8
+
+    def test_empty_audio_is_deterministic(self):
+        a = DecodedAudio(8000, 1, [])
+        assert energy_fingerprint(a) == 0
+        assert block_features(a, 4) == [(0, 0)] * 4
+
+
+class TestSparkAudioPath:
+    def test_fingerprint_and_near_dup(self, spark):
+        base = _tone(440, 4000) + _tone(880, 4000)
+        wav_a = _wav(struct.pack(f"<{len(base)}h", *base))
+        half = [x // 2 for x in base]
+        wav_b = _wav(struct.pack(f"<{len(half)}h", *half))  # volume-scaled dup
+        other = _tone(55, 8000)
+        wav_c = _wav(struct.pack(f"<{len(other)}h", *other))
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(wav_a)),
+                (2, bytearray(wav_b)),
+                (3, bytearray(wav_c)),
+                (4, bytearray(b"not audio")),
+            ],
+            "doc_id long, payload binary",
+        )
+        fps = audio_fingerprint(df)
+        got = {r["doc_id"]: r for r in fps.collect()}
+        assert got[1]["decoder"] == "wav-pcm" and got[1]["sample_rate"] == 8000
+        assert got[1]["afp"] == got[2]["afp"]  # scale-invariant
+        assert got[4]["afp"] is None
+        pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in audio_near_dup(fps, max_hamming=3, hash_col="afp").collect()
+        )
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_decode_audio_gate(self):
+        a = decode_audio(_wav(struct.pack("<2h", 5, -5)))
+        assert a.samples == [5, -5]
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"\xff\xfb mp3 frame")
