@@ -4510,6 +4510,147 @@ from seqs
 """
 
 
+def multimodal_dhash_fingerprint(spark, sf_dir):
+    """Perceptual image dHash through the REAL codec chain
+    (extensions/png_codec.py + multimodal.image_dhash): each document's
+    first 128 sanitized-ASCII bytes become a 16×8 grayscale PNG
+    (encode_png inside mapInPandas), which image_dhash then DECODES
+    (zlib, filters, CRC) and fingerprints. The oracle never touches
+    PNG: since the pixels ARE the text bytes, it recomputes the dHash
+    arithmetic (9-column nearest-neighbor resample + row-major
+    greater-than bits, signed-long fold) straight from ``ord()`` over
+    the same sanitized string — so any codec, resample, or bit-order
+    bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+    from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ")
+            return encode_png(s.encode("ascii"), 16, 8, 1)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_dhash(payloads).select("doc_id", "dhash", "decoder")
+
+
+MULTIMODAL_DHASH_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+cells as (
+  select doc_id, y, x,
+         case when ord(substr(s, y * 16 + (x * 16) // 9 + 1, 1))
+                 > ord(substr(s, y * 16 + ((x + 1) * 16) // 9 + 1, 1))
+              then 1 else 0 end as bit
+  from s,
+       unnest(generate_series(0, 7)) as t1(y),
+       unnest(generate_series(0, 7)) as t2(x)),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint)
+             * (cast(1 as hugeint) << (63 - (y * 8 + x)))) as uh
+  from cells group by doc_id)
+select doc_id,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as dhash,
+       'png-zlib' as decoder
+from h
+"""
+
+
+def multimodal_audiofp_fingerprint(spark, sf_dir):
+    """Audio energy-delta fingerprint through the REAL codec chain
+    (extensions/wav_codec.py + multimodal.audio_fingerprint): each
+    document's first 128 sanitized-ASCII bytes become int16 PCM
+    samples ((byte − 80) · 256), encoded to a WAV container inside
+    mapInPandas, which audio_fingerprint then PARSES (RIFF walk, fmt,
+    16-bit PCM) and fingerprints (65 contiguous energy blocks, one bit
+    per adjacent rise). The oracle never touches WAV: it recomputes the
+    block energies and the signed 64-bit fold straight from ``ord()``
+    over the same sanitized string."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        audio_fingerprint,
+    )
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        DecodedAudio,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ")
+            samples = [(b - 80) * 256 for b in s.encode("ascii")]
+            return encode_wav(DecodedAudio(8000, 1, samples))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return audio_fingerprint(payloads).select(
+        "doc_id", "n_samples", "afp", "decoder"
+    )
+
+
+MULTIMODAL_AUDIOFP_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+cells as (
+  select doc_id, b, (b * 128) // 65 as lo, ((b + 1) * 128) // 65 as hi
+  from s, unnest(generate_series(0, 64)) as t(b)),
+samp as (
+  select c.doc_id, c.b,
+         cast((ord(substr(s.s, u.j + 1, 1)) - 80) as bigint) * 256 as x
+  from cells c
+  join s on s.doc_id = c.doc_id,
+       unnest(generate_series(c.lo, c.hi - 1)) as u(j)),
+en as (
+  select doc_id, b, cast(sum(x * x) // count(*) as hugeint) as e
+  from samp group by doc_id, b),
+bits as (
+  select doc_id, b as i,
+         case when lead(e) over (partition by doc_id order by b) > e
+              then 1 else 0 end as bit
+  from en
+  qualify b < 64),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint) * (cast(1 as hugeint) << (63 - i))) as uh
+  from bits group by doc_id)
+select doc_id,
+       cast(128 as bigint) as n_samples,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as afp,
+       'wav-pcm' as decoder
+from h
+"""
+
+
 def bpe_fertility_lang(spark, sf_dir):
     """Per-language tokenizer fertility audit (extensions/bpe.py:
     bpe_fertility) under the fixed merge chain — exact integer sums
@@ -4810,6 +4951,8 @@ _ORACLES: dict[str, str | None] = {
     "bpe_packed_export": BPE_PACKED_SQL,
     "bpe_roundtrip_decode": BPE_ROUNDTRIP_SQL,
     "bpe_fertility_lang": BPE_FERTILITY_SQL,
+    "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
+    "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5095,6 +5238,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "fineweb_quality": fineweb_quality,
+    "multimodal_audiofp_fingerprint": multimodal_audiofp_fingerprint,
+    "multimodal_dhash_fingerprint": multimodal_dhash_fingerprint,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
@@ -5140,11 +5285,11 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
     "json_props_extract": json_props_extract,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
-    "label_centroid_stats": label_centroid_stats,
-    "multimodal_featurize_ann": multimodal_featurize_ann,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "label_centroid_stats": label_centroid_stats,
+    "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
     "o1_ordered_chain_page": o1_ordered_chain_page,
     "o3_top1_scalar": o3_top1_scalar,
@@ -5233,6 +5378,8 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "label_centroid_stats",
+        "multimodal_featurize_ann",
         "multimodal_frame_sample",
         "o1_ordered_chain_page",
         "o3_top1_scalar",

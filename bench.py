@@ -91,6 +91,8 @@ EXTENDED = [
     "bpe_roundtrip_decode",
     "fineweb_quality",
     "bpe_fertility_lang",
+    "multimodal_dhash_fingerprint",
+    "multimodal_audiofp_fingerprint",
 ]
 
 

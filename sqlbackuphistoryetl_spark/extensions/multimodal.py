@@ -5,8 +5,10 @@ Decode/feature-extraction runs as Arrow-batched pandas iterators
 (``mapInPandas``) — the only place Python touches data, and it touches
 whole columnar batches, never rows. PNG decodes FOR REAL through the
 stdlib codec in :mod:`.png_codec` (zlib + struct — decode, resize,
-re-encode, real-pixel featurization). Formats that need codec
-libraries this container doesn't ship (JPEG/WebP/audio/video) keep the
+re-encode, real-pixel featurization, perceptual dHash) and WAV/PCM
+audio through :mod:`.wav_codec` (RIFF parse, block features,
+energy-delta fingerprint). Formats that genuinely need codec libraries
+this container doesn't ship (JPEG/WebP, MP3/AAC/Opus, video) keep the
 clearly-marked NotImplementedError gate / deterministic-fake paths,
 while the Spark-side plumbing — schema, batch iteration, deterministic
 metadata — is real and tested for all of them.
