@@ -399,31 +399,45 @@ def bpe_decode_corpus(
     # caller-supplied sparse tables, but Spark's GetMapValue is a
     # LINEAR scan per lookup — O(|vocab|) per token, measured ~6×
     # slower end-to-end at an 800-token vocab and catastrophically
-    # worse at a 50k BPE vocabulary.
-    stats = vocab_tbl.agg(
-        F.count(F.lit(1)).alias("n"), F.max("token_id").alias("mx")
-    ).first()
-    dense = stats["n"] > 0 and stats["n"] == int(stats["mx"]) + 1
-    if dense:
-        id2tok = vocab_tbl.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("token_id", "token"))),
-                lambda s: s["token"],
-            ).alias("__id2tok")
-        )
+    # worse at a 50k BPE vocabulary. Both forms (plus the density
+    # stats that pick between them) build in ONE single-row aggregate,
+    # so plan construction stays LAZY and the caller's vocab plan
+    # evaluates exactly once; density is strict — count, distinct
+    # count, min 0, max V−1 — and the positional path only fires for
+    # NON-NEGATIVE ids (Spark resolves a negative array index from the
+    # END, which would silently decode a corrupt id to the wrong token
+    # instead of raising; try_element_at(0) throws outright).
+    id2tok = vocab_tbl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("token_id").alias("__nd"),
+        F.min("token_id").alias("__mn"),
+        F.max("token_id").alias("__mx"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("token_id", "token"))),
+            lambda s: s["token"],
+        ).alias("__arr"),
+        F.map_from_entries(
+            F.collect_list(F.struct("token_id", "token"))
+        ).alias("__map"),
+    )
+    dense = (
+        (F.col("__n") > 0)
+        & (F.col("__nd") == F.col("__n"))
+        & (F.col("__mn") == 0)
+        & (F.col("__mx") == F.col("__n") - 1)
+    )
 
-        def _lookup(i):
-            return F.try_element_at("__id2tok", (i + 1).cast("int"))
-
-    else:
-        id2tok = vocab_tbl.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("token_id", "token"))
-            ).alias("__id2tok")
-        )
-
-        def _lookup(i):
-            return F.try_element_at("__id2tok", i)
+    def _lookup(i):
+        # the bounds guard also keeps the int cast safe under ANSI: an
+        # id beyond the vocab (or a 10^12 corrupt id) must surface as
+        # NULL → raise_error, never as a cast-overflow exception
+        return F.when(
+            dense,
+            F.when(
+                (i >= 0) & (i <= F.col("__mx")),
+                F.try_element_at("__arr", (i + 1).cast("int")),
+            ),
+        ).otherwise(F.try_element_at("__map", i))
 
     # materialize the translated array ONCE in its own projection —
     # referencing the transform twice (null guard + concat) would

@@ -419,6 +419,15 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, AUDIO_SCHEMA)
 
 
-#: the banded hamming join is hash-agnostic — audio fingerprints dedup
-#: through the same operator (pass ``hash_col="afp"``)
-audio_near_dup = image_near_dup
+def audio_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+) -> DataFrame:
+    """:func:`image_near_dup` with the audio schema's defaults — the
+    banded hamming join is hash-agnostic, so
+    ``audio_near_dup(audio_fingerprint(df))`` works as written (a bare
+    alias would default to the image schema's ``dhash`` column and
+    fail resolution)."""
+    return image_near_dup(hashes, max_hamming, id_col, hash_col)

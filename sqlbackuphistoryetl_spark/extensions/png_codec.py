@@ -323,18 +323,10 @@ def grid_features(img: DecodedImage, feature_dim: int) -> list[float]:
     same output contract as the sha256 fake, but derived from decoded
     samples. Integer accumulation, so the result is exact and
     batch-order-free."""
-    c = img.channels
     n_px = img.width * img.height
-    # luminance: average the non-alpha channels (integer math)
-    color_c = 3 if c in (3, 4) else 1
-    lum = [0] * n_px
-    px = img.pixels
-    for i in range(n_px):
-        base = i * c
-        s = 0
-        for ch in range(color_c):
-            s += px[base + ch]
-        lum[i] = s // color_c
+    # one shared luminance rule for features and dHash (r7 review:
+    # the inline copy and luminance() must not diverge)
+    lum = luminance(img).pixels
     out: list[float] = []
     for b in range(feature_dim):
         lo = (b * n_px) // feature_dim

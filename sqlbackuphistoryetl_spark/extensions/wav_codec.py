@@ -20,6 +20,8 @@ workers.
 from __future__ import annotations
 
 import struct
+import sys
+from array import array
 from dataclasses import dataclass
 
 RIFF_MAGIC = b"RIFF"
@@ -45,7 +47,11 @@ class UnsupportedWAV(NotImplementedError):
 class DecodedAudio:
     sample_rate: int
     channels: int
-    samples: list[int]  # interleaved, int16 range regardless of source depth
+    #: interleaved, int16 range regardless of source depth. decode_wav
+    #: returns a compact ``array('h')`` (2 bytes/sample — a boxed-int
+    #: list would cost ~36 bytes/sample, turning the MAX_SAMPLES budget
+    #: into gigabytes of worker heap); plain lists are accepted too.
+    samples: "array | list[int]"
 
 
 def is_wav(payload: bytes | None) -> bool:
@@ -96,14 +102,17 @@ def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
             raise UnsupportedWAV(
                 f"{count} samples exceed the {max_samples}-sample budget"
             )
-        samples = list(struct.unpack(f"<{count}h", data[: count * 2]))
+        samples = array("h")
+        samples.frombytes(data[: count * 2])
+        if sys.byteorder == "big":  # WAV PCM is little-endian
+            samples.byteswap()
     elif bits == 8:
         if len(data) > max_samples:
             raise UnsupportedWAV(
                 f"{len(data)} samples exceed the {max_samples}-sample budget"
             )
         # 8-bit WAV is unsigned centered at 128 → int16 range
-        samples = [(b - 128) * 256 for b in data]
+        samples = array("h", ((b - 128) * 256 for b in data))
     else:
         raise UnsupportedWAV(f"{bits}-bit PCM not implemented")
     return DecodedAudio(sample_rate, channels, samples)
@@ -112,7 +121,13 @@ def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
 def encode_wav(audio: DecodedAudio) -> bytes:
     """Minimal PCM-16 WAV encoder — the decode inverse for int16-range
     samples (``decode(encode(a)).samples == a.samples`` exactly)."""
-    data = struct.pack(f"<{len(audio.samples)}h", *audio.samples)
+    s = audio.samples
+    if not isinstance(s, array):
+        s = array("h", s)
+    if sys.byteorder == "big":
+        s = array("h", s)
+        s.byteswap()
+    data = s.tobytes()
     fmt = struct.pack(
         "<HHIIHH",
         1,
@@ -141,9 +156,9 @@ def to_mono(audio: DecodedAudio) -> DecodedAudio:
     if c == 1:
         return audio
     s = audio.samples
-    mono = [
-        sum(s[i * c : (i + 1) * c]) // c for i in range(len(s) // c)
-    ]
+    mono = array(
+        "h", (sum(s[i * c : (i + 1) * c]) // c for i in range(len(s) // c))
+    )
     return DecodedAudio(audio.sample_rate, 1, mono)
 
 

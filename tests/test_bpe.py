@@ -277,11 +277,27 @@ class TestBPEDecode:
         docs = _docs(spark, CORPUS)
         merges = [("l", "o")]
         vocab = bpe_vocab_table(docs, merges)
-        bogus = spark.createDataFrame(
-            [(0, [999_999])], "doc_id long, token_ids array<bigint>"
+        # over-range, NEGATIVE (r7 review: Spark resolves negative array
+        # indexes from the END — must raise, never silently decode the
+        # wrong token), and huge (must not become an ANSI cast overflow)
+        for bad in ([999_999], [-5], [-1], [10**12]):
+            bogus = spark.createDataFrame(
+                [(0, bad)], "doc_id long, token_ids array<bigint>"
+            )
+            with pytest.raises(Exception, match="not in vocab table"):
+                bpe_decode_corpus(bogus, vocab).collect()
+
+    def test_sparse_vocab_table_falls_back_to_map(self, spark):
+        """A caller-supplied NON-dense table (ids with a hole) must
+        still decode correctly through the map path."""
+        vocab = spark.createDataFrame(
+            [("ab", 0), ("c</w>", 7)], "token string, token_id long"
         )
-        with pytest.raises(Exception, match="not in vocab table"):
-            bpe_decode_corpus(bogus, vocab).collect()
+        enc = spark.createDataFrame(
+            [(1, [0, 7])], "doc_id long, token_ids array<bigint>"
+        )
+        got = bpe_decode_corpus(enc, vocab).collect()
+        assert got[0]["text"] == "abc"
 
     def test_custom_end_marker_roundtrip(self, spark):
         """Adversarial text containing the default marker round-trips

@@ -51,24 +51,25 @@ class TestDecode:
         samples = [0, 1000, -1000, 32767, -32768]
         a = decode_wav(_wav(struct.pack("<5h", *samples)))
         assert (a.sample_rate, a.channels) == (8000, 1)
-        assert a.samples == samples
+        # decode returns a compact array('h'), value-equal to the list
+        assert list(a.samples) == samples
 
     def test_pcm8_rescales_to_int16_range(self):
         a = decode_wav(_wav(bytes([128, 255, 0]), bits=8))
-        assert a.samples == [0, 127 * 256, -128 * 256]
+        assert list(a.samples) == [0, 127 * 256, -128 * 256]
 
     def test_stereo_and_to_mono(self):
         inter = [100, 200, -100, -200]  # L R L R
         a = decode_wav(_wav(struct.pack("<4h", *inter), channels=2))
         assert a.channels == 2
         m = to_mono(a)
-        assert m.channels == 1 and m.samples == [150, -150]
+        assert m.channels == 1 and list(m.samples) == [150, -150]
 
     def test_roundtrip_through_encoder(self):
         src = DecodedAudio(44_100, 2, _tone(440, 2000) + _tone(880, 2000))
         back = decode_wav(encode_wav(src))
         assert (back.sample_rate, back.channels) == (44_100, 2)
-        assert back.samples == src.samples
+        assert list(back.samples) == list(src.samples)
 
     def test_malformed_and_unsupported(self):
         with pytest.raises(WAVError):
@@ -147,6 +148,6 @@ class TestSparkAudioPath:
 
     def test_decode_audio_gate(self):
         a = decode_audio(_wav(struct.pack("<2h", 5, -5)))
-        assert a.samples == [5, -5]
+        assert list(a.samples) == [5, -5]
         with pytest.raises(NotImplementedError):
             decode_audio(b"\xff\xfb mp3 frame")
