@@ -4651,6 +4651,83 @@ from h
 """
 
 
+def multimodal_audio_quality(spark, sf_dir):
+    """Audio block-quality signals through the real WAV chain
+    (wav_codec.block_features): the same synthesized PCM payloads as
+    the fingerprint gate, decoded from their RIFF containers, reduced
+    to 4 exact-integer (mean |amplitude|, zero crossings) blocks — the
+    classic silence/noise filters. The oracle recomputes both signals
+    from ``ord()`` over the sanitized string; output columns are the
+    flattened per-block integers, fully hash-checked."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        DecodedAudio,
+        block_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ")
+            samples = [(b - 80) * 256 for b in s.encode("ascii")]
+            wav = encode_wav(DecodedAudio(8000, 1, samples))
+            feats = block_features(decode_wav(wav), n_blocks=4)
+            return [v for pair in feats for v in pair]
+
+        for pdf in it:
+            rows = pdf["text"].map(mk)
+            out = {"doc_id": pdf["doc_id"]}
+            for b in range(4):
+                out[f"amp{b}"] = rows.map(lambda r, b=b: r[2 * b])
+                out[f"zc{b}"] = rows.map(lambda r, b=b: r[2 * b + 1])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _mk,
+        "doc_id long, amp0 long, zc0 long, amp1 long, zc1 long, "
+        "amp2 long, zc2 long, amp3 long, zc3 long",
+    )
+
+
+MULTIMODAL_AUDIO_QUALITY_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+samp as (
+  select doc_id, j, (j * 4) // 128 as b,
+         cast((ord(substr(s, j + 1, 1)) - 80) as bigint) * 256 as x
+  from s, unnest(generate_series(0, 127)) as u(j)),
+samp2 as (
+  select doc_id, b, x,
+         lag(x) over (partition by doc_id, b order by j) as px
+  from samp),
+feat as (
+  select doc_id, b,
+         cast(sum(abs(x)) // count(*) as bigint) as amp,
+         cast(sum(case when (px < 0) <> (x < 0) then 1 else 0 end)
+              as bigint) as zc
+  from samp2 group by doc_id, b)
+select doc_id,
+       max(case when b = 0 then amp end) as amp0,
+       max(case when b = 0 then zc end) as zc0,
+       max(case when b = 1 then amp end) as amp1,
+       max(case when b = 1 then zc end) as zc1,
+       max(case when b = 2 then amp end) as amp2,
+       max(case when b = 2 then zc end) as zc2,
+       max(case when b = 3 then amp end) as amp3,
+       max(case when b = 3 then zc end) as zc3
+from feat group by doc_id
+"""
+
+
 def bpe_fertility_lang(spark, sf_dir):
     """Per-language tokenizer fertility audit (extensions/bpe.py:
     bpe_fertility) under the fixed merge chain — exact integer sums
@@ -4953,6 +5030,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_fertility_lang": BPE_FERTILITY_SQL,
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
+    "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5238,6 +5316,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "fineweb_quality": fineweb_quality,
+    "multimodal_audio_quality": multimodal_audio_quality,
     "multimodal_audiofp_fingerprint": multimodal_audiofp_fingerprint,
     "multimodal_dhash_fingerprint": multimodal_dhash_fingerprint,
     "ann_ivf_topk": ann_ivf_topk,
@@ -5284,10 +5363,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_order_lines_json": j5_order_lines_json,
     "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
     "json_props_extract": json_props_extract,
-    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -5378,6 +5457,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "jsonl_roundtrip_ingest",
         "label_centroid_stats",
         "multimodal_featurize_ann",
         "multimodal_frame_sample",

@@ -93,6 +93,7 @@ EXTENDED = [
     "bpe_fertility_lang",
     "multimodal_dhash_fingerprint",
     "multimodal_audiofp_fingerprint",
+    "multimodal_audio_quality",
 ]
 
 
