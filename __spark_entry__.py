@@ -5312,60 +5312,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # a new gate or when a new CORRECTNESS_r*.json lands.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
-    # greens by (round, name); latest recorded round: r6) ---
-    "bpe_fertility_lang": bpe_fertility_lang,
-    "bpe_roundtrip_decode": bpe_roundtrip_decode,
-    "fineweb_quality": fineweb_quality,
-    "multimodal_audio_quality": multimodal_audio_quality,
-    "multimodal_audiofp_fingerprint": multimodal_audiofp_fingerprint,
-    "multimodal_dhash_fingerprint": multimodal_dhash_fingerprint,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "approx_distinct_users": approx_distinct_users,
-    "bm25_ranking": bm25_ranking,
-    "dedup_cluster_histogram": dedup_cluster_histogram,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_source_matrix": dedup_source_matrix,
-    "embedding_cosine_topk": embedding_cosine_topk,
-    "embedding_near_dup": embedding_near_dup,
-    "embedding_quantize_profile": embedding_quantize_profile,
-    "multimodal_metadata": multimodal_metadata,
-    "ngram_containment": ngram_containment,
-    "sample_global_k": sample_global_k,
-    "script_composition": script_composition,
-    "temperature_lang_sample_a25": temperature_lang_sample_a25,
-    "winnowing_overlap_pairs": winnowing_overlap_pairs,
-    "a1_watermark_advance": a1_watermark_advance,
-    "a2_nonempty_guard": a2_nonempty_guard,
-    "a3_retention_cutoff": a3_retention_cutoff,
-    "a4_min_after_threshold": a4_min_after_threshold,
-    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
-    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
-    "a7_global_stringagg": a7_global_stringagg,
-    "case_type_map": case_type_map,
-    "char_entropy_quality": char_entropy_quality,
-    "corpus_report": corpus_report,
-    "corpus_token_budget": corpus_token_budget,
-    "curation_funnel": curation_funnel,
-    "curation_pipeline_e2e": curation_pipeline_e2e,
-    "datefmt_stopat": datefmt_stopat,
-    "dedup_clusters": dedup_clusters,
-    "dedup_exact": dedup_exact,
-    "dedup_keep_one": dedup_keep_one,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "doc_fingerprint": doc_fingerprint,
-    "embedding_covariance": embedding_covariance,
-    "event_sessionization": event_sessionization,
-    "j1_region_revenue": j1_region_revenue,
-    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
-    "j3_filtered_left_join": j3_filtered_left_join,
-    "j5_order_lines_json": j5_order_lines_json,
-    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
-    "json_props_extract": json_props_extract,
-    # ---------------------------------------------------------------
-    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
-    # overflow (rotates into the next window), then the fresh greens.
+    # greens by (round, name); latest recorded round: r7) ---
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
@@ -5389,7 +5336,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_latest_order_per_customer": w1_latest_order_per_customer,
     "w2_canonical_group_id": w2_canonical_group_id,
     "w3_tail_two_patch": w3_tail_two_patch,
-    # --- fresh greens (eligible to park two rounds) ---------------
     "asof_last_purchase": asof_last_purchase,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     "boilerplate_line_removal": boilerplate_line_removal,
@@ -5417,6 +5363,9 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": knn_label_vote_gate,
     "lang_id_multi": lang_id_multi,
     "lang_id_stopwords": lang_id_stopwords,
+    # ---------------------------------------------------------------
+    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
+    # overflow (rotates into the next window), then the fresh greens.
     "length_outlier_trim": length_outlier_trim,
     "ngram_containment_capped": ngram_containment_capped,
     "packed_sequence_export": packed_sequence_export,
@@ -5440,6 +5389,57 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_lang_budget": unimax_lang_budget,
     "weighted_sample_docs": weighted_sample_docs,
     "weighted_source_mix": weighted_source_mix,
+    # --- fresh greens (eligible to park two rounds) ---------------
+    "a1_watermark_advance": a1_watermark_advance,
+    "a2_nonempty_guard": a2_nonempty_guard,
+    "a3_retention_cutoff": a3_retention_cutoff,
+    "a4_min_after_threshold": a4_min_after_threshold,
+    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
+    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
+    "a7_global_stringagg": a7_global_stringagg,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "approx_distinct_users": approx_distinct_users,
+    "bm25_ranking": bm25_ranking,
+    "bpe_fertility_lang": bpe_fertility_lang,
+    "bpe_roundtrip_decode": bpe_roundtrip_decode,
+    "case_type_map": case_type_map,
+    "char_entropy_quality": char_entropy_quality,
+    "corpus_report": corpus_report,
+    "corpus_token_budget": corpus_token_budget,
+    "curation_funnel": curation_funnel,
+    "curation_pipeline_e2e": curation_pipeline_e2e,
+    "datefmt_stopat": datefmt_stopat,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
+    "dedup_clusters": dedup_clusters,
+    "dedup_exact": dedup_exact,
+    "dedup_keep_one": dedup_keep_one,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_source_matrix": dedup_source_matrix,
+    "doc_fingerprint": doc_fingerprint,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_covariance": embedding_covariance,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_quantize_profile": embedding_quantize_profile,
+    "event_sessionization": event_sessionization,
+    "fineweb_quality": fineweb_quality,
+    "j1_region_revenue": j1_region_revenue,
+    "j2_customers_without_recent_orders": j2_customers_without_recent_orders,
+    "j3_filtered_left_join": j3_filtered_left_join,
+    "j5_order_lines_json": j5_order_lines_json,
+    "j6_watermark_antijoin_dedup": j6_watermark_antijoin_dedup,
+    "json_props_extract": json_props_extract,
+    "multimodal_audio_quality": multimodal_audio_quality,
+    "multimodal_audiofp_fingerprint": multimodal_audiofp_fingerprint,
+    "multimodal_dhash_fingerprint": multimodal_dhash_fingerprint,
+    "multimodal_metadata": multimodal_metadata,
+    "ngram_containment": ngram_containment,
+    "sample_global_k": sample_global_k,
+    "script_composition": script_composition,
+    "temperature_lang_sample_a25": temperature_lang_sample_a25,
+    "winnowing_overlap_pairs": winnowing_overlap_pairs,
 }
 
 # Structural rotation debt, made explicit and bounded. The registry
@@ -5457,29 +5457,29 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
-        "jsonl_roundtrip_ingest",
-        "label_centroid_stats",
-        "multimodal_featurize_ann",
-        "multimodal_frame_sample",
-        "o1_ordered_chain_page",
-        "o3_top1_scalar",
-        "o4_first_event_after",
-        "o5_top2_desc",
-        "p3_decimal_lsn_range",
-        "p4_watermark_overlap_window",
-        "p9_fallback_probe",
-        "quality_repetition",
-        "retention_filter_counts",
-        "scalar_path_surgery",
-        "size_trunc_math",
-        "skew_salted_agg",
-        "stream_dedup_sessions",
-        "text_tfidf_top_terms",
-        "u1_union_distinct_tail",
-        "unigram_surprisal",
-        "w1_latest_order_per_customer",
-        "w2_canonical_group_id",
-        "w3_tail_two_patch",
+        "length_outlier_trim",
+        "ngram_containment_capped",
+        "packed_sequence_export",
+        "pii_redaction",
+        "pmi_collocations",
+        "q1_pricing_summary",
+        "quality_model_score",
+        "quality_rare_tokens",
+        "rag_chunking",
+        "semantic_decontam",
+        "semdedup_prune",
+        "sequence_packing",
+        "stratified_sample_by_lang",
+        "temperature_lang_sample",
+        "text_bpe_token_count",
+        "text_quality_score",
+        "text_token_count",
+        "token_len_histogram",
+        "token_percentiles",
+        "train_val_test_split",
+        "unimax_lang_budget",
+        "weighted_sample_docs",
+        "weighted_source_mix",
     }
 )
 

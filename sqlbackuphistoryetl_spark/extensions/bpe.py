@@ -371,6 +371,15 @@ def bpe_decode_corpus(
     BPE does not preserve) — the audit a training-data user runs
     against a packed shard before trusting it.
 
+    **End-marker collision caveat** (same limit as the ``bpe_fit``
+    family): word boundaries are rebuilt by replacing ``end_marker``
+    in the concatenated token stream, so a document whose TEXT
+    literally contains the marker string (default ``</w>``) decodes
+    that substring to a space. Corpora that may contain the literal
+    marker should pass a collision-free ``end_marker`` to the whole
+    fit/encode/decode chain (any string outside the corpus alphabet,
+    e.g. ``"\\x00w\\x00"``).
+
     Scale shape: the id→token mapping folds to a ONE-ROW frame holding
     a POSITIONAL token array (ids are dense 0..V-1 by
     :func:`bpe_vocab_table` construction, so ``element_at`` is an O(1)

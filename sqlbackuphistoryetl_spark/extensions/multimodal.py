@@ -197,15 +197,17 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
-    from . import png_codec
+    from . import png_codec, wav_codec
 
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
             return "ok"
         # header PROBE, not just the signature: 16-bit / interlaced /
-        # over-budget PNGs would pass is_png but raise in decode_image,
-        # and this column's contract is "a real decoder exists for it"
-        if png_codec.probe_png(bytes(payload) if payload is not None else None):
+        # over-budget PNGs (or non-PCM / 24-bit WAVs) would pass the
+        # magic check but raise in decode, and this column's contract
+        # is "a real decoder exists for it"
+        raw = bytes(payload) if payload is not None else None
+        if png_codec.probe_png(raw) or wav_codec.probe_wav(raw):
             return "ok"
         return "stubbed"
 
@@ -248,6 +250,15 @@ def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     callers filter or route them. Arrow-batched ``mapInPandas``,
     embarrassingly parallel, no shuffle."""
     from . import png_codec
+
+    # the signed fold below and DHASH_SCHEMA's LongType hold exactly
+    # 64 bits — a 72-bit 8x9 hash would overflow at Arrow conversion,
+    # so fail fast instead
+    if hash_w * hash_h != 64:
+        raise ValueError(
+            f"hash_w*hash_h must be 64 (got {hash_w}x{hash_h}="
+            f"{hash_w * hash_h}); DHASH_SCHEMA stores a signed 64-bit long"
+        )
 
     def _one(b) -> tuple[int | None, str | None]:
         if b is None:

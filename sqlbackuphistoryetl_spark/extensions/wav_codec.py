@@ -6,7 +6,7 @@ format every recorder exports) needs nothing beyond ``struct``: a RIFF
 header, an ``fmt `` chunk, and little-endian PCM frames. This module
 decodes PCM 16-bit and 8-bit WAV to integer samples and derives the
 two deterministic per-block features a training-data pipeline filters
-on — RMS energy and zero-crossing rate — plus a 64-bit energy-delta
+on — mean absolute amplitude and zero-crossing count — plus a 64-bit energy-delta
 fingerprint (the classic broadcast-monitoring shape: one bit per
 adjacent-block energy comparison, the audio twin of the image dHash),
 which feeds the same banded hamming near-dup join.
@@ -62,6 +62,41 @@ def is_wav(payload: bytes | None) -> bool:
     )
 
 
+def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
+    """True iff :func:`decode_wav` would succeed — a header/chunk-walk
+    probe (PCM format, 8/16-bit, fmt+data present, sample budget)
+    without touching the sample bytes. The WAV twin of
+    :func:`png_codec.probe_png`; `extract_payload_metadata` uses it so
+    ``decode_status`` honors its "a real decoder exists" contract."""
+    if payload is None or not is_wav(payload):
+        return False
+    pos, n = 12, len(payload)
+    fmt = None
+    data_len = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + clen > n:
+            return False  # truncated chunk
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or len(fmt) < 16 or data_len is None:
+        return False
+    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or channels < 1 or sample_rate < 1:
+        return False
+    if bits == 16:
+        return not (data_len & 1) and data_len // 2 <= max_samples
+    if bits == 8:
+        return data_len <= max_samples
+    return False
+
+
 def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
     """Decode a PCM WAV payload to interleaved int16-range samples.
 
@@ -97,6 +132,10 @@ def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
     if channels < 1 or sample_rate < 1:
         raise WAVError("invalid channel count / sample rate")
     if bits == 16:
+        if len(data) & 1:
+            # strict malformed-container doctrine: a 16-bit data chunk
+            # with an odd byte length has no valid final sample
+            raise WAVError("odd-length data chunk for 16-bit PCM")
         count = len(data) // 2
         if count > max_samples:
             raise UnsupportedWAV(

@@ -131,8 +131,10 @@ def test_window_matches_computed_rotation():
     from rotation import compute_rotation, load_green_history
 
     names = list(entry_mod.queries())
-    last_green, _latest = load_green_history(REPO)
-    window_set, deferred = compute_rotation(names, last_green, DRIVER_WINDOW)
+    last_green, latest = load_green_history(REPO)
+    window_set, deferred = compute_rotation(
+        names, last_green, DRIVER_WINDOW, latest=latest
+    )
     shipped = set(names[:DRIVER_WINDOW])
     assert shipped == window_set, (
         f"shipped window diverges from computed rotation; "
@@ -273,3 +275,26 @@ def test_rotation_policy_is_self_consistent_over_rounds():
     # green in the latest round's predecessor, but a gate deferred last
     # round wasn't greened, so two consecutive deferrals would breach
     # the 3-round cap the assertions above enforce.
+
+
+def test_rotation_latest_threads_through_zero_green_round():
+    """r7 advice: a round whose CORRECTNESS file records ZERO
+    hash-matches (driver regression) must still advance `latest` via
+    the threaded parameter — inferring it from green rows would leave
+    the deferred set computed against the wrong round."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotation import compute_rotation
+
+    names = [f"g{i}" for i in range(6)]
+    last_green = {"g0": 2, "g1": 2, "g2": 1, "g3": 1}  # g4/g5 never green
+    # latest recorded round is 3 (zero greens in it): every parked
+    # green gate is stale relative to r3 and must be deferred
+    win, deferred = compute_rotation(names, last_green, 4, latest=3)
+    parked = set(names) - win
+    assert parked <= deferred
+    # inferred fallback (latest=None → max green = 2) would NOT defer
+    # the r2 greens — the exact weakening the threading fixes
+    win2, deferred2 = compute_rotation(names, last_green, 4)
+    assert deferred2 < deferred

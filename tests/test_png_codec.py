@@ -319,6 +319,18 @@ class TestImageDHash:
         assert ham_near < ham_far
         assert ham_near <= 6
 
+    def test_image_dhash_rejects_non_64_bit_grids(self, spark):
+        # r7 advice: the signed fold + LongType column hold exactly 64
+        # bits; an 8x9 grid (72 bits) must fail fast, not overflow at
+        # Arrow conversion
+        from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+
+        df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="64"):
+            image_dhash(df, hash_w=8, hash_h=9)
+        with pytest.raises(ValueError, match="64"):
+            image_dhash(df, hash_w=4, hash_h=8)
+
     def test_near_dup_banded_join_matches_brute_force(self, spark):
         from sqlbackuphistoryetl_spark.extensions.multimodal import (
             image_dhash,

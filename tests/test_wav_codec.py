@@ -23,6 +23,7 @@ from sqlbackuphistoryetl_spark.extensions.wav_codec import (
     encode_wav,
     energy_fingerprint,
     is_wav,
+    probe_wav,
     to_mono,
 )
 
@@ -79,6 +80,29 @@ class TestDecode:
         with pytest.raises(UnsupportedWAV):  # 24-bit
             decode_wav(_wav(b"\x00" * 6, bits=24))
         assert not is_wav(None) and not is_wav(b"RIFFxxxx")
+
+    def test_odd_length_16bit_data_chunk_raises(self):
+        # r7 advice: a 16-bit data chunk with an odd byte length has no
+        # valid final sample — strict doctrine raises, never truncates
+        with pytest.raises(WAVError, match="odd-length"):
+            decode_wav(_wav(struct.pack("<2h", 7, -7) + b"\x01"))
+
+    def test_probe_wav_mirrors_decode(self):
+        good = _wav(struct.pack("<4h", 1, 2, 3, 4))
+        assert probe_wav(good) and decode_wav(good)
+        for bad in (
+            None,
+            b"RIFFxxxx",
+            _wav(b"\x00" * 8, audio_format=3),     # float PCM
+            _wav(b"\x00" * 6, bits=24),            # unsupported depth
+            _wav(struct.pack("<2h", 7, -7) + b"\x01"),  # odd 16-bit
+            good[:-3],                              # truncated chunk
+        ):
+            assert not probe_wav(bad)
+            if bad is not None and bad != b"RIFFxxxx":
+                with pytest.raises((WAVError, UnsupportedWAV)):
+                    decode_wav(bad)
+        assert not probe_wav(good, max_samples=2)  # budget mirrored
 
     def test_declared_size_bomb_guard(self):
         import time
@@ -145,6 +169,27 @@ class TestSparkAudioPath:
         )
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_metadata_status_ok_for_decodable_wav(self, spark):
+        # r7 advice: decode_status's contract is "a real decoder
+        # exists" — decodable PCM WAV must report 'ok', not 'stubbed'
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            extract_payload_metadata,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_wav(struct.pack("<4h", 1, 2, 3, 4))), "audio/wav"),
+                (2, bytearray(_wav(b"\x00" * 8, audio_format=3)), "audio/wav"),
+                (3, bytearray(b"\xff\xfb mp3 frame"), "audio/mpeg"),
+            ],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = {
+            r["doc_id"]: r["decode_status"]
+            for r in extract_payload_metadata(df).collect()
+        }
+        assert got == {1: "ok", 2: "stubbed", 3: "stubbed"}
 
     def test_decode_audio_gate(self):
         a = decode_audio(_wav(struct.pack("<2h", 5, -5)))

@@ -45,7 +45,7 @@ def regenerate(write: bool = True) -> bool:
         raise RuntimeError("could not locate the _FUNCS literal")
     entries = dict(re.findall(r'"(\w+)":\s*(\w+),', m.group(0)))
     last_green, latest = load_green_history(REPO)
-    window_set, deferred = compute_rotation(list(entries), last_green)
+    window_set, deferred = compute_rotation(list(entries), last_green, latest=latest)
     ranked = sorted(
         entries, key=lambda n: (n in last_green, last_green.get(n, 0), n)
     )

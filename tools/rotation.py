@@ -65,6 +65,7 @@ def compute_rotation(
     names: Iterable[str],
     last_green: Mapping[str, int],
     window: int = WINDOW,
+    latest: int | None = None,
 ) -> tuple[set[str], set[str]]:
     """Pure rotation policy: (window membership, deferred membership).
 
@@ -84,7 +85,11 @@ def compute_rotation(
         key=lambda n: (n in last_green, last_green.get(n, 0), n),
     )
     window_set = set(ranked[:window])
-    latest = max(last_green.values(), default=0)
+    if latest is None:
+        # fallback only: a round whose CORRECTNESS file records ZERO
+        # hash-matches (driver regression) would leave this inference
+        # stale — callers should thread load_green_history()'s latest
+        latest = max(last_green.values(), default=0)
     deferred = {
         n
         for n in names
@@ -101,7 +106,7 @@ def main() -> None:
 
     names = list(entry_mod.queries())
     last_green, latest = load_green_history()
-    window_set, deferred = compute_rotation(names, last_green)
+    window_set, deferred = compute_rotation(names, last_green, latest=latest)
     in_window = [n for n in names if n in window_set]
     print(f"latest recorded round: r{latest}; registry: {len(names)} gates")
     print(f"\n-- window ({len(window_set)}) --")
