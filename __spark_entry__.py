@@ -4572,6 +4572,79 @@ from h
 """
 
 
+def multimodal_jpeg_fingerprint(spark, sf_dir):
+    """Perceptual dHash through the REAL JPEG codec chain
+    (extensions/jpeg_codec.py + multimodal.image_dhash): each
+    document's first 72 sanitized-ASCII bytes become a 72x64 grayscale
+    baseline JPEG of constant 8x8 blocks (block (row r, col c) holds
+    byte r*9+c; encode_jpeg with the QUANT_FLAT8 table inside
+    mapInPandas), which image_dhash then DECODES — marker walk,
+    Huffman entropy decode, dequantize, IDCT — and fingerprints. The
+    flat-block exactness contract (jpeg_codec docstring) makes the
+    decoded pixels equal the text bytes EXACTLY, so the oracle never
+    touches JPEG: the 9x8 dHash grid lands one grid cell per block,
+    and the oracle recomputes the greater-than bits + signed-long fold
+    straight from ``ord()`` — any Huffman, DC-prediction, dequant,
+    IDCT or bit-order bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+        QUANT_FLAT8,
+        encode_jpeg,
+    )
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:72].ljust(72, " ").encode("ascii")
+            px = bytearray(72 * 64)
+            for r in range(64):
+                row = (r // 8) * 9
+                for c in range(72):
+                    px[r * 72 + c] = s[row + c // 8]
+            return encode_jpeg(bytes(px), 72, 64, 1, quant_luma=QUANT_FLAT8)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_dhash(payloads).select("doc_id", "dhash", "decoder")
+
+
+MULTIMODAL_JPEG_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 72),
+              72, ' ') as s
+  from documents),
+cells as (
+  select doc_id, y, x,
+         case when ord(substr(s, y * 9 + x + 1, 1))
+                 > ord(substr(s, y * 9 + x + 2, 1))
+              then 1 else 0 end as bit
+  from s,
+       unnest(generate_series(0, 7)) as t1(y),
+       unnest(generate_series(0, 7)) as t2(x)),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint)
+             * (cast(1 as hugeint) << (63 - (y * 8 + x)))) as uh
+  from cells group by doc_id)
+select doc_id,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as dhash,
+       'jpeg-baseline' as decoder
+from h
+"""
+
+
 def multimodal_audiofp_fingerprint(spark, sf_dir):
     """Audio energy-delta fingerprint through the REAL codec chain
     (extensions/wav_codec.py + multimodal.audio_fingerprint): each
@@ -5029,6 +5102,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_roundtrip_decode": BPE_ROUNDTRIP_SQL,
     "bpe_fertility_lang": BPE_FERTILITY_SQL,
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
+    "multimodal_jpeg_fingerprint": MULTIMODAL_JPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
@@ -5313,6 +5387,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r7) ---
+    "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
@@ -5362,10 +5437,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_cross": incremental_dedup_cross,
     "knn_label_vote": knn_label_vote_gate,
     "lang_id_multi": lang_id_multi,
-    "lang_id_stopwords": lang_id_stopwords,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "lang_id_stopwords": lang_id_stopwords,
     "length_outlier_trim": length_outlier_trim,
     "ngram_containment_capped": ngram_containment_capped,
     "packed_sequence_export": packed_sequence_export,
@@ -5457,6 +5532,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "lang_id_stopwords",
         "length_outlier_trim",
         "ngram_containment_capped",
         "packed_sequence_export",

@@ -1,0 +1,899 @@
+"""Pure-stdlib baseline JPEG codec (r7 verdict task 3).
+
+The multimodal path decodes PNG (``png_codec``) and WAV
+(``wav_codec``) for real; JPEG was the largest remaining stub. The
+baseline sequential DCT process (ITU-T T.81 / ISO 10918-1, the form
+virtually every camera and web encoder emits) needs nothing beyond
+``struct`` + integer/float math: marker segments, 8x8 forward/inverse
+DCT, canonical Huffman entropy coding, zigzag + quantization, and
+(for color) 4:2:0 / 4:2:2 chroma subsampling with YCbCr <-> RGB.
+
+Implemented here:
+
+- :func:`decode_jpeg` — baseline (SOF0) sequential Huffman JPEG:
+  grayscale or 3-component YCbCr, sampling factors 1..2 per axis
+  (covers 4:4:4, 4:2:2, 4:4:0 and 4:2:0), restart markers, byte
+  stuffing, multiple DQT/DHT segments. Returns the shared
+  ``png_codec.DecodedImage`` so dHash / grid features / resize work
+  unchanged on JPEG pixels.
+- :func:`encode_jpeg` — the matching baseline encoder (grayscale or
+  4:4:4 RGB) with Annex-K-style default tables; used by the fixture
+  builders, the round-trip tests and :func:`multimodal.resize_image`.
+- :func:`probe_jpeg` — "would decode succeed": a marker walk that
+  checks process, precision, sampling and the pixel budget without
+  entropy-decoding, mirroring ``png_codec.probe_png``.
+
+Progressive (SOF2), arithmetic-coded (SOF9+), hierarchical, 12-bit
+and >2x sampling forms raise :class:`UnsupportedJPEG` — they fall
+back to the documented stub gate exactly like non-JPEG formats.
+
+Exactness contract the gate oracles rely on: a block whose 64 samples
+are one constant value ``v`` round-trips EXACTLY through
+encode -> decode when the DC quantizer divides ``8*(v-128)``'s
+rounding step (the default gate tables use ``q[0] = 8``): the forward
+DCT of a constant block is DC-only with ``F(0,0) = 8*(v-128)``, the
+AC coefficients quantize to zero, and the inverse DCT of a DC-only
+block is the constant ``F'(0,0)/8 + 128``. Float noise stays orders
+of magnitude below the 0.5 rounding margin, so the decoded byte
+equals ``v`` — which lets a DuckDB oracle recompute fingerprints of
+JPEG-decoded pixels straight from ``ord()`` without parsing JPEG.
+
+Everything is driver-free pure Python over ``bytes``; it runs inside
+the Arrow-batched ``mapInPandas`` workers of
+``extensions.multimodal``, one whole payload per call, no Spark API.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from .png_codec import DecodedImage
+
+SOI = 0xD8
+EOI = 0xD9
+SOS = 0xDA
+DQT = 0xDB
+DRI = 0xDD
+DHT = 0xC4
+COM = 0xFE
+
+#: decoded-pixel budget (width*height), the decompression-bomb guard:
+#: SOF0 declares dimensions up-front, so a tiny payload can claim a
+#: huge canvas. Same doctrine as png_codec.MAX_SAMPLE_BYTES.
+MAX_PIXELS = 1 << 25
+
+
+class JPEGError(ValueError):
+    """Malformed JPEG payload."""
+
+
+class UnsupportedJPEG(NotImplementedError):
+    """Valid JPEG, but a process this codec doesn't implement
+    (progressive, arithmetic, 12-bit, >2x sampling factors). Callers
+    treat it like the stub gate."""
+
+
+def is_jpeg(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and len(payload) >= 3
+        and payload[0] == 0xFF
+        and payload[1] == SOI
+        and payload[2] == 0xFF
+    )
+
+
+def _zigzag() -> list[int]:
+    # raster index (row*8+col) of each zigzag position, generated
+    # rather than transcribed: diagonal s = row+col; odd diagonals run
+    # row-increasing, even diagonals row-decreasing (T.81 figure A.6)
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 else reversed(rows)):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+ZIGZAG = _zigzag()
+
+# Annex-K-style default tables. The encoder WRITES its tables into the
+# stream (DQT/DHT), and the decoder READS them from the stream, so the
+# codec is self-consistent regardless of constants; these defaults are
+# the interchange-standard ones so third-party decoders accept our
+# output.
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: near-lossless table for fixtures/round-trip audits: every
+#: coefficient quantizes by 8 (which the constant-block contract in
+#: the module docstring needs for q[0], and keeps AC error at zero
+#: for the flat blocks the gates build)
+QUANT_FLAT8 = [8] * 64
+
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# separable DCT basis: _COS[u][x] = cos((2x+1) u pi / 16), _C[0]=1/sqrt2
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code length, code) -> symbol, per the canonical construction
+    of T.81 Annex C."""
+    if len(vals) != sum(bits):
+        raise JPEGError("DHT value count disagrees with BITS")
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment: un-stuffs
+    0xFF00, stops at any real marker, resets at RSTn."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None  # marker that ended the scan
+
+    def _fill(self) -> None:
+        while self.nbits < 25:
+            if self.marker is not None or self.pos >= len(self.buf):
+                # past the end: pad with 1s (the spec's fill bits) so a
+                # final partial code either resolves or errors cleanly
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    self.marker = nxt  # RSTn or end-of-scan marker
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JPEGError("invalid Huffman code in entropy segment")
+
+    def restart(self) -> None:
+        """Consume an expected RSTn marker and resync to a byte edge."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None:
+            # reader hasn't hit the marker yet: it must be next in buf
+            self._fill_to_marker()
+        m = self.marker
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise JPEGError("expected restart marker")
+        self.pos += 2  # consume FF Dn (pos still points at the FF)
+        self.marker = None
+
+    def _fill_to_marker(self) -> None:
+        while self.pos < len(self.buf):
+            if (
+                self.buf[self.pos] == 0xFF
+                and self.pos + 1 < len(self.buf)
+                and self.buf[self.pos + 1] != 0x00
+            ):
+                self.marker = self.buf[self.pos + 1]
+                return
+            self.pos += 1
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.12: map received magnitude bits to the signed value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """8x8 inverse DCT -> level-shifted, clamped 0..255 samples.
+    DC-only blocks (the common flat case) shortcut to a constant."""
+    if not any(coef[1:]):
+        v = int(round(coef[0] / 8.0)) + 128
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        return [v] * 64
+    # rows then columns, separable
+    tmp = [0.0] * 64
+    for r in range(8):
+        base = r * 8
+        row = coef[base : base + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                if row[u]:
+                    s += _C[u] * row[u] * _COS[u][x]
+            tmp[base + x] = s * 0.5
+    out = [0] * 64
+    for c in range(8):
+        col = [tmp[r * 8 + c] for r in range(8)]
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                if col[v]:
+                    s += _C[v] * col[v] * _COS[v][y]
+            val = int(round(s * 0.5)) + 128
+            out[y * 8 + c] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _parse_segments(payload: bytes):
+    """Yield (marker, body, body_start) up to and including SOS; the
+    caller reads the entropy segment from SOS's end."""
+    if not is_jpeg(payload):
+        raise JPEGError("not a JPEG payload (no SOI)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise JPEGError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        while marker == 0xFF and pos < n:  # fill bytes before a marker
+            marker = payload[pos]
+            pos += 1
+        if marker in (SOI, EOI) or 0xD0 <= marker <= 0xD7:
+            yield marker, b"", pos
+            continue
+        if pos + 2 > n:
+            raise JPEGError("truncated marker segment")
+        (length,) = struct.unpack(">H", payload[pos : pos + 2])
+        if length < 2 or pos + length > n:
+            raise JPEGError("truncated marker segment")
+        yield marker, payload[pos + 2 : pos + length], pos + length
+        if marker == SOS:
+            return
+        pos += length
+    raise JPEGError("no SOS marker before end of payload")
+
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _parse_header(payload: bytes, max_pixels: int):
+    """Shared SOI..SOS walk for decode_jpeg and probe_jpeg. Returns
+    (width, height, components, quant, huff_dc, huff_ac, restart,
+    scan_map, scan_start). components = [(h, v, tq)] in frame order;
+    scan_map = [(comp_index, dc_id, ac_id)] in scan order."""
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart = 0
+    frame = None
+    for marker, body, end in _parse_segments(payload):
+        if marker == DQT:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq not in (0, 1):
+                    raise JPEGError("bad DQT precision")
+                step = 2 if pq else 1
+                if i + 64 * step > len(body):
+                    raise JPEGError("truncated DQT")
+                tbl = [0] * 64
+                for z in range(64):
+                    v = (
+                        struct.unpack(">H", body[i : i + 2])[0]
+                        if pq
+                        else body[i]
+                    )
+                    tbl[ZIGZAG[z]] = v
+                    i += step
+                quant[tq] = tbl
+        elif marker == DHT:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise JPEGError("truncated DHT")
+                (huff_ac if tc else huff_dc)[th] = _canonical_codes(bits, vals)
+                i += 17 + nv
+        elif marker == DRI:
+            if len(body) != 2:
+                raise JPEGError("bad DRI length")
+            (restart,) = struct.unpack(">H", body)
+        elif marker in _SOF_UNSUPPORTED:
+            raise UnsupportedJPEG(_SOF_UNSUPPORTED[marker])
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedJPEG(f"{prec}-bit precision")
+            if nc not in (1, 3):
+                raise UnsupportedJPEG(f"{nc}-component frame")
+            if width == 0 or height == 0:
+                raise JPEGError("zero frame dimension")
+            if width * height > max_pixels:
+                raise UnsupportedJPEG(
+                    f"{width}x{height} exceeds the {max_pixels}-pixel budget"
+                )
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * k : 9 + 3 * k]
+                )
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise UnsupportedJPEG(f"sampling factors {h}x{v}")
+                comps.append((cid, h, v, tq))
+            frame = (width, height, comps)
+        elif marker == SOS:
+            if frame is None:
+                raise JPEGError("SOS before SOF")
+            ns = body[0]
+            width, height, comps = frame
+            if ns != len(comps):
+                raise UnsupportedJPEG("multi-scan / partial-scan stream")
+            ids = [c[0] for c in comps]
+            scan_map = []
+            for k in range(ns):
+                cs, td_ta = body[1 + 2 * k], body[2 + 2 * k]
+                if cs not in ids:
+                    raise JPEGError("SOS references unknown component")
+                scan_map.append((ids.index(cs), td_ta >> 4, td_ta & 0x0F))
+            components = [(h, v, tq) for (_cid, h, v, tq) in comps]
+            if len(components) == 1:
+                # a single-component scan is non-interleaved: the MCU
+                # is ONE block and sampling factors are ignored
+                # (T.81 A.2.2), whatever the SOF declared
+                components = [(1, 1, components[0][2])]
+            return (
+                width,
+                height,
+                components,
+                quant,
+                huff_dc,
+                huff_ac,
+                restart,
+                scan_map,
+                end,
+            )
+    raise JPEGError("no SOS marker")  # pragma: no cover (walk raises)
+
+
+def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
+    """True iff :func:`decode_jpeg` would accept the stream's header:
+    baseline/extended-sequential Huffman, 8-bit, 1 or 3 components,
+    sampling <= 2x, every referenced quant/Huffman table present,
+    within the pixel budget. Does not entropy-decode."""
+    if not is_jpeg(payload):
+        return False
+    try:
+        (_w, _h, comps, quant, hdc, hac, _ri, scan, _s) = _parse_header(
+            payload, max_pixels
+        )
+    except (JPEGError, UnsupportedJPEG, struct.error, IndexError):
+        return False
+    for (ci, td, ta) in scan:
+        if comps[ci][2] not in quant or td not in hdc or ta not in hac:
+            return False
+    return True
+
+
+def decode_jpeg(
+    payload: bytes, max_pixels: int = MAX_PIXELS
+) -> DecodedImage:
+    """Decode a baseline sequential JPEG to 8-bit samples.
+
+    Grayscale frames return ``channels=1`` (the Y plane, no color
+    transform). Three-component frames are treated as JFIF YCbCr,
+    upsampled nearest-neighbor to full resolution and converted to
+    RGB (``channels=3``) with the standard CCIR 601 round+clamp.
+    """
+    (
+        width,
+        height,
+        comps,
+        quant,
+        huff_dc,
+        huff_ac,
+        restart,
+        scan_map,
+        scan_start,
+    ) = _parse_header(payload, max_pixels)
+
+    hmax = max(h for h, _v, _tq in comps)
+    vmax = max(v for _h, v, _tq in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component plane at its own (subsampled) resolution, padded
+    # to whole MCUs
+    planes = []
+    for (h, v, _tq) in comps:
+        pw, ph = mcux * h * 8, mcuy * v * 8
+        planes.append((bytearray(pw * ph), pw, ph))
+
+    for ci, (_h, _v, tq) in enumerate(comps):
+        if tq not in quant:
+            raise JPEGError(f"missing quant table {tq}")
+    for (ci, td, ta) in scan_map:
+        if td not in huff_dc or ta not in huff_ac:
+            raise JPEGError("missing Huffman table")
+
+    reader = _BitReader(payload, scan_start)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for (ci, td, ta) in scan_map:
+                h, v, tq = comps[ci]
+                q = quant[tq]
+                dct = huff_dc[td]
+                act = huff_ac[ta]
+                plane, pw, _ph = planes[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = [0.0] * 64
+                        ssss = reader.decode_symbol(dct)
+                        if ssss > 11:
+                            raise JPEGError("DC category > 11")
+                        diff = _extend(reader.receive(ssss), ssss)
+                        pred[ci] += diff
+                        coef[0] = pred[ci] * q[0]
+                        z = 1
+                        while z < 64:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    z += 16
+                                    continue
+                                break  # EOB
+                            z += r
+                            if z > 63:
+                                raise JPEGError("AC index overrun")
+                            ri = ZIGZAG[z]
+                            coef[ri] = _extend(reader.receive(s), s) * q[ri]
+                            z += 1
+                        samples = _idct_block(coef)
+                        ox = (mx * h + bx) * 8
+                        oy = (my * v + by) * 8
+                        for r8 in range(8):
+                            dst = (oy + r8) * pw + ox
+                            plane[dst : dst + 8] = bytes(
+                                samples[r8 * 8 : r8 * 8 + 8]
+                            )
+            mcu_count += 1
+
+    if len(comps) == 1:
+        plane, pw, _ph = planes[0]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = plane[y * pw : y * pw + width]
+        return DecodedImage(width, height, 1, bytes(out))
+
+    # upsample (nearest) + YCbCr -> RGB
+    out = bytearray(width * height * 3)
+    yp, ypw, _ = planes[0]
+    cbp, cbpw, _ = planes[1]
+    crp, crpw, _ = planes[2]
+    hy, vy = comps[0][0], comps[0][1]
+    hcb, vcb = comps[1][0], comps[1][1]
+    hcr, vcr = comps[2][0], comps[2][1]
+    for row in range(height):
+        dst = row * width * 3
+        yrow = ((row * vy) // vmax) * ypw
+        cbrow = ((row * vcb) // vmax) * cbpw
+        crrow = ((row * vcr) // vmax) * crpw
+        for col in range(width):
+            Y = yp[yrow + (col * hy) // hmax]
+            Cb = cbp[cbrow + (col * hcb) // hmax] - 128
+            Cr = crp[crrow + (col * hcr) // hmax] - 128
+            r = int(round(Y + 1.402 * Cr))
+            g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+            b = int(round(Y + 1.772 * Cb))
+            d = dst + col * 3
+            out[d] = 0 if r < 0 else (255 if r > 255 else r)
+            out[d + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[d + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return DecodedImage(width, height, 3, bytes(out))
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:  # pad to a byte edge with 1 bits (T.81 F.1.2.3)
+            self.put((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), inverse of _canonical_codes."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _fdct_block(samples: list[int]) -> list[float]:
+    """8x8 forward DCT of level-shifted samples. Constant blocks
+    shortcut to DC-only (exactly 8*(v-128)), keeping the flat-block
+    round-trip contract float-noise-free."""
+    first = samples[0]
+    if all(s == first for s in samples):
+        out = [0.0] * 64
+        out[0] = 8.0 * (first - 128)
+        return out
+    shifted = [s - 128 for s in samples]
+    tmp = [0.0] * 64
+    for r in range(8):
+        base = r * 8
+        row = shifted[base : base + 8]
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += row[x] * _COS[u][x]
+            tmp[base + u] = s * 0.5 * _C[u]
+    out = [0.0] * 64
+    for c in range(8):
+        col = [tmp[r * 8 + c] for r in range(8)]
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += col[y] * _COS[v][y]
+            out[v * 8 + c] = s * 0.5 * _C[v]
+    return out
+
+
+def _encode_plane_block(
+    w: _BitWriter,
+    coef_q: list[int],
+    pred: int,
+    dc_tbl: dict,
+    ac_tbl: dict,
+) -> int:
+    """Huffman-encode one quantized block (raster order in);
+    returns the new DC predictor."""
+    dc = coef_q[0]
+    diff = dc - pred
+    ssss = _category(diff)
+    code, length = dc_tbl[ssss]
+    w.put(code, length)
+    if ssss:
+        bits = diff if diff >= 0 else diff + (1 << ssss) - 1
+        w.put(bits, ssss)
+    run = 0
+    last_nz = 0
+    zz = [coef_q[ZIGZAG[z]] for z in range(64)]
+    for z in range(63, 0, -1):
+        if zz[z]:
+            last_nz = z
+            break
+    for z in range(1, last_nz + 1):
+        v = zz[z]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tbl[(run << 4) | s]
+        w.put(code, length)
+        bits = v if v >= 0 else v + (1 << s) - 1
+        w.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tbl[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """Baseline sequential JPEG encoder: grayscale (``channels=1``)
+    or RGB (``channels=3``, encoded as YCbCr). ``subsampling``:
+    ``'444'`` (no chroma subsampling, geometry survives exactly) or
+    ``'420'`` (2x2 luma sampling, box-averaged chroma — the common
+    camera shape, and the fixture that exercises the decoder's
+    interleaved multi-block MCU path). Tables default to the Annex-K
+    interchange set; fixtures pass :data:`QUANT_FLAT8` for the
+    flat-block exactness contract. Raises ``ValueError`` on geometry /
+    channel mismatches (same guard style as ``png_codec.encode_png``).
+    """
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer holds {len(pixels)} bytes; expected "
+            f"{width * height * channels}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    ql = list(quant_luma or QUANT_LUMA)
+    qc = list(quant_chroma or quant_luma or QUANT_CHROMA)
+    if len(ql) != 64 or len(qc) != 64 or min(ql) < 1 or min(qc) < 1:
+        raise ValueError("quant tables must hold 64 entries >= 1")
+
+    # component planes (level-unshifted 0..255) at full resolution
+    if channels == 1:
+        full = [list(pixels)]
+        samp = [(1, 1)]
+        qtabs = [ql]
+        qids = [0]
+    else:
+        n = width * height
+        yv = [0] * n
+        cb = [0] * n
+        cr = [0] * n
+        for i in range(n):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            yv[i] = min(255, max(0, int(round(0.299 * r + 0.587 * g + 0.114 * b))))
+            cb[i] = min(255, max(0, int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))))
+            cr[i] = min(255, max(0, int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))))
+        full = [yv, cb, cr]
+        samp = (
+            [(1, 1), (1, 1), (1, 1)]
+            if subsampling == "444"
+            else [(2, 2), (1, 1), (1, 1)]
+        )
+        qtabs = [ql, qc, qc]
+        qids = [0, 1, 1]
+
+    hmax = max(h for h, _v in samp)
+    vmax = max(v for _h, v in samp)
+
+    # per-component planes at their coded (possibly subsampled)
+    # resolution; chroma downsampling is a box average with edge clamp
+    planes = []
+    for ci, (h, v) in enumerate(samp):
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        if (h, v) == (hmax, vmax):
+            planes.append((full[ci], width, height, cw, ch))
+            continue
+        fx, fy = hmax // h, vmax // v
+        src = full[ci]
+        plane = [0] * (cw * ch)
+        for y in range(ch):
+            for x in range(cw):
+                acc = cnt = 0
+                for dy in range(fy):
+                    sy = min(height - 1, y * fy + dy)
+                    for dx in range(fx):
+                        sx = min(width - 1, x * fx + dx)
+                        acc += src[sy * width + sx]
+                        cnt += 1
+                plane[y * cw + x] = (acc + cnt // 2) // cnt
+        planes.append((plane, cw, ch, cw, ch))
+
+    # header segments
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0, no density
+    dqt = bytes([0x00]) + bytes(ql[ZIGZAG[z]] for z in range(64))
+    if channels == 3:
+        dqt += bytes([0x01]) + bytes(qc[ZIGZAG[z]] for z in range(64))
+    out += _seg(DQT, dqt)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for cid in range(channels):
+        h, v = samp[cid]
+        sof += bytes([cid + 1, (h << 4) | v, qids[cid]])
+    out += _seg(0xC0, sof)
+    dht = b""
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if channels == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tid, (bits, vals) in tables:
+        dht += bytes([tid] + bits) + bytes(vals)
+    out += _seg(DHT, dht)
+    sos = bytes([channels])
+    for cid in range(channels):
+        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += _seg(SOS, sos)
+
+    enc_dc = [_encode_codes(*_DC_LUMA)]
+    enc_ac = [_encode_codes(*_AC_LUMA)]
+    if channels == 3:
+        enc_dc += [_encode_codes(*_DC_CHROMA)] * 2
+        enc_ac += [_encode_codes(*_AC_CHROMA)] * 2
+
+    w = _BitWriter()
+    pred = [0] * channels
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                h, v = samp[ci]
+                plane, pw, ph, _cw, _ch = planes[ci]
+                q = qtabs[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        block = [0] * 64
+                        for r8 in range(8):
+                            sy = min(ph - 1, (my * v + by) * 8 + r8)
+                            for c8 in range(8):
+                                sx = min(pw - 1, (mx * h + bx) * 8 + c8)
+                                block[r8 * 8 + c8] = plane[sy * pw + sx]
+                        coef = _fdct_block(block)
+                        coef_q = [
+                            int(round(coef[i] / q[i])) if coef[i] else 0
+                            for i in range(64)
+                        ]
+                        pred[ci] = _encode_plane_block(
+                            w, coef_q, pred[ci], enc_dc[ci], enc_ac[ci]
+                        )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

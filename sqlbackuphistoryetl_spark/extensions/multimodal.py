@@ -5,10 +5,12 @@ Decode/feature-extraction runs as Arrow-batched pandas iterators
 (``mapInPandas``) — the only place Python touches data, and it touches
 whole columnar batches, never rows. PNG decodes FOR REAL through the
 stdlib codec in :mod:`.png_codec` (zlib + struct — decode, resize,
-re-encode, real-pixel featurization, perceptual dHash) and WAV/PCM
-audio through :mod:`.wav_codec` (RIFF parse, block features,
+re-encode, real-pixel featurization, perceptual dHash), baseline
+sequential JPEG through :mod:`.jpeg_codec` (Huffman + 8x8 DCT,
+4:2:0/4:2:2/4:4:4; progressive/arithmetic forms stay gated) and
+WAV/PCM audio through :mod:`.wav_codec` (RIFF parse, block features,
 energy-delta fingerprint). Formats that genuinely need codec libraries
-this container doesn't ship (JPEG/WebP, MP3/AAC/Opus, video) keep the
+this container doesn't ship (WebP/AVIF, MP3/AAC/Opus, video) keep the
 clearly-marked NotImplementedError gate / deterministic-fake paths,
 while the Spark-side plumbing — schema, batch iteration, deterministic
 metadata — is real and tested for all of them.
@@ -51,18 +53,24 @@ def decode_image(payload: bytes) -> object:
 
     PNG decodes FOR REAL via the stdlib codec
     (:mod:`.png_codec` — zlib + struct, all five scanline filters,
-    palette expansion; r6 verdict task 6) and returns a
-    ``png_codec.DecodedImage``. Every other format (and the PNG forms
-    the codec doesn't implement: 16-bit, Adam7) still raises behind the
-    documented stub gate — JPEG/WebP/AVIF need codec libraries this
-    container doesn't ship.
+    palette expansion; r6 verdict task 6) and baseline sequential JPEG
+    via :mod:`.jpeg_codec` (Huffman + DCT; r7 verdict task 3); both
+    return a ``png_codec.DecodedImage``. Every other format (and the
+    forms the codecs don't implement: 16-bit/Adam7 PNG, progressive/
+    arithmetic JPEG) still raises behind the documented stub gate —
+    WebP/AVIF need codec libraries this container doesn't ship.
     """
-    from . import png_codec
+    from . import jpeg_codec, png_codec
 
     if png_codec.is_png(payload):
         try:
             return png_codec.decode_png(payload)
         except png_codec.UnsupportedPNG as e:
+            raise NotImplementedError(f"image decode stub: {e}") from e
+    if jpeg_codec.is_jpeg(payload):
+        try:
+            return jpeg_codec.decode_jpeg(payload)
+        except jpeg_codec.UnsupportedJPEG as e:
             raise NotImplementedError(f"image decode stub: {e}") from e
     raise NotImplementedError("image decode stub: codec libraries not installed")
 
@@ -70,14 +78,21 @@ def decode_image(payload: bytes) -> object:
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload to (width, height).
 
-    PNG inputs run decode → nearest-neighbor resample → re-encode
-    entirely in the stdlib codec; other formats raise behind the stub
-    gate (see :func:`decode_image`).
+    PNG and baseline-JPEG inputs run decode → nearest-neighbor
+    resample → re-encode entirely in the stdlib codecs (output stays
+    in the input's format); other formats raise behind the stub gate
+    (see :func:`decode_image`).
     """
-    from . import png_codec
+    from . import jpeg_codec, png_codec
 
-    img = decode_image(payload)  # raises the stub gate for non-PNG
+    img = decode_image(payload)  # raises the stub gate for non-PNG/JPEG
     out = png_codec.resize_nearest(img, width, height)
+    if jpeg_codec.is_jpeg(payload):
+        if out.channels not in (1, 3):  # pragma: no cover (decode emits 1/3)
+            raise ValueError("JPEG re-encode supports 1/3 channels")
+        return jpeg_codec.encode_jpeg(
+            out.pixels, out.width, out.height, out.channels
+        )
     return png_codec.encode_png(out.pixels, out.width, out.height, out.channels)
 
 
@@ -105,7 +120,7 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     extensions.similarity's vector column contract). Both paths emit
     the same shape, so mixed-format corpora featurize in one pass.
     """
-    from . import png_codec
+    from . import jpeg_codec, png_codec
 
     def _fake(digest: bytes) -> list[float]:
         # DETERMINISTIC FAKE decode: digest bytes → [-1, 1] floats.
@@ -126,6 +141,15 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
                 # fall through to the fake rather than killing the job;
                 # the decoder column records which path ran
                 pass
+        elif jpeg_codec.is_jpeg(bytes(b)):
+            try:
+                img = jpeg_codec.decode_jpeg(bytes(b))
+                return (
+                    png_codec.grid_features(img, feature_dim),
+                    "jpeg-baseline",
+                )
+            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
+                pass  # progressive/corrupt: same fall-through doctrine
         return _fake(hashlib.sha256(b).digest()), "fake-sha256"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,17 +221,21 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
-    from . import png_codec, wav_codec
+    from . import jpeg_codec, png_codec, wav_codec
 
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
             return "ok"
         # header PROBE, not just the signature: 16-bit / interlaced /
-        # over-budget PNGs (or non-PCM / 24-bit WAVs) would pass the
-        # magic check but raise in decode, and this column's contract
-        # is "a real decoder exists for it"
+        # over-budget PNGs, progressive JPEGs, non-PCM / 24-bit WAVs
+        # would pass the magic check but raise in decode, and this
+        # column's contract is "a real decoder exists for it"
         raw = bytes(payload) if payload is not None else None
-        if png_codec.probe_png(raw) or wav_codec.probe_wav(raw):
+        if (
+            png_codec.probe_png(raw)
+            or jpeg_codec.probe_jpeg(raw)
+            or wav_codec.probe_wav(raw)
+        ):
             return "ok"
         return "stubbed"
 
@@ -244,12 +272,12 @@ DHASH_SCHEMA = StructType(
 def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     """(doc_id, payload, ...) → (doc_id, dhash, decoder): the 64-bit
     perceptual difference hash of every decodable image payload
-    (PNG via the stdlib codec; see :func:`png_codec.dhash`).
-    Non-decodable payloads surface with a NULL dhash and
-    ``decoder = NULL`` rather than vanishing or failing the job —
-    callers filter or route them. Arrow-batched ``mapInPandas``,
-    embarrassingly parallel, no shuffle."""
-    from . import png_codec
+    (PNG and baseline JPEG via the stdlib codecs; see
+    :func:`png_codec.dhash`). Non-decodable payloads surface with a
+    NULL dhash and ``decoder = NULL`` rather than vanishing or failing
+    the job — callers filter or route them. Arrow-batched
+    ``mapInPandas``, embarrassingly parallel, no shuffle."""
+    from . import jpeg_codec, png_codec
 
     # the signed fold below and DHASH_SCHEMA's LongType hold exactly
     # 64 bits — a 72-bit 8x9 hash would overflow at Arrow conversion,
@@ -274,6 +302,15 @@ def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
                     h -= 1 << 64
                 return h, "png-zlib"
             except (png_codec.UnsupportedPNG, png_codec.PNGError):
+                return None, None
+        if jpeg_codec.is_jpeg(bytes(b)):
+            try:
+                img = jpeg_codec.decode_jpeg(bytes(b))
+                h = png_codec.dhash(img, hash_w, hash_h)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                return h, "jpeg-baseline"
+            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
                 return None, None
         return None, None
 

@@ -161,7 +161,14 @@ class TestMultimodalIntegration:
     def test_decode_image_png_real_other_stubbed(self):
         img = decode_image(encode_png(bytes([7, 8, 9]), 3, 1, 1))
         assert img.pixels == bytes([7, 8, 9])
+        # formats with no codec stay behind the stub gate; a CORRUPT
+        # stream of an implemented format (JPEG since r8) raises that
+        # codec's malformed error instead, like corrupt PNG does
         with pytest.raises(NotImplementedError):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import JPEGError
+
+        with pytest.raises(JPEGError):
             decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
     def test_resize_image_png_roundtrip(self):
