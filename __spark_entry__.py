@@ -4645,6 +4645,84 @@ from h
 """
 
 
+def multimodal_avi_frames(spark, sf_dir):
+    """Real video-frame extraction through the REAL container chain
+    (extensions/avi_codec.py + multimodal.sample_frames): each
+    document's first 98 sanitized-ASCII bytes become six 4x4 RGB
+    frames (pixel i of frame f reads bytes f*16+i, +1, +2 as R,G,B)
+    packed into an uncompressed AVI (encode_avi writes bottom-up BGR
+    DIB rows inside mapInPandas), which sample_frames then PARSES for
+    real — RIFF LIST walk, BITMAPINFOHEADER, BGR->RGB, bottom-up flip
+    — sampling every 2nd frame. The oracle never touches AVI: frames
+    are md5-compared against the RGB byte string rebuilt straight from
+    the text characters, so a row-order, channel-order, padding or
+    stride bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.avi_codec import encode_avi
+    from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+    from sqlbackuphistoryetl_spark.extensions.png_codec import DecodedImage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:98].ljust(98, " ").encode("ascii")
+            frames = []
+            for f in range(6):
+                px = bytearray(48)
+                for i in range(16):
+                    p = f * 16 + i
+                    px[3 * i : 3 * i + 3] = s[p : p + 3]
+                frames.append(DecodedImage(4, 4, 3, bytes(px)))
+            return encode_avi(frames)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    frames = sample_frames(payloads, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "n_frames",
+        F.length("frame_bytes").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+        "decoder",
+    )
+
+
+MULTIMODAL_AVI_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 98),
+              98, ' ') as s
+  from documents),
+pix as (
+  select doc_id, fi, i,
+         substr(s, fi * 16 + i + 1, 1)
+           || substr(s, fi * 16 + i + 2, 1)
+           || substr(s, fi * 16 + i + 3, 1) as px
+  from s,
+       unnest([0, 2, 4]) as t1(fi),
+       unnest(generate_series(0, 15)) as t2(i)),
+fb as (
+  select doc_id, fi, string_agg(px, '' order by i) as fs
+  from pix group by doc_id, fi)
+select doc_id,
+       cast(fi as bigint) as frame_index,
+       cast(6 as bigint) as n_frames,
+       cast(48 as int) as frame_len,
+       md5(fs) as frame_md5,
+       'avi-dib' as decoder
+from fb
+"""
+
+
 def multimodal_audiofp_fingerprint(spark, sf_dir):
     """Audio energy-delta fingerprint through the REAL codec chain
     (extensions/wav_codec.py + multimodal.audio_fingerprint): each
@@ -5103,6 +5181,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_fertility_lang": BPE_FERTILITY_SQL,
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
     "multimodal_jpeg_fingerprint": MULTIMODAL_JPEG_SQL,
+    "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
@@ -5387,6 +5466,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r7) ---
+    "multimodal_avi_frames": multimodal_avi_frames,
     "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
@@ -5436,10 +5516,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "incremental_dedup_cross": incremental_dedup_cross,
     "knn_label_vote": knn_label_vote_gate,
-    "lang_id_multi": lang_id_multi,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "lang_id_multi": lang_id_multi,
     "lang_id_stopwords": lang_id_stopwords,
     "length_outlier_trim": length_outlier_trim,
     "ngram_containment_capped": ngram_containment_capped,
@@ -5532,6 +5612,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "lang_id_multi",
         "lang_id_stopwords",
         "length_outlier_trim",
         "ngram_containment_capped",

@@ -1,0 +1,304 @@
+"""Pure-stdlib uncompressed-AVI video codec (r7 verdict task 5).
+
+Video frame sampling was the last fully-fake multimodal path. AVI is
+RIFF (the same container family as WAV — Microsoft 1992), and frames
+of a ``BI_RGB`` (biCompression=0) DIB stream need no codec at all:
+each ``00db``/``00dc`` chunk is a bottom-up, BGR, 4-byte-row-aligned
+pixel dump. This module walks the nested RIFF LIST tree (``hdrl`` →
+``strl`` → ``strf`` BITMAPINFOHEADER, then ``movi``, including
+``rec `` groupings), validates the stream is uncompressed 24-bit, and
+decodes every video frame to the shared ``png_codec.DecodedImage``
+(top-down RGB) — so dHash / featurize / resize work on real video
+frames unchanged. A minimal writer (:func:`encode_avi`) builds
+fixtures and drives round-trip tests.
+
+Compressed streams (MJPG/cinepak/DV/...), palettized 8-bit DIBs and
+16/32-bit depths raise :class:`UnsupportedAVI` and fall back to the
+documented stub path, exactly like the other codecs' gates. Budgets
+cap declared dimensions and frame counts so a tiny forged header
+can't allocate gigabytes.
+
+Everything is driver-free pure Python over ``bytes``; it runs inside
+the Arrow-batched ``mapInPandas`` workers of
+``extensions.multimodal``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from .png_codec import DecodedImage
+
+#: per-frame pixel budget and frame-count budget (decompression-bomb
+#: guards: AVI headers declare both up-front)
+MAX_FRAME_PIXELS = 1 << 24
+MAX_FRAMES = 1 << 14
+
+
+class AVIError(ValueError):
+    """Malformed AVI payload."""
+
+
+class UnsupportedAVI(NotImplementedError):
+    """Valid AVI, but a form this codec doesn't implement (compressed
+    video, non-24-bit DIB). Callers treat it like the stub gate."""
+
+
+@dataclass
+class AVIInfo:
+    width: int
+    height: int
+    bit_count: int
+    compression: int
+    n_frames: int  # count of video frame chunks actually present
+    top_down: bool
+
+
+def is_avi(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+def _walk(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type|None, body_start, body_end) for every
+    chunk in [pos, end); LIST chunks yield their type and are then
+    descended into by the caller."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body_start = pos + 8
+        body_end = body_start + clen
+        if body_end > end:
+            raise AVIError(f"truncated {cid!r} chunk")
+        if cid in (b"LIST", b"RIFF"):
+            if clen < 4:
+                raise AVIError("LIST chunk too short for a type")
+            yield cid, buf[body_start : body_start + 4], body_start + 4, body_end
+        else:
+            yield cid, None, body_start, body_end
+        pos = body_end + (clen & 1)  # chunks are word-aligned
+
+
+def _video_frame_chunks(buf: bytes, pos: int, end: int, out: list) -> None:
+    """Collect stream-0 video frame chunk bodies, descending into
+    ``rec `` grouping LISTs (AVI interleaving writes frames there)."""
+    for cid, ltype, s, e in _walk(buf, pos, end):
+        if cid == b"LIST" and ltype == b"rec ":
+            _video_frame_chunks(buf, s, e, out)
+        elif cid in (b"00db", b"00dc"):
+            out.append(buf[s:e])
+
+
+def parse_avi(
+    payload: bytes,
+    max_frame_pixels: int = MAX_FRAME_PIXELS,
+    max_frames: int = MAX_FRAMES,
+) -> tuple[AVIInfo, list[bytes]]:
+    """Header walk + frame chunk collection (no pixel work). Returns
+    (info, raw frame chunk bodies). Raises :class:`AVIError` on a
+    malformed container and :class:`UnsupportedAVI` on compressed /
+    non-24-bit streams or budget breaches."""
+    if not is_avi(payload):
+        raise AVIError("not a RIFF/AVI payload")
+    strf = None
+    frames: list[bytes] = []
+
+    def _hdrl(pos: int, end: int) -> None:
+        nonlocal strf
+        for cid, ltype, s, e in _walk(payload, pos, end):
+            if cid == b"LIST" and ltype == b"strl":
+                stype = None
+                for c2, _l2, s2, e2 in _walk(payload, s, e):
+                    if c2 == b"strh":
+                        stype = payload[s2 : s2 + 4]
+                    elif c2 == b"strf" and stype == b"vids" and strf is None:
+                        strf = payload[s2:e2]
+            elif cid == b"LIST" and ltype is not None:
+                _hdrl(s, e)
+
+    for cid, ltype, s, e in _walk(payload, 12, len(payload)):
+        if cid == b"LIST" and ltype == b"hdrl":
+            _hdrl(s, e)
+        elif cid == b"LIST" and ltype == b"movi":
+            _video_frame_chunks(payload, s, e, frames)
+
+    if strf is None:
+        raise AVIError("no video stream (strl/strh 'vids' + strf) found")
+    if len(strf) < 40:
+        raise AVIError("BITMAPINFOHEADER shorter than 40 bytes")
+    (
+        _bisize,
+        width,
+        height,
+        planes,
+        bit_count,
+        compression,
+        _size_img,
+        _xp,
+        _yp,
+        clr_used,
+        _clr_imp,
+    ) = struct.unpack("<IiiHHIIiiII", strf[:40])
+    if planes != 1 or width <= 0 or height == 0:
+        raise AVIError("invalid BITMAPINFOHEADER geometry")
+    top_down = height < 0
+    height = abs(height)
+    if compression != 0:  # BI_RGB only; MJPG/cvid/... need real codecs
+        fourcc = struct.pack("<I", compression)
+        raise UnsupportedAVI(f"compressed video stream {fourcc!r}")
+    if bit_count != 24:
+        raise UnsupportedAVI(f"{bit_count}-bit DIB (only BI_RGB 24)")
+    if clr_used:
+        raise UnsupportedAVI("palettized DIB")
+    if width * height > max_frame_pixels:
+        raise UnsupportedAVI(
+            f"{width}x{height} exceeds the {max_frame_pixels}-pixel budget"
+        )
+    if len(frames) > max_frames:
+        raise UnsupportedAVI(
+            f"{len(frames)} frames exceed the {max_frames}-frame budget"
+        )
+    return (
+        AVIInfo(width, height, bit_count, compression, len(frames), top_down),
+        frames,
+    )
+
+
+def probe_avi(payload: bytes | None) -> bool:
+    """True iff :func:`decode_avi_frames` would accept the container:
+    uncompressed 24-bit video stream within budgets, with at least the
+    header geometry consistent. Does not touch frame pixels."""
+    if payload is None or not is_avi(payload):
+        return False
+    try:
+        info, frames = parse_avi(payload)
+    except (AVIError, UnsupportedAVI, struct.error):
+        return False
+    stride = ((info.width * 3 + 3) // 4) * 4
+    return all(len(f) >= stride * info.height for f in frames)
+
+
+def _decode_frame(data: bytes, info: AVIInfo) -> DecodedImage:
+    w, h = info.width, info.height
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(data) < stride * h:
+        raise AVIError(
+            f"frame chunk holds {len(data)} bytes; needs {stride * h}"
+        )
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        # DIB rows run bottom-up unless biHeight was negative
+        src_row = row if info.top_down else (h - 1 - row)
+        s = src_row * stride
+        d = row * w * 3
+        for x in range(w):
+            b, g, r = data[s + 3 * x], data[s + 3 * x + 1], data[s + 3 * x + 2]
+            out[d + 3 * x] = r
+            out[d + 3 * x + 1] = g
+            out[d + 3 * x + 2] = b
+    return DecodedImage(w, h, 3, bytes(out))
+
+
+def decode_avi_frames(
+    payload: bytes,
+    max_frame_pixels: int = MAX_FRAME_PIXELS,
+    max_frames: int = MAX_FRAMES,
+) -> list[DecodedImage]:
+    """Decode every video frame to top-down RGB ``DecodedImage``s."""
+    info, frames = parse_avi(payload, max_frame_pixels, max_frames)
+    return [_decode_frame(f, info) for f in frames]
+
+
+def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:
+    """Minimal uncompressed-AVI writer — the decode inverse for 24-bit
+    RGB frames (``decode(encode(fs))[i].pixels == fs[i].pixels``
+    exactly). All frames must share one geometry and have 3 channels.
+    Emits the canonical hdrl(avih + strl(strh+strf)) + movi layout
+    with an idx1 index so external players accept the file."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    w, h = frames[0].width, frames[0].height
+    for f in frames:
+        if (f.width, f.height, f.channels) != (w, h, 3):
+            raise ValueError("all frames must be same-geometry RGB")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_size = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    dib_frames = []
+    for f in frames:
+        rows = []
+        for row in range(h - 1, -1, -1):  # bottom-up
+            line = bytearray()
+            base = row * w * 3
+            for x in range(w):
+                r, g, b = (
+                    f.pixels[base + 3 * x],
+                    f.pixels[base + 3 * x + 1],
+                    f.pixels[base + 3 * x + 2],
+                )
+                line += bytes((b, g, r))  # BGR
+            line += b"\x00" * (stride - len(line))
+            rows.append(bytes(line))
+        dib_frames.append(b"".join(rows))
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIIIhhhh",
+            0, 0, 0,  # flags, priority+lang
+            0,  # initial frames
+            1, fps,  # scale, rate
+            0, len(frames),  # start, length
+            frame_size, 0xFFFFFFFF & -1, 0,  # bufsize, quality(-1), samplesize
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00db", d) for d in dib_frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to the movi type word
+    idx = bytearray()
+    off = 4
+    for d in dib_frames:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(d))
+        off += 8 + len(d) + (len(d) & 1)
+    idx1 = chunk(b"idx1", bytes(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body

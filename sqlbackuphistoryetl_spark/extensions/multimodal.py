@@ -173,6 +173,7 @@ FRAME_SCHEMA = StructType(
         StructField("frame_index", LongType(), False),
         StructField("frame_bytes", BinaryType(), True),
         StructField("n_frames", LongType(), True),
+        StructField("decoder", StringType(), True),
     ]
 )
 
@@ -181,33 +182,60 @@ def sample_frames(
     df: DataFrame, frame_size: int = 64, stride: int = 2
 ) -> DataFrame:
     """Video-style frame sampling: one payload row fans out to every
-    ``stride``-th frame. Real codecs would seek keyframes; here frames
-    are a DETERMINISTIC FAKE (fixed-size byte slices) so the fan-out
-    shape — 1→N rows inside ``mapInPandas``, no driver involvement, no
-    shuffle — is real and testable. Output partitioning inherits the
+    ``stride``-th frame. Uncompressed AVI decodes FOR REAL
+    (:mod:`.avi_codec`, r7 verdict task 5): ``frame_bytes`` holds the
+    decoded top-down RGB samples of each sampled frame
+    (``decoder = 'avi-dib'``, ``n_frames`` = the container's actual
+    frame count; re-encode with ``png_codec.encode_png(fb, w, h, 3)``
+    to feed the image ops). Compressed AVI and every other format
+    keep the DETERMINISTIC FAKE (fixed-size byte slices,
+    ``decoder = 'fake-slice'``) so the fan-out shape — 1→N rows inside
+    ``mapInPandas``, no driver involvement, no shuffle — stays real
+    and testable for them too. Output partitioning inherits the
     input's; size input partitions by bytes, not rows, because the
     expansion factor is per-payload."""
+    from . import avi_codec
+
+    def _rows(r):
+        payload = bytes(r.payload)
+        if avi_codec.is_avi(payload):
+            try:
+                imgs = avi_codec.decode_avi_frames(payload)
+            except (avi_codec.UnsupportedAVI, avi_codec.AVIError):
+                imgs = None  # compressed/corrupt: fall through to fake
+            if imgs is not None:
+                n = len(imgs)
+                for fi in range(0, n, stride):
+                    yield fi, imgs[fi].pixels, n, "avi-dib"
+                return
+        n_frames = (len(payload) + frame_size - 1) // frame_size
+        for fi in range(0, n_frames, stride):
+            yield (
+                fi,
+                payload[fi * frame_size : (fi + 1) * frame_size],
+                n_frames,
+                "fake-slice",
+            )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, frames, totals = [], [], [], []
+            ids, idxs, frames, totals, decs = [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 if r.payload is None:
                     continue
-                n_frames = (len(r.payload) + frame_size - 1) // frame_size
-                for fi in range(0, n_frames, stride):
+                for fi, fb, n, dec in _rows(r):
                     ids.append(r.doc_id)
                     idxs.append(fi)
-                    frames.append(
-                        bytes(r.payload[fi * frame_size : (fi + 1) * frame_size])
-                    )
-                    totals.append(n_frames)
+                    frames.append(fb)
+                    totals.append(n)
+                    decs.append(dec)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_index": pd.Series(idxs, dtype="int64"),
                     "frame_bytes": pd.Series(frames, dtype="object"),
                     "n_frames": pd.Series(totals, dtype="int64"),
+                    "decoder": pd.Series(decs, dtype="object"),
                 }
             )
 

@@ -169,6 +169,7 @@ def test_sample_frames_fanout(spark):
     assert sorted(by_idx) == [0, 2, 4, 6]  # every 2nd of 8 frames
     assert all(r["doc_id"] == 7 and r["n_frames"] == 8 for r in out)
     assert by_idx[2]["frame_bytes"] == payload[128:192]
+    assert all(r["decoder"] == "fake-slice" for r in out)  # non-AVI path
 
 
 def test_resize_image_is_stubbed():
