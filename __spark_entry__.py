@@ -172,6 +172,7 @@ def _fmt_wall_us(us):
 
 _IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
 _IVF_INDEX_CACHE: dict[str, str] = {}
+_MINHASH_IDX_CACHE: dict[str, str] = {}
 
 # ---------------------------------------------------------------- queries
 
@@ -2484,6 +2485,83 @@ def incremental_dedup_cross(spark, sf_dir):
         )
         .orderBy("incoming_id", "existing_id")
     )
+
+
+def minhash_index_compact(spark, sf_dir):
+    """Persistent-index MAINTENANCE end-to-end (r7 verdict task 7 —
+    extensions/dedup_index.py): build the index from a base corpus
+    (doc_id % 3 == 0), APPEND a second batch (% 3 == 2), DELETE a
+    takedown set (% 12 == 0), COMPACT the entry files (pure relayout:
+    same rows, fewer bucket-sorted files), then screen an incoming
+    batch (% 3 == 1) against the post-compact index and exact-rescore
+    at Jaccard >= 0.5. Banding params (32 hashes / 16 bands, 9-char
+    shingles, est >= 0.4) are the ones whose 100%-recall argument the
+    incremental_dedup_cross gate already pins, so the output must
+    equal the from-scratch exact cross-Jaccard the oracle computes
+    over (base + appended - deleted) x incoming — a row lost in
+    compaction or a takedown id that survives hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sqlbackuphistoryetl_spark.extensions.dedup import (
+        shingle_jaccard_verify,
+    )
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        append_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _MINHASH_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="minhash_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        base = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        second = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+        doomed = docs.filter(F.pmod("doc_id", F.lit(12)) == 0).select("doc_id")
+        write_minhash_index(
+            base, path, num_hashes=32, bands=16, shingle_len=9
+        )
+        append_minhash_index(second, path)
+        delete_from_minhash_index(spark, path, doomed)
+        compact_minhash_index(spark, path)
+        _MINHASH_IDX_CACHE[sf_dir] = path
+    incoming = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    cand = query_minhash_index(
+        spark, incoming, _MINHASH_IDX_CACHE[sf_dir], min_est_jaccard=0.4
+    ).select(F.col("incoming_id").alias("id_a"), F.col("index_id").alias("id_b"))
+    scored = shingle_jaccard_verify(docs, cand, k=9)
+    return (
+        scored.filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("id_a").alias("incoming_id"),
+            F.col("id_b").alias("index_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("incoming_id", "index_id")
+    )
+
+
+MINHASH_INDEX_COMPACT_SQL = """
+with sh as (
+  select doc_id,
+         list_distinct(list_transform(range(1, greatest(1, length(text) - 8) + 1),
+                                      i -> substr(text, i, 9))) as s
+  from documents),
+p as (
+  select a.doc_id as incoming_id, b.doc_id as index_id,
+         len(list_intersect(a.s, b.s))::double
+           / len(list_distinct(list_concat(a.s, b.s))) as j
+  from sh a join sh b
+    on a.doc_id % 3 = 1
+   and b.doc_id % 3 in (0, 2)
+   and b.doc_id % 12 <> 0)
+select incoming_id, index_id, round(j, 6) as jaccard
+from p where j >= 0.5 order by incoming_id, index_id
+"""
 
 
 CROSS_DEDUP_SQL = """
@@ -5133,6 +5211,7 @@ _ORACLES: dict[str, str | None] = {
     "curation_funnel": FUNNEL_SQL,
     "knn_label_vote": KNN_VOTE_SQL,
     "incremental_dedup_cross": CROSS_DEDUP_SQL,
+    "minhash_index_compact": MINHASH_INDEX_COMPACT_SQL,
     "pii_redaction": PII_SQL,
     "quality_rare_tokens": RARE_TOKENS_SQL,
     "label_centroid_stats": CENTROID_SQL,
@@ -5466,6 +5545,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r7) ---
+    "minhash_index_compact": minhash_index_compact,
     "multimodal_avi_frames": multimodal_avi_frames,
     "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
@@ -5515,10 +5595,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "incremental_dedup_cross": incremental_dedup_cross,
-    "knn_label_vote": knn_label_vote_gate,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "knn_label_vote": knn_label_vote_gate,
     "lang_id_multi": lang_id_multi,
     "lang_id_stopwords": lang_id_stopwords,
     "length_outlier_trim": length_outlier_trim,
@@ -5612,6 +5692,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "knn_label_vote",
         "lang_id_multi",
         "lang_id_stopwords",
         "length_outlier_trim",
