@@ -106,8 +106,12 @@ def main() -> None:
     # long-lived cluster's whole-stage-codegen cache is warm. The
     # default 100-entry LRU thrashes across this 47-query basket
     # (several queries span 5-10 codegen units), so timed passes were
-    # re-paying janino compilation — gopher_repetition measured 6.6 s
-    # in-basket vs 1.5 s standalone-warm for the identical plan.
+    # re-paying janino compilation. (The r7 "gopher_repetition 6.6 s
+    # in-basket vs 1.5 s standalone-warm" gap attributed to fresh-plan
+    # cost turned out to be measurement pruning: a count() prunes the
+    # stat columns, so the 1.5 s never computed them. The honest
+    # full-output number was ~6.5 s; the r8 split-aggregate rework cut
+    # it to ~4.5 s. See BASELINE.md.)
     spark = get_spark(
         app_name="sbh-bench",
         extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"},

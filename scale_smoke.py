@@ -430,8 +430,13 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["edit_distance_join_d2"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    n_goprep = gopher_repetition(docs_m, hash_grams=True).count()
+    # noop write, NOT count(): count() lets Catalyst prune the stat
+    # columns and skip the gram election entirely (the r8 measurement
+    # lesson in BASELINE.md), which is what this smoke exists to time
+    rep = gopher_repetition(docs_m, hash_grams=True)
+    rep.write.format("noop").mode("overwrite").save()
     timings["gopher_repetition"] = round(time.perf_counter() - t0, 2)
+    n_goprep = rep.count()
 
     t0 = time.perf_counter()
     n_fineweb = (

@@ -951,20 +951,37 @@ def gopher_repetition(
         "__doc", "wpos", "w",
         *[F.lead("w", i).over(wwin).alias(f"_l{i}") for i in range(1, 10)],
     )
+
+    def _gram_struct(n: int) -> Column:
+        cols = ["w"] + [f"_l{i}" for i in range(1, n)]
+        if hash_grams:
+            # hash the WORD COLUMNS directly (xxhash64 is defined over
+            # multi-column input) — the gram string never materializes,
+            # which skips most of the build mass and shuffles an 8-byte
+            # key instead of up-to-10-word text; the nonspace char
+            # count is the sum of word lengths (equal to
+            # len(' '.join) - (n-1) by construction)
+            fields = [
+                F.xxhash64(*cols).alias("gram"),
+                sum(
+                    (F.length(c).cast("long") for c in cols[1:]),
+                    F.length(cols[0]).cast("long"),
+                ).alias("glen"),
+            ]
+        else:
+            # exact path: glen derives from the materialized gram
+            # post-explode (putting it in the struct would evaluate
+            # concat_ws twice per gram)
+            fields = [F.concat_ws(" ", *cols).alias("gram")]
+        return F.when(
+            F.col(f"_l{n - 1}").isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"), F.col("wpos").alias("pos"), *fields
+            ),
+        )
+
     gram_structs = F.array_compact(
-        F.array(*[
-            F.when(
-                F.col(f"_l{n - 1}").isNotNull(),
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.col("wpos").alias("pos"),
-                    F.concat_ws(
-                        " ", "w", *[f"_l{i}" for i in range(1, n)]
-                    ).alias("gram"),
-                ),
-            )
-            for n in range(2, 11)
-        ])
+        F.array(*[_gram_struct(n) for n in range(2, 11)])
     )
     grams = leads.select(
         "__doc", F.explode(gram_structs).alias("g")
@@ -972,27 +989,36 @@ def gopher_repetition(
         "__doc",
         F.col("g.n").alias("n"),
         F.col("g.pos").alias("pos"),
-        (F.xxhash64("g.gram") if hash_grams else F.col("g.gram")).alias(
-            "gram"
-        ),
-        (F.length("g.gram") - F.col("g.n") + 1).cast("long").alias("glen"),
+        F.col("g.gram").alias("gram"),
+        (
+            F.col("g.glen")
+            if hash_grams
+            else (F.length("g.gram") - F.col("g.n") + 1).cast("long")
+        ).alias("glen"),
     )
 
-    # Frequency election as ONE hash aggregate instead of a window
-    # (r6 verdict task 4): a window count must SORT every gram row by
-    # (doc, n, gram) inside the shuffle; the aggregate form combines
-    # map-side (counts) and carries the positions the coverage stats
-    # need as a collected list ONLY for n >= 5 (top2-4 never needs
-    # positions, so those rows ship count+glen alone). Same exact
-    # outputs, one sort fewer.
+    # The gram frame fans out to TWO consumers (frequency election and
+    # the coverage semi-join probe), so pin it once — re-deriving the
+    # window + explode per consumer pays the tokenize/lead/explode
+    # mass again (the BPE decode lesson: always checkpoint a frame
+    # before fan-out). Rows are narrow (5 fixed-width columns in hash
+    # mode), so the pin is O(9 · tokens) compact bytes.
+    grams = grams.localCheckpoint(eager=True)
+
+    # Frequency election as ONE PLAIN hash aggregate (r6 verdict
+    # task 4 made it an aggregate instead of a window; r8 drops the
+    # collect_list it carried): collecting per-group position lists
+    # forced ObjectHashAggregateExec — per-group buffer allocation for
+    # ~one group per gram row, most of the operator's cost, measured
+    # 4.9 s → 1.0 s downstream-of-grams at sf0.1. count/first stay
+    # inside codegen'd HashAggregateExec with map-side combine; the
+    # n >= 5 positions the coverage stats need are recovered below by
+    # a semi-join against the (few) duplicated gram keys instead.
     counted = (
         grams.groupBy("__doc", "n", "gram")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("glen").alias("glen"),
-            F.collect_list(
-                F.when(F.col("n") >= 5, F.col("pos"))
-            ).alias("poss"),
         )
         .filter(F.col("cnt") >= 2)
     )
@@ -1011,11 +1037,17 @@ def gopher_repetition(
     word_lens = wpos.select(
         "__doc", "wpos", F.length("w").cast("long").alias("wlen")
     )
+    # positions of duplicated n>=5 grams: semi-join the pinned gram
+    # rows against the duplicated keys (duplicated grams are the rare
+    # case, so the probe output is small), then resolve coverage as
+    # before — distinct positions, never the order-dependent greedy
+    # scan
     covered = (
-        counted.filter(F.col("n") >= 5)
-        .select(
-            "__doc", "n",
-            F.explode("poss").alias("pos"),
+        grams.filter(F.col("n") >= 5)
+        .join(
+            counted.filter(F.col("n") >= 5).select("__doc", "n", "gram"),
+            ["__doc", "n", "gram"],
+            "left_semi",
         )
         .select(
             "__doc", "n",

@@ -518,7 +518,13 @@ def test_gopher_repetition_election_is_aggregate_not_window(spark):
         if "windowspecdefinition" in line:
             assert "lead(" in line, line
             assert "count(" not in line, line
-    assert "partial_count" in plan or "ObjectHashAggregate" in plan
+    assert "partial_count" in plan
+    # r8 rework: the election no longer carries a collect_list, which
+    # forced per-group-buffer ObjectHashAggregateExec (~one group per
+    # gram row); a reappearance means the split-aggregate + semi-join
+    # coverage shape regressed
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
 
 
 def test_edit_distance_probe_window_is_multi_match_bounded(spark):
