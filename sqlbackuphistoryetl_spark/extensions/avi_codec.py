@@ -84,13 +84,17 @@ def _walk(buf: bytes, pos: int, end: int):
         pos = body_end + (clen & 1)  # chunks are word-aligned
 
 
-def _video_frame_chunks(buf: bytes, pos: int, end: int, out: list) -> None:
-    """Collect stream-0 video frame chunk bodies, descending into
-    ``rec `` grouping LISTs (AVI interleaving writes frames there)."""
+def _video_frame_chunks(
+    buf: bytes, pos: int, end: int, ids: tuple[bytes, bytes], out: list
+) -> None:
+    """Collect the video stream's frame chunk bodies (ids carry the
+    stream INDEX, e.g. ``01db`` when audio is stream 0), descending
+    into ``rec `` grouping LISTs (AVI interleaving writes frames
+    there)."""
     for cid, ltype, s, e in _walk(buf, pos, end):
         if cid == b"LIST" and ltype == b"rec ":
-            _video_frame_chunks(buf, s, e, out)
-        elif cid in (b"00db", b"00dc"):
+            _video_frame_chunks(buf, s, e, ids, out)
+        elif cid in ids:
             out.append(buf[s:e])
 
 
@@ -106,10 +110,12 @@ def parse_avi(
     if not is_avi(payload):
         raise AVIError("not a RIFF/AVI payload")
     strf = None
+    video_stream = None  # index of the vids stream among strl LISTs
+    stream_no = 0
     frames: list[bytes] = []
 
     def _hdrl(pos: int, end: int) -> None:
-        nonlocal strf
+        nonlocal strf, video_stream, stream_no
         for cid, ltype, s, e in _walk(payload, pos, end):
             if cid == b"LIST" and ltype == b"strl":
                 stype = None
@@ -118,14 +124,23 @@ def parse_avi(
                         stype = payload[s2 : s2 + 4]
                     elif c2 == b"strf" and stype == b"vids" and strf is None:
                         strf = payload[s2:e2]
+                        video_stream = stream_no
+                stream_no += 1
             elif cid == b"LIST" and ltype is not None:
                 _hdrl(s, e)
 
+    movi_spans: list[tuple[int, int]] = []
     for cid, ltype, s, e in _walk(payload, 12, len(payload)):
         if cid == b"LIST" and ltype == b"hdrl":
             _hdrl(s, e)
         elif cid == b"LIST" and ltype == b"movi":
-            _video_frame_chunks(payload, s, e, frames)
+            movi_spans.append((s, e))
+    if strf is not None:
+        # frame chunk ids carry the STREAM index — an audio-first AVI
+        # stores its video frames as 01db/01dc, not 00db
+        pfx = b"%02d" % video_stream
+        for s, e in movi_spans:
+            _video_frame_chunks(payload, s, e, (pfx + b"db", pfx + b"dc"), frames)
 
     if strf is None:
         raise AVIError("no video stream (strl/strh 'vids' + strf) found")
@@ -212,6 +227,31 @@ def decode_avi_frames(
     """Decode every video frame to top-down RGB ``DecodedImage``s."""
     info, frames = parse_avi(payload, max_frame_pixels, max_frames)
     return [_decode_frame(f, info) for f in frames]
+
+
+def decode_avi_frames_at(
+    payload: bytes,
+    indices: list[int] | None = None,
+    stride: int | None = None,
+    max_frame_pixels: int = MAX_FRAME_PIXELS,
+    max_frames: int = MAX_FRAMES,
+) -> tuple[int, list[tuple[int, DecodedImage]]]:
+    """(total frame count, [(index, decoded frame)]) for the requested
+    ``indices`` (out-of-range ignored) or every ``stride``-th frame —
+    the container walk is one pass either way, but pixel work (row
+    copy + BGR swap) happens just for the selected frames; a stride-s
+    sampler pays 1/s of the decode."""
+    info, frames = parse_avi(payload, max_frame_pixels, max_frames)
+    if indices is None:
+        if stride is None or stride < 1:
+            raise ValueError("pass indices or a positive stride")
+        indices = range(0, len(frames), stride)  # type: ignore[assignment]
+    picked = [
+        (i, _decode_frame(frames[i], info))
+        for i in indices
+        if 0 <= i < len(frames)
+    ]
+    return len(frames), picked
 
 
 def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:

@@ -200,13 +200,16 @@ def sample_frames(
         payload = bytes(r.payload)
         if avi_codec.is_avi(payload):
             try:
-                imgs = avi_codec.decode_avi_frames(payload)
+                # one container walk, pixel work ONLY for the sampled
+                # indices — a stride-s sampler pays 1/s of the decode
+                n, picked = avi_codec.decode_avi_frames_at(
+                    payload, stride=stride
+                )
             except (avi_codec.UnsupportedAVI, avi_codec.AVIError):
-                imgs = None  # compressed/corrupt: fall through to fake
-            if imgs is not None:
-                n = len(imgs)
-                for fi in range(0, n, stride):
-                    yield fi, imgs[fi].pixels, n, "avi-dib"
+                picked = None  # compressed/corrupt: fall through to fake
+            if picked is not None:
+                for fi, img in picked:
+                    yield fi, img.pixels, n, "avi-dib"
                 return
         n_frames = (len(payload) + frame_size - 1) // frame_size
         for fi in range(0, n_frames, stride):

@@ -120,6 +120,37 @@ class TestGating:
         with pytest.raises(AVIError):
             decode_avi_frames(bytes(blob[: j + 16]))
 
+    def test_audio_first_stream_indexing(self):
+        # frame chunk ids carry the STREAM index: with an audio strl
+        # ahead of the video strl, frames live in 01db, not 00db
+        frames = _frames(2, 4, 4, seed=6)
+        blob = bytearray(encode_avi(frames))
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        auds_strh = b"auds" + b"\x00" * 52
+        audio_strl = chunk(
+            b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", b"\x00" * 16)
+        )
+        # splice the audio strl in front of the video strl inside hdrl
+        i = bytes(blob).find(b"LIST")
+        hdrl_body_start = i + 12  # LIST size 'hdrl'
+        j = bytes(blob).find(b"LIST", hdrl_body_start)  # the video strl
+        out = bytearray(bytes(blob)[:j]) + audio_strl + bytes(blob)[j:]
+        # grow the hdrl LIST and RIFF sizes
+        (hdrl_len,) = struct.unpack("<I", out[i + 4 : i + 8])
+        out[i + 4 : i + 8] = struct.pack("<I", hdrl_len + len(audio_strl))
+        (riff_len,) = struct.unpack("<I", out[4:8])
+        out[4:8] = struct.pack("<I", riff_len + len(audio_strl))
+        # video is now stream 1: rename its frame chunks
+        out = bytearray(bytes(out).replace(b"00db", b"01db"))
+        got = decode_avi_frames(bytes(out))
+        assert len(got) == 2
+        assert all(a.pixels == b.pixels for a, b in zip(frames, got))
+
     def test_mutation_corpus_never_hangs_or_escapes(self):
         rng = random.Random(77)
         base = encode_avi(_frames(3, 6, 4, seed=8))
