@@ -4672,19 +4672,28 @@ def multimodal_jpeg_fingerprint(spark, sf_dir):
     )
     from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Python-bound stage (~3 ms/doc of pure-Python Huffman work): a
+    # single small parquet file reads as ONE partition, which would
+    # serialize the whole corpus through one Arrow worker — repartition
+    # first so all cores decode (r8 bench: 15.1 s -> ~1 s)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
 
         def mk(t):
             s = re.sub(r"[^ -~]", "?", t)[:72].ljust(72, " ").encode("ascii")
-            px = bytearray(72 * 64)
-            for r in range(64):
-                row = (r // 8) * 9
-                for c in range(72):
-                    px[r * 72 + c] = s[row + c // 8]
-            return encode_jpeg(bytes(px), 72, 64, 1, quant_luma=QUANT_FLAT8)
+            # 8 distinct block-row patterns, each repeated 8 rows deep
+            pats = [
+                b"".join(bytes([s[br * 9 + bc]]) * 8 for bc in range(9))
+                for br in range(8)
+            ]
+            px = b"".join(pats[r // 8] for r in range(64))
+            return encode_jpeg(px, 72, 64, 1, quant_luma=QUANT_FLAT8)
 
         for pdf in it:
             yield pd.DataFrame(

@@ -453,6 +453,84 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["bpe_decode_roundtrip"] = round(time.perf_counter() - t0, 2)
     assert n_dec == n_docs, (n_dec, n_docs)
 
+    # codec-chain throughput (r8): real container encode->parse->hash
+    # over a 20k-payload slice — embarrassingly parallel mapInPandas,
+    # so the number to watch is per-payload cost staying flat, not the
+    # total. Payload content derives from the doc text (same fixture
+    # doctrine as the driver gates).
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        sample_frames,
+    )
+
+    pay = docs_m.filter(F.col("doc_id") < 20_000).select("doc_id", "text")
+
+    def _mk_payloads(it):
+        import re
+
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.avi_codec import encode_avi
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+            QUANT_FLAT8,
+            encode_jpeg,
+        )
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            DecodedImage,
+            encode_png,
+        )
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            DecodedAudio,
+            encode_wav,
+        )
+
+        def mk(row):
+            s = re.sub(r"[^ -~]", "?", row.text)[:128].ljust(128, " ")
+            b = s.encode("ascii")
+            kind = row.doc_id % 4
+            if kind == 0:
+                return encode_png(b[:128], 16, 8, 1)
+            if kind == 1:
+                px = bytes(b[(r // 8) * 9 + c // 8] for r in range(64) for c in range(72))
+                return encode_jpeg(px, 72, 64, 1, quant_luma=QUANT_FLAT8)
+            if kind == 2:
+                return encode_wav(DecodedAudio(8000, 1, [(x - 80) * 256 for x in b]))
+            frames = [
+                DecodedImage(4, 4, 3, bytes(b[f * 16 + i] for i in range(16) for _ in range(3)))
+                for f in range(6)
+            ]
+            return encode_avi(frames)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [mk(r) for r in pdf.itertuples(index=False)],
+                }
+            )
+
+    payloads = pay.mapInPandas(
+        _mk_payloads, "doc_id long, payload binary"
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    n_img_hashed = (
+        image_dhash(payloads).filter(F.col("dhash").isNotNull()).count()
+    )
+    timings["codec_image_dhash_20k"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_audio_fp = (
+        audio_fingerprint(payloads).filter(F.col("afp").isNotNull()).count()
+    )
+    timings["codec_audio_fp_20k"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_avi_frames = (
+        sample_frames(payloads, stride=2)
+        .filter(F.col("decoder") == "avi-dib")
+        .count()
+    )
+    timings["codec_avi_frames_20k"] = round(time.perf_counter() - t0, 2)
+
     return {
         "edit_pairs_d2": n_edit,
         "gopher_rep_docs": n_goprep,

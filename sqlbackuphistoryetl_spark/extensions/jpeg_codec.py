@@ -202,9 +202,17 @@ _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 # ---------------------------------------------------------------- decode
 
 
+_CODES_MEMO: dict[tuple, dict] = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(code length, code) -> symbol, per the canonical construction
-    of T.81 Annex C."""
+    of T.81 Annex C. Memoized — a corpus decode sees the same handful
+    of tables (usually the Annex-K set) millions of times."""
+    key = (tuple(bits), tuple(vals))
+    hit = _CODES_MEMO.get(key)
+    if hit is not None:
+        return hit
     if len(vals) != sum(bits):
         raise JPEGError("DHT value count disagrees with BITS")
     table: dict[tuple[int, int], int] = {}
@@ -215,6 +223,8 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
             code += 1
             k += 1
         code <<= 1
+    if len(_CODES_MEMO) < 64:  # bounded: hostile streams can't grow it
+        _CODES_MEMO[key] = table
     return table
 
 
@@ -673,7 +683,7 @@ def _fdct_block(samples: list[int]) -> list[float]:
     shortcut to DC-only (exactly 8*(v-128)), keeping the flat-block
     round-trip contract float-noise-free."""
     first = samples[0]
-    if all(s == first for s in samples):
+    if samples.count(first) == 64:  # C-speed constant check
         out = [0.0] * 64
         out[0] = 8.0 * (first - 128)
         return out
@@ -879,12 +889,22 @@ def encode_jpeg(
                 q = qtabs[ci]
                 for by in range(v):
                     for bx in range(h):
-                        block = [0] * 64
-                        for r8 in range(8):
-                            sy = min(ph - 1, (my * v + by) * 8 + r8)
-                            for c8 in range(8):
-                                sx = min(pw - 1, (mx * h + bx) * 8 + c8)
-                                block[r8 * 8 + c8] = plane[sy * pw + sx]
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        if y0 + 8 <= ph and x0 + 8 <= pw:
+                            # interior block (the common case): 8 row
+                            # slices instead of 64 clamped indexings
+                            block = []
+                            for r8 in range(8):
+                                o = (y0 + r8) * pw + x0
+                                block.extend(plane[o : o + 8])
+                        else:  # edge block: replicate the last row/col
+                            block = [0] * 64
+                            for r8 in range(8):
+                                sy = min(ph - 1, y0 + r8)
+                                for c8 in range(8):
+                                    sx = min(pw - 1, x0 + c8)
+                                    block[r8 * 8 + c8] = plane[sy * pw + sx]
                         coef = _fdct_block(block)
                         coef_q = [
                             int(round(coef[i] / q[i])) if coef[i] else 0
