@@ -765,6 +765,7 @@ def encode_jpeg(
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG encoder: grayscale (``channels=1``)
     or RGB (``channels=3``, encoded as YCbCr). ``subsampling``:
@@ -773,11 +774,17 @@ def encode_jpeg(
     camera shape, and the fixture that exercises the decoder's
     interleaved multi-block MCU path). Tables default to the Annex-K
     interchange set; fixtures pass :data:`QUANT_FLAT8` for the
-    flat-block exactness contract. Raises ``ValueError`` on geometry /
-    channel mismatches (same guard style as ``png_codec.encode_png``).
+    flat-block exactness contract. ``restart_interval`` > 0 emits a
+    DRI segment and an RSTn marker every that-many MCUs (the
+    error-resilience feature real camera streams use — and the fixture
+    that exercises the decoder's restart/resync path). Raises
+    ``ValueError`` on geometry / channel mismatches (same guard style
+    as ``png_codec.encode_png``).
     """
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
     if len(pixels) != width * height * channels:
@@ -865,6 +872,8 @@ def encode_jpeg(
     for tid, (bits, vals) in tables:
         dht += bytes([tid] + bits) + bytes(vals)
     out += _seg(DHT, dht)
+    if restart_interval:
+        out += _seg(DRI, struct.pack(">H", restart_interval))
     sos = bytes([channels])
     for cid in range(channels):
         sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
@@ -881,8 +890,18 @@ def encode_jpeg(
     pred = [0] * channels
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    mcu_count = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align with 1-fill, emit RSTn (n cycles 0..7),
+                # reset every DC predictor (T.81 F.1.2.3 / E.1.4)
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = [0] * channels
+            mcu_count += 1
             for ci in range(channels):
                 h, v = samp[ci]
                 plane, pw, ph, _cw, _ch = planes[ci]

@@ -99,6 +99,56 @@ class TestRoundTrip:
         diffs = [abs(a - b) for a, b in zip(px, img.pixels)]
         assert max(diffs) <= 40 and sum(diffs) / len(diffs) < 8
 
+    def test_restart_markers_round_trip(self):
+        # DRI/RSTn exercises the decoder's resync path: byte realign,
+        # predictor reset, marker consumption — for intervals that hit
+        # mid-row, at row ends, and beyond the MCU count (never fires)
+        random.seed(21)
+        w, h = 37, 22  # 5x3 = 15 MCUs at 8x8
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        for ri in (1, 3, 7, 100):
+            blob = encode_jpeg(px, w, h, 1, quant_luma=[1] * 64, restart_interval=ri)
+            assert probe_jpeg(blob), ri
+            if ri <= 15:
+                assert any(
+                    bytes([0xFF, 0xD0 + k]) in blob for k in range(8)
+                ), ri
+            img = decode_jpeg(blob)
+            assert max(abs(a - b) for a, b in zip(px, img.pixels)) <= 2, ri
+
+    def test_restart_markers_420_color(self):
+        w, h = 33, 18
+        px = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                px[i], px[i + 1], px[i + 2] = min(255, 8 * x), min(255, 12 * y), 100
+        blob = encode_jpeg(
+            bytes(px), w, h, 3,
+            quant_luma=[1] * 64, quant_chroma=[1] * 64,
+            subsampling="420", restart_interval=2,
+        )
+        img = decode_jpeg(blob)
+        diffs = [abs(a - b) for a, b in zip(px, img.pixels)]
+        assert sum(diffs) / len(diffs) < 8
+
+    def test_restart_flat_blocks_stay_exact(self):
+        vals = [((i * 31) % 90) + 33 for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8, restart_interval=4)
+        assert bytes(decode_jpeg(blob).pixels) == px
+
+    def test_corrupted_restart_marker_raises(self):
+        px = bytes(range(64)) * 4
+        blob = bytearray(
+            encode_jpeg(px, 16, 16, 1, quant_luma=QUANT_FLAT8, restart_interval=1)
+        )
+        i = blob.find(b"\xff\xd0")
+        assert i > 0
+        blob[i + 1] = 0xD9  # EOI where RST0 belongs
+        with pytest.raises(JPEGError):
+            decode_jpeg(bytes(blob))
+
     def test_default_annex_k_tables_decode(self):
         random.seed(9)
         px = bytes(random.randrange(256) for _ in range(24 * 24 * 3))
