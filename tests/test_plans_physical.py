@@ -541,3 +541,48 @@ def test_edit_distance_probe_window_is_multi_match_bounded(spark):
     out = edit_distance_join(docs, max_dist=3)
     rows = out.collect()
     assert [(r["id_a"], r["id_b"], r["ed"]) for r in rows] == [(1, 2, 1)]
+
+
+def test_r8_codec_gates_plan_shapes(spark):
+    """The r8 codec gates must stay map-side: the JPEG gate's ONLY
+    exchange is its deliberate repartition (Python-bound codec work
+    must spread across cores), the AVI gate has no exchange at all,
+    and neither plan contains a join or row-at-a-time Python."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    jpeg = _explain(E.multimodal_jpeg_fingerprint(spark, sf))
+    # exactly one Exchange NODE (the explicit repartition; formatted
+    # output prints each node twice — tree + detail)
+    assert jpeg.count("+- Exchange") == 1, jpeg
+    avi = _explain(E.multimodal_avi_frames(spark, sf))
+    assert "Exchange" not in avi, avi
+    for plan in (jpeg, avi):
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan  # Arrow mapInPandas only
+        assert "CartesianProduct" not in plan
+
+
+def test_minhash_index_query_plan_shape(spark, tmp_path):
+    """The post-compact index screen must be a band/bucket EQUI-join
+    against the stored entries — no cartesian, no broadcast-NL, and
+    the incoming side is the only side that gets re-hashed (the index
+    side is a parquet scan)."""
+    from sqlbackuphistoryetl_spark.extensions.dedup_index import (
+        query_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, path, num_hashes=8, bands=4, shingle_len=3)
+    plan = _explain(
+        query_minhash_index(spark, docs.limit(5), path, min_est_jaccard=0.1)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan parquet" in plan  # stored side is the index files
+    assert "BatchEvalPython" not in plan
