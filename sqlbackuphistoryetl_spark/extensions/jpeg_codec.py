@@ -769,10 +769,11 @@ def encode_jpeg(
 ) -> bytes:
     """Baseline sequential JPEG encoder: grayscale (``channels=1``)
     or RGB (``channels=3``, encoded as YCbCr). ``subsampling``:
-    ``'444'`` (no chroma subsampling, geometry survives exactly) or
+    ``'444'`` (no chroma subsampling, geometry survives exactly),
     ``'420'`` (2x2 luma sampling, box-averaged chroma — the common
     camera shape, and the fixture that exercises the decoder's
-    interleaved multi-block MCU path). Tables default to the Annex-K
+    interleaved multi-block MCU path) or ``'422'`` (horizontal-only
+    chroma halving, the broadcast/video shape). Tables default to the Annex-K
     interchange set; fixtures pass :data:`QUANT_FLAT8` for the
     flat-block exactness contract. ``restart_interval`` > 0 emits a
     DRI segment and an RSTn marker every that-many MCUs (the
@@ -792,8 +793,8 @@ def encode_jpeg(
             f"pixel buffer holds {len(pixels)} bytes; expected "
             f"{width * height * channels}"
         )
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420' or '422'")
     ql = list(quant_luma or QUANT_LUMA)
     qc = list(quant_chroma or quant_luma or QUANT_CHROMA)
     if len(ql) != 64 or len(qc) != 64 or min(ql) < 1 or min(qc) < 1:
@@ -816,11 +817,11 @@ def encode_jpeg(
             cb[i] = min(255, max(0, int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))))
             cr[i] = min(255, max(0, int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))))
         full = [yv, cb, cr]
-        samp = (
-            [(1, 1), (1, 1), (1, 1)]
-            if subsampling == "444"
-            else [(2, 2), (1, 1), (1, 1)]
-        )
+        samp = {
+            "444": [(1, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+        }[subsampling]
         qtabs = [ql, qc, qc]
         qids = [0, 1, 1]
 

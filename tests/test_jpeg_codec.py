@@ -149,6 +149,24 @@ class TestRoundTrip:
         with pytest.raises(JPEGError):
             decode_jpeg(bytes(blob))
 
+    def test_rgb_422_round_trip(self):
+        # 4:2:2: horizontal-only chroma halving (2x1 luma MCUs)
+        w, h = 21, 10
+        px = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                px[i], px[i + 1], px[i + 2] = min(255, 11 * x), min(255, 19 * y), 90
+        blob = encode_jpeg(
+            bytes(px), w, h, 3,
+            quant_luma=[1] * 64, quant_chroma=[1] * 64, subsampling="422",
+        )
+        assert probe_jpeg(blob)
+        img = decode_jpeg(blob)
+        assert (img.width, img.height, img.channels) == (w, h, 3)
+        diffs = [abs(a - b) for a, b in zip(px, img.pixels)]
+        assert sum(diffs) / len(diffs) < 8
+
     def test_default_annex_k_tables_decode(self):
         random.seed(9)
         px = bytes(random.randrange(256) for _ in range(24 * 24 * 3))
@@ -281,7 +299,7 @@ class TestFuzz:
             w = rng.randrange(1, 40)
             h = rng.randrange(1, 40)
             channels = rng.choice([1, 3])
-            sub = rng.choice(["444", "420"]) if channels == 3 else "444"
+            sub = rng.choice(["444", "420", "422"]) if channels == 3 else "444"
             px = bytes(rng.randrange(256) for _ in range(w * h * channels))
             blob = encode_jpeg(
                 px, w, h, channels,
