@@ -4966,6 +4966,63 @@ from feat group by doc_id
 """
 
 
+def multimodal_image_quality(spark, sf_dir):
+    """Image quality signals through the real PNG chain
+    (multimodal.image_quality): the dhash gate's 16x8 grayscale
+    payloads, decoded from their containers, reduced to exact-integer
+    luminance stats — geometry, floor-mean, min/max, distinct level
+    count, and the flat-image flag that drops blank thumbnails. The
+    oracle recomputes every stat from ``ord()`` over the sanitized
+    string; a decode, luminance or integer-division discrepancy
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
+    from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ")
+            return encode_png(s.encode("ascii"), 16, 8, 1)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_quality(payloads).select(
+        "doc_id", "width", "height", "mean_lum", "min_lum", "max_lum",
+        "n_distinct_lum", "is_flat", "decoder",
+    )
+
+
+MULTIMODAL_IMAGE_QUALITY_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+px as (
+  select doc_id, cast(ord(substr(s, j + 1, 1)) as bigint) as v
+  from s, unnest(generate_series(0, 127)) as u(j))
+select doc_id,
+       cast(16 as bigint) as width,
+       cast(8 as bigint) as height,
+       cast(sum(v) // 128 as bigint) as mean_lum,
+       min(v) as min_lum,
+       max(v) as max_lum,
+       cast(count(distinct v) as bigint) as n_distinct_lum,
+       case when min(v) = max(v) then 'y' else 'n' end as is_flat,
+       'png-zlib' as decoder
+from px group by doc_id
+"""
+
+
 def bpe_fertility_lang(spark, sf_dir):
     """Per-language tokenizer fertility audit (extensions/bpe.py:
     bpe_fertility) under the fixed merge chain — exact integer sums
@@ -5272,6 +5329,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
+    "multimodal_image_quality": MULTIMODAL_IMAGE_QUALITY_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5556,6 +5614,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # greens by (round, name); latest recorded round: r7) ---
     "minhash_index_compact": minhash_index_compact,
     "multimodal_avi_frames": multimodal_avi_frames,
+    "multimodal_image_quality": multimodal_image_quality,
     "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
@@ -5603,10 +5662,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
-    "incremental_dedup_cross": incremental_dedup_cross,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "incremental_dedup_cross": incremental_dedup_cross,
     "knn_label_vote": knn_label_vote_gate,
     "lang_id_multi": lang_id_multi,
     "lang_id_stopwords": lang_id_stopwords,
@@ -5701,6 +5760,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "incremental_dedup_cross",
         "knn_label_vote",
         "lang_id_multi",
         "lang_id_stopwords",

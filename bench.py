@@ -102,6 +102,7 @@ EXTENDED = [
     "multimodal_jpeg_fingerprint",
     "multimodal_avi_frames",
     "minhash_index_compact",
+    "multimodal_image_quality",
 ]
 
 

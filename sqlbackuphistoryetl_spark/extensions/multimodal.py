@@ -245,6 +245,81 @@ def sample_frames(
     return df.mapInPandas(_batches, FRAME_SCHEMA)
 
 
+IMAGE_QUALITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_lum", LongType(), True),
+        StructField("min_lum", LongType(), True),
+        StructField("max_lum", LongType(), True),
+        StructField("n_distinct_lum", LongType(), True),
+        StructField("is_flat", StringType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def image_quality(df: DataFrame) -> DataFrame:
+    """Per-image quality signals for curation — the image twin of the
+    audio block-quality op: geometry, EXACT-integer luminance stats
+    (mean = floor(sum/n), min, max, distinct-level count) and the
+    flat-image flag (min == max catches the blank thumbnails and
+    tracking pixels a crawl is full of). PNG and baseline JPEG decode
+    for real; undecodable payloads surface with NULL stats rather than
+    vanishing. ``is_flat`` is emitted as 'y'/'n' strings so the value
+    hash is engine-exact (boolean rendering differs per engine).
+    Arrow-batched ``mapInPandas``, embarrassingly parallel, no
+    shuffle."""
+    from . import jpeg_codec, png_codec
+
+    def _one(b):
+        if b is None:
+            return (None,) * 7 + (None,)
+        raw = bytes(b)
+        img = None
+        dec = None
+        if png_codec.is_png(raw):
+            try:
+                img, dec = png_codec.decode_png(raw), "png-zlib"
+            except (png_codec.UnsupportedPNG, png_codec.PNGError):
+                pass
+        elif jpeg_codec.is_jpeg(raw):
+            try:
+                img, dec = jpeg_codec.decode_jpeg(raw), "jpeg-baseline"
+            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
+                pass
+        if img is None:
+            return (None,) * 7 + (None,)
+        lum = png_codec.luminance(img).pixels
+        n = len(lum)
+        lo, hi = min(lum), max(lum)
+        return (
+            img.width,
+            img.height,
+            sum(lum) // n,
+            lo,
+            hi,
+            len(set(lum)),
+            "y" if lo == hi else "n",
+            dec,
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf["payload"].map(_one)
+            out = {"doc_id": pdf["doc_id"]}
+            names = [
+                "width", "height", "mean_lum", "min_lum", "max_lum",
+                "n_distinct_lum", "is_flat", "decoder",
+            ]
+            for i, name in enumerate(names):
+                out[name] = rows.map(lambda r, i=i: r[i]).astype("object")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, IMAGE_QUALITY_SCHEMA)
+
+
 def extract_payload_metadata(df: DataFrame) -> DataFrame:
     """(doc_id, payload binary, content_type) → typed metadata.
 

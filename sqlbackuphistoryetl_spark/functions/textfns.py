@@ -861,6 +861,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = False,
+    pin_counted: bool = True,
 ) -> DataFrame:
     """The repetition half of the Gopher/MassiveText quality filter
     (Rae et al. 2021, table A1) — the published complement of
@@ -997,23 +998,25 @@ def gopher_repetition(
         ).alias("glen"),
     )
 
-    # The gram frame fans out to TWO consumers (frequency election and
-    # the coverage semi-join probe), so pin it once — re-deriving the
-    # window + explode per consumer pays the tokenize/lead/explode
-    # mass again (the BPE decode lesson: always checkpoint a frame
-    # before fan-out). Rows are narrow (5 fixed-width columns in hash
-    # mode), so the pin is O(9 · tokens) compact bytes.
-    grams = grams.localCheckpoint(eager=True)
-
     # Frequency election as ONE PLAIN hash aggregate (r6 verdict
     # task 4 made it an aggregate instead of a window; r8 drops the
     # collect_list it carried): collecting per-group position lists
     # forced ObjectHashAggregateExec — per-group buffer allocation for
     # ~one group per gram row, most of the operator's cost, measured
     # 4.9 s → 1.0 s downstream-of-grams at sf0.1. count/first stay
-    # inside codegen'd HashAggregateExec with map-side combine; the
+    # inside codegen'd HashAggregateExec with map-side combine (and
+    # the standard spill-to-sort fallback under memory pressure); the
     # n >= 5 positions the coverage stats need are recovered below by
     # a semi-join against the (few) duplicated gram keys instead.
+    #
+    # Pinning choice (r8 smoke lesson): checkpoint the SMALL frame
+    # (counted = duplicated grams only, consumed by both `top` and
+    # `covered`), never the 9-per-token gram frame — an eager pin of
+    # the full gram mass held gigabytes of storage at the 200k-doc
+    # smoke and starved the aggregate's execution memory
+    # (AGGREGATE_OUT_OF_MEMORY). The gram frame is recomputed once
+    # more for the probe side; that window+explode pass is linear and
+    # pipelines, costing far less than the storage squeeze.
     counted = (
         grams.groupBy("__doc", "n", "gram")
         .agg(
@@ -1022,6 +1025,11 @@ def gopher_repetition(
         )
         .filter(F.col("cnt") >= 2)
     )
+    if pin_counted:
+        # pin_counted=False keeps the whole plan lazy/inspectable
+        # (plan tests; callers composing into one bigger job) at the
+        # cost of electing twice
+        counted = counted.localCheckpoint(eager=True)
 
     top = (
         counted.filter(F.col("n") <= 4)
@@ -1037,10 +1045,10 @@ def gopher_repetition(
     word_lens = wpos.select(
         "__doc", "wpos", F.length("w").cast("long").alias("wlen")
     )
-    # positions of duplicated n>=5 grams: semi-join the pinned gram
-    # rows against the duplicated keys (duplicated grams are the rare
-    # case, so the probe output is small), then resolve coverage as
-    # before — distinct positions, never the order-dependent greedy
+    # positions of duplicated n>=5 grams: semi-join the gram rows
+    # against the pinned duplicated keys (duplicated grams are the
+    # rare case, so the probe output is small), then resolve coverage
+    # as before — distinct positions, never the order-dependent greedy
     # scan
     covered = (
         grams.filter(F.col("n") >= 5)

@@ -330,3 +330,37 @@ class TestFuzz:
                 decode_jpeg(bytes(buf))
             except (JPEGError, UnsupportedJPEG):
                 pass
+
+
+class TestImageQuality:
+    def test_stats_and_flat_detection(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
+        from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
+
+        grad = bytes(range(0, 128))  # 16x8 gradient
+        flat = bytes([77]) * 128
+        jpeg_flat = encode_jpeg(
+            bytes([50]) * (8 * 8), 8, 8, 1, quant_luma=QUANT_FLAT8
+        )
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_png(grad, 16, 8, 1))),
+                (2, bytearray(encode_png(flat, 16, 8, 1))),
+                (3, bytearray(jpeg_flat)),
+                (4, bytearray(b"not an image")),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r for r in image_quality(df).collect()}
+        g = got[1]
+        assert (g["width"], g["height"]) == (16, 8)
+        assert g["mean_lum"] == sum(grad) // 128
+        assert (g["min_lum"], g["max_lum"]) == (0, 127)
+        assert g["n_distinct_lum"] == 128 and g["is_flat"] == "n"
+        f = got[2]
+        assert f["is_flat"] == "y" and f["mean_lum"] == 77
+        assert f["n_distinct_lum"] == 1
+        j = got[3]
+        assert j["decoder"] == "jpeg-baseline" and j["is_flat"] == "y"
+        assert j["mean_lum"] == 50  # flat-block exactness through JPEG
+        assert got[4]["decoder"] is None and got[4]["mean_lum"] is None

@@ -481,7 +481,7 @@ def test_gopher_repetition_bounded_shuffles_no_python(spark):
     n-gram order) fails loudly."""
     from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
 
-    plan = _explain(gopher_repetition(_docs(spark)))
+    plan = _explain(gopher_repetition(_docs(spark), pin_counted=False))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -510,7 +510,7 @@ def test_gopher_repetition_election_is_aggregate_not_window(spark):
     gram row inside the shuffle."""
     from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
 
-    plan = _explain(gopher_repetition(_docs(spark)))
+    plan = _explain(gopher_repetition(_docs(spark), pin_counted=False))
     # the only window functions allowed are the lead() gram builders;
     # a count() window here would mean the election regressed from the
     # hash aggregate back to a sorting window
