@@ -4810,6 +4810,80 @@ from fb
 """
 
 
+def multimodal_mjpeg_frames(spark, sf_dir):
+    """Motion-JPEG frame extraction through BOTH real codec layers
+    (avi_codec MJPG routing + jpeg_codec per-frame decode): each
+    document's first 12 sanitized-ASCII bytes become six 16x8
+    grayscale MJPEG frames (frame f = two flat 8x8 blocks holding
+    bytes 2f and 2f+1, QUANT_FLAT8 so the lossy codec is byte-exact by
+    the flat-block contract), packed into an AVI with fourcc MJPG.
+    sample_frames walks the RIFF container, JPEG-decodes every 2nd
+    frame and normalizes grayscale to the 3-channel frame contract.
+    The oracle never touches either container: sampled frames
+    md5-compare against RGB byte strings rebuilt from the characters
+    (row = 24x byte a then 24x byte b, times 8 rows)."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.avi_codec import encode_avi
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8
+    from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+    from sqlbackuphistoryetl_spark.extensions.png_codec import DecodedImage
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")  # Python-bound codec stage
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:12].ljust(12, " ").encode("ascii")
+            frames = []
+            for f in range(6):
+                row = bytes([s[2 * f]]) * 8 + bytes([s[2 * f + 1]]) * 8
+                frames.append(DecodedImage(16, 8, 1, row * 8))
+            return encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    frames = sample_frames(payloads, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "n_frames",
+        F.length("frame_bytes").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+        "decoder",
+    )
+
+
+MULTIMODAL_MJPEG_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 12),
+              12, ' ') as s
+  from documents),
+fb as (
+  select doc_id, fi,
+         repeat(repeat(substr(s, 2 * fi + 1, 1), 24)
+                  || repeat(substr(s, 2 * fi + 2, 1), 24), 8) as fs
+  from s, unnest([0, 2, 4]) as t(fi))
+select doc_id,
+       cast(fi as bigint) as frame_index,
+       cast(6 as bigint) as n_frames,
+       cast(384 as int) as frame_len,
+       md5(fs) as frame_md5,
+       'avi-mjpeg' as decoder
+from fb
+"""
+
+
 def multimodal_audiofp_fingerprint(spark, sf_dir):
     """Audio energy-delta fingerprint through the REAL codec chain
     (extensions/wav_codec.py + multimodal.audio_fingerprint): each
@@ -5327,6 +5401,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
     "multimodal_jpeg_fingerprint": MULTIMODAL_JPEG_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
+    "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "multimodal_image_quality": MULTIMODAL_IMAGE_QUALITY_SQL,
@@ -5616,6 +5691,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_avi_frames": multimodal_avi_frames,
     "multimodal_image_quality": multimodal_image_quality,
     "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
+    "multimodal_mjpeg_frames": multimodal_mjpeg_frames,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
     "label_centroid_stats": label_centroid_stats,
     "multimodal_featurize_ann": multimodal_featurize_ann,
@@ -5661,10 +5737,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
-    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "incremental_dedup_cross": incremental_dedup_cross,
     "knn_label_vote": knn_label_vote_gate,
     "lang_id_multi": lang_id_multi,
@@ -5760,6 +5836,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "hybrid_rrf_retrieval",
         "incremental_dedup_cross",
         "knn_label_vote",
         "lang_id_multi",

@@ -12,11 +12,14 @@ decodes every video frame to the shared ``png_codec.DecodedImage``
 frames unchanged. A minimal writer (:func:`encode_avi`) builds
 fixtures and drives round-trip tests.
 
-Compressed streams (MJPG/cinepak/DV/...), palettized 8-bit DIBs and
-16/32-bit depths raise :class:`UnsupportedAVI` and fall back to the
-documented stub path, exactly like the other codecs' gates. Budgets
-cap declared dimensions and frame counts so a tiny forged header
-can't allocate gigabytes.
+Motion-JPEG streams (fourcc ``MJPG``) also decode for real: every
+frame chunk is a standalone baseline JPEG, routed through
+:mod:`.jpeg_codec` (the r7 verdict's "keep MJPEG gated until the JPEG
+codec lands" condition, now met). Other compressed fourccs
+(cinepak/DV/...), palettized 8-bit DIBs and 16/32-bit depths raise
+:class:`UnsupportedAVI` and fall back to the documented stub path,
+exactly like the other codecs' gates. Budgets cap declared dimensions
+and frame counts so a tiny forged header can't allocate gigabytes.
 
 Everything is driver-free pure Python over ``bytes``; it runs inside
 the Arrow-batched ``mapInPandas`` workers of
@@ -34,6 +37,8 @@ from .png_codec import DecodedImage
 #: guards: AVI headers declare both up-front)
 MAX_FRAME_PIXELS = 1 << 24
 MAX_FRAMES = 1 << 14
+
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 class AVIError(ValueError):
@@ -163,13 +168,19 @@ def parse_avi(
         raise AVIError("invalid BITMAPINFOHEADER geometry")
     top_down = height < 0
     height = abs(height)
-    if compression != 0:  # BI_RGB only; MJPG/cvid/... need real codecs
+    if compression == MJPG_FOURCC:
+        # Motion-JPEG: every frame chunk is a standalone baseline JPEG
+        # — decodable since the r8 jpeg_codec landed (the r7 verdict's
+        # "keep MJPEG gated until the JPEG task lands" condition)
+        pass
+    elif compression != 0:  # other fourccs need real codec libraries
         fourcc = struct.pack("<I", compression)
         raise UnsupportedAVI(f"compressed video stream {fourcc!r}")
-    if bit_count != 24:
-        raise UnsupportedAVI(f"{bit_count}-bit DIB (only BI_RGB 24)")
-    if clr_used:
-        raise UnsupportedAVI("palettized DIB")
+    else:
+        if bit_count != 24:
+            raise UnsupportedAVI(f"{bit_count}-bit DIB (only BI_RGB 24)")
+        if clr_used:
+            raise UnsupportedAVI("palettized DIB")
     if width * height > max_frame_pixels:
         raise UnsupportedAVI(
             f"{width}x{height} exceeds the {max_frame_pixels}-pixel budget"
@@ -186,19 +197,40 @@ def parse_avi(
 
 def probe_avi(payload: bytes | None) -> bool:
     """True iff :func:`decode_avi_frames` would accept the container:
-    uncompressed 24-bit video stream within budgets, with at least the
-    header geometry consistent. Does not touch frame pixels."""
+    an uncompressed 24-bit DIB or MJPEG video stream within budgets,
+    with consistent geometry. Probes frame HEADERS (DIB size check /
+    per-frame :func:`jpeg_codec.probe_jpeg`), never pixel work."""
     if payload is None or not is_avi(payload):
         return False
     try:
         info, frames = parse_avi(payload)
     except (AVIError, UnsupportedAVI, struct.error):
         return False
+    if info.compression == MJPG_FOURCC:
+        from . import jpeg_codec
+
+        return all(jpeg_codec.probe_jpeg(f) for f in frames)
     stride = ((info.width * 3 + 3) // 4) * 4
     return all(len(f) >= stride * info.height for f in frames)
 
 
 def _decode_frame(data: bytes, info: AVIInfo) -> DecodedImage:
+    if info.compression == MJPG_FOURCC:
+        from . import jpeg_codec
+
+        try:
+            img = jpeg_codec.decode_jpeg(data)
+        except jpeg_codec.UnsupportedJPEG as e:
+            raise UnsupportedAVI(f"MJPEG frame: {e}") from e
+        except jpeg_codec.JPEGError as e:
+            raise AVIError(f"bad MJPEG frame: {e}") from e
+        if img.channels == 1:
+            # normalize to the 3-channel frame contract
+            img = DecodedImage(
+                img.width, img.height, 3,
+                bytes(b for v in img.pixels for b in (v, v, v)),
+            )
+        return img
     w, h = info.width, info.height
     stride = ((w * 3 + 3) // 4) * 4
     if len(data) < stride * h:
@@ -235,11 +267,12 @@ def decode_avi_frames_at(
     stride: int | None = None,
     max_frame_pixels: int = MAX_FRAME_PIXELS,
     max_frames: int = MAX_FRAMES,
-) -> tuple[int, list[tuple[int, DecodedImage]]]:
-    """(total frame count, [(index, decoded frame)]) for the requested
-    ``indices`` (out-of-range ignored) or every ``stride``-th frame —
-    the container walk is one pass either way, but pixel work (row
-    copy + BGR swap) happens just for the selected frames; a stride-s
+) -> tuple[AVIInfo, list[tuple[int, DecodedImage]]]:
+    """(stream info incl. total frame count, [(index, decoded frame)])
+    for the requested ``indices`` (out-of-range ignored) or every
+    ``stride``-th frame — the container walk is one pass either way,
+    but pixel work (row copy + BGR swap, or the per-frame JPEG decode
+    for MJPEG) happens just for the selected frames; a stride-s
     sampler pays 1/s of the decode."""
     info, frames = parse_avi(payload, max_frame_pixels, max_frames)
     if indices is None:
@@ -251,21 +284,35 @@ def decode_avi_frames_at(
         for i in indices
         if 0 <= i < len(frames)
     ]
-    return len(frames), picked
+    return info, picked
 
 
-def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:
-    """Minimal uncompressed-AVI writer — the decode inverse for 24-bit
-    RGB frames (``decode(encode(fs))[i].pixels == fs[i].pixels``
-    exactly). All frames must share one geometry and have 3 channels.
+def encode_avi(
+    frames: list[DecodedImage],
+    fps: int = 10,
+    codec: str = "rgb",
+    quant_luma: list[int] | None = None,
+) -> bytes:
+    """Minimal AVI writer. ``codec='rgb'``: uncompressed 24-bit DIB —
+    the decode inverse for RGB frames
+    (``decode(encode(fs))[i].pixels == fs[i].pixels`` exactly).
+    ``codec='mjpeg'``: every frame is a standalone baseline JPEG
+    (grayscale or RGB 4:4:4; pass ``quant_luma`` — e.g.
+    ``jpeg_codec.QUANT_FLAT8`` keeps flat-block fixtures byte-exact
+    through the lossy codec). All frames must share one geometry.
     Emits the canonical hdrl(avih + strl(strh+strf)) + movi layout
     with an idx1 index so external players accept the file."""
     if not frames:
         raise ValueError("at least one frame required")
+    if codec not in ("rgb", "mjpeg"):
+        raise ValueError("codec must be 'rgb' or 'mjpeg'")
     w, h = frames[0].width, frames[0].height
+    want_c = frames[0].channels if codec == "mjpeg" else 3
+    if want_c not in (1, 3):
+        raise ValueError("frames must be 1- or 3-channel")
     for f in frames:
-        if (f.width, f.height, f.channels) != (w, h, 3):
-            raise ValueError("all frames must be same-geometry RGB")
+        if (f.width, f.height, f.channels) != (w, h, want_c):
+            raise ValueError("all frames must share geometry and channels")
     if fps < 1:
         raise ValueError("fps must be >= 1")
     stride = ((w * 3 + 3) // 4) * 4
@@ -279,22 +326,33 @@ def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
-    dib_frames = []
-    for f in frames:
-        rows = []
-        for row in range(h - 1, -1, -1):  # bottom-up
-            line = bytearray()
-            base = row * w * 3
-            for x in range(w):
-                r, g, b = (
-                    f.pixels[base + 3 * x],
-                    f.pixels[base + 3 * x + 1],
-                    f.pixels[base + 3 * x + 2],
-                )
-                line += bytes((b, g, r))  # BGR
-            line += b"\x00" * (stride - len(line))
-            rows.append(bytes(line))
-        dib_frames.append(b"".join(rows))
+    if codec == "mjpeg":
+        from . import jpeg_codec
+
+        dib_frames = [
+            jpeg_codec.encode_jpeg(
+                bytes(f.pixels), w, h, want_c, quant_luma=quant_luma
+            )
+            for f in frames
+        ]
+        frame_size = max(len(d) for d in dib_frames)
+    else:
+        dib_frames = []
+        for f in frames:
+            rows = []
+            for row in range(h - 1, -1, -1):  # bottom-up
+                line = bytearray()
+                base = row * w * 3
+                for x in range(w):
+                    r, g, b = (
+                        f.pixels[base + 3 * x],
+                        f.pixels[base + 3 * x + 1],
+                        f.pixels[base + 3 * x + 2],
+                    )
+                    line += bytes((b, g, r))  # BGR
+                line += b"\x00" * (stride - len(line))
+                rows.append(bytes(line))
+            dib_frames.append(b"".join(rows))
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -310,9 +368,12 @@ def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:
         h,
         0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "mjpeg" else b"DIB "
+    compression = MJPG_FOURCC if codec == "mjpeg" else 0
+    frame_id = b"00dc" if codec == "mjpeg" else b"00db"
     strh = (
         b"vids"
-        + b"DIB "
+        + handler
         + struct.pack(
             "<IHHIIIIIIIIhhhh",
             0, 0, 0,  # flags, priority+lang
@@ -324,20 +385,20 @@ def encode_avi(frames: list[DecodedImage], fps: int = 10) -> bytes:
         )
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_body = b"".join(chunk(b"00db", d) for d in dib_frames)
+    movi_body = b"".join(chunk(frame_id, d) for d in dib_frames)
     movi = lst(b"movi", movi_body)
     # idx1: one entry per frame, offsets relative to the movi type word
     idx = bytearray()
     off = 4
     for d in dib_frames:
-        idx += b"00db" + struct.pack("<III", 0x10, off, len(d))
+        idx += frame_id + struct.pack("<III", 0x10, off, len(d))
         off += 8 + len(d) + (len(d) & 1)
     idx1 = chunk(b"idx1", bytes(idx))
     body = b"AVI " + hdrl + movi + idx1

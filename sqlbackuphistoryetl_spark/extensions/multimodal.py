@@ -202,14 +202,19 @@ def sample_frames(
             try:
                 # one container walk, pixel work ONLY for the sampled
                 # indices — a stride-s sampler pays 1/s of the decode
-                n, picked = avi_codec.decode_avi_frames_at(
+                info, picked = avi_codec.decode_avi_frames_at(
                     payload, stride=stride
                 )
             except (avi_codec.UnsupportedAVI, avi_codec.AVIError):
-                picked = None  # compressed/corrupt: fall through to fake
+                picked = None  # unsupported/corrupt: fall through to fake
             if picked is not None:
+                dec = (
+                    "avi-mjpeg"
+                    if info.compression == avi_codec.MJPG_FOURCC
+                    else "avi-dib"
+                )
                 for fi, img in picked:
-                    yield fi, img.pixels, n, "avi-dib"
+                    yield fi, img.pixels, info.n_frames, dec
                 return
         n_frames = (len(payload) + frame_size - 1) // frame_size
         for fi in range(0, n_frames, stride):

@@ -83,8 +83,13 @@ class TestGating:
     def test_compressed_fourcc_raises_unsupported(self):
         blob = bytearray(encode_avi(_frames()))
         i = blob.find(b"strf") + 8
+        blob[i + 16 : i + 20] = b"cvid"  # cinepak: genuinely gated
+        with pytest.raises(UnsupportedAVI, match="cvid"):
+            decode_avi_frames(bytes(blob))
+        assert not probe_avi(bytes(blob))
+        # MJPG fourcc over NON-JPEG frame bytes is malformed, not gated
         blob[i + 16 : i + 20] = b"MJPG"
-        with pytest.raises(UnsupportedAVI, match="MJPG"):
+        with pytest.raises(AVIError, match="MJPEG"):
             decode_avi_frames(bytes(blob))
         assert not probe_avi(bytes(blob))
 
@@ -164,6 +169,80 @@ class TestGating:
                 decode_avi_frames(bytes(buf))
             except (AVIError, UnsupportedAVI):
                 pass
+
+
+class TestMJPEG:
+    def test_flat_block_mjpeg_round_trip_exact(self):
+        # QUANT_FLAT8 flat 8x8 blocks survive the lossy codec exactly
+        # (jpeg_codec's exactness contract), so MJPEG frames round-trip
+        # byte-for-byte for these fixtures
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8
+
+        # pixel layout: 16 wide = 2 blocks; value a for cols 0-7, b for 8-15
+        fixed = []
+        for f in range(4):
+            row = bytes([40 + f]) * 8 + bytes([90 + f]) * 8
+            fixed.append(DecodedImage(16, 8, 1, row * 8))
+        blob = encode_avi(fixed, codec="mjpeg", quant_luma=QUANT_FLAT8)
+        assert probe_avi(blob)
+        info, _ = parse_avi(blob)
+        assert info.n_frames == 4
+        got = decode_avi_frames(blob)
+        for f, img in enumerate(got):
+            assert img.channels == 3  # grayscale normalized to RGB
+            expect_row = (
+                bytes([40 + f]) * 24 + bytes([90 + f]) * 24
+            )
+            assert bytes(img.pixels) == expect_row * 8
+
+    def test_rgb_mjpeg_lossy_round_trip(self):
+        w, h = 16, 16
+        px = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                px[i], px[i + 1], px[i + 2] = min(255, 14 * x), min(255, 14 * y), 120
+        frames = [DecodedImage(w, h, 3, bytes(px))] * 3
+        blob = encode_avi(frames, codec="mjpeg", quant_luma=[1] * 64)
+        got = decode_avi_frames(blob)
+        assert len(got) == 3
+        diffs = [abs(a - b) for a, b in zip(px, got[0].pixels)]
+        assert sum(diffs) / len(diffs) < 8
+
+    def test_progressive_mjpeg_frame_is_gated(self):
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8
+
+        frames = [DecodedImage(8, 8, 1, bytes([55]) * 64)]
+        blob = bytearray(encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8))
+        j = blob.find(b"\xff\xc0")  # the frame's SOF0, inside movi
+        blob[j + 1] = 0xC2
+        with pytest.raises(UnsupportedAVI, match="progressive"):
+            decode_avi_frames(bytes(blob))
+        assert not probe_avi(bytes(blob))
+
+    def test_mjpeg_spark_sampling(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8
+        from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+
+        fixed = []
+        for f in range(6):
+            row = bytes([32 + f]) * 8 + bytes([100 + f]) * 8
+            fixed.append(DecodedImage(16, 8, 1, row * 8))
+        blob = encode_avi(fixed, codec="mjpeg", quant_luma=QUANT_FLAT8)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "video/x-msvideo")],
+            "doc_id long, payload binary, content_type string",
+        )
+        out = sorted(
+            sample_frames(df, stride=2).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [r["frame_index"] for r in out] == [0, 2, 4]
+        assert all(r["decoder"] == "avi-mjpeg" and r["n_frames"] == 6 for r in out)
+        for r in out:
+            f = r["frame_index"]
+            expect_row = bytes([32 + f]) * 24 + bytes([100 + f]) * 24
+            assert bytes(r["frame_bytes"]) == expect_row * 8
 
 
 class TestSparkFramePath:
