@@ -103,6 +103,7 @@ EXTENDED = [
     "multimodal_avi_frames",
     "minhash_index_compact",
     "multimodal_image_quality",
+    "multimodal_mjpeg_frames",
 ]
 
 
