@@ -5040,6 +5040,90 @@ from feat group by doc_id
 """
 
 
+def multimodal_g711_audio(spark, sf_dir):
+    """G.711 mu-law telephony audio through the real WAV chain
+    (wav_codec format tag 7, r8): each document's first 128 sanitized
+    bytes (doubled mod 256, so expanded samples carry both signs)
+    become the companded byte stream of a mu-law WAV; decode expands
+    every byte through the standard G.711 table to the int16 range and
+    the gate emits the 4-block (mean |amplitude|, zero crossings)
+    quality integers. The oracle recomputes the expansion CLOSED-FORM
+    from ``ord()`` — u = 255 - v, magnitude ((8m + 132) << e) - 132 —
+    so a table, sign, or exponent bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        block_features,
+        decode_wav,
+        encode_g711_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ")
+            data = bytes((b * 2) % 256 for b in s.encode("ascii"))
+            wav = encode_g711_wav(data, 8000, 1, law="ulaw")
+            feats = block_features(decode_wav(wav), n_blocks=4)
+            return [v for pair in feats for v in pair]
+
+        for pdf in it:
+            rows = pdf["text"].map(mk)
+            out = {"doc_id": pdf["doc_id"]}
+            for b in range(4):
+                out[f"amp{b}"] = rows.map(lambda r, b=b: r[2 * b])
+                out[f"zc{b}"] = rows.map(lambda r, b=b: r[2 * b + 1])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _mk,
+        "doc_id long, amp0 long, zc0 long, amp1 long, zc1 long, "
+        "amp2 long, zc2 long, amp3 long, zc3 long",
+    )
+
+
+MULTIMODAL_G711_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+expanded as (
+  select doc_id, j, (j * 4) // 128 as b,
+         255 - ((ord(substr(s, j + 1, 1)) * 2) % 256) as u
+  from s, unnest(generate_series(0, 127)) as t(j)),
+samp as (
+  select doc_id, j, b,
+         cast(case when u >= 128 then -1 else 1 end
+              * ((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+              as bigint) as x
+  from expanded),
+samp2 as (
+  select doc_id, b, x,
+         lag(x) over (partition by doc_id, b order by j) as px
+  from samp),
+feat as (
+  select doc_id, b,
+         cast(sum(abs(x)) // count(*) as bigint) as amp,
+         cast(sum(case when (px < 0) <> (x < 0) then 1 else 0 end)
+              as bigint) as zc
+  from samp2 group by doc_id, b)
+select doc_id,
+       max(case when b = 0 then amp end) as amp0,
+       max(case when b = 0 then zc end) as zc0,
+       max(case when b = 1 then amp end) as amp1,
+       max(case when b = 1 then zc end) as zc1,
+       max(case when b = 2 then amp end) as amp2,
+       max(case when b = 2 then zc end) as zc2,
+       max(case when b = 3 then amp end) as amp3,
+       max(case when b = 3 then zc end) as zc3
+from feat group by doc_id
+"""
+
+
 def multimodal_image_quality(spark, sf_dir):
     """Image quality signals through the real PNG chain
     (multimodal.image_quality): the dhash gate's 16x8 grayscale
@@ -5405,6 +5489,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "multimodal_image_quality": MULTIMODAL_IMAGE_QUALITY_SQL,
+    "multimodal_g711_audio": MULTIMODAL_G711_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5689,6 +5774,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # greens by (round, name); latest recorded round: r7) ---
     "minhash_index_compact": minhash_index_compact,
     "multimodal_avi_frames": multimodal_avi_frames,
+    "multimodal_g711_audio": multimodal_g711_audio,
     "multimodal_image_quality": multimodal_image_quality,
     "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
     "multimodal_mjpeg_frames": multimodal_mjpeg_frames,
@@ -5736,10 +5822,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": gopher_repetition,
     "hard_negative_mining": hard_negative_mining,
     "heavy_hitter_grams": heavy_hitter_grams,
-    "hourly_event_rollup": hourly_event_rollup,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "incremental_dedup_cross": incremental_dedup_cross,
     "knn_label_vote": knn_label_vote_gate,
@@ -5836,6 +5922,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "hourly_event_rollup",
         "hybrid_rrf_retrieval",
         "incremental_dedup_cross",
         "knn_label_vote",

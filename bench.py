@@ -104,6 +104,7 @@ EXTENDED = [
     "minhash_index_compact",
     "multimodal_image_quality",
     "multimodal_mjpeg_frames",
+    "multimodal_g711_audio",
 ]
 
 

@@ -11,10 +11,12 @@ fingerprint (the classic broadcast-monitoring shape: one bit per
 adjacent-block energy comparison, the audio twin of the image dHash),
 which feeds the same banded hamming near-dup join.
 
-Compressed codecs (MP3/AAC/Opus/FLAC) keep the documented stub gate —
-they genuinely need external libraries. Everything here is driver-free
-pure Python over ``bytes``, run inside Arrow-batched ``mapInPandas``
-workers.
+G.711 companded telephony audio (format tags 7 mu-law / 6 A-law, r8)
+also decodes for real: expansion is a pure per-byte table lookup, so
+it costs the same as PCM. Perceptual/transform codecs (MP3/AAC/Opus/
+FLAC) keep the documented stub gate — they genuinely need external
+libraries. Everything here is driver-free pure Python over ``bytes``,
+run inside Arrow-batched ``mapInPandas`` workers.
 """
 
 from __future__ import annotations
@@ -62,6 +64,70 @@ def is_wav(payload: bytes | None) -> bool:
     )
 
 
+def _ulaw_table() -> list[int]:
+    # G.711 mu-law expansion, int16-range convention (max |x| = 32124)
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        x = (((m << 3) + 0x84) << e) - 0x84
+        out.append(-x if u & 0x80 else x)
+    return out
+
+
+def _alaw_table() -> list[int]:
+    # G.711 A-law expansion, int16-range convention (max |x| = 32256).
+    # Sign convention is the OPPOSITE of mu-law: after the 0x55 XOR,
+    # bit 7 SET means positive (verified byte-for-byte against
+    # CPython's audioop.alaw2lin).
+    out = []
+    for b in range(256):
+        a = b ^ 0x55
+        e = (a >> 4) & 0x07
+        m = a & 0x0F
+        x = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        out.append(x if a & 0x80 else -x)
+    return out
+
+
+ULAW_TABLE = _ulaw_table()
+ALAW_TABLE = _alaw_table()
+
+#: WAVE format tags this codec decodes
+FORMAT_PCM = 1
+FORMAT_ALAW = 6
+FORMAT_ULAW = 7
+
+
+def encode_g711_wav(
+    data: bytes, sample_rate: int = 8000, channels: int = 1,
+    law: str = "ulaw",
+) -> bytes:
+    """Wrap already-G.711-companded bytes in a WAV container (format
+    tag 7 mu-law / 6 A-law, 8 bits per sample) — the telephony fixture
+    builder; the decode inverse maps each byte through the standard
+    expansion table."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    tag = FORMAT_ULAW if law == "ulaw" else FORMAT_ALAW
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    return (
+        RIFF_MAGIC
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + WAVE_MAGIC
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
     """True iff :func:`decode_wav` would succeed — a header/chunk-walk
     probe (PCM format, 8/16-bit, fmt+data present, sample budget)
@@ -88,7 +154,11 @@ def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
     audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_format != 1 or channels < 1 or sample_rate < 1:
+    if channels < 1 or sample_rate < 1:
+        return False
+    if audio_format in (FORMAT_ALAW, FORMAT_ULAW):
+        return bits == 8 and data_len <= max_samples
+    if audio_format != FORMAT_PCM:
         return False
     if bits == 16:
         return not (data_len & 1) and data_len // 2 <= max_samples
@@ -127,10 +197,24 @@ def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
     audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_format != 1:  # PCM
-        raise UnsupportedWAV(f"audio format {audio_format} (only PCM=1)")
+    if audio_format not in (FORMAT_PCM, FORMAT_ALAW, FORMAT_ULAW):
+        raise UnsupportedWAV(
+            f"audio format {audio_format} (PCM=1, A-law=6, mu-law=7)"
+        )
     if channels < 1 or sample_rate < 1:
         raise WAVError("invalid channel count / sample rate")
+    if audio_format in (FORMAT_ALAW, FORMAT_ULAW):
+        # G.711 companded telephony audio: one byte per sample, each
+        # expanded through the standard table to the int16 range
+        if bits != 8:
+            raise WAVError(f"G.711 must be 8-bit, fmt says {bits}")
+        if len(data) > max_samples:
+            raise UnsupportedWAV(
+                f"{len(data)} samples exceed the {max_samples}-sample budget"
+            )
+        table = ULAW_TABLE if audio_format == FORMAT_ULAW else ALAW_TABLE
+        samples = array("h", (table[b] for b in data))
+        return DecodedAudio(sample_rate, channels, samples)
     if bits == 16:
         if len(data) & 1:
             # strict malformed-container doctrine: a 16-bit data chunk

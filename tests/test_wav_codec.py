@@ -196,3 +196,70 @@ class TestSparkAudioPath:
         assert list(a.samples) == [5, -5]
         with pytest.raises(NotImplementedError):
             decode_audio(b"\xff\xfb mp3 frame")
+
+
+class TestG711:
+    def test_tables_match_cpython_audioop(self):
+        # independent oracle: CPython's C implementation of G.711
+        # (audioop ships through 3.12; skip if the runtime dropped it)
+        audioop = pytest.importorskip("audioop")
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            ALAW_TABLE,
+            ULAW_TABLE,
+        )
+
+        u_ref = list(struct.unpack("<256h", audioop.ulaw2lin(bytes(range(256)), 2)))
+        a_ref = list(struct.unpack("<256h", audioop.alaw2lin(bytes(range(256)), 2)))
+        assert ULAW_TABLE == u_ref
+        assert ALAW_TABLE == a_ref
+
+    def test_decode_roundtrip_both_laws(self):
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            ALAW_TABLE,
+            ULAW_TABLE,
+            encode_g711_wav,
+        )
+
+        data = bytes(range(0, 256, 2))
+        for law, table in (("ulaw", ULAW_TABLE), ("alaw", ALAW_TABLE)):
+            blob = encode_g711_wav(data, 16000, 1, law=law)
+            assert probe_wav(blob), law
+            a = decode_wav(blob)
+            assert (a.sample_rate, a.channels) == (16000, 1)
+            assert list(a.samples) == [table[b] for b in data], law
+
+    def test_g711_guards(self):
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_g711_wav,
+        )
+
+        with pytest.raises(ValueError):
+            encode_g711_wav(b"\x00", law="gsm")
+        blob = bytearray(encode_g711_wav(bytes(64)))
+        # forge bits=16 into the fmt chunk: G.711 must be 8-bit
+        i = blob.find(b"fmt ") + 8
+        blob[i + 14 : i + 16] = struct.pack("<H", 16)
+        with pytest.raises(WAVError, match="8-bit"):
+            decode_wav(bytes(blob))
+        assert not probe_wav(bytes(blob))
+        # budget applies to companded bytes too
+        with pytest.raises(UnsupportedWAV, match="budget"):
+            decode_wav(encode_g711_wav(bytes(64)), max_samples=4)
+
+    def test_mulaw_flows_through_multimodal(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            extract_payload_metadata,
+        )
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_g711_wav,
+        )
+
+        blob = encode_g711_wav(bytes(range(128)))
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "audio/basic")],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = extract_payload_metadata(df).first()
+        assert got["decode_status"] == "ok"  # real decoder exists
+        a = decode_audio(blob)
+        assert len(a.samples) == 128
