@@ -5124,6 +5124,117 @@ from feat group by doc_id
 """
 
 
+def multimodal_adpcm_audio(spark, sf_dir):
+    """IMA ADPCM (WAV format tag 0x11) — the STATEFUL codec gate: each
+    document's first 64 sanitized bytes become the nibble stream of a
+    one-block mono ADPCM WAV (initial predictor 0, step index 0);
+    decode runs the real block walk (header parse + 128
+    ``ima_adpcm_step`` transitions, cross-validated byte-for-byte
+    against CPython's audioop) and the gate emits exact stream
+    reductions (sample count, final predictor, sum, abs-sum). The
+    oracle replays the SAME recurrence in pure SQL — a RECURSIVE CTE
+    stepping (predictor, index) through the step/index tables — so a
+    clamp, sign, nibble-order or table bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        decode_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:64].ljust(64, " ")
+            a = decode_wav(encode_ima_adpcm_wav(s.encode("ascii")))
+            xs = list(a.samples)
+            return (
+                len(xs),
+                xs[-1],
+                sum(xs),
+                sum(abs(x) for x in xs),
+            )
+
+        for pdf in it:
+            rows = pdf["text"].map(mk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": rows.map(lambda r: r[0]),
+                    "last_sample": rows.map(lambda r: r[1]),
+                    "sum_samples": rows.map(lambda r: r[2]),
+                    "sum_abs": rows.map(lambda r: r[3]),
+                }
+            )
+
+    return docs.mapInPandas(
+        _mk,
+        "doc_id long, n_samples long, last_sample long, "
+        "sum_samples long, sum_abs long",
+    )
+
+
+def _adpcm_oracle_sql() -> str:
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        IMA_INDEX_ADJUST,
+        IMA_STEP_TABLE,
+    )
+
+    steps = ", ".join(
+        f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE)
+    )
+    adjs = ", ".join(f"({k}, {a})" for k, a in enumerate(IMA_INDEX_ADJUST))
+    delta = (
+        "(st.st // 8)"
+        " + case when nib.n % 8 >= 4 then st.st else 0 end"
+        " + case when (nib.n // 2) % 2 = 1 then st.st // 2 else 0 end"
+        " + case when nib.n % 2 = 1 then st.st // 4 else 0 end"
+    )
+    return f"""
+with recursive s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 64),
+              64, ' ') as s
+  from documents),
+nib as (
+  select doc_id, j,
+         case when j % 2 = 0
+              then ord(substr(s, j // 2 + 1, 1)) % 16
+              else ord(substr(s, j // 2 + 1, 1)) // 16 end as n
+  from s, unnest(generate_series(0, 127)) as t(j)),
+stepmap(i, st) as (values {steps}),
+adjmap(k, adj) as (values {adjs}),
+walk(doc_id, j, pred, idx, ssum, sabs) as (
+  select doc_id, -1, 0, 0, cast(0 as bigint), cast(0 as bigint) from s
+  union all
+  select doc_id, j, pred2, idx2,
+         ssum + pred2, sabs + abs(pred2)
+  from (
+    select w.doc_id, nib.j as j, w.ssum, w.sabs,
+           cast(greatest(-32768, least(32767,
+             w.pred + case when nib.n >= 8
+                           then -({delta}) else ({delta}) end))
+                as bigint) as pred2,
+           greatest(0, least(88, w.idx + a.adj)) as idx2
+    from walk w
+    join nib on nib.doc_id = w.doc_id and nib.j = w.j + 1
+    join stepmap st on st.i = w.idx
+    join adjmap a on a.k = nib.n % 8) q)
+select doc_id,
+       cast(129 as bigint) as n_samples,
+       cast(pred as bigint) as last_sample,
+       ssum as sum_samples,
+       sabs as sum_abs
+from walk where j = 127
+"""
+
+
+MULTIMODAL_ADPCM_SQL = _adpcm_oracle_sql()
+
+
 def multimodal_image_quality(spark, sf_dir):
     """Image quality signals through the real PNG chain
     (multimodal.image_quality): the dhash gate's 16x8 grayscale
@@ -5490,6 +5601,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_audio_quality": MULTIMODAL_AUDIO_QUALITY_SQL,
     "multimodal_image_quality": MULTIMODAL_IMAGE_QUALITY_SQL,
     "multimodal_g711_audio": MULTIMODAL_G711_SQL,
+    "multimodal_adpcm_audio": MULTIMODAL_ADPCM_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "bm25_ranking": BM25_SQL,
@@ -5773,6 +5885,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r7) ---
     "minhash_index_compact": minhash_index_compact,
+    "multimodal_adpcm_audio": multimodal_adpcm_audio,
     "multimodal_avi_frames": multimodal_avi_frames,
     "multimodal_g711_audio": multimodal_g711_audio,
     "multimodal_image_quality": multimodal_image_quality,
@@ -5821,10 +5934,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": gopher_quality,
     "gopher_repetition": gopher_repetition,
     "hard_negative_mining": hard_negative_mining,
-    "heavy_hitter_grams": heavy_hitter_grams,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "incremental_dedup_cross": incremental_dedup_cross,
@@ -5922,6 +6035,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "heavy_hitter_grams",
         "hourly_event_rollup",
         "hybrid_rrf_retrieval",
         "incremental_dedup_cross",

@@ -105,6 +105,7 @@ EXTENDED = [
     "multimodal_image_quality",
     "multimodal_mjpeg_frames",
     "multimodal_g711_audio",
+    "multimodal_adpcm_audio",
 ]
 
 

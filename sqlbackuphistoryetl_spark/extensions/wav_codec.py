@@ -98,6 +98,79 @@ ALAW_TABLE = _alaw_table()
 FORMAT_PCM = 1
 FORMAT_ALAW = 6
 FORMAT_ULAW = 7
+FORMAT_IMA_ADPCM = 0x11
+
+#: IMA/DVI ADPCM tables (IMA ADPCM reference algorithm; identical to
+#: the Intel/DVI variant CPython's audioop implements — decode is
+#: cross-validated against it in the tests, modulo WAV's
+#: low-nibble-first packing vs audioop's high-first)
+IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+
+
+def ima_adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, index) + 4-bit code
+    -> new (predictor, index). Exposed so tests/oracles can replicate
+    the recurrence independently of the block walk."""
+    step = IMA_STEP_TABLE[idx]
+    delta = step >> 3
+    if nibble & 4:
+        delta += step
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 1:
+        delta += step >> 2
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    idx += IMA_INDEX_ADJUST[nibble & 7]
+    idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+    return pred, idx
+
+
+def encode_ima_adpcm_wav(
+    data_nibble_bytes: bytes,
+    sample_rate: int = 8000,
+    predictor: int = 0,
+    step_index: int = 0,
+) -> bytes:
+    """Wrap raw ADPCM nibble bytes in a mono IMA-ADPCM WAV (format tag
+    0x11): one block, the standard 4-byte block header (initial
+    predictor int16, step index, reserved), then the caller's data
+    bytes — two low-nibble-first codes each. The fixture builder for
+    the stateful-decode gate; decode emits the header predictor as
+    sample 0 followed by one sample per nibble."""
+    if not (-32768 <= predictor <= 32767 and 0 <= step_index <= 88):
+        raise ValueError("invalid initial ADPCM state")
+    block = struct.pack("<hBB", predictor, step_index, 0) + data_nibble_bytes
+    block_align = len(block)
+    samples_per_block = 1 + 2 * len(data_nibble_bytes)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        FORMAT_IMA_ADPCM, 1, sample_rate,
+        sample_rate,  # nominal byte rate
+        block_align, 4,
+        2, samples_per_block,  # cbSize, wSamplesPerBlock
+    )
+    return (
+        RIFF_MAGIC
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + WAVE_MAGIC
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(block))
+        + block
+    )
 
 
 def encode_g711_wav(
@@ -139,6 +212,7 @@ def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
     pos, n = 12, len(payload)
     fmt = None
     data_len = None
+    data_start = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -148,6 +222,7 @@ def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
             fmt = payload[pos + 8 : pos + 8 + clen]
         elif cid == b"data":
             data_len = clen
+            data_start = pos + 8
         pos += 8 + clen + (clen & 1)
     if fmt is None or len(fmt) < 16 or data_len is None:
         return False
@@ -156,6 +231,20 @@ def probe_wav(payload: bytes | None, max_samples: int = MAX_SAMPLES) -> bool:
     )
     if channels < 1 or sample_rate < 1:
         return False
+    if audio_format == FORMAT_IMA_ADPCM:
+        ba = _ba
+        if channels != 1 or bits != 4 or ba < 5:
+            return False
+        tails = [min(ba, data_len - p) for p in range(0, data_len, ba)]
+        if any(t < 4 for t in tails):
+            return False
+        if sum(1 + 2 * (t - 4) for t in tails) > max_samples:
+            return False
+        # per-block state header sanity (decode raises on index > 88)
+        return all(
+            payload[data_start + p + 2] <= 88
+            for p in range(0, data_len, ba)
+        )
     if audio_format in (FORMAT_ALAW, FORMAT_ULAW):
         return bits == 8 and data_len <= max_samples
     if audio_format != FORMAT_PCM:
@@ -197,12 +286,47 @@ def decode_wav(payload: bytes, max_samples: int = MAX_SAMPLES) -> DecodedAudio:
     audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_format not in (FORMAT_PCM, FORMAT_ALAW, FORMAT_ULAW):
+    if audio_format not in (
+        FORMAT_PCM, FORMAT_ALAW, FORMAT_ULAW, FORMAT_IMA_ADPCM
+    ):
         raise UnsupportedWAV(
-            f"audio format {audio_format} (PCM=1, A-law=6, mu-law=7)"
+            f"audio format {audio_format} "
+            f"(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
     if channels < 1 or sample_rate < 1:
         raise WAVError("invalid channel count / sample rate")
+    if audio_format == FORMAT_IMA_ADPCM:
+        # stateful 4-bit codec: per block, a (predictor, step index)
+        # header then low-nibble-first codes through ima_adpcm_step
+        if channels != 1:
+            raise UnsupportedWAV("IMA ADPCM: mono only")
+        if bits != 4:
+            raise WAVError(f"IMA ADPCM must be 4-bit, fmt says {bits}")
+        block_align = _ba
+        if block_align < 5:
+            raise WAVError("IMA ADPCM block_align below header size")
+        est = sum(
+            1 + 2 * (min(block_align, len(data) - p) - 4)
+            for p in range(0, len(data), block_align)
+        )
+        if est > max_samples:
+            raise UnsupportedWAV(
+                f"{est} samples exceed the {max_samples}-sample budget"
+            )
+        samples = array("h")
+        for p in range(0, len(data), block_align):
+            block = data[p : p + block_align]
+            if len(block) < 4:
+                raise WAVError("truncated IMA ADPCM block")
+            pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+            if idx > 88:
+                raise WAVError("IMA ADPCM step index out of range")
+            samples.append(pred)
+            for b in block[4:]:
+                for nib in (b & 0x0F, b >> 4):
+                    pred, idx = ima_adpcm_step(pred, idx, nib)
+                    samples.append(pred)
+        return DecodedAudio(sample_rate, 1, samples)
     if audio_format in (FORMAT_ALAW, FORMAT_ULAW):
         # G.711 companded telephony audio: one byte per sample, each
         # expanded through the standard table to the int16 range

@@ -263,3 +263,77 @@ class TestG711:
         assert got["decode_status"] == "ok"  # real decoder exists
         a = decode_audio(blob)
         assert len(a.samples) == 128
+
+
+class TestIMAADPCM:
+    def test_decode_matches_cpython_audioop(self):
+        # audioop implements the same Intel/DVI algorithm but packs
+        # HIGH nibble first; WAV is low-first, so swap per byte
+        audioop = pytest.importorskip("audioop")
+        import random
+
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_ima_adpcm_wav,
+        )
+
+        rng = random.Random(5)
+        data = bytes(rng.randrange(256) for _ in range(64))
+        a = decode_wav(encode_ima_adpcm_wav(data))
+        assert len(a.samples) == 129 and a.samples[0] == 0
+        swapped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in data)
+        ref, _ = audioop.adpcm2lin(swapped, 2, (0, 0))
+        assert list(a.samples)[1:] == list(
+            struct.unpack(f"<{len(ref) // 2}h", ref)
+        )
+
+    def test_initial_state_rides_the_block_header(self):
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_ima_adpcm_wav,
+            ima_adpcm_step,
+        )
+
+        data = bytes(range(32))
+        a = decode_wav(encode_ima_adpcm_wav(data, predictor=-1234, step_index=40))
+        assert a.samples[0] == -1234
+        pred, idx = -1234, 40
+        for b in data:
+            for nib in (b & 15, b >> 4):
+                pred, idx = ima_adpcm_step(pred, idx, nib)
+        assert a.samples[-1] == pred
+
+    def test_clamps_and_guards(self):
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_ima_adpcm_wav,
+            ima_adpcm_step,
+        )
+
+        # predictor clamps at the int16 rails
+        pred, idx = 32700, 88
+        pred, _ = ima_adpcm_step(pred, idx, 0x7)  # big positive delta
+        assert pred == 32767
+        pred, _ = ima_adpcm_step(-32700, 88, 0xF)  # big negative
+        assert pred == -32768
+        with pytest.raises(ValueError):
+            encode_ima_adpcm_wav(b"", step_index=89)
+        # forged out-of-range step index in the block header
+        blob = bytearray(encode_ima_adpcm_wav(bytes(8)))
+        i = blob.find(b"data") + 8
+        blob[i + 2] = 99
+        with pytest.raises(WAVError, match="step index"):
+            decode_wav(bytes(blob))
+        assert not probe_wav(bytes(blob))
+        # truncated block (header shorter than 4 bytes)
+        short = bytearray(encode_ima_adpcm_wav(bytes(8)))
+        j = short.find(b"data")
+        short[j + 4 : j + 8] = struct.pack("<I", 3)
+        with pytest.raises(WAVError, match="truncated"):
+            decode_wav(bytes(short[: j + 8 + 3]))
+
+    def test_probe_mirrors_decode(self):
+        from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+            encode_ima_adpcm_wav,
+        )
+
+        good = encode_ima_adpcm_wav(bytes(range(16)))
+        assert probe_wav(good) and decode_wav(good)
+        assert not probe_wav(good, max_samples=8)  # budget mirrored
