@@ -5,12 +5,12 @@ NotImplementedError gate because no codec libraries ship in this
 container — but PNG (RFC 2083 / ISO 15948) needs nothing beyond
 ``zlib`` + ``struct``: signature, chunked layout with CRC-32, IDAT is a
 zlib stream of filtered scanlines. This module implements the decode
-path for the common 8-bit-per-sample forms (grayscale, RGB, palette,
-gray+alpha, RGBA; all five scanline filters) plus a minimal encoder
-(filter 0 + zlib), so ``decode_and_featurize`` can featurize REAL
-pixels for PNG payloads. Interlaced (Adam7) and 16-bit images raise
-``UnsupportedPNG`` — they fall back to the documented stub gate, same
-as non-PNG formats.
+path for every full-byte form (grayscale, RGB, palette, gray+alpha,
+RGBA; 8- and 16-bit depths; sequential and Adam7-interlaced; all five
+scanline filters) plus a minimal encoder (filter 0 + zlib), so
+``decode_and_featurize`` can featurize REAL pixels for PNG payloads.
+Sub-byte palette depths raise ``UnsupportedPNG`` — they fall back to
+the documented stub gate, same as non-PNG formats.
 
 Everything here is driver-free pure Python over ``bytes`` — it runs
 inside the Arrow-batched ``mapInPandas`` workers of
@@ -34,8 +34,9 @@ class PNGError(ValueError):
 
 
 class UnsupportedPNG(NotImplementedError):
-    """Valid PNG, but a form this codec doesn't implement (16-bit,
-    interlaced, <8-bit palette). Callers treat it like the stub gate."""
+    """Valid PNG, but a form this codec doesn't implement (sub-byte
+    depths; 16-bit and Adam7 decode for real as of r8). Callers treat
+    it like the stub gate."""
 
 
 @dataclass
@@ -132,8 +133,9 @@ MAX_SAMPLE_BYTES = 1 << 27
 def probe_png(payload: bytes | None, max_sample_bytes: int = MAX_SAMPLE_BYTES) -> bool:
     """Cheap header probe: does :func:`decode_png` implement this
     payload's FORM? Parses the signature + IHDR only (no IDAT
-    decompression), rejecting 16-bit, interlaced, invalid color types,
-    and over-budget dimensions. A True probe can still fail decode on a
+    decompression), rejecting sub-byte depths, invalid color types /
+    interlace methods, and over-budget dimensions (8/16-bit and Adam7
+    decode for real as of r8). A True probe can still fail decode on a
     corrupt body — it answers "does a decoder exist", the metadata
     question, in O(1)."""
     if not is_png(payload) or len(payload) < 33:
@@ -147,27 +149,53 @@ def probe_png(payload: bytes | None, max_sample_bytes: int = MAX_SAMPLE_BYTES) -
     except struct.error:
         return False
     return (
-        bit_depth == 8
-        and interlace == 0
+        bit_depth in (8, 16)
+        and not (bit_depth == 16 and color_type == 3)
+        and interlace in (0, 1)
         and color_type in _CHANNELS
         and 0 < width
         and 0 < height
-        and width * height * _CHANNELS[color_type] <= max_sample_bytes
+        and width * height * _CHANNELS[color_type] * (bit_depth // 8)
+        <= max_sample_bytes
     )
+
+
+#: Adam7 pass grid: (xstart, ystart, xstep, ystep) per pass (spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_passes(width: int, height: int):
+    """(xstart, ystart, xstep, ystep, subw, subh) for each non-empty
+    pass."""
+    out = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        subw = (width - xs + xstep - 1) // xstep
+        subh = (height - ys + ystep - 1) // ystep
+        if subw > 0 and subh > 0:
+            out.append((xs, ys, xstep, ystep, subw, subh))
+    return out
 
 
 def decode_png(
     payload: bytes, max_sample_bytes: int = MAX_SAMPLE_BYTES
 ) -> DecodedImage:
-    """Decode an 8-bit non-interlaced PNG to raw samples.
+    """Decode an 8- or 16-bit PNG, sequential or Adam7-interlaced, to
+    8-bit raw samples.
 
-    Palette images expand to RGB through PLTE. Raises :class:`PNGError`
-    for malformed input and :class:`UnsupportedPNG` for valid-but-
-    unimplemented forms (16-bit samples, Adam7 interlace, sub-byte
-    palette depths) and for images whose declared sample mass exceeds
-    ``max_sample_bytes`` (decompression-bomb guard — the zlib stream is
-    also decompressed with an exact expected-size bound, so a hostile
-    IDAT can't materialize more than the declared raw size)."""
+    Palette images expand to RGB through PLTE. 16-bit samples reduce
+    to their high byte (the spec-sanctioned 8-bit approximation, what
+    every viewer shows). Adam7 streams unfilter each pass as its own
+    sub-image and scatter pixels onto the full grid (spec §8.2).
+    Raises :class:`PNGError` for malformed input and
+    :class:`UnsupportedPNG` for the remaining unimplemented forms
+    (sub-byte palette depths) and for images whose declared sample
+    mass exceeds ``max_sample_bytes`` (decompression-bomb guard — the
+    zlib stream is also decompressed with an exact expected-size
+    bound, so a hostile IDAT can't materialize more than the declared
+    raw size)."""
     if not is_png(payload):
         raise PNGError("not a PNG (bad signature)")
     width = height = None
@@ -189,23 +217,31 @@ def decode_png(
         raise PNGError("missing IHDR")
     if color_type not in _CHANNELS:
         raise PNGError(f"invalid color type {color_type}")
-    if interlace:
-        raise UnsupportedPNG("Adam7 interlace not implemented")
-    if bit_depth != 8:
+    if interlace not in (0, 1):
+        raise PNGError(f"invalid interlace method {interlace}")
+    if bit_depth not in (8, 16):
         raise UnsupportedPNG(f"bit depth {bit_depth} not implemented")
+    if bit_depth == 16 and color_type == 3:
+        raise PNGError("palette images cannot be 16-bit")
     if not idat:
         raise PNGError("missing IDAT")
     if width == 0 or height == 0:
         raise PNGError("zero-dimension image")
-    bpp = _CHANNELS[color_type]
+    sampbytes = bit_depth // 8
+    bpp = _CHANNELS[color_type] * sampbytes
     if width * height * bpp > max_sample_bytes:
         raise UnsupportedPNG(
             f"declared sample mass {width}x{height}x{bpp} exceeds the "
             f"{max_sample_bytes}-byte decode budget"
         )
-    # exact expected raw size: one filter byte + stride per scanline;
-    # decompress with that bound so a bomb IDAT can't exceed it
-    expected = height * (1 + width * bpp)
+    # exact expected raw size: one filter byte + stride per scanline
+    # (per pass for Adam7); decompress with that bound so a bomb IDAT
+    # can't exceed it
+    if interlace:
+        passes = _adam7_passes(width, height)
+        expected = sum(subh * (1 + subw * bpp) for *_xy, subw, subh in passes)
+    else:
+        expected = height * (1 + width * bpp)
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected)
@@ -213,7 +249,31 @@ def decode_png(
             raise PNGError("IDAT decompresses past the declared size")
     except zlib.error as e:  # pragma: no cover - zlib message passthrough
         raise PNGError(f"bad IDAT stream: {e}") from e
-    pixels = _unfilter(raw, width, height, bpp)
+    if interlace:
+        # each pass is its own filtered sub-image; unfilter it alone
+        # (filters reference the previous scanline OF THE SAME PASS)
+        # and scatter its pixels onto the full grid
+        pixels = bytearray(width * height * bpp)
+        pos = 0
+        for xs, ys, xstep, ystep, subw, subh in passes:
+            plen = subh * (1 + subw * bpp)
+            sub = _unfilter(raw[pos : pos + plen], subw, subh, bpp)
+            pos += plen
+            for ry in range(subh):
+                y = ys + ry * ystep
+                srow = ry * subw * bpp
+                for rx in range(subw):
+                    x = xs + rx * xstep
+                    dst = (y * width + x) * bpp
+                    src = srow + rx * bpp
+                    pixels[dst : dst + bpp] = sub[src : src + bpp]
+    else:
+        pixels = _unfilter(raw, width, height, bpp)
+    if sampbytes == 2:
+        # 16-bit -> 8-bit: keep each big-endian sample's high byte
+        # (the spec's recommended depth reduction)
+        pixels = pixels[0::2]
+        bpp //= 2
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise PNGError("palette image without valid PLTE")

@@ -103,7 +103,71 @@ def _ref_png(
     return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
 
 
+def _ref_png_interlaced(
+    pixels: bytes, width: int, height: int, color_type: int,
+    rng: random.Random,
+) -> bytes:
+    """Adam7 reference interlacer (random filter per pass scanline)."""
+    from sqlbackuphistoryetl_spark.extensions.png_codec import _adam7_passes
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = bytearray()
+    for xs, ys, xstep, ystep, subw, subh in _adam7_passes(width, height):
+        # extract the pass sub-image, then filter it like a standalone
+        # image (spec: filters reference the previous line of the PASS)
+        sub = bytearray()
+        for ry in range(subh):
+            y = ys + ry * ystep
+            for rx in range(subw):
+                x = xs + rx * xstep
+                o = (y * width + x) * bpp
+                sub += pixels[o : o + bpp]
+        filters = [rng.randrange(5) for _ in range(subh)]
+        stride = subw * bpp
+        for ry in range(subh):
+            f = filters[ry]
+            raw.append(f)
+            row = sub[ry * stride : (ry + 1) * stride]
+            prior = sub[(ry - 1) * stride : ry * stride] if ry else b"\x00" * stride
+            for x in range(stride):
+                cur = row[x]
+                left = row[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = cur
+                elif f == 1:
+                    v = cur - left
+                elif f == 2:
+                    v = cur - up
+                elif f == 3:
+                    v = cur - ((left + up) >> 1)
+                else:
+                    v = cur - _paeth(left, up, ul)
+                raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 class TestPNGFuzz:
+    def test_interlaced_vs_reference_all_filters(self):
+        rng = random.Random(777)
+        for trial in range(120):
+            color_type = rng.choice([0, 2, 4, 6])
+            bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            w = rng.randrange(1, 14)
+            h = rng.randrange(1, 14)
+            px = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+            blob = _ref_png_interlaced(px, w, h, color_type, rng)
+            img = decode_png(blob)
+            assert (img.width, img.height, img.channels) == (w, h, bpp)
+            assert img.pixels == px, (trial, color_type, w, h)
+
     def test_decoder_vs_reference_encoder_all_filters_and_types(self):
         rng = random.Random(1234)
         for trial in range(250):

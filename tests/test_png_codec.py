@@ -121,10 +121,68 @@ class TestDecode:
             decode_png(corrupted)
 
     def test_unsupported_forms_gate(self):
+        # 16-bit and Adam7 decode for real since r8; the remaining
+        # gated form is sub-byte depths
         with pytest.raises(UnsupportedPNG):
-            decode_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
-        with pytest.raises(UnsupportedPNG):
-            decode_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
+            decode_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=4))
+        with pytest.raises(PNGError):  # 16-bit palette is malformed
+            decode_png(_png(1, 1, 3, b"\x00\x00\x00", bit_depth=16))
+
+    def test_16bit_reduces_to_high_byte(self):
+        img = decode_png(_png(1, 1, 0, b"\x00\xab\xcd", bit_depth=16))
+        assert img.pixels == b"\xab"
+        # RGB 16-bit, 2x1: 6 samples of 2 bytes each per row
+        row = b"\x00" + bytes(
+            [0x11, 0x99, 0x22, 0x88, 0x33, 0x77, 0x44, 0x66, 0x55, 0x01, 0x66, 0x02]
+        )
+        img = decode_png(_png(2, 1, 2, row, bit_depth=16))
+        assert img.pixels == bytes([0x11, 0x22, 0x33, 0x44, 0x55, 0x66])
+
+    def test_adam7_matches_sequential(self):
+        # reference interlacer: extract each Adam7 pass, filter 0
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            _adam7_passes,
+        )
+
+        import random
+
+        rng = random.Random(13)
+        for w, h, ct in [(8, 8, 0), (9, 7, 2), (3, 5, 0), (1, 1, 0),
+                         (2, 2, 6), (16, 4, 4)]:
+            bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            px = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+            raw = bytearray()
+            for xs, ys, xstep, ystep, subw, subh in _adam7_passes(w, h):
+                for ry in range(subh):
+                    raw.append(0)  # filter none
+                    y = ys + ry * ystep
+                    for rx in range(subw):
+                        x = xs + rx * xstep
+                        o = (y * w + x) * bpp
+                        raw += px[o : o + bpp]
+            img = decode_png(_png(w, h, ct, bytes(raw), interlace=1))
+            assert (img.width, img.height, img.channels) == (w, h, bpp)
+            assert img.pixels == px, (w, h, ct)
+
+    def test_adam7_16bit_combined(self):
+        # 2x2 gray 16-bit interlaced: passes 1 (1px), 6 (1px), 7 (2px)
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            _adam7_passes,
+        )
+
+        px16 = {  # (x, y) -> 2-byte sample
+            (0, 0): b"\xaa\x01", (1, 0): b"\xbb\x02",
+            (0, 1): b"\xcc\x03", (1, 1): b"\xdd\x04",
+        }
+        raw = bytearray()
+        for xs, ys, xstep, ystep, subw, subh in _adam7_passes(2, 2):
+            for ry in range(subh):
+                raw.append(0)
+                y = ys + ry * ystep
+                for rx in range(subw):
+                    raw += px16[(xs + rx * xstep, y)]
+        img = decode_png(_png(2, 2, 0, bytes(raw), bit_depth=16, interlace=1))
+        assert img.pixels == bytes([0xAA, 0xBB, 0xCC, 0xDD])
 
     def test_is_png(self):
         assert is_png(_png(1, 1, 0, b"\x00\x7f"))
@@ -258,8 +316,13 @@ class TestHostilePayloads:
         assert probe_png(good)
         assert not probe_png(b"not png")
         assert not probe_png(None)
-        assert not probe_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
-        assert not probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
+        # 16-bit and Adam7 probe True since r8 (they decode for real);
+        # sub-byte depths and bad interlace methods stay rejected
+        assert probe_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
+        assert probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
+        assert not probe_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=4))
+        assert not probe_png(_png(1, 1, 3, b"\x00\x00\x00", bit_depth=16))
+        assert not probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=2))
         # over-budget dims probe False without touching IDAT
         huge = (
             PNG_SIGNATURE
@@ -287,14 +350,19 @@ class TestHostilePayloads:
         assert got == {1: "fake-sha256", 2: "png-zlib"}
 
     def test_metadata_probe_not_just_signature(self, spark):
-        # a 16-bit PNG passes is_png but decode_image can't take it:
-        # metadata must say 'stubbed', not 'ok'
+        # a sub-byte-depth PNG passes is_png but decode_image can't
+        # take it: metadata must say 'stubbed', not 'ok' (16-bit and
+        # Adam7 report 'ok' since r8 — they decode for real)
+        four = _png(1, 1, 0, b"\x00\x0f", bit_depth=4)
         sixteen = _png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16)
         df = spark.createDataFrame(
-            [(1, bytearray(sixteen), "image/png")],
+            [(1, bytearray(four), "image/png"),
+             (2, bytearray(sixteen), "image/png")],
             "doc_id long, payload binary, content_type string",
         )
-        assert extract_payload_metadata(df).first()["decode_status"] == "stubbed"
+        got = {r["doc_id"]: r["decode_status"]
+               for r in extract_payload_metadata(df).collect()}
+        assert got == {1: "stubbed", 2: "ok"}
 
 
 class TestImageDHash:
