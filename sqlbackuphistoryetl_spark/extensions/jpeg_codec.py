@@ -23,9 +23,14 @@ Implemented here:
   checks process, precision, sampling and the pixel budget without
   entropy-decoding, mirroring ``png_codec.probe_png``.
 
-Progressive (SOF2), arithmetic-coded (SOF9+), hierarchical, 12-bit
-and >2x sampling forms raise :class:`UnsupportedJPEG` — they fall
-back to the documented stub gate exactly like non-JPEG formats.
+Spectral-selection progressive (SOF2 with Ah=Al=0 — a DC scan plus
+per-component AC band scans with EOBn run coding) also decodes for
+real since r8: coefficients accumulate across scans and dequant+IDCT
+run once at the end, so the result is bit-identical to a sequential
+decode of the same coefficients. Successive-approximation progressive
+scans (Ah or Al nonzero), arithmetic coding (SOF9+), hierarchical,
+12-bit and >2x sampling forms raise :class:`UnsupportedJPEG` — they
+fall back to the documented stub gate exactly like non-JPEG formats.
 
 Exactness contract the gate oracles rely on: a block whose 64 samples
 are one constant value ``v`` round-trips EXACTLY through
@@ -375,8 +380,75 @@ def _parse_segments(payload: bytes):
     raise JPEGError("no SOS marker before end of payload")
 
 
+def _parse_dqt(body: bytes, quant: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq not in (0, 1):
+            raise JPEGError("bad DQT precision")
+        step = 2 if pq else 1
+        if i + 64 * step > len(body):
+            raise JPEGError("truncated DQT")
+        tbl = [0] * 64
+        for z in range(64):
+            v = struct.unpack(">H", body[i : i + 2])[0] if pq else body[i]
+            tbl[ZIGZAG[z]] = v
+            i += step
+        quant[tq] = tbl
+
+
+def _parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i + 17 <= len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nv])
+        if len(vals) != nv:
+            raise JPEGError("truncated DHT")
+        (huff_ac if tc else huff_dc)[th] = _canonical_codes(bits, vals)
+        i += 17 + nv
+
+
+def _planes_to_image(
+    planes: list, comps: list, width: int, height: int,
+    hmax: int, vmax: int,
+) -> DecodedImage:
+    """Shared finish: crop grayscale / upsample + YCbCr->RGB."""
+    if len(comps) == 1:
+        plane, pw, _ph = planes[0]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = plane[y * pw : y * pw + width]
+        return DecodedImage(width, height, 1, bytes(out))
+    out = bytearray(width * height * 3)
+    yp, ypw, _ = planes[0]
+    cbp, cbpw, _ = planes[1]
+    crp, crpw, _ = planes[2]
+    hy, vy = comps[0][0], comps[0][1]
+    hcb, vcb = comps[1][0], comps[1][1]
+    hcr, vcr = comps[2][0], comps[2][1]
+    for row in range(height):
+        dst = row * width * 3
+        yrow = ((row * vy) // vmax) * ypw
+        cbrow = ((row * vcb) // vmax) * cbpw
+        crrow = ((row * vcr) // vmax) * crpw
+        for col in range(width):
+            Y = yp[yrow + (col * hy) // hmax]
+            Cb = cbp[cbrow + (col * hcb) // hmax] - 128
+            Cr = crp[crrow + (col * hcr) // hmax] - 128
+            r = int(round(Y + 1.402 * Cr))
+            g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+            b = int(round(Y + 1.772 * Cb))
+            d = dst + col * 3
+            out[d] = 0 if r < 0 else (255 if r > 255 else r)
+            out[d + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[d + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return DecodedImage(width, height, 3, bytes(out))
+
+
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -402,40 +474,15 @@ def _parse_header(payload: bytes, max_pixels: int):
     frame = None
     for marker, body, end in _parse_segments(payload):
         if marker == DQT:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq not in (0, 1):
-                    raise JPEGError("bad DQT precision")
-                step = 2 if pq else 1
-                if i + 64 * step > len(body):
-                    raise JPEGError("truncated DQT")
-                tbl = [0] * 64
-                for z in range(64):
-                    v = (
-                        struct.unpack(">H", body[i : i + 2])[0]
-                        if pq
-                        else body[i]
-                    )
-                    tbl[ZIGZAG[z]] = v
-                    i += step
-                quant[tq] = tbl
+            _parse_dqt(body, quant)
         elif marker == DHT:
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                if len(vals) != nv:
-                    raise JPEGError("truncated DHT")
-                (huff_ac if tc else huff_dc)[th] = _canonical_codes(bits, vals)
-                i += 17 + nv
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == DRI:
             if len(body) != 2:
                 raise JPEGError("bad DRI length")
             (restart,) = struct.unpack(">H", body)
+        elif marker == 0xC2:  # progressive: routed by decode_jpeg
+            raise UnsupportedJPEG("progressive frame in sequential path")
         elif marker in _SOF_UNSUPPORTED:
             raise UnsupportedJPEG(_SOF_UNSUPPORTED[marker])
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
@@ -494,13 +541,263 @@ def _parse_header(payload: bytes, max_pixels: int):
     raise JPEGError("no SOS marker")  # pragma: no cover (walk raises)
 
 
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the first REAL marker (not stuffing, not RSTn) at or
+    after ``pos`` — how scan data is skipped without decoding it."""
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", pos)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7 or nxt == 0xFF:
+            pos = i + 2 if nxt != 0xFF else i + 1
+            continue
+        return i
+
+
+def _decode_progressive(
+    payload: bytes, max_pixels: int = MAX_PIXELS
+) -> DecodedImage:
+    """Spectral-selection progressive decode (SOF2 with Ah=Al=0 in
+    every scan): coefficients accumulate across scans — an interleaved
+    or per-component DC scan, then per-component AC band scans with
+    EOBn run coding — and dequant+IDCT happen once at the end.
+    Successive-approximation scans (Ah or Al nonzero) raise
+    :class:`UnsupportedJPEG`."""
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart = 0
+    frame = None
+    geo = None  # (hmax, vmax, mcux, mcuy, per-comp grids)
+    coef: list[list[list[int]]] = []
+    dc_done: set[int] = set()
+    pos = 2
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise JPEGError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        while marker == 0xFF and pos < n:
+            marker = payload[pos]
+            pos += 1
+        if marker == EOI:
+            break
+        if marker == SOI or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise JPEGError("truncated marker segment")
+        (length,) = struct.unpack(">H", payload[pos : pos + 2])
+        if length < 2 or pos + length > n:
+            raise JPEGError("truncated marker segment")
+        body = payload[pos + 2 : pos + length]
+        seg_end = pos + length
+        pos = seg_end
+        if marker == DQT:
+            _parse_dqt(body, quant)
+        elif marker == DHT:
+            _parse_dht(body, huff_dc, huff_ac)
+        elif marker == DRI:
+            (restart,) = struct.unpack(">H", body)
+        elif marker == 0xC2:
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedJPEG(f"{prec}-bit precision")
+            if nc not in (1, 3):
+                raise UnsupportedJPEG(f"{nc}-component frame")
+            if width == 0 or height == 0:
+                raise JPEGError("zero frame dimension")
+            if width * height > max_pixels:
+                raise UnsupportedJPEG(
+                    f"{width}x{height} exceeds the {max_pixels}-pixel budget"
+                )
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * k : 9 + 3 * k]
+                )
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise UnsupportedJPEG(f"sampling factors {h}x{v}")
+                comps.append((cid, h, v, tq))
+            if nc == 1:
+                cid, _h, _v, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
+            frame = (width, height, comps)
+            hmax = max(h for _c, h, _v, _t in comps)
+            vmax = max(v for _c, _h, v, _t in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            grids = []
+            for (_cid, h, v, _tq) in comps:
+                pbw, pbh = mcux * h, mcuy * v  # padded block grid
+                cw = (width * h + hmax - 1) // hmax
+                ch = (height * v + vmax - 1) // vmax
+                bw, bh = (cw + 7) // 8, (ch + 7) // 8  # real blocks
+                grids.append((pbw, pbh, bw, bh))
+                coef.append([[0] * 64 for _ in range(pbw * pbh)])
+            geo = (hmax, vmax, mcux, mcuy, grids)
+        elif marker in _SOF_UNSUPPORTED or marker in (0xC0, 0xC1):
+            raise JPEGError("mixed frame types in progressive stream")
+        elif marker == SOS:
+            if frame is None:
+                raise JPEGError("SOS before SOF")
+            width, height, comps = frame
+            hmax, vmax, mcux, mcuy, grids = geo
+            ns = body[0]
+            scan = []
+            ids = [c[0] for c in comps]
+            for k in range(ns):
+                cs, tt = body[1 + 2 * k], body[2 + 2 * k]
+                if cs not in ids:
+                    raise JPEGError("SOS references unknown component")
+                scan.append((ids.index(cs), tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ah or al:
+                raise UnsupportedJPEG(
+                    "successive-approximation progressive scan"
+                )
+            reader = _BitReader(payload, seg_end)
+            if ss == 0:
+                # DC scan (spectral selection: Se must be 0 too)
+                if se != 0:
+                    raise JPEGError("DC scan with Se != 0")
+                pred = [0] * len(scan)
+                unit = 0
+                if len(scan) > 1:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if restart and unit and unit % restart == 0:
+                                reader.restart()
+                                pred = [0] * len(scan)
+                            for si, (ci, td, _ta) in enumerate(scan):
+                                _cid, h, v, _tq = comps[ci]
+                                pbw = grids[ci][0]
+                                dct = huff_dc.get(td)
+                                if dct is None:
+                                    raise JPEGError("missing DC table")
+                                for by in range(v):
+                                    for bx in range(h):
+                                        ssss = reader.decode_symbol(dct)
+                                        if ssss > 11:
+                                            raise JPEGError("DC cat > 11")
+                                        pred[si] += _extend(
+                                            reader.receive(ssss), ssss
+                                        )
+                                        blk = coef[ci][
+                                            (my * v + by) * pbw
+                                            + (mx * h + bx)
+                                        ]
+                                        blk[0] = pred[si]
+                                unit += 1
+                else:
+                    ci, td, _ta = scan[0]
+                    pbw, _pbh, bw, bh = grids[ci]
+                    dct = huff_dc.get(td)
+                    if dct is None:
+                        raise JPEGError("missing DC table")
+                    p0 = 0
+                    for byy in range(bh):
+                        for bxx in range(bw):
+                            if restart and unit and unit % restart == 0:
+                                reader.restart()
+                                p0 = 0
+                            ssss = reader.decode_symbol(dct)
+                            if ssss > 11:
+                                raise JPEGError("DC cat > 11")
+                            p0 += _extend(reader.receive(ssss), ssss)
+                            coef[ci][byy * pbw + bxx][0] = p0
+                            unit += 1
+                dc_done.update(ci for ci, _t, _a in scan)
+            else:
+                # AC band scan: exactly one component (T.81 G.1.1.1)
+                if len(scan) != 1:
+                    raise JPEGError("interleaved AC progressive scan")
+                if not (1 <= ss <= se <= 63):
+                    raise JPEGError("bad spectral band")
+                ci, _td, ta = scan[0]
+                act = huff_ac.get(ta)
+                if act is None:
+                    raise JPEGError("missing AC table")
+                pbw, _pbh, bw, bh = grids[ci]
+                eob_run = 0
+                unit = 0
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        if restart and unit and unit % restart == 0:
+                            reader.restart()
+                            eob_run = 0
+                        unit += 1
+                        if eob_run:
+                            eob_run -= 1
+                            continue
+                        blk = coef[ci][byy * pbw + bxx]
+                        k = ss
+                        while k <= se:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                # EOBn: run of 2^r + r extra bits,
+                                # including THIS block
+                                eob_run = (1 << r) - 1
+                                if r:
+                                    eob_run += reader.receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise JPEGError("AC band overrun")
+                            blk[k] = _extend(reader.receive(s), s)
+                            k += 1
+            # resume the marker walk where the scan's entropy ended
+            pos = _entropy_end(payload, seg_end)
+    if frame is None:
+        raise JPEGError("no SOF2 frame in progressive stream")
+    width, height, comps = frame
+    hmax, vmax, mcux, mcuy, grids = geo
+    planes = []
+    for ci, (_cid, h, v, tq) in enumerate(comps):
+        if tq not in quant:
+            raise JPEGError(f"missing quant table {tq}")
+        q = quant[tq]
+        pbw, pbh, _bw, _bh = grids[ci]
+        pw, ph = pbw * 8, pbh * 8
+        plane = bytearray(pw * ph)
+        for byy in range(pbh):
+            for bxx in range(pbw):
+                zz = coef[ci][byy * pbw + bxx]
+                raster = [0.0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        ri = ZIGZAG[k]
+                        raster[ri] = zz[k] * q[ri]
+                samples = _idct_block(raster)
+                ox, oy = bxx * 8, byy * 8
+                for r8 in range(8):
+                    dst = (oy + r8) * pw + ox
+                    plane[dst : dst + 8] = bytes(samples[r8 * 8 : r8 * 8 + 8])
+        planes.append((plane, pw, ph))
+    comps3 = [(h, v, tq) for (_cid, h, v, tq) in comps]
+    return _planes_to_image(planes, comps3, width, height, hmax, vmax)
+
+
 def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
     """True iff :func:`decode_jpeg` would accept the stream's header:
-    baseline/extended-sequential Huffman, 8-bit, 1 or 3 components,
-    sampling <= 2x, every referenced quant/Huffman table present,
-    within the pixel budget. Does not entropy-decode."""
+    baseline/extended-sequential Huffman or spectral-selection
+    progressive, 8-bit, 1 or 3 components, sampling <= 2x, every
+    referenced quant/Huffman table present, within the pixel budget.
+    Walks scan HEADERS (skipping entropy data by marker scan for
+    progressive — successive-approximation scans probe False); never
+    entropy-decodes."""
     if not is_jpeg(payload):
         return False
+    if _frame_marker(payload) == 0xC2:
+        return _probe_progressive(payload, max_pixels)
     try:
         (_w, _h, comps, quant, hdc, hac, _ri, scan, _s) = _parse_header(
             payload, max_pixels
@@ -513,16 +810,121 @@ def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
     return True
 
 
+def _probe_progressive(payload: bytes, max_pixels: int) -> bool:
+    """Header-only walk over EVERY scan of a progressive stream: Ah/Al
+    must be zero, bands sane, referenced tables present; entropy data
+    is skipped with the marker scan, never decoded."""
+    dc_ids: set[int] = set()
+    ac_ids: set[int] = set()
+    qt_ids: set[int] = set()
+    comps = None
+    pos, n = 2, len(payload)
+    saw_scan = False
+    try:
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                return False
+            marker = payload[pos + 1]
+            pos += 2
+            while marker == 0xFF and pos < n:
+                marker = payload[pos]
+                pos += 1
+            if marker == EOI:
+                break
+            if marker == SOI or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > n:
+                return False
+            (length,) = struct.unpack(">H", payload[pos : pos + 2])
+            if length < 2 or pos + length > n:
+                return False
+            body = payload[pos + 2 : pos + length]
+            seg_end = pos + length
+            pos = seg_end
+            if marker == DQT:
+                q: dict[int, list[int]] = {}
+                _parse_dqt(body, q)
+                qt_ids.update(q)
+            elif marker == DHT:
+                d: dict[int, dict] = {}
+                a: dict[int, dict] = {}
+                _parse_dht(body, d, a)
+                dc_ids.update(d)
+                ac_ids.update(a)
+            elif marker == 0xC2:
+                prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc not in (1, 3):
+                    return False
+                if width == 0 or height == 0:
+                    return False
+                if width * height > max_pixels:
+                    return False
+                comps = []
+                for k in range(nc):
+                    _cid, hv, tq = struct.unpack(
+                        ">BBB", body[6 + 3 * k : 9 + 3 * k]
+                    )
+                    h, v = hv >> 4, hv & 0x0F
+                    if not (1 <= h <= 2 and 1 <= v <= 2):
+                        return False
+                    comps.append(tq)
+            elif marker == SOS:
+                if comps is None:
+                    return False
+                ns = body[0]
+                scan_tables = [
+                    (body[2 + 2 * k] >> 4, body[2 + 2 * k] & 0x0F)
+                    for k in range(ns)
+                ]
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if ahal:  # successive approximation: not implemented
+                    return False
+                if ss == 0:
+                    if se != 0:
+                        return False
+                    if any(td not in dc_ids for td, _ta in scan_tables):
+                        return False
+                else:
+                    if ns != 1 or not (1 <= ss <= se <= 63):
+                        return False
+                    if scan_tables[0][1] not in ac_ids:
+                        return False
+                saw_scan = True
+                pos = _entropy_end(payload, seg_end)
+    except (struct.error, IndexError):
+        return False
+    return comps is not None and saw_scan and all(t in qt_ids for t in comps)
+
+
+def _frame_marker(payload: bytes) -> int | None:
+    """The stream's SOFn marker (first one before SOS), or None."""
+    try:
+        for marker, _body, _end in _parse_segments(payload):
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return marker
+            if marker == SOS:
+                return None
+    except JPEGError:
+        return None
+    return None
+
+
 def decode_jpeg(
     payload: bytes, max_pixels: int = MAX_PIXELS
 ) -> DecodedImage:
-    """Decode a baseline sequential JPEG to 8-bit samples.
+    """Decode a baseline-sequential or spectral-selection-progressive
+    JPEG to 8-bit samples.
 
     Grayscale frames return ``channels=1`` (the Y plane, no color
     transform). Three-component frames are treated as JFIF YCbCr,
     upsampled nearest-neighbor to full resolution and converted to
     RGB (``channels=3``) with the standard CCIR 601 round+clamp.
+    Progressive streams (SOF2) decode when every scan has Ah=Al=0
+    (spectral selection); successive-approximation scans raise
+    :class:`UnsupportedJPEG`.
     """
+    if _frame_marker(payload) == 0xC2:
+        return _decode_progressive(payload, max_pixels)
     (
         width,
         height,
@@ -708,16 +1110,8 @@ def _fdct_block(samples: list[int]) -> list[float]:
     return out
 
 
-def _encode_plane_block(
-    w: _BitWriter,
-    coef_q: list[int],
-    pred: int,
-    dc_tbl: dict,
-    ac_tbl: dict,
-) -> int:
-    """Huffman-encode one quantized block (raster order in);
-    returns the new DC predictor."""
-    dc = coef_q[0]
+def _encode_dc(w: _BitWriter, dc: int, pred: int, dc_tbl: dict) -> int:
+    """DC diff + magnitude bits; returns the new predictor."""
     diff = dc - pred
     ssss = _category(diff)
     code, length = dc_tbl[ssss]
@@ -725,14 +1119,25 @@ def _encode_plane_block(
     if ssss:
         bits = diff if diff >= 0 else diff + (1 << ssss) - 1
         w.put(bits, ssss)
-    run = 0
-    last_nz = 0
+    return dc
+
+
+def _encode_ac_band(
+    w: _BitWriter, coef_q: list[int], ac_tbl: dict, lo: int = 1, hi: int = 63
+) -> None:
+    """AC run-length coding of zigzag indices [lo, hi] (raster-order
+    coefficients in). With the full band this is the sequential AC
+    layer; for a progressive spectral-selection scan the trailing EOB
+    symbol doubles as EOB0 (an EOB run of one block), so the same
+    coding is valid in both frame types."""
     zz = [coef_q[ZIGZAG[z]] for z in range(64)]
-    for z in range(63, 0, -1):
+    last_nz = lo - 1
+    for z in range(hi, lo - 1, -1):
         if zz[z]:
             last_nz = z
             break
-    for z in range(1, last_nz + 1):
+    run = 0
+    for z in range(lo, last_nz + 1):
         v = zz[z]
         if v == 0:
             run += 1
@@ -747,10 +1152,23 @@ def _encode_plane_block(
         bits = v if v >= 0 else v + (1 << s) - 1
         w.put(bits, s)
         run = 0
-    if last_nz < 63:
-        code, length = ac_tbl[0x00]  # EOB
+    if last_nz < hi:
+        code, length = ac_tbl[0x00]  # EOB / EOB0
         w.put(code, length)
-    return dc
+
+
+def _encode_plane_block(
+    w: _BitWriter,
+    coef_q: list[int],
+    pred: int,
+    dc_tbl: dict,
+    ac_tbl: dict,
+) -> int:
+    """Huffman-encode one quantized block (raster order in);
+    returns the new DC predictor."""
+    pred = _encode_dc(w, coef_q[0], pred, dc_tbl)
+    _encode_ac_band(w, coef_q, ac_tbl, 1, 63)
+    return pred
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -766,6 +1184,7 @@ def encode_jpeg(
     quant_chroma: list[int] | None = None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder: grayscale (``channels=1``)
     or RGB (``channels=3``, encoded as YCbCr). ``subsampling``:
@@ -778,12 +1197,20 @@ def encode_jpeg(
     flat-block exactness contract. ``restart_interval`` > 0 emits a
     DRI segment and an RSTn marker every that-many MCUs (the
     error-resilience feature real camera streams use — and the fixture
-    that exercises the decoder's restart/resync path). Raises
-    ``ValueError`` on geometry / channel mismatches (same guard style
-    as ``png_codec.encode_png``).
+    that exercises the decoder's restart/resync path).
+    ``progressive=True`` writes a spectral-selection progressive
+    stream (SOF2: one DC scan, then a 1..63 AC band scan per
+    component, all with Ah=Al=0 — the fixture for the progressive
+    decode path); it requires 4:4:4 / grayscale and no restart
+    markers. Raises ``ValueError`` on geometry / channel mismatches
+    (same guard style as ``png_codec.encode_png``).
     """
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if progressive and (subsampling != "444" or restart_interval):
+        raise ValueError(
+            "progressive writer supports 4:4:4/grayscale, no restarts"
+        )
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart_interval must be in [0, 65535]")
     if width <= 0 or height <= 0:
@@ -865,7 +1292,7 @@ def encode_jpeg(
     for cid in range(channels):
         h, v = samp[cid]
         sof += bytes([cid + 1, (h << 4) | v, qids[cid]])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     dht = b""
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if channels == 3:
@@ -875,17 +1302,70 @@ def encode_jpeg(
     out += _seg(DHT, dht)
     if restart_interval:
         out += _seg(DRI, struct.pack(">H", restart_interval))
-    sos = bytes([channels])
-    for cid in range(channels):
-        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += _seg(SOS, sos)
 
     enc_dc = [_encode_codes(*_DC_LUMA)]
     enc_ac = [_encode_codes(*_AC_LUMA)]
     if channels == 3:
         enc_dc += [_encode_codes(*_DC_CHROMA)] * 2
         enc_ac += [_encode_codes(*_AC_CHROMA)] * 2
+
+    if progressive:
+        # hmax == vmax == 1, so the block grid is bw x bh per comp
+        bw = (width + 7) // 8
+        bh = (height + 7) // 8
+        blocks: list[list[list[int]]] = []
+        for ci in range(channels):
+            plane, pw, ph, _cw, _ch = planes[ci]
+            q = qtabs[ci]
+            comp_blocks = []
+            for byy in range(bh):
+                for bxx in range(bw):
+                    block = [0] * 64
+                    for r8 in range(8):
+                        sy = min(ph - 1, byy * 8 + r8)
+                        for c8 in range(8):
+                            sx = min(pw - 1, bxx * 8 + c8)
+                            block[r8 * 8 + c8] = plane[sy * pw + sx]
+                    coefs = _fdct_block(block)
+                    comp_blocks.append([
+                        int(round(coefs[i] / q[i])) if coefs[i] else 0
+                        for i in range(64)
+                    ])
+            blocks.append(comp_blocks)
+        # scan 1: DC, all components (interleaved when channels == 3;
+        # with 1x1 sampling the MCU walk IS the block walk)
+        sos = bytes([channels])
+        for cid in range(channels):
+            sos += bytes([cid + 1, (0x00 if cid == 0 else 0x01) << 4])
+        sos += b"\x00\x00\x00"  # Ss=0 Se=0 Ah/Al=0
+        out += _seg(SOS, sos)
+        w = _BitWriter()
+        pred = [0] * channels
+        for bi in range(bw * bh):
+            for ci in range(channels):
+                pred[ci] = _encode_dc(
+                    w, blocks[ci][bi][0], pred[ci], enc_dc[ci]
+                )
+        w.flush()
+        out += w.out
+        # scans 2..: one AC band scan per component
+        for ci in range(channels):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x01])
+            sos += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah/Al=0
+            out += _seg(SOS, sos)
+            w = _BitWriter()
+            for bi in range(bw * bh):
+                _encode_ac_band(w, blocks[ci][bi], enc_ac[ci], 1, 63)
+            w.flush()
+            out += w.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    sos = bytes([channels])
+    for cid in range(channels):
+        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += _seg(SOS, sos)
 
     w = _BitWriter()
     pred = [0] * channels

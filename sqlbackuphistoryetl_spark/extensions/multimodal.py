@@ -57,9 +57,9 @@ def decode_image(payload: bytes) -> object:
     sequential JPEG via :mod:`.jpeg_codec` (Huffman + DCT; r7 verdict
     task 3); both return a ``png_codec.DecodedImage``. Every other
     format (and the forms the codecs don't implement: sub-byte-depth
-    PNG, progressive/arithmetic JPEG) still raises behind the
-    documented stub gate — WebP/AVIF need codec libraries this
-    container doesn't ship.
+    PNG, successive-approximation-progressive/arithmetic JPEG) still
+    raises behind the documented stub gate — WebP/AVIF need codec
+    libraries this container doesn't ship.
     """
     from . import jpeg_codec, png_codec
 

@@ -209,16 +209,39 @@ class TestMJPEG:
         diffs = [abs(a - b) for a, b in zip(px, got[0].pixels)]
         assert sum(diffs) / len(diffs) < 8
 
-    def test_progressive_mjpeg_frame_is_gated(self):
-        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8
+    def test_progressive_mjpeg_frames(self):
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+            QUANT_FLAT8,
+            encode_jpeg,
+        )
 
+        # spectral-selection progressive frames DECODE since r8...
         frames = [DecodedImage(8, 8, 1, bytes([55]) * 64)]
-        blob = bytearray(encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8))
-        j = blob.find(b"\xff\xc0")  # the frame's SOF0, inside movi
-        blob[j + 1] = 0xC2
-        with pytest.raises(UnsupportedAVI, match="progressive"):
-            decode_avi_frames(bytes(blob))
-        assert not probe_avi(bytes(blob))
+        seq = bytearray(encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8))
+        prog_frame = encode_jpeg(
+            bytes([55]) * 64, 8, 8, 1, quant_luma=QUANT_FLAT8, progressive=True
+        )
+        # forging SOF2 onto a sequential frame is MALFORMED, not gated
+        j = bytes(seq).find(b"\xff\xc0")
+        seq[j + 1] = 0xC2
+        with pytest.raises(AVIError, match="MJPEG"):
+            decode_avi_frames(bytes(seq))
+        assert not probe_avi(bytes(seq))
+        # ...but a successive-approximation frame stays gated (assert
+        # on the frame-decode hook directly; rebuilding nested RIFF
+        # sizes to splice it into a container adds nothing)
+        sa = bytearray(prog_frame)
+        i = sa.find(b"\xff\xda")
+        sa[i + 9] = 0x01  # Al=1
+        from sqlbackuphistoryetl_spark.extensions import avi_codec
+
+        blob = encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8)
+        info, _ = avi_codec.parse_avi(blob)
+        with pytest.raises(UnsupportedAVI, match="MJPEG frame"):
+            avi_codec._decode_frame(bytes(sa), info)
+        # and the real progressive frame decodes through the hook
+        img = avi_codec._decode_frame(prog_frame, info)
+        assert img.pixels == bytes([55, 55, 55]) * 64
 
     def test_mjpeg_spark_sampling(self, spark):
         from sqlbackuphistoryetl_spark.extensions.jpeg_codec import QUANT_FLAT8

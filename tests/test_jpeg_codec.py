@@ -190,15 +190,23 @@ class TestGating:
     def _blob(self):
         return encode_jpeg(bytes(range(64)), 8, 8, 1, quant_luma=QUANT_FLAT8)
 
-    def test_progressive_and_arithmetic_raise_unsupported(self):
+    def test_arithmetic_and_exotic_sofs_raise_unsupported(self):
         blob = bytearray(self._blob())
         i = blob.find(b"\xff\xc0")
-        for sof in (0xC2, 0xC9, 0xCA):
+        for sof in (0xC9, 0xCA, 0xC3):
             forged = bytearray(blob)
             forged[i + 1] = sof
             with pytest.raises(UnsupportedJPEG):
                 decode_jpeg(bytes(forged))
             assert not probe_jpeg(bytes(forged))
+        # SOF2 forged onto a SEQUENTIAL scan (Ss=0 Se=63) is a
+        # malformed hybrid, not a gated form, since r8 implemented
+        # spectral-selection progressive for real
+        forged = bytearray(blob)
+        forged[i + 1] = 0xC2
+        with pytest.raises(JPEGError):
+            decode_jpeg(bytes(forged))
+        assert not probe_jpeg(bytes(forged))
 
     def test_12bit_precision_raises_unsupported(self):
         blob = bytearray(self._blob())
@@ -364,3 +372,78 @@ class TestImageQuality:
         assert j["decoder"] == "jpeg-baseline" and j["is_flat"] == "y"
         assert j["mean_lum"] == 50  # flat-block exactness through JPEG
         assert got[4]["decoder"] is None and got[4]["mean_lum"] is None
+
+
+class TestProgressive:
+    """Spectral-selection progressive (SOF2, Ah=Al=0): coefficients
+    identical to sequential by construction, so decode must match the
+    sequential decode of the same pixels bit-for-bit."""
+
+    def test_flat_blocks_stay_exact(self):
+        vals = [((i * 37) % 95) + 32 for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8, progressive=True)
+        assert b"\xff\xc2" in blob and probe_jpeg(blob)
+        assert bytes(decode_jpeg(blob).pixels) == px
+
+    def test_progressive_equals_sequential(self):
+        random.seed(61)
+        for w, h, ch in [(29, 17, 1), (8, 8, 1), (24, 16, 3), (9, 5, 3)]:
+            px = bytes(random.randrange(256) for _ in range(w * h * ch))
+            kw = dict(quant_luma=[1] * 64)
+            if ch == 3:
+                kw["quant_chroma"] = [1] * 64
+            p = decode_jpeg(encode_jpeg(px, w, h, ch, progressive=True, **kw))
+            s = decode_jpeg(encode_jpeg(px, w, h, ch, **kw))
+            assert bytes(p.pixels) == bytes(s.pixels), (w, h, ch)
+
+    def test_successive_approximation_stays_gated(self):
+        blob = bytearray(
+            encode_jpeg(bytes(range(64)), 8, 8, 1, quant_luma=QUANT_FLAT8,
+                        progressive=True)
+        )
+        i = blob.find(b"\xff\xda")
+        blob[i + 9] = 0x01  # Al=1 in the first (ns=1) scan header
+        with pytest.raises(UnsupportedJPEG, match="successive"):
+            decode_jpeg(bytes(blob))
+        assert not probe_jpeg(bytes(blob))
+
+    def test_writer_guards(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(bytes(192), 8, 8, 3, subsampling="420", progressive=True)
+        with pytest.raises(ValueError):
+            encode_jpeg(bytes(64), 8, 8, 1, restart_interval=2, progressive=True)
+
+    def test_progressive_mutation_corpus(self):
+        rng = random.Random(404)
+        base = encode_jpeg(
+            bytes(rng.randrange(256) for _ in range(24 * 16)),
+            24, 16, 1, quant_luma=QUANT_LUMA, progressive=True,
+        )
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                buf = buf[: rng.randrange(2, len(buf))]
+            try:
+                decode_jpeg(bytes(buf))
+            except (JPEGError, UnsupportedJPEG):
+                pass
+
+    def test_multimodal_routes_progressive_now(self, spark):
+        # decode_image / dHash / metadata accept spectral-selection
+        # progressive since r8; SA forms still fall back
+        vals = [50 + i for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8, progressive=True)
+        assert bytes(decode_image(blob).pixels) == px
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "image/jpeg")],
+            "doc_id long, payload binary, content_type string",
+        )
+        assert extract_payload_metadata(df).first()["decode_status"] == "ok"
+        from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+
+        r = image_dhash(df).first()
+        assert r["decoder"] == "jpeg-baseline" and r["dhash"] is not None
