@@ -5883,60 +5883,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # a new gate or when a new CORRECTNESS_r*.json lands.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
-    # greens by (round, name); latest recorded round: r7) ---
-    "minhash_index_compact": minhash_index_compact,
-    "multimodal_adpcm_audio": multimodal_adpcm_audio,
-    "multimodal_avi_frames": multimodal_avi_frames,
-    "multimodal_g711_audio": multimodal_g711_audio,
-    "multimodal_image_quality": multimodal_image_quality,
-    "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
-    "multimodal_mjpeg_frames": multimodal_mjpeg_frames,
-    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
-    "label_centroid_stats": label_centroid_stats,
-    "multimodal_featurize_ann": multimodal_featurize_ann,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "o1_ordered_chain_page": o1_ordered_chain_page,
-    "o3_top1_scalar": o3_top1_scalar,
-    "o4_first_event_after": o4_first_event_after,
-    "o5_top2_desc": o5_top2_desc,
-    "p3_decimal_lsn_range": p3_decimal_lsn_range,
-    "p4_watermark_overlap_window": p4_watermark_overlap_window,
-    "p9_fallback_probe": p9_fallback_probe,
-    "quality_repetition": quality_repetition,
-    "retention_filter_counts": retention_filter_counts,
-    "scalar_path_surgery": scalar_path_surgery,
-    "size_trunc_math": size_trunc_math,
-    "skew_salted_agg": skew_salted_agg,
-    "stream_dedup_sessions": stream_dedup_sessions,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "u1_union_distinct_tail": u1_union_distinct_tail,
-    "unigram_surprisal": unigram_surprisal,
-    "w1_latest_order_per_customer": w1_latest_order_per_customer,
-    "w2_canonical_group_id": w2_canonical_group_id,
-    "w3_tail_two_patch": w3_tail_two_patch,
-    "asof_last_purchase": asof_last_purchase,
-    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
-    "boilerplate_line_removal": boilerplate_line_removal,
-    "bpe_merge_candidates": bpe_merge_candidates,
-    "bpe_packed_export": bpe_packed_export,
-    "bpe_segment_fixed": bpe_segment_fixed,
-    "ccnet_perplexity": ccnet_perplexity,
-    "chain_state_fold": chain_state_fold,
-    "chunk_dedup_spans": chunk_dedup_spans,
-    "contamination_ngram": contamination_ngram,
-    "corpus_version_diff": corpus_version_diff,
-    "domain_cap_topn": domain_cap_topn,
-    "dsir_selection": dsir_selection,
-    "dup_window_spans": dup_window_spans,
-    "edit_distance_pairs": edit_distance_pairs,
-    "funnel_view_click_purchase": funnel_view_click_purchase,
-    "global_shard_ids": global_shard_ids,
-    "gopher_quality": gopher_quality,
-    "gopher_repetition": gopher_repetition,
-    "hard_negative_mining": hard_negative_mining,
-    # ---------------------------------------------------------------
-    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
-    # overflow (rotates into the next window), then the fresh greens.
+    # greens by (round, name); latest recorded round: r8) ---
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
@@ -5967,7 +5914,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_lang_budget": unimax_lang_budget,
     "weighted_sample_docs": weighted_sample_docs,
     "weighted_source_mix": weighted_source_mix,
-    # --- fresh greens (eligible to park two rounds) ---------------
     "a1_watermark_advance": a1_watermark_advance,
     "a2_nonempty_guard": a2_nonempty_guard,
     "a3_retention_cutoff": a3_retention_cutoff,
@@ -5988,6 +5934,9 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": curation_funnel,
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "datefmt_stopat": datefmt_stopat,
+    # ---------------------------------------------------------------
+    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
+    # overflow (rotates into the next window), then the fresh greens.
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
@@ -6018,6 +5967,57 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
+    # --- fresh greens (eligible to park two rounds) ---------------
+    "asof_last_purchase": asof_last_purchase,
+    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
+    "boilerplate_line_removal": boilerplate_line_removal,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_packed_export": bpe_packed_export,
+    "bpe_segment_fixed": bpe_segment_fixed,
+    "ccnet_perplexity": ccnet_perplexity,
+    "chain_state_fold": chain_state_fold,
+    "chunk_dedup_spans": chunk_dedup_spans,
+    "contamination_ngram": contamination_ngram,
+    "corpus_version_diff": corpus_version_diff,
+    "domain_cap_topn": domain_cap_topn,
+    "dsir_selection": dsir_selection,
+    "dup_window_spans": dup_window_spans,
+    "edit_distance_pairs": edit_distance_pairs,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "global_shard_ids": global_shard_ids,
+    "gopher_quality": gopher_quality,
+    "gopher_repetition": gopher_repetition,
+    "hard_negative_mining": hard_negative_mining,
+    "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
+    "label_centroid_stats": label_centroid_stats,
+    "minhash_index_compact": minhash_index_compact,
+    "multimodal_adpcm_audio": multimodal_adpcm_audio,
+    "multimodal_avi_frames": multimodal_avi_frames,
+    "multimodal_featurize_ann": multimodal_featurize_ann,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_g711_audio": multimodal_g711_audio,
+    "multimodal_image_quality": multimodal_image_quality,
+    "multimodal_jpeg_fingerprint": multimodal_jpeg_fingerprint,
+    "multimodal_mjpeg_frames": multimodal_mjpeg_frames,
+    "o1_ordered_chain_page": o1_ordered_chain_page,
+    "o3_top1_scalar": o3_top1_scalar,
+    "o4_first_event_after": o4_first_event_after,
+    "o5_top2_desc": o5_top2_desc,
+    "p3_decimal_lsn_range": p3_decimal_lsn_range,
+    "p4_watermark_overlap_window": p4_watermark_overlap_window,
+    "p9_fallback_probe": p9_fallback_probe,
+    "quality_repetition": quality_repetition,
+    "retention_filter_counts": retention_filter_counts,
+    "scalar_path_surgery": scalar_path_surgery,
+    "size_trunc_math": size_trunc_math,
+    "skew_salted_agg": skew_salted_agg,
+    "stream_dedup_sessions": stream_dedup_sessions,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "u1_union_distinct_tail": u1_union_distinct_tail,
+    "unigram_surprisal": unigram_surprisal,
+    "w1_latest_order_per_customer": w1_latest_order_per_customer,
+    "w2_canonical_group_id": w2_canonical_group_id,
+    "w3_tail_two_patch": w3_tail_two_patch,
 }
 
 # Structural rotation debt, made explicit and bounded. The registry
@@ -6035,36 +6035,36 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
-        "heavy_hitter_grams",
-        "hourly_event_rollup",
-        "hybrid_rrf_retrieval",
-        "incremental_dedup_cross",
-        "knn_label_vote",
-        "lang_id_multi",
-        "lang_id_stopwords",
-        "length_outlier_trim",
-        "ngram_containment_capped",
-        "packed_sequence_export",
-        "pii_redaction",
-        "pmi_collocations",
-        "q1_pricing_summary",
-        "quality_model_score",
-        "quality_rare_tokens",
-        "rag_chunking",
-        "semantic_decontam",
-        "semdedup_prune",
-        "sequence_packing",
-        "stratified_sample_by_lang",
-        "temperature_lang_sample",
-        "text_bpe_token_count",
-        "text_quality_score",
-        "text_token_count",
-        "token_len_histogram",
-        "token_percentiles",
-        "train_val_test_split",
-        "unimax_lang_budget",
-        "weighted_sample_docs",
-        "weighted_source_mix",
+        "dedup_cluster_histogram",
+        "dedup_clusters",
+        "dedup_exact",
+        "dedup_keep_one",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_source_matrix",
+        "doc_fingerprint",
+        "embedding_cosine_topk",
+        "embedding_covariance",
+        "embedding_near_dup",
+        "embedding_quantize_profile",
+        "event_sessionization",
+        "fineweb_quality",
+        "j1_region_revenue",
+        "j2_customers_without_recent_orders",
+        "j3_filtered_left_join",
+        "j5_order_lines_json",
+        "j6_watermark_antijoin_dedup",
+        "json_props_extract",
+        "multimodal_audio_quality",
+        "multimodal_audiofp_fingerprint",
+        "multimodal_dhash_fingerprint",
+        "multimodal_metadata",
+        "ngram_containment",
+        "sample_global_k",
+        "script_composition",
+        "temperature_lang_sample_a25",
+        "winnowing_overlap_pairs",
     }
 )
 
