@@ -257,6 +257,12 @@ class _BitReader:
                 nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt is None:
+                    # lone 0xFF as the buffer's last byte: treat as
+                    # end-of-data so the pad-with-1s path runs and the
+                    # decoder errors cleanly instead of spinning here
+                    self.pos = len(self.buf)
+                    continue
                 else:
                     self.marker = nxt  # RSTn or end-of-scan marker
                     continue
@@ -1004,38 +1010,7 @@ def decode_jpeg(
                             )
             mcu_count += 1
 
-    if len(comps) == 1:
-        plane, pw, _ph = planes[0]
-        out = bytearray(width * height)
-        for y in range(height):
-            out[y * width : (y + 1) * width] = plane[y * pw : y * pw + width]
-        return DecodedImage(width, height, 1, bytes(out))
-
-    # upsample (nearest) + YCbCr -> RGB
-    out = bytearray(width * height * 3)
-    yp, ypw, _ = planes[0]
-    cbp, cbpw, _ = planes[1]
-    crp, crpw, _ = planes[2]
-    hy, vy = comps[0][0], comps[0][1]
-    hcb, vcb = comps[1][0], comps[1][1]
-    hcr, vcr = comps[2][0], comps[2][1]
-    for row in range(height):
-        dst = row * width * 3
-        yrow = ((row * vy) // vmax) * ypw
-        cbrow = ((row * vcb) // vmax) * cbpw
-        crrow = ((row * vcr) // vmax) * crpw
-        for col in range(width):
-            Y = yp[yrow + (col * hy) // hmax]
-            Cb = cbp[cbrow + (col * hcb) // hmax] - 128
-            Cr = crp[crrow + (col * hcr) // hmax] - 128
-            r = int(round(Y + 1.402 * Cr))
-            g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
-            b = int(round(Y + 1.772 * Cb))
-            d = dst + col * 3
-            out[d] = 0 if r < 0 else (255 if r > 255 else r)
-            out[d + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            out[d + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return DecodedImage(width, height, 3, bytes(out))
+    return _planes_to_image(planes, comps, width, height, hmax, vmax)
 
 
 # ---------------------------------------------------------------- encode

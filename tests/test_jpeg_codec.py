@@ -322,7 +322,10 @@ class TestFuzz:
     def test_mutation_corpus_never_hangs_or_succeeds_silently(self):
         # bit-flip / truncation corpus: decode either succeeds (the
         # mutation hit a don't-care byte) or raises the codec's own
-        # errors — never an uncaught exception type
+        # errors — never an uncaught exception type. Each trial runs
+        # under a deadline so a future infinite loop FAILS instead of
+        # freezing the suite (r8 advice: the name promised hang-freedom
+        # without enforcing it).
         rng = random.Random(99)
         base = encode_jpeg(
             bytes(rng.randrange(256) for _ in range(24 * 16)),
@@ -334,10 +337,43 @@ class TestFuzz:
                 buf[rng.randrange(len(buf))] = rng.randrange(256)
             if rng.random() < 0.3:
                 buf = buf[: rng.randrange(2, len(buf))]
-            try:
-                decode_jpeg(bytes(buf))
-            except (JPEGError, UnsupportedJPEG):
-                pass
+            self._decode_with_deadline(bytes(buf), trial)
+
+    def test_trailing_lone_ff_truncation_raises_not_hangs(self):
+        # the exact r8-advice hang: entropy segment truncated so the
+        # payload's LAST byte is a bare 0xFF (marker prefix with no
+        # second byte). _BitReader._fill must treat it as end-of-data.
+        rng = random.Random(7)
+        base = encode_jpeg(
+            bytes(rng.randrange(256) for _ in range(8 * 8)),
+            8, 8, 1, quant_luma=QUANT_LUMA,
+        )
+        # strip the trailing EOI (FF D9), then append a lone FF
+        assert base[-2:] == b"\xff\xd9"
+        truncated = base[:-2] + b"\xff"
+        assert probe_jpeg(truncated)  # header is intact; probe says yes
+        self._decode_with_deadline(truncated, "lone-ff")
+        # same, for every prefix that happens to end on 0xFF
+        for cut in range(2, len(base)):
+            if base[cut - 1] == 0xFF:
+                self._decode_with_deadline(base[:cut], cut)
+
+    @staticmethod
+    def _decode_with_deadline(payload: bytes, tag) -> None:
+        import signal
+
+        def _alarm(_sig, _frm):
+            raise AssertionError(f"decode_jpeg hung on trial {tag!r}")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(5)
+        try:
+            decode_jpeg(payload)
+        except (JPEGError, UnsupportedJPEG):
+            pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
 
 class TestImageQuality:
