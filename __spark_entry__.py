@@ -4732,6 +4732,87 @@ from h
 """
 
 
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """Perceptual dHash through the PROGRESSIVE JPEG decode chain
+    (extensions/jpeg_codec.py successive-approximation scans, r9):
+    same flat-block geometry as multimodal_jpeg_fingerprint but the
+    payload is a full SA ladder (``progressive='sa'`` — SOF2, DC first
+    scan at Al=1, banded AC first scans, then refinement scans down to
+    Al=0), taken from characters 8..80 of each document so the two
+    gates hash differently. A completed SA ladder reconstructs the
+    sequential coefficients exactly, so the flat-block exactness
+    contract still holds and the oracle recomputes the dHash straight
+    from ``ord()`` — any EOBn-run, correction-bit, point-transform or
+    refinement-order bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+        QUANT_FLAT8,
+        encode_jpeg,
+    )
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+
+    # Python-bound stage: repartition before the codec mapInPandas so
+    # a single-file parquet read can't serialize it (r8 lesson)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = (
+                re.sub(r"[^ -~]", "?", t)[8:80].ljust(72, " ").encode("ascii")
+            )
+            pats = [
+                b"".join(bytes([s[br * 9 + bc]]) * 8 for bc in range(9))
+                for br in range(8)
+            ]
+            px = b"".join(pats[r // 8] for r in range(64))
+            return encode_jpeg(
+                px, 72, 64, 1, quant_luma=QUANT_FLAT8, progressive="sa"
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_dhash(payloads).select("doc_id", "dhash", "decoder")
+
+
+MULTIMODAL_JPEG_PROGRESSIVE_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 9, 72),
+              72, ' ') as s
+  from documents),
+cells as (
+  select doc_id, y, x,
+         case when ord(substr(s, y * 9 + x + 1, 1))
+                 > ord(substr(s, y * 9 + x + 2, 1))
+              then 1 else 0 end as bit
+  from s,
+       unnest(generate_series(0, 7)) as t1(y),
+       unnest(generate_series(0, 7)) as t2(x)),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint)
+             * (cast(1 as hugeint) << (63 - (y * 8 + x)))) as uh
+  from cells group by doc_id)
+select doc_id,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as dhash,
+       'jpeg-baseline' as decoder
+from h
+"""
+
+
 def multimodal_avi_frames(spark, sf_dir):
     """Real video-frame extraction through the REAL container chain
     (extensions/avi_codec.py + multimodal.sample_frames): each
@@ -5595,6 +5676,7 @@ _ORACLES: dict[str, str | None] = {
     "bpe_fertility_lang": BPE_FERTILITY_SQL,
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
     "multimodal_jpeg_fingerprint": MULTIMODAL_JPEG_SQL,
+    "multimodal_jpeg_progressive": MULTIMODAL_JPEG_PROGRESSIVE_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -5884,6 +5966,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
@@ -5933,10 +6016,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_budget": corpus_token_budget,
     "curation_funnel": curation_funnel,
     "curation_pipeline_e2e": curation_pipeline_e2e,
-    "datefmt_stopat": datefmt_stopat,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "datefmt_stopat": datefmt_stopat,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
@@ -6035,6 +6118,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "datefmt_stopat",
         "dedup_cluster_histogram",
         "dedup_clusters",
         "dedup_exact",

@@ -23,14 +23,19 @@ Implemented here:
   checks process, precision, sampling and the pixel budget without
   entropy-decoding, mirroring ``png_codec.probe_png``.
 
-Spectral-selection progressive (SOF2 with Ah=Al=0 — a DC scan plus
-per-component AC band scans with EOBn run coding) also decodes for
-real since r8: coefficients accumulate across scans and dequant+IDCT
-run once at the end, so the result is bit-identical to a sequential
-decode of the same coefficients. Successive-approximation progressive
-scans (Ah or Al nonzero), arithmetic coding (SOF9+), hierarchical,
-12-bit and >2x sampling forms raise :class:`UnsupportedJPEG` — they
-fall back to the documented stub gate exactly like non-JPEG formats.
+Progressive (SOF2) decodes for real: coefficients accumulate across
+scans and dequant+IDCT run once at the end. Spectral selection (a DC
+scan plus per-component AC band scans with EOBn run coding) landed in
+r8; successive approximation (Ah/Al nonzero — first scans deliver the
+point-transformed high bits, refinement scans one correction bit per
+coefficient, T.81 G.1.2) landed in r9, so the full SOF2 Huffman
+process decodes, including the libjpeg-default SA scan scripts real
+encoders emit. A completed SA ladder is bit-identical to the
+sequential decode of the same coefficients; a truncated ladder (legal
+— that's progressive's preview feature) decodes at reduced precision.
+Arithmetic coding (SOF9+), hierarchical, 12-bit and >2x sampling
+forms raise :class:`UnsupportedJPEG` — they fall back to the
+documented stub gate exactly like non-JPEG formats.
 
 Exactness contract the gate oracles rely on: a block whose 64 samples
 are one constant value ``v`` round-trips EXACTLY through
@@ -565,12 +570,19 @@ def _entropy_end(payload: bytes, pos: int) -> int:
 def _decode_progressive(
     payload: bytes, max_pixels: int = MAX_PIXELS
 ) -> DecodedImage:
-    """Spectral-selection progressive decode (SOF2 with Ah=Al=0 in
-    every scan): coefficients accumulate across scans — an interleaved
-    or per-component DC scan, then per-component AC band scans with
-    EOBn run coding — and dequant+IDCT happen once at the end.
-    Successive-approximation scans (Ah or Al nonzero) raise
-    :class:`UnsupportedJPEG`."""
+    """Progressive decode (SOF2): coefficients accumulate across
+    scans — an interleaved or per-component DC scan, then
+    per-component AC band scans with EOBn run coding — and
+    dequant+IDCT happen once at the end. Successive approximation is
+    supported in full: first scans (Ah=0) store the point-transformed
+    value ``<< Al``; DC refinement scans read one raw bit per block
+    and OR in ``1 << Al``; AC refinement scans follow T.81 G.1.2.3
+    (one correction bit per already-nonzero coefficient passed, (r,1)
+    symbols for newly-significant ones, EOB runs covering whole
+    blocks whose nonzero coefficients still consume bits). A scan
+    ladder may stop early — that's progressive's preview feature —
+    leaving low-order bits untransmitted; a ladder run to Al=0
+    reconstructs the sequential coefficients exactly."""
     quant: dict[int, list[int]] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -652,7 +664,11 @@ def _decode_progressive(
                 raise JPEGError("SOS before SOF")
             width, height, comps = frame
             hmax, vmax, mcux, mcuy, grids = geo
+            if not body:
+                raise JPEGError("truncated SOS header")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise JPEGError("truncated SOS header")
             scan = []
             ids = [c[0] for c in comps]
             for k in range(ns):
@@ -662,15 +678,18 @@ def _decode_progressive(
                 scan.append((ids.index(cs), tt >> 4, tt & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if ah or al:
-                raise UnsupportedJPEG(
-                    "successive-approximation progressive scan"
+            if al > 13 or ah > 13:
+                raise JPEGError("point transform out of range")
+            if ah and al != ah - 1:
+                raise JPEGError(
+                    "nonconsecutive successive-approximation scan"
                 )
             reader = _BitReader(payload, seg_end)
             if ss == 0:
                 # DC scan (spectral selection: Se must be 0 too)
                 if se != 0:
                     raise JPEGError("DC scan with Se != 0")
+                p1 = 1 << al
                 pred = [0] * len(scan)
                 unit = 0
                 if len(scan) > 1:
@@ -682,41 +701,54 @@ def _decode_progressive(
                             for si, (ci, td, _ta) in enumerate(scan):
                                 _cid, h, v, _tq = comps[ci]
                                 pbw = grids[ci][0]
-                                dct = huff_dc.get(td)
-                                if dct is None:
-                                    raise JPEGError("missing DC table")
+                                dct = None
+                                if ah == 0:
+                                    dct = huff_dc.get(td)
+                                    if dct is None:
+                                        raise JPEGError("missing DC table")
                                 for by in range(v):
                                     for bx in range(h):
+                                        blk = coef[ci][
+                                            (my * v + by) * pbw
+                                            + (mx * h + bx)
+                                        ]
+                                        if ah:
+                                            # refinement: one bit/block
+                                            if reader.read_bit():
+                                                blk[0] |= p1
+                                            continue
                                         ssss = reader.decode_symbol(dct)
                                         if ssss > 11:
                                             raise JPEGError("DC cat > 11")
                                         pred[si] += _extend(
                                             reader.receive(ssss), ssss
                                         )
-                                        blk = coef[ci][
-                                            (my * v + by) * pbw
-                                            + (mx * h + bx)
-                                        ]
-                                        blk[0] = pred[si]
+                                        blk[0] = pred[si] << al
                                 unit += 1
                 else:
                     ci, td, _ta = scan[0]
                     pbw, _pbh, bw, bh = grids[ci]
-                    dct = huff_dc.get(td)
-                    if dct is None:
-                        raise JPEGError("missing DC table")
+                    dct = None
+                    if ah == 0:
+                        dct = huff_dc.get(td)
+                        if dct is None:
+                            raise JPEGError("missing DC table")
                     p0 = 0
                     for byy in range(bh):
                         for bxx in range(bw):
                             if restart and unit and unit % restart == 0:
                                 reader.restart()
                                 p0 = 0
+                            unit += 1
+                            if ah:
+                                if reader.read_bit():
+                                    coef[ci][byy * pbw + bxx][0] |= p1
+                                continue
                             ssss = reader.decode_symbol(dct)
                             if ssss > 11:
                                 raise JPEGError("DC cat > 11")
                             p0 += _extend(reader.receive(ssss), ssss)
-                            coef[ci][byy * pbw + bxx][0] = p0
-                            unit += 1
+                            coef[ci][byy * pbw + bxx][0] = p0 << al
                 dc_done.update(ci for ci, _t, _a in scan)
             else:
                 # AC band scan: exactly one component (T.81 G.1.1.1)
@@ -731,6 +763,73 @@ def _decode_progressive(
                 pbw, _pbh, bw, bh = grids[ci]
                 eob_run = 0
                 unit = 0
+                if ah:
+                    # refinement (T.81 G.1.2.3): one correction bit per
+                    # already-nonzero coefficient passed; (r, 1) symbols
+                    # place newly-significant +-(1<<al) after a run of r
+                    # STILL-ZERO coefficients; inside an EOB run every
+                    # nonzero coefficient of the band still gets a bit
+                    p1, m1 = 1 << al, -1 << al
+                    for byy in range(bh):
+                        for bxx in range(bw):
+                            if restart and unit and unit % restart == 0:
+                                reader.restart()
+                                eob_run = 0
+                            unit += 1
+                            blk = coef[ci][byy * pbw + bxx]
+                            k = ss
+                            if eob_run == 0:
+                                while k <= se:
+                                    rs = reader.decode_symbol(act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r != 15:  # EOBn
+                                            eob_run = 1 << r
+                                            if r:
+                                                eob_run += reader.receive(r)
+                                            break
+                                        sval = 0  # ZRL: 16 zero-history
+                                    elif s != 1:
+                                        raise JPEGError(
+                                            "refinement magnitude > 1"
+                                        )
+                                    else:
+                                        sval = (
+                                            p1 if reader.read_bit() else m1
+                                        )
+                                    while k <= se:
+                                        if blk[k]:
+                                            if reader.read_bit() and not (
+                                                blk[k] & p1
+                                            ):
+                                                blk[k] += (
+                                                    p1 if blk[k] >= 0 else m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if sval:
+                                        if k > se:
+                                            raise JPEGError(
+                                                "AC band overrun"
+                                            )
+                                        blk[k] = sval
+                                    k += 1
+                            if eob_run:
+                                while k <= se:
+                                    if blk[k]:
+                                        if reader.read_bit() and not (
+                                            blk[k] & p1
+                                        ):
+                                            blk[k] += (
+                                                p1 if blk[k] >= 0 else m1
+                                            )
+                                    k += 1
+                                eob_run -= 1
+                    pos = _entropy_end(payload, seg_end)
+                    continue
                 for byy in range(bh):
                     for bxx in range(bw):
                         if restart and unit and unit % restart == 0:
@@ -758,7 +857,7 @@ def _decode_progressive(
                             k += r
                             if k > se:
                                 raise JPEGError("AC band overrun")
-                            blk[k] = _extend(reader.receive(s), s)
+                            blk[k] = _extend(reader.receive(s), s) << al
                             k += 1
             # resume the marker walk where the scan's entropy ended
             pos = _entropy_end(payload, seg_end)
@@ -794,12 +893,13 @@ def _decode_progressive(
 
 def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
     """True iff :func:`decode_jpeg` would accept the stream's header:
-    baseline/extended-sequential Huffman or spectral-selection
-    progressive, 8-bit, 1 or 3 components, sampling <= 2x, every
-    referenced quant/Huffman table present, within the pixel budget.
-    Walks scan HEADERS (skipping entropy data by marker scan for
-    progressive — successive-approximation scans probe False); never
-    entropy-decodes."""
+    baseline/extended-sequential or progressive Huffman (spectral
+    selection and successive approximation both decode), 8-bit, 1 or
+    3 components, sampling <= 2x, every referenced quant/Huffman
+    table present, within the pixel budget. Walks scan HEADERS
+    (skipping entropy data by marker scan for progressive —
+    inconsistent Ah/Al probes False, mirroring decode's stream
+    error); never entropy-decodes."""
     if not is_jpeg(payload):
         return False
     if _frame_marker(payload) == 0xC2:
@@ -817,9 +917,11 @@ def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
 
 
 def _probe_progressive(payload: bytes, max_pixels: int) -> bool:
-    """Header-only walk over EVERY scan of a progressive stream: Ah/Al
-    must be zero, bands sane, referenced tables present; entropy data
-    is skipped with the marker scan, never decoded."""
+    """Header-only walk over EVERY scan of a progressive stream:
+    successive-approximation parameters consistent (Ah=0 or Al=Ah-1),
+    bands sane, referenced tables present (DC refinement scans read
+    raw bits, so they need no DC table); entropy data is skipped with
+    the marker scan, never decoded."""
     dc_ids: set[int] = set()
     ac_ids: set[int] = set()
     qt_ids: set[int] = set()
@@ -883,12 +985,16 @@ def _probe_progressive(payload: bytes, max_pixels: int) -> bool:
                     for k in range(ns)
                 ]
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
-                if ahal:  # successive approximation: not implemented
+                ah, al = ahal >> 4, ahal & 0x0F
+                if al > 13 or ah > 13 or (ah and al != ah - 1):
                     return False
                 if ss == 0:
                     if se != 0:
                         return False
-                    if any(td not in dc_ids for td, _ta in scan_tables):
+                    # DC refinement scans read raw bits, no table needed
+                    if ah == 0 and any(
+                        td not in dc_ids for td, _ta in scan_tables
+                    ):
                         return False
                 else:
                     if ns != 1 or not (1 <= ss <= se <= 63):
@@ -918,16 +1024,16 @@ def _frame_marker(payload: bytes) -> int | None:
 def decode_jpeg(
     payload: bytes, max_pixels: int = MAX_PIXELS
 ) -> DecodedImage:
-    """Decode a baseline-sequential or spectral-selection-progressive
-    JPEG to 8-bit samples.
+    """Decode a baseline-sequential or progressive Huffman JPEG to
+    8-bit samples.
 
     Grayscale frames return ``channels=1`` (the Y plane, no color
     transform). Three-component frames are treated as JFIF YCbCr,
     upsampled nearest-neighbor to full resolution and converted to
     RGB (``channels=3``) with the standard CCIR 601 round+clamp.
-    Progressive streams (SOF2) decode when every scan has Ah=Al=0
-    (spectral selection); successive-approximation scans raise
-    :class:`UnsupportedJPEG`.
+    Progressive streams (SOF2) decode with both spectral-selection
+    and successive-approximation scans (full T.81 Huffman-progressive
+    coverage); arithmetic-coded frames raise :class:`UnsupportedJPEG`.
     """
     if _frame_marker(payload) == 0xC2:
         return _decode_progressive(payload, max_pixels)
@@ -1098,14 +1204,28 @@ def _encode_dc(w: _BitWriter, dc: int, pred: int, dc_tbl: dict) -> int:
 
 
 def _encode_ac_band(
-    w: _BitWriter, coef_q: list[int], ac_tbl: dict, lo: int = 1, hi: int = 63
+    w: _BitWriter,
+    coef_q: list[int],
+    ac_tbl: dict,
+    lo: int = 1,
+    hi: int = 63,
+    al: int = 0,
 ) -> None:
     """AC run-length coding of zigzag indices [lo, hi] (raster-order
     coefficients in). With the full band this is the sequential AC
     layer; for a progressive spectral-selection scan the trailing EOB
     symbol doubles as EOB0 (an EOB run of one block), so the same
-    coding is valid in both frame types."""
-    zz = [coef_q[ZIGZAG[z]] for z in range(64)]
+    coding is valid in both frame types. ``al`` > 0 applies the
+    successive-approximation point transform (magnitude shift,
+    truncating toward zero — T.81 G.1.2.2) for a first SA scan."""
+    if al:
+        zz = []
+        for z in range(64):
+            v = coef_q[ZIGZAG[z]]
+            t = abs(v) >> al
+            zz.append(t if v >= 0 else -t)
+    else:
+        zz = [coef_q[ZIGZAG[z]] for z in range(64)]
     last_nz = lo - 1
     for z in range(hi, lo - 1, -1):
         if zz[z]:
@@ -1130,6 +1250,99 @@ def _encode_ac_band(
     if last_nz < hi:
         code, length = ac_tbl[0x00]  # EOB / EOB0
         w.put(code, length)
+
+
+# AC table for successive-approximation refinement scans (th=2): the
+# Annex-K interchange tables lack the EOBn symbols (nbits<<4, nbits>=1)
+# a refinement scan's cross-block EOB runs need, so — like every real
+# progressive encoder — SA scans ship their own table. 2 codes of
+# length 2 (EOB0 and (0,1), the hot symbols) + 30 of length 6 satisfy
+# Kraft exactly under the canonical construction.
+_AC_REFINE: tuple[list[int], list[int]] = (
+    [0, 2, 0, 0, 0, 30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [
+        0x00, 0x01, 0x11, 0x21, 0x31, 0x41, 0x51, 0x61,
+        0x71, 0x81, 0x91, 0xA1, 0xB1, 0xC1, 0xD1, 0xE1,
+        0xF1, 0xF0, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60,
+        0x70, 0x80, 0x90, 0xA0, 0xB0, 0xC0, 0xD0, 0xE0,
+    ],
+)
+
+
+def _encode_ac_refine_scan(
+    w: _BitWriter,
+    comp_blocks: list[list[int]],
+    ac_tbl: dict,
+    lo: int,
+    hi: int,
+    al: int,
+) -> None:
+    """Successive-approximation AC refinement scan (T.81 G.1.2.3,
+    the jcphuff encode_mcu_AC_refine shape): newly-significant
+    coefficients (|coef| >> al == 1) are coded as (run, 1) symbols
+    whose run counts only STILL-ZERO positions; already-nonzero
+    coefficients contribute one buffered correction bit each, flushed
+    after the next emitted symbol; trailing content folds into a
+    cross-block EOB run whose correction bits ride behind the EOBn
+    symbol. ``comp_blocks``: raster-order quantized blocks, block-walk
+    order."""
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits owed to the pending EOBn
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_tbl[nbits << 4]
+            w.put(code, length)
+            if nbits:
+                w.put(eobrun - (1 << nbits), nbits)
+            for b in be_bits:
+                w.put(b, 1)
+            eobrun = 0
+            be_bits = []
+
+    for coef_q in comp_blocks:
+        zz = [coef_q[ZIGZAG[z]] for z in range(64)]
+        absval = [abs(v) >> al for v in zz]
+        eob = lo - 1  # index of the LAST newly-significant coefficient
+        for z in range(lo, hi + 1):
+            if absval[z] == 1:
+                eob = z
+        r = 0  # run of still-zero positions since the last symbol
+        br: list[int] = []  # correction bits since the last symbol
+        for k in range(lo, hi + 1):
+            t = absval[k]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only when another newly-significant coef follows
+            # (k <= eob); otherwise the tail folds into the EOB run
+            while r > 15 and k <= eob:
+                flush_eobrun()
+                code, length = ac_tbl[0xF0]
+                w.put(code, length)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:  # history coefficient: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eobrun()
+            code, length = ac_tbl[(r << 4) | 1]
+            w.put(code, length)
+            w.put(1 if zz[k] >= 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eobrun()
+    flush_eobrun()
 
 
 def _encode_plane_block(
@@ -1173,15 +1386,22 @@ def encode_jpeg(
     DRI segment and an RSTn marker every that-many MCUs (the
     error-resilience feature real camera streams use — and the fixture
     that exercises the decoder's restart/resync path).
-    ``progressive=True`` writes a spectral-selection progressive
-    stream (SOF2: one DC scan, then a 1..63 AC band scan per
-    component, all with Ah=Al=0 — the fixture for the progressive
-    decode path); it requires 4:4:4 / grayscale and no restart
-    markers. Raises ``ValueError`` on geometry / channel mismatches
+    ``progressive=True`` (or ``"ss"``) writes a spectral-selection
+    progressive stream (SOF2: one DC scan, then a 1..63 AC band scan
+    per component, all with Ah=Al=0 — the fixture for the progressive
+    decode path); ``progressive="sa"`` writes a full
+    successive-approximation ladder (the libjpeg-style script: DC
+    first at Al=1, banded AC first scans at Al=1..2, then refinement
+    scans down to Al=0 — lossless vs the sequential coefficients, so
+    decode output is bit-identical to the ``progressive=False``
+    stream's). Both require 4:4:4 / grayscale and no restart markers.
+    Raises ``ValueError`` on geometry / channel mismatches
     (same guard style as ``png_codec.encode_png``).
     """
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if progressive not in (False, True, "ss", "sa"):
+        raise ValueError("progressive must be False, True, 'ss' or 'sa'")
     if progressive and (subsampling != "444" or restart_interval):
         raise ValueError(
             "progressive writer supports 4:4:4/grayscale, no restarts"
@@ -1272,6 +1492,8 @@ def encode_jpeg(
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if channels == 3:
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    if progressive == "sa":
+        tables += [(0x12, _AC_REFINE)]
     for tid, (bits, vals) in tables:
         dht += bytes([tid] + bits) + bytes(vals)
     out += _seg(DHT, dht)
@@ -1307,16 +1529,87 @@ def encode_jpeg(
                         for i in range(64)
                     ])
             blocks.append(comp_blocks)
-        # scan 1: DC, all components (interleaved when channels == 3;
-        # with 1x1 sampling the MCU walk IS the block walk)
-        sos = bytes([channels])
-        for cid in range(channels):
-            sos += bytes([cid + 1, (0x00 if cid == 0 else 0x01) << 4])
-        sos += b"\x00\x00\x00"  # Ss=0 Se=0 Ah/Al=0
-        out += _seg(SOS, sos)
+        nb = bw * bh
+
+        def dc_sos(ah: int, al: int) -> bytes:
+            # interleaved when channels == 3; with 1x1 sampling the
+            # MCU walk IS the block walk
+            sos = bytes([channels])
+            for cid in range(channels):
+                sos += bytes([cid + 1, (0x00 if cid == 0 else 0x01) << 4])
+            return _seg(SOS, sos + bytes([0, 0, (ah << 4) | al]))
+
+        def ac_sos(ci: int, ss_: int, se_: int, ah: int, al: int,
+                   ta: int | None = None) -> bytes:
+            if ta is None:
+                ta = 0x00 if ci == 0 else 0x01
+            sos = bytes([1, ci + 1, ta])
+            return _seg(SOS, sos + bytes([ss_, se_, (ah << 4) | al]))
+
+        if progressive == "sa":
+            # successive-approximation ladder (libjpeg-style script):
+            # every coefficient bit is eventually transmitted, so the
+            # decode is identical to the sequential stream's
+            enc_ref = _encode_codes(*_AC_REFINE)
+            # scan 1: DC first, Al=1 (diffs of the point-transformed DC)
+            out += dc_sos(0, 1)
+            w = _BitWriter()
+            pred = [0] * channels
+            for bi in range(nb):
+                for ci in range(channels):
+                    pred[ci] = _encode_dc(
+                        w, blocks[ci][bi][0] >> 1, pred[ci], enc_dc[ci]
+                    )
+            w.flush()
+            out += w.out
+            # AC first scans: banded luma at Al=2, full-band chroma Al=1
+            first = [(0, 1, 5, 2)]
+            if channels == 3:
+                first += [(1, 1, 63, 1), (2, 1, 63, 1)]
+            first += [(0, 6, 63, 2)]
+            for ci, lo, hi, al in first:
+                out += ac_sos(ci, lo, hi, 0, al)
+                w = _BitWriter()
+                for bi in range(nb):
+                    _encode_ac_band(w, blocks[ci][bi], enc_ac[ci], lo, hi, al)
+                w.flush()
+                out += w.out
+            # AC refinement: luma 2->1, then DC refinement to Al=0,
+            # then every component's AC down to Al=0
+            refine = [(0, 1, 63, 2, 1)]
+            tail = [(1, 1, 63, 1, 0), (2, 1, 63, 1, 0)] if channels == 3 else []
+            tail += [(0, 1, 63, 1, 0)]
+            for ci, lo, hi, ah, al in refine:
+                out += ac_sos(ci, lo, hi, ah, al, ta=0x02)
+                w = _BitWriter()
+                _encode_ac_refine_scan(
+                    w, blocks[ci], enc_ref, lo, hi, al
+                )
+                w.flush()
+                out += w.out
+            out += dc_sos(1, 0)
+            w = _BitWriter()
+            for bi in range(nb):
+                for ci in range(channels):
+                    w.put(blocks[ci][bi][0] & 1, 1)
+            w.flush()
+            out += w.out
+            for ci, lo, hi, ah, al in tail:
+                out += ac_sos(ci, lo, hi, ah, al, ta=0x02)
+                w = _BitWriter()
+                _encode_ac_refine_scan(
+                    w, blocks[ci], enc_ref, lo, hi, al
+                )
+                w.flush()
+                out += w.out
+            out += b"\xff\xd9"  # EOI
+            return bytes(out)
+
+        # spectral selection: scan 1 is DC at full precision
+        out += dc_sos(0, 0)
         w = _BitWriter()
         pred = [0] * channels
-        for bi in range(bw * bh):
+        for bi in range(nb):
             for ci in range(channels):
                 pred[ci] = _encode_dc(
                     w, blocks[ci][bi][0], pred[ci], enc_dc[ci]
@@ -1325,11 +1618,9 @@ def encode_jpeg(
         out += w.out
         # scans 2..: one AC band scan per component
         for ci in range(channels):
-            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x01])
-            sos += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah/Al=0
-            out += _seg(SOS, sos)
+            out += ac_sos(ci, 1, 63, 0, 0)
             w = _BitWriter()
-            for bi in range(bw * bh):
+            for bi in range(nb):
                 _encode_ac_band(w, blocks[ci][bi], enc_ac[ci], 1, 63)
             w.flush()
             out += w.out

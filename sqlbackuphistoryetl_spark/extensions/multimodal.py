@@ -54,12 +54,13 @@ def decode_image(payload: bytes) -> object:
     PNG decodes FOR REAL via the stdlib codec
     (:mod:`.png_codec` — zlib + struct, all five scanline filters,
     palette expansion, 8/16-bit, Adam7 interlace) and baseline
-    sequential JPEG via :mod:`.jpeg_codec` (Huffman + DCT; r7 verdict
-    task 3); both return a ``png_codec.DecodedImage``. Every other
-    format (and the forms the codecs don't implement: sub-byte-depth
-    PNG, successive-approximation-progressive/arithmetic JPEG) still
-    raises behind the documented stub gate — WebP/AVIF need codec
-    libraries this container doesn't ship.
+    sequential or progressive JPEG via :mod:`.jpeg_codec` (Huffman +
+    DCT; spectral-selection AND successive-approximation scans since
+    r9); both return a ``png_codec.DecodedImage``. Every other format
+    (and the forms the codecs don't implement: sub-byte-depth PNG,
+    arithmetic-coded JPEG) still raises behind the documented stub
+    gate — WebP/AVIF need codec libraries this container doesn't
+    ship.
     """
     from . import jpeg_codec, png_codec
 

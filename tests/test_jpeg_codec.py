@@ -433,16 +433,49 @@ class TestProgressive:
             s = decode_jpeg(encode_jpeg(px, w, h, ch, **kw))
             assert bytes(p.pixels) == bytes(s.pixels), (w, h, ch)
 
-    def test_successive_approximation_stays_gated(self):
+    def test_truncated_sa_ladder_decodes_at_reduced_precision(self):
+        # a genuinely truncated SA ladder (progressive's preview
+        # feature) is a legal stream: keep only the DC-first scan
+        # (Al=1) of an SA encode, so the DC low bit never arrives.
+        # Flat blocks with q0=8 put pixels within ONE level of exact.
+        vals = [((i * 29) % 95) + 40 for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8,
+                           progressive="sa")
+        second_sos = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+        assert second_sos > 0
+        truncated = blob[:second_sos] + b"\xff\xd9"
+        assert probe_jpeg(truncated)
+        img = decode_jpeg(truncated)
+        assert (img.width, img.height, img.channels) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(img.pixels, px)) <= 1
+
+    def test_forged_al_on_dc_scan_decodes_without_error(self):
+        # flipping Al=1 onto a full-precision DC scan is header-legal
+        # (the decoder can't know the bits weren't point-transformed),
+        # so it must decode cleanly — to shifted values, not an error
         blob = bytearray(
             encode_jpeg(bytes(range(64)), 8, 8, 1, quant_luma=QUANT_FLAT8,
                         progressive=True)
         )
         i = blob.find(b"\xff\xda")
         blob[i + 9] = 0x01  # Al=1 in the first (ns=1) scan header
-        with pytest.raises(UnsupportedJPEG, match="successive"):
+        assert probe_jpeg(bytes(blob))
+        img = decode_jpeg(bytes(blob))
+        assert (img.width, img.height, img.channels) == (8, 8, 1)
+
+    def test_nonconsecutive_sa_scan_is_stream_error(self):
+        blob = bytearray(
+            encode_jpeg(bytes(range(64)), 8, 8, 1, quant_luma=QUANT_FLAT8,
+                        progressive=True)
+        )
+        i = blob.find(b"\xff\xda")
+        blob[i + 9] = 0x21  # Ah=2, Al=1 with no preceding Al=2 scan is
+        # fine structurally — but Ah=2,Al=0 skips a bit plane
+        blob[i + 9] = 0x20
+        with pytest.raises(JPEGError, match="nonconsecutive"):
             decode_jpeg(bytes(blob))
-        assert not probe_jpeg(bytes(blob))
+        assert not probe_jpeg(bytes(blob))  # probe mirrors decode
 
     def test_writer_guards(self):
         with pytest.raises(ValueError):
@@ -469,7 +502,7 @@ class TestProgressive:
 
     def test_multimodal_routes_progressive_now(self, spark):
         # decode_image / dHash / metadata accept spectral-selection
-        # progressive since r8; SA forms still fall back
+        # progressive since r8 (and SA since r9, tested below)
         vals = [50 + i for i in range(72)]
         px, w, h = _flat_gray(vals)
         blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8, progressive=True)
@@ -483,3 +516,85 @@ class TestProgressive:
 
         r = image_dhash(df).first()
         assert r["decoder"] == "jpeg-baseline" and r["dhash"] is not None
+
+
+class TestSuccessiveApproximation:
+    """Full SA ladder (r9): first scans carry the point-transformed
+    high bits, refinement scans one correction bit per coefficient.
+    A ladder run to Al=0 reconstructs the sequential coefficients
+    exactly, so decode must be bit-identical to the sequential
+    stream's decode."""
+
+    def test_sa_equals_sequential_random(self):
+        random.seed(83)
+        for w, h, ch in [(29, 17, 1), (8, 8, 1), (24, 16, 3), (9, 5, 3),
+                         (33, 31, 1)]:
+            px = bytes(random.randrange(256) for _ in range(w * h * ch))
+            kw = dict(quant_luma=QUANT_LUMA)
+            if ch == 3:
+                kw["quant_chroma"] = QUANT_LUMA
+            sa = encode_jpeg(px, w, h, ch, progressive="sa", **kw)
+            assert b"\xff\xc2" in sa and probe_jpeg(sa)
+            p = decode_jpeg(sa)
+            s = decode_jpeg(encode_jpeg(px, w, h, ch, **kw))
+            assert bytes(p.pixels) == bytes(s.pixels), (w, h, ch)
+
+    def test_sa_flat_blocks_stay_exact(self):
+        # the gate oracle contract survives the SA path end-to-end
+        vals = [((i * 41) % 95) + 32 for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8,
+                           progressive="sa")
+        assert bytes(decode_jpeg(blob).pixels) == px
+
+    def test_sa_sparse_images_hit_eob_runs_and_zrl(self):
+        # mostly-flat canvases quantize to a few isolated coefficients:
+        # the refinement encoder's cross-block EOBn runs, ZRL folding
+        # and buffered correction bits all fire on these
+        rng = random.Random(17)
+        for trial in range(8):
+            w = rng.randrange(64, 140)
+            h = rng.randrange(64, 140)
+            px = bytearray(b"\x80" * (w * h))
+            for _ in range(rng.randrange(3, 25)):
+                px[rng.randrange(w * h)] = rng.randrange(256)
+            px = bytes(px)
+            sa = decode_jpeg(
+                encode_jpeg(px, w, h, 1, quant_luma=QUANT_LUMA,
+                            progressive="sa")
+            )
+            seq = decode_jpeg(encode_jpeg(px, w, h, 1, quant_luma=QUANT_LUMA))
+            assert bytes(sa.pixels) == bytes(seq.pixels), trial
+
+    def test_sa_mutation_corpus(self):
+        rng = random.Random(505)
+        base = encode_jpeg(
+            bytes(rng.randrange(256) for _ in range(24 * 16)),
+            24, 16, 1, quant_luma=QUANT_LUMA, progressive="sa",
+        )
+        for trial in range(200):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                buf = buf[: rng.randrange(2, len(buf))]
+            TestFuzz._decode_with_deadline(bytes(buf), ("sa", trial))
+
+    def test_multimodal_routes_sa(self, spark):
+        vals = [60 + i for i in range(72)]
+        px, w, h = _flat_gray(vals)
+        blob = encode_jpeg(px, w, h, 1, quant_luma=QUANT_FLAT8,
+                           progressive="sa")
+        assert bytes(decode_image(blob).pixels) == px
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "image/jpeg")],
+            "doc_id long, payload binary, content_type string",
+        )
+        assert extract_payload_metadata(df).first()["decode_status"] == "ok"
+
+    def test_writer_guards(self):
+        with pytest.raises(ValueError, match="progressive"):
+            encode_jpeg(bytes(64), 8, 8, 1, progressive="bogus")
+        with pytest.raises(ValueError):
+            encode_jpeg(bytes(192), 8, 8, 3, subsampling="420",
+                        progressive="sa")
