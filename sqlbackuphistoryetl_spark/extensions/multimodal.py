@@ -56,11 +56,12 @@ def decode_image(payload: bytes) -> object:
     palette expansion, 8/16-bit, Adam7 interlace) and baseline
     sequential or progressive JPEG via :mod:`.jpeg_codec` (Huffman +
     DCT; spectral-selection AND successive-approximation scans since
-    r9); both return a ``png_codec.DecodedImage``. Every other format
-    (and the forms the codecs don't implement: sub-byte-depth PNG,
-    arithmetic-coded JPEG) still raises behind the documented stub
-    gate — WebP/AVIF need codec libraries this container doesn't
-    ship.
+    r9); both return a ``png_codec.DecodedImage``. PNG covers every
+    legal IHDR form since r9 (sub-byte depths included). Every other
+    format (and the forms the codecs don't implement:
+    arithmetic-coded JPEG, over-budget dimensions) still raises
+    behind the documented stub gate — WebP/AVIF need codec libraries
+    this container doesn't ship.
     """
     from . import jpeg_codec, png_codec
 

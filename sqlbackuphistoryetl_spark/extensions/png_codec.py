@@ -5,12 +5,13 @@ NotImplementedError gate because no codec libraries ship in this
 container — but PNG (RFC 2083 / ISO 15948) needs nothing beyond
 ``zlib`` + ``struct``: signature, chunked layout with CRC-32, IDAT is a
 zlib stream of filtered scanlines. This module implements the decode
-path for every full-byte form (grayscale, RGB, palette, gray+alpha,
-RGBA; 8- and 16-bit depths; sequential and Adam7-interlaced; all five
-scanline filters) plus a minimal encoder (filter 0 + zlib), so
+path for EVERY legal IHDR form (grayscale, RGB, palette, gray+alpha,
+RGBA; 1/2/4-bit packed, 8- and 16-bit depths; sequential and
+Adam7-interlaced; all five scanline filters) plus a minimal encoder
+(filter 0 + zlib, 8-bit or packed sub-byte grayscale), so
 ``decode_and_featurize`` can featurize REAL pixels for PNG payloads.
-Sub-byte palette depths raise ``UnsupportedPNG`` — they fall back to
-the documented stub gate, same as non-PNG formats.
+``UnsupportedPNG`` now fires only on the decompression-bomb budget;
+illegal depth/color-type combinations are ``PNGError`` stream errors.
 
 Everything here is driver-free pure Python over ``bytes`` — it runs
 inside the Arrow-batched ``mapInPandas`` workers of
@@ -34,9 +35,11 @@ class PNGError(ValueError):
 
 
 class UnsupportedPNG(NotImplementedError):
-    """Valid PNG, but a form this codec doesn't implement (sub-byte
-    depths; 16-bit and Adam7 decode for real as of r8). Callers treat
-    it like the stub gate."""
+    """Valid PNG the codec declines to decode. Every legal IHDR form
+    decodes as of r9 (16-bit + Adam7 since r8, sub-byte depths since
+    r9), so this now fires only for over-budget declared sample mass
+    (the decompression-bomb guard). Callers treat it like the stub
+    gate."""
 
 
 @dataclass
@@ -79,10 +82,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> bytearray:
     """Undo the per-scanline filters (spec §6): each row is one filter
-    byte + width*bpp filtered samples."""
-    stride = width * bpp
+    byte + ``stride`` filtered bytes; ``bpp`` is the byte distance to
+    the left neighbor (1 for sub-byte-packed pixels)."""
     out = bytearray(height * stride)
     pos = 0
     for y in range(height):
@@ -122,6 +125,28 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+def _unpack_bits(
+    packed, width: int, height: int, depth: int, scale: bool
+) -> bytearray:
+    """Expand sub-byte samples (1/2/4-bit, MSB-first within each byte,
+    each row padded to a byte edge — spec §7.2) to one byte per
+    sample. Gray samples scale to 8-bit with the exact expansion
+    factor (255/85/17 — the spec's sample-depth scaling); palette
+    indexes stay raw for the PLTE lookup."""
+    stride = (width * depth + 7) // 8
+    out = bytearray(width * height)
+    factor = {1: 255, 2: 85, 4: 17}[depth] if scale else 1
+    mask = (1 << depth) - 1
+    for y in range(height):
+        base = y * stride
+        ob = y * width
+        for x in range(width):
+            b = packed[base + ((x * depth) >> 3)]
+            shift = 8 - depth - ((x * depth) & 7)
+            out[ob + x] = ((b >> shift) & mask) * factor
+    return out
+
+
 #: decode size cap: raw sample budget (width · height · channels). A
 #: crafted 1 KB payload can declare 100000×100000 and a high-ratio
 #: zlib stream — without the cap, decode materializes gigabytes from
@@ -133,11 +158,12 @@ MAX_SAMPLE_BYTES = 1 << 27
 def probe_png(payload: bytes | None, max_sample_bytes: int = MAX_SAMPLE_BYTES) -> bool:
     """Cheap header probe: does :func:`decode_png` implement this
     payload's FORM? Parses the signature + IHDR only (no IDAT
-    decompression), rejecting sub-byte depths, invalid color types /
-    interlace methods, and over-budget dimensions (8/16-bit and Adam7
-    decode for real as of r8). A True probe can still fail decode on a
-    corrupt body — it answers "does a decoder exist", the metadata
-    question, in O(1)."""
+    decompression), rejecting invalid depth / color-type combinations,
+    invalid interlace methods, and over-budget dimensions (8/16-bit
+    and Adam7 decode since r8, sub-byte depths since r9 — every legal
+    IHDR form now has a decoder). A True probe can still fail decode
+    on a corrupt body — it answers "does a decoder exist", the
+    metadata question, in O(1)."""
     if not is_png(payload) or len(payload) < 33:
         return False
     if payload[12:16] != b"IHDR":
@@ -149,13 +175,14 @@ def probe_png(payload: bytes | None, max_sample_bytes: int = MAX_SAMPLE_BYTES) -
     except struct.error:
         return False
     return (
-        bit_depth in (8, 16)
+        bit_depth in (1, 2, 4, 8, 16)
         and not (bit_depth == 16 and color_type == 3)
+        and not (bit_depth < 8 and color_type not in (0, 3))
         and interlace in (0, 1)
         and color_type in _CHANNELS
         and 0 < width
         and 0 < height
-        and width * height * _CHANNELS[color_type] * (bit_depth // 8)
+        and width * height * _CHANNELS[color_type] * max(1, bit_depth // 8)
         <= max_sample_bytes
     )
 
@@ -182,20 +209,21 @@ def _adam7_passes(width: int, height: int):
 def decode_png(
     payload: bytes, max_sample_bytes: int = MAX_SAMPLE_BYTES
 ) -> DecodedImage:
-    """Decode an 8- or 16-bit PNG, sequential or Adam7-interlaced, to
-    8-bit raw samples.
+    """Decode any legal PNG form (1/2/4/8/16-bit, sequential or
+    Adam7-interlaced) to 8-bit raw samples.
 
     Palette images expand to RGB through PLTE. 16-bit samples reduce
     to their high byte (the spec-sanctioned 8-bit approximation, what
-    every viewer shows). Adam7 streams unfilter each pass as its own
-    sub-image and scatter pixels onto the full grid (spec §8.2).
-    Raises :class:`PNGError` for malformed input and
-    :class:`UnsupportedPNG` for the remaining unimplemented forms
-    (sub-byte palette depths) and for images whose declared sample
-    mass exceeds ``max_sample_bytes`` (decompression-bomb guard — the
-    zlib stream is also decompressed with an exact expected-size
-    bound, so a hostile IDAT can't materialize more than the declared
-    raw size)."""
+    every viewer shows); 1/2/4-bit gray scales by the exact expansion
+    factor (255/85/17), 1/2/4-bit palette indexes unpack raw. Adam7
+    streams unfilter each pass as its own sub-image and scatter
+    pixels onto the full grid (spec §8.2). Raises :class:`PNGError`
+    for malformed input (including illegal depth/color-type
+    combinations) and :class:`UnsupportedPNG` for images whose
+    declared sample mass exceeds ``max_sample_bytes``
+    (decompression-bomb guard — the zlib stream is also decompressed
+    with an exact expected-size bound, so a hostile IDAT can't
+    materialize more than the declared raw size)."""
     if not is_png(payload):
         raise PNGError("not a PNG (bad signature)")
     width = height = None
@@ -219,29 +247,43 @@ def decode_png(
         raise PNGError(f"invalid color type {color_type}")
     if interlace not in (0, 1):
         raise PNGError(f"invalid interlace method {interlace}")
-    if bit_depth not in (8, 16):
-        raise UnsupportedPNG(f"bit depth {bit_depth} not implemented")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise PNGError(f"invalid bit depth {bit_depth}")
     if bit_depth == 16 and color_type == 3:
         raise PNGError("palette images cannot be 16-bit")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise PNGError(
+            f"bit depth {bit_depth} is invalid for color type {color_type}"
+        )
     if not idat:
         raise PNGError("missing IDAT")
     if width == 0 or height == 0:
         raise PNGError("zero-dimension image")
     sampbytes = bit_depth // 8
-    bpp = _CHANNELS[color_type] * sampbytes
+    # decoded bytes per pixel (sub-byte samples expand to one byte)
+    bpp = _CHANNELS[color_type] * max(1, sampbytes)
     if width * height * bpp > max_sample_bytes:
         raise UnsupportedPNG(
             f"declared sample mass {width}x{height}x{bpp} exceeds the "
             f"{max_sample_bytes}-byte decode budget"
         )
+
+    def row_bytes(w: int) -> int:
+        # packed scanline bytes: rows pad to a byte edge (spec §7.2)
+        return (w * bit_depth * _CHANNELS[color_type] + 7) // 8
+
+    # filter bpp operates on BYTES; sub-byte pixels filter with bpp=1
+    fbpp = max(1, (bit_depth * _CHANNELS[color_type]) // 8)
     # exact expected raw size: one filter byte + stride per scanline
     # (per pass for Adam7); decompress with that bound so a bomb IDAT
     # can't exceed it
     if interlace:
         passes = _adam7_passes(width, height)
-        expected = sum(subh * (1 + subw * bpp) for *_xy, subw, subh in passes)
+        expected = sum(
+            subh * (1 + row_bytes(subw)) for *_xy, subw, subh in passes
+        )
     else:
-        expected = height * (1 + width * bpp)
+        expected = height * (1 + row_bytes(width))
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected)
@@ -249,6 +291,7 @@ def decode_png(
             raise PNGError("IDAT decompresses past the declared size")
     except zlib.error as e:  # pragma: no cover - zlib message passthrough
         raise PNGError(f"bad IDAT stream: {e}") from e
+    sub_byte = bit_depth < 8
     if interlace:
         # each pass is its own filtered sub-image; unfilter it alone
         # (filters reference the previous scanline OF THE SAME PASS)
@@ -256,9 +299,13 @@ def decode_png(
         pixels = bytearray(width * height * bpp)
         pos = 0
         for xs, ys, xstep, ystep, subw, subh in passes:
-            plen = subh * (1 + subw * bpp)
-            sub = _unfilter(raw[pos : pos + plen], subw, subh, bpp)
+            plen = subh * (1 + row_bytes(subw))
+            sub = _unfilter(raw[pos : pos + plen], row_bytes(subw), subh, fbpp)
             pos += plen
+            if sub_byte:
+                sub = _unpack_bits(
+                    sub, subw, subh, bit_depth, scale=color_type == 0
+                )
             for ry in range(subh):
                 y = ys + ry * ystep
                 srow = ry * subw * bpp
@@ -268,7 +315,11 @@ def decode_png(
                     src = srow + rx * bpp
                     pixels[dst : dst + bpp] = sub[src : src + bpp]
     else:
-        pixels = _unfilter(raw, width, height, bpp)
+        pixels = _unfilter(raw, row_bytes(width), height, fbpp)
+        if sub_byte:
+            pixels = _unpack_bits(
+                pixels, width, height, bit_depth, scale=color_type == 0
+            )
     if sampbytes == 2:
         # 16-bit -> 8-bit: keep each big-endian sample's high byte
         # (the spec's recommended depth reduction)
@@ -291,13 +342,25 @@ _COLOR_TYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
 def encode_png(
-    pixels: bytes, width: int, height: int, channels: int
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Minimal 8-bit non-interlaced PNG encoder: filter 0 scanlines,
-    one zlib-compressed IDAT. Inverse of :func:`decode_png` for the
-    non-palette forms (``decode(encode(p)) == p`` exactly)."""
+    """Minimal non-interlaced PNG encoder: filter 0 scanlines, one
+    zlib-compressed IDAT. Inverse of :func:`decode_png` for the
+    non-palette forms (``decode(encode(p)) == p`` exactly).
+    ``bit_depth`` in (1, 2, 4) packs grayscale samples sub-byte
+    (``channels`` must be 1; input samples must already sit in
+    ``0..2**bit_depth - 1`` — decode scales them back to 8-bit by the
+    exact expansion factor)."""
     if channels not in _COLOR_TYPE_FOR_CHANNELS:
         raise ValueError(f"channels must be 1, 2, 3 or 4, got {channels}")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1, 2, 4 or 8")
+    if bit_depth < 8 and channels != 1:
+        raise ValueError("sub-byte encoding is grayscale-only")
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match width*height*channels")
@@ -311,11 +374,35 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _COLOR_TYPE_FOR_CHANNELS[channels], 0, 0, 0
+        ">IIBBBBB",
+        width,
+        height,
+        bit_depth,
+        _COLOR_TYPE_FOR_CHANNELS[channels],
+        0,
+        0,
+        0,
     )
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
-    )
+    if bit_depth < 8:
+        limit = 1 << bit_depth
+        rows = []
+        for y in range(height):
+            row = bytearray((width * bit_depth + 7) // 8)
+            for x in range(width):
+                v = pixels[y * width + x]
+                if v >= limit:
+                    raise ValueError(
+                        f"sample {v} does not fit in {bit_depth} bits"
+                    )
+                shift = 8 - bit_depth - ((x * bit_depth) & 7)
+                row[(x * bit_depth) >> 3] |= v << shift
+            rows.append(b"\x00" + bytes(row))
+        raw = b"".join(rows)
+    else:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride]
+            for y in range(height)
+        )
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

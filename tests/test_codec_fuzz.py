@@ -154,6 +154,59 @@ def _ref_png_interlaced(
     )
 
 
+def _pack_row(vals: list[int], depth: int) -> bytearray:
+    row = bytearray((len(vals) * depth + 7) // 8)
+    for x, v in enumerate(vals):
+        shift = 8 - depth - ((x * depth) & 7)
+        row[(x * depth) >> 3] |= v << shift
+    return row
+
+
+def _ref_png_sub_byte(
+    vals: list[int],
+    width: int,
+    height: int,
+    depth: int,
+    color_type: int,
+    filters: list[int],
+    plte: bytes | None = None,
+) -> bytes:
+    """Reference sub-byte encoder: pack rows MSB-first, then apply the
+    GIVEN filter to the packed BYTES with bpp=1 (spec §6 + §7.2)."""
+    packed = [
+        _pack_row(vals[y * width : (y + 1) * width], depth)
+        for y in range(height)
+    ]
+    stride = len(packed[0])
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y]
+        raw.append(f)
+        row = packed[y]
+        prior = packed[y - 1] if y else b"\x00" * stride
+        for x in range(stride):
+            cur = row[x]
+            left = row[x - 1] if x >= 1 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x >= 1 else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = cur - left
+            elif f == 2:
+                v = cur - up
+            elif f == 3:
+                v = cur - ((left + up) >> 1)
+            else:
+                v = cur - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
 class TestPNGFuzz:
     def test_interlaced_vs_reference_all_filters(self):
         rng = random.Random(777)
@@ -196,6 +249,55 @@ class TestPNGFuzz:
                 w, h, exp_channels,
             ), ctx
             assert img.pixels == expected, ctx
+
+    def test_sub_byte_vs_reference_all_filters(self):
+        # r9: 1/2/4-bit gray + palette, every filter type, odd widths
+        # (byte-padding bits), against an independent packed encoder
+        rng = random.Random(909)
+        for trial in range(150):
+            depth = rng.choice([1, 2, 4])
+            color_type = rng.choice([0, 3])
+            w = rng.randrange(1, 20)
+            h = rng.randrange(1, 12)
+            filters = [rng.randrange(5) for _ in range(h)]
+            if color_type == 3:
+                n_pal = rng.randrange(1, (1 << depth) + 1)
+                plte = bytes(rng.randrange(256) for _ in range(3 * n_pal))
+                vals = [rng.randrange(n_pal) for _ in range(w * h)]
+                expected = b"".join(plte[3 * i : 3 * i + 3] for i in vals)
+                exp_channels = 3
+            else:
+                plte = None
+                vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+                factor = {1: 255, 2: 85, 4: 17}[depth]
+                expected = bytes(v * factor for v in vals)
+                exp_channels = 1
+            blob = _ref_png_sub_byte(
+                vals, w, h, depth, color_type, filters, plte
+            )
+            img = decode_png(blob)
+            ctx = (trial, depth, color_type, w, h, filters)
+            assert (img.width, img.height, img.channels) == (
+                w, h, exp_channels,
+            ), ctx
+            assert img.pixels == expected, ctx
+
+    def test_sub_byte_mutation_corpus(self):
+        rng = random.Random(9321)
+        base = encode_png(
+            bytes(rng.randrange(4) for _ in range(18 * 11)), 18, 11, 1,
+            bit_depth=2,
+        )
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            if rng.random() < 0.3:
+                buf = buf[: rng.randrange(8, len(buf))]
+            try:
+                decode_png(bytes(buf))
+            except (PNGError, UnsupportedPNG):
+                pass
 
     def test_encode_is_deterministic_fixed_point(self):
         rng = random.Random(77)

@@ -120,13 +120,15 @@ class TestDecode:
         with pytest.raises(PNGError):
             decode_png(corrupted)
 
-    def test_unsupported_forms_gate(self):
-        # 16-bit and Adam7 decode for real since r8; the remaining
-        # gated form is sub-byte depths
-        with pytest.raises(UnsupportedPNG):
-            decode_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=4))
+    def test_illegal_ihdr_combinations_are_stream_errors(self):
+        # every legal IHDR form decodes since r9; the illegal
+        # depth/color-type combinations are malformed streams
         with pytest.raises(PNGError):  # 16-bit palette is malformed
             decode_png(_png(1, 1, 3, b"\x00\x00\x00", bit_depth=16))
+        with pytest.raises(PNGError):  # sub-byte RGB is malformed
+            decode_png(_png(1, 1, 2, b"\x00\x0f", bit_depth=4))
+        with pytest.raises(PNGError):  # depth 3 does not exist
+            decode_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=3))
 
     def test_16bit_reduces_to_high_byte(self):
         img = decode_png(_png(1, 1, 0, b"\x00\xab\xcd", bit_depth=16))
@@ -316,12 +318,14 @@ class TestHostilePayloads:
         assert probe_png(good)
         assert not probe_png(b"not png")
         assert not probe_png(None)
-        # 16-bit and Adam7 probe True since r8 (they decode for real);
-        # sub-byte depths and bad interlace methods stay rejected
+        # 16-bit and Adam7 probe True since r8, sub-byte since r9;
+        # illegal combinations and bad interlace methods stay rejected
         assert probe_png(_png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16))
         assert probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=1))
-        assert not probe_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=4))
+        assert probe_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=4))
         assert not probe_png(_png(1, 1, 3, b"\x00\x00\x00", bit_depth=16))
+        assert not probe_png(_png(1, 1, 2, b"\x00\x0f", bit_depth=4))
+        assert not probe_png(_png(1, 1, 0, b"\x00\x0f", bit_depth=3))
         assert not probe_png(_png(1, 1, 0, b"\x00\x7f", interlace=2))
         # over-budget dims probe False without touching IDAT
         huge = (
@@ -350,19 +354,158 @@ class TestHostilePayloads:
         assert got == {1: "fake-sha256", 2: "png-zlib"}
 
     def test_metadata_probe_not_just_signature(self, spark):
-        # a sub-byte-depth PNG passes is_png but decode_image can't
-        # take it: metadata must say 'stubbed', not 'ok' (16-bit and
-        # Adam7 report 'ok' since r8 — they decode for real)
+        # an over-budget PNG passes is_png but decode_image can't take
+        # it: metadata must say 'stubbed', not 'ok' (16-bit / Adam7
+        # decode since r8, sub-byte since r9 — all report 'ok')
+        bomb = (
+            PNG_SIGNATURE
+            + _chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 60_000, 60_000, 8, 6, 0, 0, 0),
+            )
+            + _chunk(b"IDAT", b"\x00")
+            + _chunk(b"IEND", b"")
+        )
         four = _png(1, 1, 0, b"\x00\x0f", bit_depth=4)
         sixteen = _png(1, 1, 0, b"\x00\x00\x7f", bit_depth=16)
         df = spark.createDataFrame(
-            [(1, bytearray(four), "image/png"),
-             (2, bytearray(sixteen), "image/png")],
+            [(1, bytearray(bomb), "image/png"),
+             (2, bytearray(sixteen), "image/png"),
+             (3, bytearray(four), "image/png")],
             "doc_id long, payload binary, content_type string",
         )
         got = {r["doc_id"]: r["decode_status"]
                for r in extract_payload_metadata(df).collect()}
-        assert got == {1: "stubbed", 2: "ok"}
+        assert got == {1: "stubbed", 2: "ok", 3: "ok"}
+
+
+class TestSubByte:
+    """1/2/4-bit packed PNG (r9): MSB-first within each byte, rows
+    padded to byte edges, filters run on the packed BYTES (bpp=1);
+    gray samples scale by 255/85/17, palette indexes unpack raw."""
+
+    def test_1bit_gray(self):
+        # 10x2: row bits 1010101010 -> 0xAA 0x80, 0101010101 -> 0x55 0x40
+        raw = b"\x00\xaa\x80" + b"\x00\x55\x40"
+        img = decode_png(_png(10, 2, 0, raw, bit_depth=1))
+        assert (img.width, img.height, img.channels) == (10, 2, 1)
+        assert img.pixels == bytes(
+            [255, 0] * 5 + [0, 255] * 5
+        )
+
+    def test_2bit_gray_scaling(self):
+        # 5x1: samples 0,1,2,3,2 -> packed 00 01 10 11 | 10 000000
+        raw = b"\x00" + bytes([0b00011011, 0b10000000])
+        img = decode_png(_png(5, 1, 0, raw, bit_depth=2))
+        assert img.pixels == bytes([0, 85, 170, 255, 170])
+
+    def test_4bit_gray_scaling_and_odd_width(self):
+        # 3x2: padding nibble after the 3rd sample of each row
+        raw = b"\x00" + bytes([0x0F, 0x70]) + b"\x00" + bytes([0xA3, 0xC0])
+        img = decode_png(_png(3, 2, 0, raw, bit_depth=4))
+        assert img.pixels == bytes(
+            [0 * 17, 15 * 17, 7 * 17, 10 * 17, 3 * 17, 12 * 17]
+        )
+
+    def test_4bit_palette(self):
+        plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+        # 3x1 indexes 2,0,1 -> packed 0x20 0x10
+        raw = b"\x00" + bytes([0x20, 0x10])
+        img = decode_png(_png(3, 1, 3, raw, extra=plte, bit_depth=4))
+        assert img.channels == 3
+        assert img.pixels == bytes([0, 0, 255, 255, 0, 0, 0, 255, 0])
+
+    def test_1bit_palette_index_out_of_range(self):
+        plte = _chunk(b"PLTE", bytes([1, 2, 3]))  # one entry
+        raw = b"\x00\x40"  # index 1 at x=1
+        with pytest.raises(PNGError, match="palette index"):
+            decode_png(_png(2, 1, 3, raw, extra=plte, bit_depth=1))
+
+    def test_filters_run_on_packed_bytes(self):
+        # 16x2 1-bit: stride is 2 bytes. Row 0 filter 0 = A5 3C; row 1
+        # filter 1 (Sub, bpp=1): out[x] = row[x] + out[x-1]; row 2
+        # filter 2 (Up): out = row + prev row's bytes
+        r0 = bytes([0xA5, 0x3C])
+        r1_out = bytes([0x0F, 0x4E])
+        r1 = bytes([0x0F, (0x4E - 0x0F) & 0xFF])
+        r2_out = bytes([0xF0, 0x81])
+        r2 = bytes([(0xF0 - 0x0F) & 0xFF, (0x81 - 0x4E) & 0xFF])
+        raw = b"\x00" + r0 + b"\x01" + r1 + b"\x02" + r2
+        img = decode_png(_png(16, 3, 0, raw, bit_depth=1))
+        want = bytearray()
+        for rowbytes in (r0, r1_out, r2_out):
+            for byte in rowbytes:
+                for bit in range(7, -1, -1):
+                    want.append(255 if (byte >> bit) & 1 else 0)
+        assert img.pixels == bytes(want)
+
+    def test_adam7_sub_byte_matches_sequential(self):
+        # reference interlacer packing each pass's rows sub-byte
+        from sqlbackuphistoryetl_spark.extensions.png_codec import (
+            _adam7_passes,
+        )
+        import random
+
+        rng = random.Random(29)
+        for w, h, depth in [(8, 8, 1), (9, 7, 2), (5, 3, 4), (1, 1, 1),
+                            (16, 5, 2), (3, 9, 4)]:
+            vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+            raw = bytearray()
+            for xs, ys, xstep, ystep, subw, subh in _adam7_passes(w, h):
+                for ry in range(subh):
+                    raw.append(0)  # filter none
+                    row = bytearray((subw * depth + 7) // 8)
+                    y = ys + ry * ystep
+                    for rx in range(subw):
+                        v = vals[y * w + (xs + rx * xstep)]
+                        shift = 8 - depth - ((rx * depth) & 7)
+                        row[(rx * depth) >> 3] |= v << shift
+                    raw += row
+            img = decode_png(
+                _png(w, h, 0, bytes(raw), bit_depth=depth, interlace=1)
+            )
+            factor = {1: 255, 2: 85, 4: 17}[depth]
+            assert img.pixels == bytes(v * factor for v in vals), (w, h, depth)
+
+    def test_encode_roundtrip_sub_byte(self):
+        import random
+
+        rng = random.Random(31)
+        for depth in (1, 2, 4):
+            for w, h in [(1, 1), (7, 3), (16, 2), (9, 9)]:
+                vals = bytes(
+                    rng.randrange(1 << depth) for _ in range(w * h)
+                )
+                blob = encode_png(vals, w, h, 1, bit_depth=depth)
+                img = decode_png(blob)
+                factor = {1: 255, 2: 85, 4: 17}[depth]
+                assert img.pixels == bytes(v * factor for v in vals)
+
+    def test_encode_guards(self):
+        with pytest.raises(ValueError, match="bits"):
+            encode_png(bytes([4]), 1, 1, 1, bit_depth=2)
+        with pytest.raises(ValueError, match="grayscale"):
+            encode_png(bytes(3), 1, 1, 3, bit_depth=4)
+        with pytest.raises(ValueError, match="bit_depth"):
+            encode_png(bytes(1), 1, 1, 1, bit_depth=16)
+
+    def test_multimodal_routes_sub_byte(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            decode_image,
+        )
+
+        blob = encode_png(bytes([0, 1, 2, 3, 3, 2, 1, 0]), 4, 2, 1,
+                          bit_depth=2)
+        img = decode_image(blob)
+        assert img.pixels == bytes(
+            v * 85 for v in [0, 1, 2, 3, 3, 2, 1, 0]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "image/png")],
+            "doc_id long, payload binary, content_type string",
+        )
+        got = decode_and_featurize(df, feature_dim=2).first()
+        assert got["decoder"] == "png-zlib"
 
 
 class TestImageDHash:
