@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from sqlbackuphistoryetl_spark import schema
@@ -148,3 +149,158 @@ def test_delta_merge_variant_gated(spark):
         pass
     with pytest.raises(ImportError, match="delta-spark"):
         idempotent_merge_delta(spark, df, "/tmp/never-written")
+
+
+class _FakeDeltaTable:
+    """Contract double for ``delta.tables.DeltaTable`` (r8 verdict
+    task 5 — exercise ``idempotent_merge_delta`` without delta-spark,
+    the same doctrine as the stubbed-msal auth tests). Implements
+    exactly the surface the production code drives — ``isDeltaTable`` /
+    ``forPath`` / ``alias`` / ``merge`` / ``whenNotMatchedInsertAll`` /
+    ``execute`` / ``history`` — with parquet storage and REAL Spark SQL
+    evaluation of the merge-condition string, so the null-safe key
+    condition, the call order and the operationMetrics plumbing all run
+    for real; only Delta's transaction log is faked."""
+
+    def __init__(self, spark, path):
+        self._spark = spark
+        self._path = path
+        self._alias_name = None
+        self._src = None
+        self._cond = None
+        self._insert_all = False
+        self._last_inserted = 0
+
+    @staticmethod
+    def isDeltaTable(spark, path):
+        import os
+
+        return os.path.exists(os.path.join(path, "_fake_delta_log"))
+
+    @classmethod
+    def forPath(cls, spark, path):
+        if not cls.isDeltaTable(spark, path):
+            raise AssertionError(f"{path} is not a (fake) delta table")
+        return cls(spark, path)
+
+    def alias(self, name):
+        self._alias_name = name
+        return self
+
+    def merge(self, source, condition):
+        self._src = source
+        self._cond = condition
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self._insert_all = True
+        return self
+
+    def execute(self):
+        assert self._insert_all and self._src is not None
+        tgt = self._spark.read.parquet(self._path).alias(self._alias_name)
+        new = self._src.join(tgt, F.expr(self._cond), "left_anti")
+        n = new.count()
+        if n:
+            new.write.mode("append").partitionBy("backup_date").parquet(
+                self._path
+            )
+        self._last_inserted = n
+
+    def history(self, _n):
+        return self._spark.createDataFrame(
+            [({"numTargetRowsInserted": str(self._last_inserted)},)],
+            "operationMetrics map<string,string>",
+        )
+
+
+def _seed_fake_delta(spark, rows, path):
+    df = spark.createDataFrame(rows, schema.CONSOLIDATED).withColumn(
+        "backup_date", F.to_date("backup_start_date")
+    )
+    df.write.partitionBy("backup_date").parquet(path)
+    import os
+
+    os.makedirs(os.path.join(path, "_fake_delta_log"), exist_ok=True)
+
+
+@pytest.fixture
+def fake_delta(monkeypatch):
+    import sys
+    import types
+
+    pkg = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = _FakeDeltaTable
+    pkg.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", pkg)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+
+
+def test_delta_merge_contract_insert_if_absent(spark, tmp_path, fake_delta):
+    """MERGE WHEN NOT MATCHED inserts only absent keys: partial
+    overlap, intra-batch duplicates and full replay all behave exactly
+    like the parquet anti-join sink (SURVEY §2.3 J6, sql:33)."""
+    from sqlbackuphistoryetl_spark.operators.merge import (
+        idempotent_merge_delta,
+    )
+
+    target = str(tmp_path / "delta_tgt")
+    rows = consolidated_rows()
+    _seed_fake_delta(spark, rows[:10], target)
+
+    # rows 8..9 overlap the seed; one intra-batch duplicate on top
+    batch = spark.createDataFrame(
+        rows[8:] + [rows[8]], schema.CONSOLIDATED
+    )
+    n = idempotent_merge_delta(spark, batch, target)
+    assert n == len(rows) - 10
+
+    total = spark.read.parquet(target)
+    assert total.count() == len(rows)
+    dup_keys = (
+        total.groupBy(*schema.CONSOLIDATED_KEY).count().filter("count > 1")
+    )
+    assert dup_keys.count() == 0
+
+    # full replay: zero inserts, sink unchanged
+    replay = spark.createDataFrame(rows, schema.CONSOLIDATED)
+    assert idempotent_merge_delta(spark, replay, target) == 0
+    assert spark.read.parquet(target).count() == len(rows)
+
+
+def test_delta_merge_condition_is_null_safe(spark, tmp_path, fake_delta):
+    """The merge condition uses <=> per key column: a row whose key
+    contains NULL must match its replay (plain = would re-insert it
+    forever — the exact bug class the reference's unique index
+    prevents)."""
+    from sqlbackuphistoryetl_spark.operators.merge import (
+        idempotent_merge_delta,
+    )
+
+    import copy
+
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [
+            T.StructField(f.name, copy.deepcopy(f.dataType), True)
+            for f in schema.CONSOLIDATED.fields
+        ]
+    )
+    target = str(tmp_path / "delta_tgt_null")
+    rows = consolidated_rows()
+    null_key = dict(rows[0])
+    null_key["first_lsn"] = None  # NULL inside the logical key
+    null_key["physical_device_name"] = "X:\\bk\\null_lsn.bak"
+    seed = spark.createDataFrame([null_key], nullable).withColumn(
+        "backup_date", F.to_date("backup_start_date")
+    )
+    seed.write.partitionBy("backup_date").parquet(target)
+    import os
+
+    os.makedirs(os.path.join(target, "_fake_delta_log"), exist_ok=True)
+
+    replay = spark.createDataFrame([null_key], nullable)
+    assert idempotent_merge_delta(spark, replay, target) == 0
+    assert spark.read.parquet(target).count() == 1
