@@ -13,10 +13,10 @@ frames unchanged. A minimal writer (:func:`encode_avi`) builds
 fixtures and drives round-trip tests.
 
 Motion-JPEG streams (fourcc ``MJPG``) also decode for real: every
-frame chunk is a standalone baseline JPEG, routed through
-:mod:`.jpeg_codec` (the r7 verdict's "keep MJPEG gated until the JPEG
-codec lands" condition, now met). Other compressed fourccs
-(cinepak/DV/...), palettized 8-bit DIBs and 16/32-bit depths raise
+frame chunk is a standalone JPEG, routed through :mod:`.jpeg_codec`.
+Palettized 8-bit DIBs (RGBQUAD table in strf) and 32-bit BGRX decode
+since r9. Other compressed fourccs (cinepak/DV/...) and the remaining
+packed depths (1/2/4-bit, 16-bit 555/565) raise
 :class:`UnsupportedAVI` and fall back to the documented stub path,
 exactly like the other codecs' gates. Budgets cap declared dimensions
 and frame counts so a tiny forged header can't allocate gigabytes.
@@ -47,7 +47,8 @@ class AVIError(ValueError):
 
 class UnsupportedAVI(NotImplementedError):
     """Valid AVI, but a form this codec doesn't implement (compressed
-    video, non-24-bit DIB). Callers treat it like the stub gate."""
+    video other than MJPG; 1/2/4-bit packed or 16-bit DIBs). Callers
+    treat it like the stub gate."""
 
 
 @dataclass
@@ -58,6 +59,7 @@ class AVIInfo:
     compression: int
     n_frames: int  # count of video frame chunks actually present
     top_down: bool
+    palette: bytes | None = None  # RGBQUAD (B,G,R,x) entries, 8-bit DIBs
 
 
 def is_avi(payload: bytes | None) -> bool:
@@ -168,6 +170,7 @@ def parse_avi(
         raise AVIError("invalid BITMAPINFOHEADER geometry")
     top_down = height < 0
     height = abs(height)
+    palette: bytes | None = None
     if compression == MJPG_FOURCC:
         # Motion-JPEG: every frame chunk is a standalone baseline JPEG
         # — decodable since the r8 jpeg_codec landed (the r7 verdict's
@@ -176,11 +179,21 @@ def parse_avi(
     elif compression != 0:  # other fourccs need real codec libraries
         fourcc = struct.pack("<I", compression)
         raise UnsupportedAVI(f"compressed video stream {fourcc!r}")
-    else:
-        if bit_count != 24:
-            raise UnsupportedAVI(f"{bit_count}-bit DIB (only BI_RGB 24)")
-        if clr_used:
-            raise UnsupportedAVI("palettized DIB")
+    elif bit_count == 8:
+        # palettized DIB (r9): RGBQUAD table follows the 40-byte
+        # header inside strf; biClrUsed==0 means a full 256 entries
+        n_pal = clr_used or 256
+        if n_pal > 256:
+            raise AVIError("8-bit DIB declares more than 256 colors")
+        if len(strf) < 40 + 4 * n_pal:
+            raise AVIError("palettized DIB without a full palette")
+        palette = strf[40 : 40 + 4 * n_pal]
+    elif bit_count in (24, 32):
+        # biClrUsed on a truecolor DIB is a legal "important colors"
+        # hint; it does not affect decode
+        pass
+    else:  # 1/2/4-bit packed and 16-bit 555/565 stay gated
+        raise UnsupportedAVI(f"{bit_count}-bit DIB (8/24/32 decode)")
     if width * height > max_frame_pixels:
         raise UnsupportedAVI(
             f"{width}x{height} exceeds the {max_frame_pixels}-pixel budget"
@@ -190,7 +203,10 @@ def parse_avi(
             f"{len(frames)} frames exceed the {max_frames}-frame budget"
         )
     return (
-        AVIInfo(width, height, bit_count, compression, len(frames), top_down),
+        AVIInfo(
+            width, height, bit_count, compression, len(frames), top_down,
+            palette,
+        ),
         frames,
     )
 
@@ -210,7 +226,7 @@ def probe_avi(payload: bytes | None) -> bool:
         from . import jpeg_codec
 
         return all(jpeg_codec.probe_jpeg(f) for f in frames)
-    stride = ((info.width * 3 + 3) // 4) * 4
+    stride = ((info.width * (info.bit_count // 8) + 3) // 4) * 4
     return all(len(f) >= stride * info.height for f in frames)
 
 
@@ -232,22 +248,33 @@ def _decode_frame(data: bytes, info: AVIInfo) -> DecodedImage:
             )
         return img
     w, h = info.width, info.height
-    stride = ((w * 3 + 3) // 4) * 4
+    px_bytes = info.bit_count // 8
+    stride = ((w * px_bytes + 3) // 4) * 4
     if len(data) < stride * h:
         raise AVIError(
             f"frame chunk holds {len(data)} bytes; needs {stride * h}"
         )
     out = bytearray(w * h * 3)
+    pal = info.palette
     for row in range(h):
         # DIB rows run bottom-up unless biHeight was negative
         src_row = row if info.top_down else (h - 1 - row)
         s = src_row * stride
         d = row * w * 3
-        for x in range(w):
-            b, g, r = data[s + 3 * x], data[s + 3 * x + 1], data[s + 3 * x + 2]
-            out[d + 3 * x] = r
-            out[d + 3 * x + 1] = g
-            out[d + 3 * x + 2] = b
+        if px_bytes == 1:  # palettized: index -> RGBQUAD (B,G,R,x)
+            for x in range(w):
+                p = 4 * data[s + x]
+                if p + 3 > len(pal):
+                    raise AVIError("palette index out of range")
+                out[d + 3 * x] = pal[p + 2]
+                out[d + 3 * x + 1] = pal[p + 1]
+                out[d + 3 * x + 2] = pal[p]
+        else:  # 24-bit BGR / 32-bit BGRX (the pad byte is skipped)
+            for x in range(w):
+                o = s + px_bytes * x
+                out[d + 3 * x] = data[o + 2]
+                out[d + 3 * x + 1] = data[o + 1]
+                out[d + 3 * x + 2] = data[o]
     return DecodedImage(w, h, 3, bytes(out))
 
 
@@ -296,7 +323,11 @@ def encode_avi(
     """Minimal AVI writer. ``codec='rgb'``: uncompressed 24-bit DIB —
     the decode inverse for RGB frames
     (``decode(encode(fs))[i].pixels == fs[i].pixels`` exactly).
-    ``codec='mjpeg'``: every frame is a standalone baseline JPEG
+    ``codec='rgb32'``: the same pixels as 32-bit BGRX rows.
+    ``codec='pal8'``: palettized 8-bit DIB — a deterministic palette of
+    the frames' sorted unique colors (<= 256 or ``ValueError``) lands
+    as RGBQUADs behind the BITMAPINFOHEADER; also an exact decode
+    inverse. ``codec='mjpeg'``: every frame is a standalone baseline JPEG
     (grayscale or RGB 4:4:4; pass ``quant_luma`` — e.g.
     ``jpeg_codec.QUANT_FLAT8`` keeps flat-block fixtures byte-exact
     through the lossy codec). All frames must share one geometry.
@@ -304,8 +335,8 @@ def encode_avi(
     with an idx1 index so external players accept the file."""
     if not frames:
         raise ValueError("at least one frame required")
-    if codec not in ("rgb", "mjpeg"):
-        raise ValueError("codec must be 'rgb' or 'mjpeg'")
+    if codec not in ("rgb", "rgb32", "pal8", "mjpeg"):
+        raise ValueError("codec must be 'rgb', 'rgb32', 'pal8' or 'mjpeg'")
     w, h = frames[0].width, frames[0].height
     want_c = frames[0].channels if codec == "mjpeg" else 3
     if want_c not in (1, 3):
@@ -315,7 +346,8 @@ def encode_avi(
             raise ValueError("all frames must share geometry and channels")
     if fps < 1:
         raise ValueError("fps must be >= 1")
-    stride = ((w * 3 + 3) // 4) * 4
+    bit_count = {"rgb": 24, "rgb32": 32, "pal8": 8, "mjpeg": 24}[codec]
+    stride = ((w * (bit_count // 8) + 3) // 4) * 4
     frame_size = stride * h
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -326,6 +358,7 @@ def encode_avi(
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    palette_blob = b""
     if codec == "mjpeg":
         from . import jpeg_codec
 
@@ -336,7 +369,36 @@ def encode_avi(
             for f in frames
         ]
         frame_size = max(len(d) for d in dib_frames)
+    elif codec == "pal8":
+        # deterministic palette: sorted unique colors across all frames
+        colors = sorted(
+            {
+                tuple(f.pixels[i : i + 3])
+                for f in frames
+                for i in range(0, len(f.pixels), 3)
+            }
+        )
+        if len(colors) > 256:
+            raise ValueError(
+                f"pal8 needs <= 256 distinct colors, got {len(colors)}"
+            )
+        index = {c: i for i, c in enumerate(colors)}
+        palette_blob = b"".join(
+            bytes((b, g, r, 0)) for (r, g, b) in colors  # RGBQUAD
+        )
+        dib_frames = []
+        for f in frames:
+            rows = []
+            for row in range(h - 1, -1, -1):  # bottom-up
+                base = row * w * 3
+                line = bytes(
+                    index[tuple(f.pixels[base + 3 * x : base + 3 * x + 3])]
+                    for x in range(w)
+                )
+                rows.append(line + b"\x00" * (stride - len(line)))
+            dib_frames.append(b"".join(rows))
     else:
+        px_bytes = bit_count // 8
         dib_frames = []
         for f in frames:
             rows = []
@@ -349,7 +411,8 @@ def encode_avi(
                         f.pixels[base + 3 * x + 1],
                         f.pixels[base + 3 * x + 2],
                     )
-                    line += bytes((b, g, r))  # BGR
+                    # BGR, plus a zero pad byte for 32-bit BGRX
+                    line += bytes((b, g, r)) + b"\x00" * (px_bytes - 3)
                 line += b"\x00" * (stride - len(line))
                 rows.append(bytes(line))
             dib_frames.append(b"".join(rows))
@@ -385,8 +448,10 @@ def encode_avi(
         )
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
-    )
+        "<IiiHHIIiiII",
+        40, w, h, 1, bit_count, compression, frame_size, 0, 0,
+        len(palette_blob) // 4, 0,
+    ) + palette_blob
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)

@@ -93,12 +93,23 @@ class TestGating:
             decode_avi_frames(bytes(blob))
         assert not probe_avi(bytes(blob))
 
-    def test_non_24bit_raises_unsupported(self):
+    def test_remaining_depths_raise_unsupported(self):
+        # 8/24/32-bit decode since r9; 16-bit and packed depths stay
+        # gated, and a forged 8-bit header WITHOUT a palette is
+        # malformed rather than gated
         blob = bytearray(encode_avi(_frames()))
         i = blob.find(b"strf") + 8
-        blob[i + 14 : i + 16] = struct.pack("<H", 8)
-        with pytest.raises(UnsupportedAVI, match="8-bit"):
+        blob[i + 14 : i + 16] = struct.pack("<H", 16)
+        with pytest.raises(UnsupportedAVI, match="16-bit"):
             decode_avi_frames(bytes(blob))
+        assert not probe_avi(bytes(blob))
+        blob[i + 14 : i + 16] = struct.pack("<H", 4)
+        with pytest.raises(UnsupportedAVI, match="4-bit"):
+            decode_avi_frames(bytes(blob))
+        blob[i + 14 : i + 16] = struct.pack("<H", 8)
+        with pytest.raises(AVIError, match="palette"):
+            decode_avi_frames(bytes(blob))
+        assert not probe_avi(bytes(blob))
 
     def test_declared_size_bomb_guard(self):
         import time
@@ -171,6 +182,104 @@ class TestGating:
                 pass
 
 
+class TestExtendedDIB:
+    """Palettized 8-bit and 32-bit BGRX DIB frames (r9)."""
+
+    def test_pal8_round_trips_exactly(self):
+        import random as _r
+
+        rng = _r.Random(41)
+        colors = [tuple(rng.randrange(256) for _ in range(3))
+                  for _ in range(7)]
+        frames = [
+            DecodedImage(5, 3, 3, bytes(
+                b for _ in range(15) for b in colors[rng.randrange(7)]
+            ))
+            for _ in range(3)
+        ]
+        blob = encode_avi(frames, codec="pal8")
+        info, _ = parse_avi(blob)
+        assert info.bit_count == 8 and info.palette is not None
+        assert probe_avi(blob)
+        got = decode_avi_frames(blob)
+        assert [g.pixels for g in got] == [f.pixels for f in frames]
+
+    def test_rgb32_round_trips_exactly(self):
+        frames = _frames(2, 5, 4, seed=9)
+        blob = encode_avi(frames, codec="rgb32")
+        info, _ = parse_avi(blob)
+        assert info.bit_count == 32
+        assert probe_avi(blob)
+        got = decode_avi_frames(blob)
+        assert [g.pixels for g in got] == [f.pixels for f in frames]
+
+    def test_pal8_clr_used_subset_and_index_range(self):
+        # 2 palette entries declared via biClrUsed; an index beyond the
+        # table is a stream error, not silence
+        frames = [DecodedImage(2, 1, 3, bytes([1, 2, 3, 9, 8, 7]))]
+        blob = bytearray(encode_avi(frames, codec="pal8"))
+        info, raw = parse_avi(bytes(blob))
+        assert len(info.palette) == 8  # 2 RGBQUADs
+        j = blob.find(b"00db") + 8
+        blob[j] = 5  # index past the 2-entry palette
+        with pytest.raises(AVIError, match="palette index"):
+            decode_avi_frames(bytes(blob))
+
+    def test_pal8_more_than_256_colors_rejected(self):
+        px = b"".join(
+            bytes((i % 256, i // 256, 7)) for i in range(16 * 17)
+        )
+        with pytest.raises(ValueError, match="256"):
+            encode_avi([DecodedImage(16, 17, 3, px)], codec="pal8")
+
+    def test_extended_dib_mutation_corpus(self):
+        rng = random.Random(88)
+        for codec in ("pal8", "rgb32"):
+            base = encode_avi(_frames(2, 6, 4, seed=10), codec=codec) \
+                if codec == "rgb32" else encode_avi(
+                    [DecodedImage(6, 4, 3, bytes(
+                        b for _ in range(24)
+                        for b in [(0, 0, 0), (255, 255, 255)][
+                            rng.randrange(2)
+                        ]
+                    ))],
+                    codec="pal8",
+                )
+            for _ in range(150):
+                buf = bytearray(base)
+                for _ in range(rng.randrange(1, 4)):
+                    buf[rng.randrange(len(buf))] = rng.randrange(256)
+                if rng.random() < 0.3:
+                    buf = buf[: rng.randrange(12, len(buf))]
+                try:
+                    decode_avi_frames(bytes(buf))
+                except (AVIError, UnsupportedAVI):
+                    pass
+
+    def test_sample_frames_decodes_pal8(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            sample_frames,
+        )
+
+        colors = [(10, 20, 30), (200, 100, 50)]
+        frames = [
+            DecodedImage(4, 4, 3, bytes(
+                b for i in range(16) for b in colors[(i + f) % 2]
+            ))
+            for f in range(4)
+        ]
+        blob = encode_avi(frames, codec="pal8")
+        df = spark.createDataFrame(
+            [(1, bytearray(blob), "video/x-msvideo")],
+            "doc_id long, payload binary, content_type string",
+        )
+        out = sample_frames(df, frame_size=48, stride=2).collect()
+        got = {r["frame_index"]: bytes(r["frame_bytes"]) for r in out}
+        assert set(got) == {0, 2}
+        assert all(r["decoder"] == "avi-dib" for r in out)
+        assert got[0] == frames[0].pixels and got[2] == frames[2].pixels
+
+
 class TestMJPEG:
     def test_flat_block_mjpeg_round_trip_exact(self):
         # QUANT_FLAT8 flat 8x8 blocks survive the lossy codec exactly
@@ -227,18 +336,25 @@ class TestMJPEG:
         with pytest.raises(AVIError, match="MJPEG"):
             decode_avi_frames(bytes(seq))
         assert not probe_avi(bytes(seq))
-        # ...but a successive-approximation frame stays gated (assert
-        # on the frame-decode hook directly; rebuilding nested RIFF
-        # sizes to splice it into a container adds nothing)
+        # ...successive-approximation frames decode too since r9 (a
+        # truncated ladder is a legal preview stream); an ARITHMETIC
+        # frame stays gated (assert on the frame-decode hook directly;
+        # rebuilding nested RIFF sizes to splice it into a container
+        # adds nothing)
         sa = bytearray(prog_frame)
         i = sa.find(b"\xff\xda")
-        sa[i + 9] = 0x01  # Al=1
+        sa[i + 9] = 0x01  # Al=1: never-refined SA ladder, still legal
         from sqlbackuphistoryetl_spark.extensions import avi_codec
 
         blob = encode_avi(frames, codec="mjpeg", quant_luma=QUANT_FLAT8)
         info, _ = avi_codec.parse_avi(blob)
+        img = avi_codec._decode_frame(bytes(sa), info)
+        assert (img.width, img.height) == (8, 8)
+        arith = bytearray(prog_frame)
+        j = arith.find(b"\xff\xc2")
+        arith[j + 1] = 0xC9  # arithmetic sequential: genuinely gated
         with pytest.raises(UnsupportedAVI, match="MJPEG frame"):
-            avi_codec._decode_frame(bytes(sa), info)
+            avi_codec._decode_frame(bytes(arith), info)
         # and the real progressive frame decodes through the hook
         img = avi_codec._decode_frame(prog_frame, info)
         assert img.pixels == bytes([55, 55, 55]) * 64
