@@ -337,3 +337,52 @@ class TestIMAADPCM:
         good = encode_ima_adpcm_wav(bytes(range(16)))
         assert probe_wav(good) and decode_wav(good)
         assert not probe_wav(good, max_samples=8)  # budget mirrored
+
+
+class TestPerceptualAudioDoctrine:
+    """MP3/AAC/Opus/FLAC stay permanently gated (PLANS.md r9 doctrine,
+    the WebP call's audio twin): every magic-byte family must route to
+    the stub path — probe False, decode_audio raising, metadata
+    'stubbed', fingerprint NULL — never into the PCM decoder."""
+
+    PAYLOADS = {
+        "mp3-id3v2": b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 64,
+        "mp3-framesync": b"\xff\xfb\x90\x64" + b"\x55" * 64,
+        "aac-adts": b"\xff\xf1\x50\x80\x02\x1f\xfc" + b"\xaa" * 64,
+        "m4a-ftyp": struct.pack(">I", 32) + b"ftypM4A " + b"\x00" * 56,
+        "flac": b"fLaC\x00\x00\x00\x22" + b"\x00" * 64,
+        "ogg-opus": b"OggS\x00\x02" + b"\x00" * 64,
+    }
+
+    def test_magic_bytes_probe_false(self):
+        for name, payload in self.PAYLOADS.items():
+            assert not is_wav(payload), name
+            assert not probe_wav(payload), name
+
+    def test_decode_audio_raises_stub_gate(self):
+        for name, payload in self.PAYLOADS.items():
+            with pytest.raises(NotImplementedError, match="stub"):
+                decode_audio(payload)
+
+    def test_metadata_and_fingerprint_flag_not_poison(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            extract_payload_metadata,
+        )
+
+        rows = [
+            (i, bytearray(p), "audio/mpeg")
+            for i, p in enumerate(self.PAYLOADS.values())
+        ]
+        rows.append((99, bytearray(_wav(struct.pack("<2h", 7, -7))),
+                     "audio/wav"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, content_type string"
+        )
+        meta = {r["doc_id"]: r["decode_status"]
+                for r in extract_payload_metadata(df).collect()}
+        assert meta[99] == "ok"
+        assert all(v == "stubbed" for k, v in meta.items() if k != 99)
+        fps = {r["doc_id"]: r["afp"]
+               for r in audio_fingerprint(df).collect()}
+        assert fps[99] is not None
+        assert all(v is None for k, v in fps.items() if k != 99)
