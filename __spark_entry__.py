@@ -2077,7 +2077,7 @@ def multimodal_metadata(spark, sf_dir):
     hash-mismatch."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import extract_payload_metadata
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
     payloads = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"),
         F.lit("text/plain").alias("content_type"),
@@ -2105,7 +2105,11 @@ def multimodal_featurize_ann(spark, sf_dir):
     from sqlbackuphistoryetl_spark.extensions.multimodal import decode_and_featurize
     from sqlbackuphistoryetl_spark.extensions.similarity import brute_force_topk
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .repartition(16, "doc_id")
+    )
     payloads = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"),
         F.lit("image/png").alias("content_type"),
@@ -2151,7 +2155,11 @@ def multimodal_frame_sample(spark, sf_dir):
     change n_sampled and hash-mismatch."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .repartition(16, "doc_id")
+    )
     payloads = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"),
         F.lit("video/mp4").alias("content_type"),
@@ -3694,7 +3702,7 @@ def embedding_covariance(spark, sf_dir):
     self-join — equality proves the no-join plan."""
     from sqlbackuphistoryetl_spark.extensions.similarity import covariance_sums
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     return covariance_sums(emb).select("i", "j", "s")
 
 
@@ -4604,7 +4612,11 @@ def multimodal_dhash_fingerprint(spark, sf_dir):
     from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
     from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -4831,7 +4843,11 @@ def multimodal_avi_frames(spark, sf_dir):
     from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
     from sqlbackuphistoryetl_spark.extensions.png_codec import DecodedImage
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -4985,7 +5001,11 @@ def multimodal_audiofp_fingerprint(spark, sf_dir):
         encode_wav,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -5061,7 +5081,11 @@ def multimodal_audio_quality(spark, sf_dir):
         encode_wav,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -5139,7 +5163,11 @@ def multimodal_g711_audio(spark, sf_dir):
         encode_g711_wav,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -5223,7 +5251,11 @@ def multimodal_adpcm_audio(spark, sf_dir):
         encode_ima_adpcm_wav,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd
@@ -5330,7 +5362,11 @@ def multimodal_image_quality(spark, sf_dir):
     from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
     from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
 
     def _mk(it):
         import pandas as pd

@@ -298,3 +298,49 @@ def test_rotation_latest_threads_through_zero_green_round():
     # the r2 greens — the exact weakening the threading fixes
     win2, deferred2 = compute_rotation(names, last_green, 4)
     assert deferred2 < deferred
+
+
+def test_python_bound_gate_stages_fan_out(spark):
+    """r8 verdict task 8: every mapInPandas stage in the gate basket
+    must see MORE THAN ONE input partition — a single small parquet
+    file reads as ONE partition and silently serializes all Python
+    codec work through one Arrow worker (the r8 JPEG-gate 15.1 s
+    trap). Discovery is automatic: spy on mapInPandas while BUILDING
+    every registry gate, so a future Python-bound gate without an
+    explicit fan-out fails here instead of in a bench regression."""
+    import pyspark.sql.classic.dataframe as D
+
+    import __spark_entry__ as entry
+
+    sf_dir = os.path.join(os.path.dirname(REPO), "testdata", "sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+
+    orig = D.DataFrame.mapInPandas
+    current = {"gate": None}
+    seen: dict[str, list[int]] = {}
+
+    def spy(self, func, schema, **kw):
+        seen.setdefault(current["gate"], []).append(
+            self.rdd.getNumPartitions()
+        )
+        return orig(self, func, schema, **kw)
+
+    D.DataFrame.mapInPandas = spy
+    try:
+        for name, fn in entry._FUNCS.items():
+            current["gate"] = name
+            fn(spark, sf_dir)  # build only — no action
+    finally:
+        D.DataFrame.mapInPandas = orig
+
+    # the codec/multimodal family must be present (the spy works) ...
+    assert len(seen) >= 14, sorted(seen)
+    # ... and every Python-bound stage fans out
+    serialized = {
+        g: ns for g, ns in seen.items() if any(n <= 1 for n in ns)
+    }
+    assert not serialized, (
+        f"single-partition mapInPandas input would serialize Python "
+        f"codec work on one Arrow worker: {serialized}"
+    )
