@@ -247,35 +247,15 @@ def _decode_frame(data: bytes, info: AVIInfo) -> DecodedImage:
                 bytes(b for v in img.pixels for b in (v, v, v)),
             )
         return img
-    w, h = info.width, info.height
-    px_bytes = info.bit_count // 8
-    stride = ((w * px_bytes + 3) // 4) * 4
-    if len(data) < stride * h:
-        raise AVIError(
-            f"frame chunk holds {len(data)} bytes; needs {stride * h}"
-        )
-    out = bytearray(w * h * 3)
-    pal = info.palette
-    for row in range(h):
-        # DIB rows run bottom-up unless biHeight was negative
-        src_row = row if info.top_down else (h - 1 - row)
-        s = src_row * stride
-        d = row * w * 3
-        if px_bytes == 1:  # palettized: index -> RGBQUAD (B,G,R,x)
-            for x in range(w):
-                p = 4 * data[s + x]
-                if p + 3 > len(pal):
-                    raise AVIError("palette index out of range")
-                out[d + 3 * x] = pal[p + 2]
-                out[d + 3 * x + 1] = pal[p + 1]
-                out[d + 3 * x + 2] = pal[p]
-        else:  # 24-bit BGR / 32-bit BGRX (the pad byte is skipped)
-            for x in range(w):
-                o = s + px_bytes * x
-                out[d + 3 * x] = data[o + 2]
-                out[d + 3 * x + 1] = data[o + 1]
-                out[d + 3 * x + 2] = data[o]
-    return DecodedImage(w, h, 3, bytes(out))
+    # the raster is the same DIB structure a .bmp file carries — one
+    # shared walk (BGR swap, alignment, palette, bottom-up flip)
+    from .bmp_codec import decode_dib_rows
+
+    rgb = decode_dib_rows(
+        data, info.width, info.height, info.bit_count, info.top_down,
+        info.palette, errcls=AVIError,
+    )
+    return DecodedImage(info.width, info.height, 3, rgb)
 
 
 def decode_avi_frames(
