@@ -5,9 +5,11 @@ Decode/feature-extraction runs as Arrow-batched pandas iterators
 (``mapInPandas``) — the only place Python touches data, and it touches
 whole columnar batches, never rows. PNG decodes FOR REAL through the
 stdlib codec in :mod:`.png_codec` (zlib + struct — decode, resize,
-re-encode, real-pixel featurization, perceptual dHash), baseline
-sequential JPEG through :mod:`.jpeg_codec` (Huffman + 8x8 DCT,
-4:2:0/4:2:2/4:4:4; progressive/arithmetic forms stay gated) and
+re-encode, real-pixel featurization, perceptual dHash), baseline +
+progressive JPEG through :mod:`.jpeg_codec` (Huffman + 8x8 DCT,
+4:2:0/4:2:2/4:4:4; arithmetic coding stays gated), GIF through
+:mod:`.gif_codec` (LZW, interlace, transparency, animation
+compositing), BMP through :mod:`.bmp_codec` (DIB raster, RLE8) and
 WAV/PCM audio through :mod:`.wav_codec` (RIFF parse, block features,
 energy-delta fingerprint). Formats that genuinely need codec libraries
 this container doesn't ship (WebP/AVIF, MP3/AAC/Opus, video) keep the
@@ -56,14 +58,17 @@ def decode_image(payload: bytes) -> object:
     palette expansion, 8/16-bit, Adam7 interlace) and baseline
     sequential or progressive JPEG via :mod:`.jpeg_codec` (Huffman +
     DCT; spectral-selection AND successive-approximation scans since
-    r9); both return a ``png_codec.DecodedImage``. PNG covers every
-    legal IHDR form since r9 (sub-byte depths included). Every other
-    format (and the forms the codecs don't implement:
-    arithmetic-coded JPEG, over-budget dimensions) still raises
-    behind the documented stub gate — WebP/AVIF need codec libraries
-    this container doesn't ship.
+    r9), GIF via :mod:`.gif_codec` (LZW, interlace, transparency —
+    first frame composited on the logical screen, r9) and BMP via
+    :mod:`.bmp_codec` (BI_RGB/BI_RLE8 DIB, r9); all return a
+    ``png_codec.DecodedImage``. PNG covers every legal IHDR form
+    since r9 (sub-byte depths included). Every other format (and the
+    forms the codecs don't implement: arithmetic-coded JPEG,
+    sub-16-bit BMP, over-budget dimensions) still raises behind the
+    documented stub gate — WebP/AVIF need codec libraries this
+    container doesn't ship.
     """
-    from . import jpeg_codec, png_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(payload):
         try:
@@ -75,20 +80,66 @@ def decode_image(payload: bytes) -> object:
             return jpeg_codec.decode_jpeg(payload)
         except jpeg_codec.UnsupportedJPEG as e:
             raise NotImplementedError(f"image decode stub: {e}") from e
+    if gif_codec.is_gif(payload):
+        try:
+            return gif_codec.decode_gif(payload)
+        except gif_codec.UnsupportedGIF as e:
+            raise NotImplementedError(f"image decode stub: {e}") from e
+    if bmp_codec.is_bmp(payload):
+        try:
+            return bmp_codec.decode_bmp(payload)
+        except bmp_codec.UnsupportedBMP as e:
+            raise NotImplementedError(f"image decode stub: {e}") from e
     raise NotImplementedError("image decode stub: codec libraries not installed")
+
+
+#: in-container image codecs in dispatch order:
+#: (is_<fmt>, decode_<fmt>, (error types that mean "fall through"), tag)
+def _image_codecs():
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
+
+    return (
+        (png_codec.is_png, png_codec.decode_png,
+         (png_codec.UnsupportedPNG, png_codec.PNGError), "png-zlib"),
+        (jpeg_codec.is_jpeg, jpeg_codec.decode_jpeg,
+         (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError), "jpeg-baseline"),
+        (gif_codec.is_gif, gif_codec.decode_gif,
+         (gif_codec.UnsupportedGIF, gif_codec.GIFError), "gif-lzw"),
+        (bmp_codec.is_bmp, bmp_codec.decode_bmp,
+         (bmp_codec.UnsupportedBMP, bmp_codec.BMPError), "bmp-dib"),
+    )
+
+
+def _decode_any(raw: bytes) -> tuple[object | None, str | None]:
+    """Shared image-dispatch for the Arrow-batched operators: try the
+    in-container codecs (PNG, JPEG, GIF, BMP) by signature; a gated
+    form or a corrupt body behind a valid signature — routine in
+    crawled data — falls through to ``(None, None)`` rather than
+    killing the job (the caller's ``decoder`` column records which
+    path ran). One implementation so adding a codec can't miss a call
+    site (r8 had four hand-written copies of this chain)."""
+    for is_fmt, decode, errs, tag in _image_codecs():
+        if is_fmt(raw):
+            try:
+                return decode(raw), tag
+            except errs:
+                return None, None
+    return None, None
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload to (width, height).
 
-    PNG and baseline-JPEG inputs run decode → nearest-neighbor
-    resample → re-encode entirely in the stdlib codecs (output stays
-    in the input's format); other formats raise behind the stub gate
-    (see :func:`decode_image`).
+    PNG, baseline-JPEG, GIF and BMP inputs run decode →
+    nearest-neighbor resample → re-encode entirely in the stdlib
+    codecs (output stays in the input's format; GIF stays within the
+    source palette so the ≤256-color bound holds by construction);
+    other formats raise behind the stub gate (see
+    :func:`decode_image`).
     """
-    from . import jpeg_codec, png_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
 
-    img = decode_image(payload)  # raises the stub gate for non-PNG/JPEG
+    img = decode_image(payload)  # raises the stub gate for other formats
     out = png_codec.resize_nearest(img, width, height)
     if jpeg_codec.is_jpeg(payload):
         if out.channels not in (1, 3):  # pragma: no cover (decode emits 1/3)
@@ -96,6 +147,12 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return jpeg_codec.encode_jpeg(
             out.pixels, out.width, out.height, out.channels
         )
+    if gif_codec.is_gif(payload):
+        return gif_codec.encode_gif(out.pixels, out.width, out.height, out.channels)
+    if bmp_codec.is_bmp(payload):
+        if out.channels != 3:  # pragma: no cover (decode_bmp emits 3)
+            raise ValueError("BMP re-encode supports 3 channels")
+        return bmp_codec.encode_bmp(out.pixels, out.width, out.height)
     return png_codec.encode_png(out.pixels, out.width, out.height, out.channels)
 
 
@@ -112,10 +169,11 @@ FEATURE_SCHEMA = StructType(
 def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     """(doc_id, payload, content_type) → fixed-dim feature vectors.
 
-    Arrow-batched ``mapInPandas``. PNG payloads decode FOR REAL (the
-    stdlib :mod:`.png_codec`) and featurize from decoded pixels — mean
-    block luminance over ``feature_dim`` blocks, scaled to [-1, 1]
-    (``decoder = 'png-zlib'``). Formats without an in-container codec
+    Arrow-batched ``mapInPandas``. PNG/JPEG/GIF/BMP payloads decode
+    FOR REAL (the stdlib codecs, via :func:`_decode_any`) and
+    featurize from decoded pixels — mean block luminance over
+    ``feature_dim`` blocks, scaled to [-1, 1] (``decoder`` records
+    which codec ran). Formats without an in-container codec
     keep the clearly-marked DETERMINISTIC FAKE: features derived from
     the payload's sha256 digest (``decoder = 'fake-sha256'``) — stable
     across runs/executors, exercising the real schema, batch iteration,
@@ -123,7 +181,7 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     extensions.similarity's vector column contract). Both paths emit
     the same shape, so mixed-format corpora featurize in one pass.
     """
-    from . import jpeg_codec, png_codec
+    from . import png_codec
 
     def _fake(digest: bytes) -> list[float]:
         # DETERMINISTIC FAKE decode: digest bytes → [-1, 1] floats.
@@ -134,25 +192,11 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     def _feat(b: bytes | None) -> tuple[list[float] | None, str | None]:
         if b is None:
             return None, None
-        if png_codec.is_png(bytes(b)):
-            try:
-                img = png_codec.decode_png(bytes(b))
-                return png_codec.grid_features(img, feature_dim), "png-zlib"
-            except (png_codec.UnsupportedPNG, png_codec.PNGError):
-                # 16-bit / interlaced / over-budget, OR a corrupt body
-                # behind a valid signature (routine in crawled data) —
-                # fall through to the fake rather than killing the job;
-                # the decoder column records which path ran
-                pass
-        elif jpeg_codec.is_jpeg(bytes(b)):
-            try:
-                img = jpeg_codec.decode_jpeg(bytes(b))
-                return (
-                    png_codec.grid_features(img, feature_dim),
-                    "jpeg-baseline",
-                )
-            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
-                pass  # progressive/corrupt: same fall-through doctrine
+        img, dec = _decode_any(bytes(b))
+        if img is not None:
+            return png_codec.grid_features(img, feature_dim), dec
+        # gated form or corrupt body behind a valid signature, or a
+        # format without an in-container codec: deterministic fake
         return _fake(hashlib.sha256(b).digest()), "fake-sha256"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,17 +234,34 @@ def sample_frames(
     decoded top-down RGB samples of each sampled frame
     (``decoder = 'avi-dib'``, ``n_frames`` = the container's actual
     frame count; re-encode with ``png_codec.encode_png(fb, w, h, 3)``
-    to feed the image ops). Compressed AVI and every other format
+    to feed the image ops). Animated GIF decodes FOR REAL too
+    (:mod:`.gif_codec`, r9): composited RGBA canvases,
+    ``decoder = 'gif-lzw'``. Compressed non-MJPEG AVI and every other
+    format
     keep the DETERMINISTIC FAKE (fixed-size byte slices,
     ``decoder = 'fake-slice'``) so the fan-out shape — 1→N rows inside
     ``mapInPandas``, no driver involvement, no shuffle — stays real
     and testable for them too. Output partitioning inherits the
     input's; size input partitions by bytes, not rows, because the
     expansion factor is per-payload."""
-    from . import avi_codec
+    from . import avi_codec, gif_codec
 
     def _rows(r):
         payload = bytes(r.payload)
+        if gif_codec.is_gif(payload):
+            try:
+                # every frame still LZW-decodes (GIF frames are
+                # delta-coded sub-rectangles; see decode_gif_frames_at)
+                # but only every stride-th composited canvas is kept
+                info, picked = gif_codec.decode_gif_frames_at(
+                    payload, stride=stride
+                )
+            except (gif_codec.UnsupportedGIF, gif_codec.GIFError):
+                picked = None  # over-budget/corrupt: fall through to fake
+            if picked is not None:
+                for fi, img in picked:
+                    yield fi, img.pixels, info.n_frames, "gif-lzw"
+                return
         if avi_codec.is_avi(payload):
             try:
                 # one container walk, pixel work ONLY for the sampled
@@ -273,30 +334,18 @@ def image_quality(df: DataFrame) -> DataFrame:
     audio block-quality op: geometry, EXACT-integer luminance stats
     (mean = floor(sum/n), min, max, distinct-level count) and the
     flat-image flag (min == max catches the blank thumbnails and
-    tracking pixels a crawl is full of). PNG and baseline JPEG decode
+    tracking pixels a crawl is full of). PNG, JPEG, GIF and BMP decode
     for real; undecodable payloads surface with NULL stats rather than
     vanishing. ``is_flat`` is emitted as 'y'/'n' strings so the value
     hash is engine-exact (boolean rendering differs per engine).
     Arrow-batched ``mapInPandas``, embarrassingly parallel, no
     shuffle."""
-    from . import jpeg_codec, png_codec
+    from . import png_codec
 
     def _one(b):
         if b is None:
             return (None,) * 7 + (None,)
-        raw = bytes(b)
-        img = None
-        dec = None
-        if png_codec.is_png(raw):
-            try:
-                img, dec = png_codec.decode_png(raw), "png-zlib"
-            except (png_codec.UnsupportedPNG, png_codec.PNGError):
-                pass
-        elif jpeg_codec.is_jpeg(raw):
-            try:
-                img, dec = jpeg_codec.decode_jpeg(raw), "jpeg-baseline"
-            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
-                pass
+        img, dec = _decode_any(bytes(b))
         if img is None:
             return (None,) * 7 + (None,)
         lum = png_codec.luminance(img).pixels
@@ -335,19 +384,21 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
-    from . import jpeg_codec, png_codec, wav_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec, wav_codec
 
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
             return "ok"
-        # header PROBE, not just the signature: 16-bit / interlaced /
-        # over-budget PNGs, progressive JPEGs, non-PCM / 24-bit WAVs
-        # would pass the magic check but raise in decode, and this
-        # column's contract is "a real decoder exists for it"
+        # header PROBE, not just the signature: over-budget PNGs/GIFs,
+        # arithmetic JPEGs, sub-16-bit BMP forms, non-PCM WAVs would
+        # pass the magic check but raise in decode, and this column's
+        # contract is "a real decoder exists for it"
         raw = bytes(payload) if payload is not None else None
         if (
             png_codec.probe_png(raw)
             or jpeg_codec.probe_jpeg(raw)
+            or gif_codec.probe_gif(raw)
+            or bmp_codec.probe_bmp(raw)
             or wav_codec.probe_wav(raw)
         ):
             return "ok"
@@ -386,12 +437,12 @@ DHASH_SCHEMA = StructType(
 def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     """(doc_id, payload, ...) → (doc_id, dhash, decoder): the 64-bit
     perceptual difference hash of every decodable image payload
-    (PNG and baseline JPEG via the stdlib codecs; see
+    (PNG, JPEG, GIF and BMP via the stdlib codecs; see
     :func:`png_codec.dhash`). Non-decodable payloads surface with a
     NULL dhash and ``decoder = NULL`` rather than vanishing or failing
     the job — callers filter or route them. Arrow-batched
     ``mapInPandas``, embarrassingly parallel, no shuffle."""
-    from . import jpeg_codec, png_codec
+    from . import png_codec
 
     # the signed fold below and DHASH_SCHEMA's LongType hold exactly
     # 64 bits — a 72-bit 8x9 hash would overflow at Arrow conversion,
@@ -405,28 +456,16 @@ def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     def _one(b) -> tuple[int | None, str | None]:
         if b is None:
             return None, None
-        if png_codec.is_png(bytes(b)):
-            try:
-                img = png_codec.decode_png(bytes(b))
-                # dHash sign bit stays clear at hash_w*hash_h <= 63 bits
-                # only for 7x9 grids; at the default 64 bits map the
-                # unsigned hash into the signed long domain explicitly
-                h = png_codec.dhash(img, hash_w, hash_h)
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                return h, "png-zlib"
-            except (png_codec.UnsupportedPNG, png_codec.PNGError):
-                return None, None
-        if jpeg_codec.is_jpeg(bytes(b)):
-            try:
-                img = jpeg_codec.decode_jpeg(bytes(b))
-                h = png_codec.dhash(img, hash_w, hash_h)
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                return h, "jpeg-baseline"
-            except (jpeg_codec.UnsupportedJPEG, jpeg_codec.JPEGError):
-                return None, None
-        return None, None
+        img, dec = _decode_any(bytes(b))
+        if img is None:
+            return None, None
+        # dHash sign bit stays clear at hash_w*hash_h <= 63 bits only
+        # for 7x9 grids; at the default 64 bits map the unsigned hash
+        # into the signed long domain explicitly
+        h = png_codec.dhash(img, hash_w, hash_h)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h, dec
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

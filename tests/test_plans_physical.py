@@ -544,10 +544,10 @@ def test_edit_distance_probe_window_is_multi_match_bounded(spark):
 
 
 def test_r8_codec_gates_plan_shapes(spark):
-    """The r8 codec gates must stay map-side: the JPEG gate's ONLY
+    """The r8 codec gates must stay map-side: each gate's ONLY
     exchange is its deliberate repartition (Python-bound codec work
-    must spread across cores), the AVI gate has no exchange at all,
-    and neither plan contains a join or row-at-a-time Python."""
+    must spread across cores — since 754a9b2 the AVI gate fans out
+    too), and neither plan contains a join or row-at-a-time Python."""
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.001"
@@ -556,7 +556,7 @@ def test_r8_codec_gates_plan_shapes(spark):
     # output prints each node twice — tree + detail)
     assert jpeg.count("+- Exchange") == 1, jpeg
     avi = _explain(E.multimodal_avi_frames(spark, sf))
-    assert "Exchange" not in avi, avi
+    assert avi.count("+- Exchange") == 1, avi
     for plan in (jpeg, avi):
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan  # Arrow mapInPandas only
