@@ -4825,6 +4825,175 @@ from h
 """
 
 
+def multimodal_gif_fingerprint(spark, sf_dir):
+    """Perceptual dHash through the REAL GIF codec chain
+    (extensions/gif_codec.py + multimodal.image_dhash): each
+    document's sanitized-ASCII bytes 16..88 become a 72x64 grayscale
+    INTERLACED GIF of constant 8x8 blocks (block (row r, col c) holds
+    byte r*9+c as an index into a 256-gray palette; encode_gif_indexed
+    with interlace=True inside mapInPandas), which image_dhash then
+    DECODES — sub-block walk, LSB-first LZW across the full 12-bit
+    code-width ladder, 4-pass deinterlace, palette expansion — and
+    fingerprints. GIF is lossless, so the decoded pixels equal the
+    text bytes EXACTLY and the 9x8 dHash grid lands one cell per block
+    (resize_nearest samples x*72//9 = col 8x); the oracle recomputes
+    the greater-than bits + signed fold straight from ``ord()`` — any
+    LZW bit-order, code-width, interlace-pass or palette bug
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.gif_codec import (
+        encode_gif_indexed,
+    )
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+
+    # Python-bound stage: repartition before the codec mapInPandas so
+    # a single-file parquet read can't serialize it (r8 lesson)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+    gray_palette = bytes(b for g in range(256) for b in (g, g, g))
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[16:88].ljust(72, " ").encode("ascii")
+            pats = [
+                b"".join(bytes([s[br * 9 + bc]]) * 8 for bc in range(9))
+                for br in range(8)
+            ]
+            idx = b"".join(pats[r // 8] for r in range(64))
+            return encode_gif_indexed(
+                72, 64, gray_palette,
+                [{"indices": idx, "interlace": True}],
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_dhash(payloads).select("doc_id", "dhash", "decoder")
+
+
+MULTIMODAL_GIF_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 17, 72),
+              72, ' ') as s
+  from documents),
+cells as (
+  select doc_id, y, x,
+         case when ord(substr(s, y * 9 + x + 1, 1))
+                 > ord(substr(s, y * 9 + x + 2, 1))
+              then 1 else 0 end as bit
+  from s,
+       unnest(generate_series(0, 7)) as t1(y),
+       unnest(generate_series(0, 7)) as t2(x)),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint)
+             * (cast(1 as hugeint) << (63 - (y * 8 + x)))) as uh
+  from cells group by doc_id)
+select doc_id,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as dhash,
+       'gif-lzw' as decoder
+from h
+"""
+
+
+def multimodal_gif_animation(spark, sf_dir):
+    """Animated-GIF compositing through the REAL codec chain
+    (extensions/gif_codec.py + multimodal.sample_frames): each
+    document's first 4 sanitized-ASCII bytes become a 4-frame GIF —
+    frame 0 floods the 4x4 canvas with gray ord(byte 0); frames 1-3
+    paint ONLY a 2x2 sub-rectangle at (1,1) with gray ord(byte f), no
+    disposal, so composited canvas f shows byte 0 everywhere except
+    the window, which shows byte f (last paint wins). sample_frames
+    decodes with stride=2 and yields RGBA canvases 0 and 2; the md5
+    compares JVM-side hex (F.hex, alpha=0xFF bytes are not
+    VARCHAR-safe, unlike the ASCII-only AVI gate) against the oracle's
+    canvas rebuilt straight from the text characters — any
+    sub-rectangle offset, compositing-order, stride or alpha bug
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.gif_codec import (
+        encode_gif_indexed,
+    )
+    from sqlbackuphistoryetl_spark.extensions.multimodal import sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+    gray_palette = bytes(b for g in range(256) for b in (g, g, g))
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:4].ljust(4, " ").encode("ascii")
+            frames = [{"indices": bytes([s[0]] * 16)}]
+            for f in range(1, 4):
+                frames.append(
+                    {"left": 1, "top": 1, "width": 2, "height": 2,
+                     "indices": bytes([s[f]] * 4)}
+                )
+            return encode_gif_indexed(4, 4, gray_palette, frames)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    frames = sample_frames(payloads, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "n_frames",
+        F.length("frame_bytes").alias("frame_len"),
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
+        "decoder",
+    )
+
+
+MULTIMODAL_GIF_ANIM_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 4),
+              4, ' ') as s
+  from documents),
+px as (
+  select doc_id, fi, y, x,
+         upper(repeat(lpad(to_hex(ord(substr(s,
+             case when fi > 0 and x between 1 and 2 and y between 1 and 2
+                  then fi + 1 else 1 end, 1))), 2, '0'), 3)) || 'FF' as h
+  from s,
+       unnest([0, 2]) as t0(fi),
+       unnest(generate_series(0, 3)) as t1(y),
+       unnest(generate_series(0, 3)) as t2(x)),
+fb as (
+  select doc_id, fi, string_agg(h, '' order by y, x) as hs
+  from px group by doc_id, fi)
+select doc_id,
+       cast(fi as bigint) as frame_index,
+       cast(4 as bigint) as n_frames,
+       cast(64 as int) as frame_len,
+       md5(hs) as frame_md5,
+       'gif-lzw' as decoder
+from fb
+"""
+
+
 def multimodal_avi_frames(spark, sf_dir):
     """Real video-frame extraction through the REAL container chain
     (extensions/avi_codec.py + multimodal.sample_frames): each
@@ -5713,6 +5882,8 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_dhash_fingerprint": MULTIMODAL_DHASH_SQL,
     "multimodal_jpeg_fingerprint": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg_progressive": MULTIMODAL_JPEG_PROGRESSIVE_SQL,
+    "multimodal_gif_fingerprint": MULTIMODAL_GIF_SQL,
+    "multimodal_gif_animation": MULTIMODAL_GIF_ANIM_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6002,6 +6173,8 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "multimodal_gif_animation": multimodal_gif_animation,
+    "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
@@ -6050,11 +6223,11 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_quality": char_entropy_quality,
     "corpus_report": corpus_report,
     "corpus_token_budget": corpus_token_budget,
-    "curation_funnel": curation_funnel,
-    "curation_pipeline_e2e": curation_pipeline_e2e,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "curation_funnel": curation_funnel,
+    "curation_pipeline_e2e": curation_pipeline_e2e,
     "datefmt_stopat": datefmt_stopat,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "dedup_clusters": dedup_clusters,
@@ -6154,6 +6327,8 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "curation_funnel",
+        "curation_pipeline_e2e",
         "datefmt_stopat",
         "dedup_cluster_histogram",
         "dedup_clusters",

@@ -106,6 +106,12 @@ EXTENDED = [
     "multimodal_mjpeg_frames",
     "multimodal_g711_audio",
     "multimodal_adpcm_audio",
+    # round-9 operators, first recorded in BENCH_r09: the
+    # successive-approximation progressive JPEG ladder, the
+    # interlaced-GIF dHash chain and the animated-GIF compositing walk.
+    "multimodal_jpeg_progressive",
+    "multimodal_gif_fingerprint",
+    "multimodal_gif_animation",
 ]
 
 
