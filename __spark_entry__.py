@@ -4994,6 +4994,64 @@ from fb
 """
 
 
+def webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar shard sink + source round-trip
+    (extensions/webdataset.py): every document becomes a 2-member
+    sample (``<key>.txt`` = UTF-8 text, ``<key>.lang`` = language tag;
+    key = zero-padded doc_id), written as deterministic 16-sample tar
+    shards via the distributed-ordinal assignment (global_ordinals —
+    one range shuffle, no single-writer funnel), then read back
+    through the binaryFile + tarfile walk and re-grouped into samples.
+    The oracle never touches tar: byte length and md5 recompute
+    straight from the documents table, so a member-naming, sample
+    splitting, payload-corruption or shard-assignment bug mismatches.
+    The write is EAGER and idempotent (byte-deterministic shards,
+    rmtree-then-write) into a per-sf tmp dir; ``fan_out`` spreads the
+    tiny fixture shards across workers (production-sized shards
+    wouldn't need it — see read_webdataset's docstring)."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        group_samples,
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    key = F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("key")
+    members = docs.select(
+        key, F.lit("txt").alias("ext"), F.encode("text", "UTF-8").alias("payload")
+    ).unionByName(
+        docs.select(
+            key, F.lit("lang").alias("ext"),
+            F.encode("lang", "UTF-8").alias("payload"),
+        )
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_wds_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset(members, path, samples_per_shard=16)
+    samples = group_samples(
+        read_webdataset(spark, path, fan_out=64), ["txt", "lang"]
+    )
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.length("txt").alias("txt_bytes"),
+        F.md5("txt").alias("txt_md5"),
+        F.decode("lang", "UTF-8").alias("lang"),
+    )
+
+
+WEBDATASET_SQL = r"""
+select doc_id,
+       cast(octet_length(encode(text)) as int) as txt_bytes,
+       md5(text) as txt_md5,
+       lang
+from documents
+"""
+
+
 def multimodal_avi_frames(spark, sf_dir):
     """Real video-frame extraction through the REAL container chain
     (extensions/avi_codec.py + multimodal.sample_frames): each
@@ -5884,6 +5942,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_jpeg_progressive": MULTIMODAL_JPEG_PROGRESSIVE_SQL,
     "multimodal_gif_fingerprint": MULTIMODAL_GIF_SQL,
     "multimodal_gif_animation": MULTIMODAL_GIF_ANIM_SQL,
+    "webdataset_roundtrip": WEBDATASET_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6176,6 +6235,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_animation": multimodal_gif_animation,
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+    "webdataset_roundtrip": webdataset_roundtrip,
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
@@ -6222,10 +6282,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "case_type_map": case_type_map,
     "char_entropy_quality": char_entropy_quality,
     "corpus_report": corpus_report,
-    "corpus_token_budget": corpus_token_budget,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "corpus_token_budget": corpus_token_budget,
     "curation_funnel": curation_funnel,
     "curation_pipeline_e2e": curation_pipeline_e2e,
     "datefmt_stopat": datefmt_stopat,
@@ -6327,6 +6387,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "corpus_token_budget",
         "curation_funnel",
         "curation_pipeline_e2e",
         "datefmt_stopat",

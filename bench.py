@@ -112,6 +112,9 @@ EXTENDED = [
     "multimodal_jpeg_progressive",
     "multimodal_gif_fingerprint",
     "multimodal_gif_animation",
+    # tar shard sink+source round trip (write is part of the timed
+    # body — it IS the operator)
+    "webdataset_roundtrip",
 ]
 
 

@@ -1,0 +1,235 @@
+"""WebDataset-style tar shard I/O (r9).
+
+WebDataset (Aizman et al., "High Performance I/O For Large Scale Deep
+Learning"; the format behind most public multi-TB multimodal training
+corpora) stores a corpus as numbered POSIX tar shards whose members
+group into samples by basename: ``000123.jpg`` + ``000123.txt`` +
+``000123.json`` are one sample. Shards are the unit of parallelism —
+sequential tar reads run at near-wire throughput on object stores, and
+a 100 TB corpus is just ~100k 1 GB shards fanned across workers.
+
+Spark has no native tar source/sink, so this module supplies both,
+Spark-first:
+
+- :func:`write_webdataset` rides :func:`sharding.global_ordinals` for
+  the deterministic sample→shard assignment (one range shuffle +
+  O(partitions) count job — the write_sharded_jsonl doctrine, never a
+  single-task global window), then builds each shard's tar bytes
+  INSIDE its owning task (stdlib ``tarfile`` into ``BytesIO``) and
+  writes ``shard-%06d.tar`` straight to the target filesystem from
+  that task. No single-writer funnel; the driver only sees the
+  per-shard summaries.
+- :func:`read_webdataset` is a ``binaryFile`` scan of ``*.tar`` — one
+  shard = one task, exactly WebDataset's own parallelism model — plus
+  an Arrow-batched ``mapInPandas`` tar walk. Map-side only, no
+  shuffle.
+- :func:`group_samples` pivots the long member form into one row per
+  sample with a payload column per extension (explicit bounded ext
+  list, so no pivot-inference job over the corpus).
+
+Determinism: members are written in (key, ext) sorted order with
+zeroed mtime/uid/gid/uname (tar metadata would otherwise embed
+wall-clock and user identity), so a byte-identical corpus round-trips
+byte-identically and shard files are reproducible across runs — which
+also makes speculative/retried write tasks idempotent (same bytes,
+same name).
+
+Row contract (both directions): ``key string, ext string, payload
+binary`` — a sample with N modalities is N rows. WebDataset's member
+naming convention applies: the sample key is the basename up to the
+FIRST period, the extension is everything after it (so
+``x.seg.png``'s ext is ``seg.png``).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .sharding import global_ordinals
+
+MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("ext", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+WRITE_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("n_members", LongType(), False),
+        StructField("tar_bytes", LongType(), False),
+    ]
+)
+
+
+def _deterministic_tarinfo(name: str, size: int) -> tarfile.TarInfo:
+    ti = tarfile.TarInfo(name)
+    ti.size = size
+    ti.mtime = 0
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    return ti
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """Write ``(key, ext, payload)`` rows as WebDataset tar shards.
+
+    Samples (distinct keys, lexicographic order) are assigned to
+    shards of exactly ``samples_per_shard`` (last ragged) via the
+    distributed-ordinal machinery; every member of a sample lands in
+    the same shard, members within a shard are written in (key, ext)
+    order. Each shard's tar is assembled and written by the one task
+    that owns its rows — the target path must be task-writable (a
+    shared filesystem or fuse-mounted object store, which is the
+    standard WebDataset production setup).
+
+    Eager (file writes are side effects; laziness would re-run them
+    unpredictably): returns the collected per-shard summary rows —
+    O(shards), driver-small by construction.
+    """
+    keys = df.select("key").distinct()
+    assign = global_ordinals(
+        keys, ["key"], shard_size=samples_per_shard,
+        num_partitions=num_partitions,
+    ).select("key", "shard")
+    members = df.join(assign, "key")  # shuffle on key; AQE may broadcast
+
+    os.makedirs(path, exist_ok=True)
+
+    def _build(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:  # pragma: no cover (groupBy never yields empty)
+            return pd.DataFrame(columns=[f.name for f in WRITE_SUMMARY_SCHEMA])
+        sid = int(pdf["shard"].iloc[0])
+        os.makedirs(path, exist_ok=True)  # task-side: executors ≠ driver fs
+        pdf = pdf.sort_values(["key", "ext"], kind="mergesort")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                tf.addfile(
+                    _deterministic_tarinfo(f"{r.key}.{r.ext}", len(payload)),
+                    io.BytesIO(payload),
+                )
+        blob = buf.getvalue()
+        # atomic-ish publish: write sidecar then rename, so a reader
+        # globbing *.tar never sees a half-written shard
+        final = os.path.join(path, f"shard-{sid:06d}.tar")
+        tmp = final + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_samples": [int(pdf["key"].nunique())],
+                "n_members": [len(pdf)],
+                "tar_bytes": [len(blob)],
+            }
+        )
+
+    summary = members.groupBy("shard").applyInPandas(
+        _build, WRITE_SUMMARY_SCHEMA
+    )
+    return sorted(summary.collect(), key=lambda r: r["shard"])
+
+
+def read_webdataset(
+    spark: SparkSession, path: str, fan_out: int | None = None
+) -> DataFrame:
+    """Scan ``path``'s ``*.tar`` shards into long member form
+    ``(shard, key, ext, payload)``.
+
+    ``binaryFile`` reads each shard whole into its own task (tars are
+    not splittable — by design; shard size IS the parallelism knob),
+    then a pure map-side Arrow batch walks the archive with stdlib
+    ``tarfile``. Non-file members (directories, PAX headers) are
+    skipped. With production-sized shards leave ``fan_out=None``: no
+    shuffle, one-partition-per-shard. For SMALL-file corpora the file
+    scan packs many tars into one partition (openCostInBytes), which
+    would serialize the Python tar walk on one Arrow worker — pass
+    ``fan_out`` to redistribute the file rows first (one bounded
+    shuffle of the raw shard bytes; only worth it when shards are
+    tiny).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    if fan_out is not None:
+        files = files.repartition(fan_out, "path")
+
+    def _walk(it):
+        import pandas as pd
+
+        for pdf in it:
+            shards, keys, exts, payloads = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                shard = os.path.basename(r.path)
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(r.content)), mode="r"
+                ) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        base = os.path.basename(m.name)
+                        key, _, ext = base.partition(".")
+                        dirpart = os.path.dirname(m.name)
+                        if dirpart:
+                            key = f"{dirpart}/{key}"
+                        shards.append(shard)
+                        keys.append(key)
+                        exts.append(ext)
+                        payloads.append(tf.extractfile(m).read())
+            yield pd.DataFrame(
+                {
+                    "shard": pd.Series(shards, dtype="object"),
+                    "key": pd.Series(keys, dtype="object"),
+                    "ext": pd.Series(exts, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return files.mapInPandas(_walk, MEMBER_SCHEMA)
+
+
+def group_samples(df: DataFrame, exts: list[str]) -> DataFrame:
+    """Long member form → one row per sample: ``(key, <ext>...)`` with
+    a binary payload column per extension in ``exts`` (dots become
+    underscores in column names). The explicit ext list keeps the
+    pivot bounded-width with no inference pass; a sample missing an
+    extension gets NULL there."""
+    out = (
+        df.groupBy("key")
+        .pivot("ext", exts)
+        .agg(F.first("payload"))
+    )
+    for e in exts:
+        if "." in e:
+            out = out.withColumnRenamed(e, e.replace(".", "_"))
+    return out
