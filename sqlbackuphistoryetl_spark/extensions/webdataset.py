@@ -26,6 +26,10 @@ Spark-first:
 - :func:`group_samples` pivots the long member form into one row per
   sample with a payload column per extension (explicit bounded ext
   list, so no pivot-inference job over the corpus).
+- :func:`write_zip_shards` / :func:`read_zip_shards` are the ZIP twins
+  over the same machinery and row contract — scraped corpora often
+  arrive zipped, and zip trades tar's streaming reads for random
+  member access via the central directory.
 
 Determinism: members are written in (key, ext) sorted order with
 zeroed mtime/uid/gid/uname (tar metadata would otherwise embed
@@ -88,6 +92,85 @@ def _deterministic_tarinfo(name: str, size: int) -> tarfile.TarInfo:
     return ti
 
 
+def _pack_tar(pdf) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload) if r.payload is not None else b""
+            tf.addfile(
+                _deterministic_tarinfo(f"{r.key}.{r.ext}", len(payload)),
+                io.BytesIO(payload),
+            )
+    return buf.getvalue()
+
+
+def _pack_zip(pdf) -> bytes:
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload) if r.payload is not None else b""
+            zi = zipfile.ZipInfo(
+                f"{r.key}.{r.ext}", date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            zi.external_attr = 0o644 << 16
+            # STORED keeps shard bytes independent of the zlib build;
+            # training payloads (images/audio/tokens) are usually
+            # already compressed anyway
+            zf.writestr(zi, payload, compress_type=zipfile.ZIP_STORED)
+    return buf.getvalue()
+
+
+def _write_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int,
+    num_partitions: int | None,
+    pack,
+    suffix: str,
+) -> list:
+    """Shared shard-writing machinery: distributed-ordinal sample→shard
+    assignment, one packer task per shard, atomic rename publish."""
+    keys = df.select("key").distinct()
+    assign = global_ordinals(
+        keys, ["key"], shard_size=samples_per_shard,
+        num_partitions=num_partitions,
+    ).select("key", "shard")
+    members = df.join(assign, "key")  # shuffle on key; AQE may broadcast
+
+    os.makedirs(path, exist_ok=True)
+
+    def _build(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:  # pragma: no cover (groupBy never yields empty)
+            return pd.DataFrame(columns=[f.name for f in WRITE_SUMMARY_SCHEMA])
+        sid = int(pdf["shard"].iloc[0])
+        os.makedirs(path, exist_ok=True)  # task-side: executors ≠ driver fs
+        blob = pack(pdf.sort_values(["key", "ext"], kind="mergesort"))
+        # atomic-ish publish: write sidecar then rename, so a reader
+        # globbing the suffix never sees a half-written shard
+        final = os.path.join(path, f"shard-{sid:06d}{suffix}")
+        tmp = final + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_samples": [int(pdf["key"].nunique())],
+                "n_members": [len(pdf)],
+                "tar_bytes": [len(blob)],
+            }
+        )
+
+    summary = members.groupBy("shard").applyInPandas(
+        _build, WRITE_SUMMARY_SCHEMA
+    )
+    return sorted(summary.collect(), key=lambda r: r["shard"])
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
@@ -109,52 +192,25 @@ def write_webdataset(
     unpredictably): returns the collected per-shard summary rows —
     O(shards), driver-small by construction.
     """
-    keys = df.select("key").distinct()
-    assign = global_ordinals(
-        keys, ["key"], shard_size=samples_per_shard,
-        num_partitions=num_partitions,
-    ).select("key", "shard")
-    members = df.join(assign, "key")  # shuffle on key; AQE may broadcast
-
-    os.makedirs(path, exist_ok=True)
-
-    def _build(pdf):
-        import pandas as pd
-
-        if len(pdf) == 0:  # pragma: no cover (groupBy never yields empty)
-            return pd.DataFrame(columns=[f.name for f in WRITE_SUMMARY_SCHEMA])
-        sid = int(pdf["shard"].iloc[0])
-        os.makedirs(path, exist_ok=True)  # task-side: executors ≠ driver fs
-        pdf = pdf.sort_values(["key", "ext"], kind="mergesort")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                tf.addfile(
-                    _deterministic_tarinfo(f"{r.key}.{r.ext}", len(payload)),
-                    io.BytesIO(payload),
-                )
-        blob = buf.getvalue()
-        # atomic-ish publish: write sidecar then rename, so a reader
-        # globbing *.tar never sees a half-written shard
-        final = os.path.join(path, f"shard-{sid:06d}.tar")
-        tmp = final + ".inprogress"
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, final)
-        return pd.DataFrame(
-            {
-                "shard": [sid],
-                "n_samples": [int(pdf["key"].nunique())],
-                "n_members": [len(pdf)],
-                "tar_bytes": [len(blob)],
-            }
-        )
-
-    summary = members.groupBy("shard").applyInPandas(
-        _build, WRITE_SUMMARY_SCHEMA
+    return _write_shards(
+        df, path, samples_per_shard, num_partitions, _pack_tar, ".tar"
     )
-    return sorted(summary.collect(), key=lambda r: r["shard"])
+
+
+def write_zip_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """ZIP twin of :func:`write_webdataset` (``shard-%06d.zip``,
+    STORED members, zeroed timestamps — byte-deterministic like the
+    tar form). Zip shards trade tar's streaming reads for random
+    member access via the central directory; scraped corpora also
+    frequently ARRIVE zipped, and the round trip proves the reader."""
+    return _write_shards(
+        df, path, samples_per_shard, num_partitions, _pack_zip, ".zip"
+    )
 
 
 def read_webdataset(
@@ -175,9 +231,40 @@ def read_webdataset(
     shuffle of the raw shard bytes; only worth it when shards are
     tiny).
     """
+    def _walk_tar(blob: bytes):
+        with tarfile.open(fileobj=io.BytesIO(blob), mode="r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                yield m.name, tf.extractfile(m).read()
+
+    return _read_archives(spark, path, "*.tar", _walk_tar, fan_out)
+
+
+def read_zip_shards(
+    spark: SparkSession, path: str, fan_out: int | None = None
+) -> DataFrame:
+    """ZIP twin of :func:`read_webdataset`: ``*.zip`` archives into the
+    same long member form. Directory entries are skipped; the same
+    key/ext basename convention applies."""
+    def _walk_zip(blob: bytes):
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            for zi in zf.infolist():
+                if zi.is_dir():
+                    continue
+                yield zi.filename, zf.read(zi)
+
+    return _read_archives(spark, path, "*.zip", _walk_zip, fan_out)
+
+
+def _read_archives(
+    spark: SparkSession, path: str, glob: str, walk_one, fan_out: int | None
+) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
+        .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
@@ -191,21 +278,16 @@ def read_webdataset(
             shards, keys, exts, payloads = [], [], [], []
             for r in pdf.itertuples(index=False):
                 shard = os.path.basename(r.path)
-                with tarfile.open(
-                    fileobj=io.BytesIO(bytes(r.content)), mode="r"
-                ) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        base = os.path.basename(m.name)
-                        key, _, ext = base.partition(".")
-                        dirpart = os.path.dirname(m.name)
-                        if dirpart:
-                            key = f"{dirpart}/{key}"
-                        shards.append(shard)
-                        keys.append(key)
-                        exts.append(ext)
-                        payloads.append(tf.extractfile(m).read())
+                for name, payload in walk_one(bytes(r.content)):
+                    base = os.path.basename(name)
+                    key, _, ext = base.partition(".")
+                    dirpart = os.path.dirname(name)
+                    if dirpart:
+                        key = f"{dirpart}/{key}"
+                    shards.append(shard)
+                    keys.append(key)
+                    exts.append(ext)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "shard": pd.Series(shards, dtype="object"),

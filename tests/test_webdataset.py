@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from sqlbackuphistoryetl_spark.extensions.webdataset import (
     group_samples,
     read_webdataset,
+    read_zip_shards,
     write_webdataset,
+    write_zip_shards,
 )
 
 
@@ -117,6 +119,49 @@ def test_none_payload_written_as_empty(spark, tmp_path):
     write_webdataset(df, path, samples_per_shard=1)
     rows = read_webdataset(spark, str(path)).collect()
     assert bytes(rows[0]["payload"]) == b""
+
+
+def test_zip_round_trip_and_determinism(spark, tmp_path):
+    import zipfile
+
+    df = spark.createDataFrame(_member_rows(7), "key string, ext string, payload binary")
+    blobs = []
+    for d in ("za", "zb"):
+        path = str(tmp_path / d)
+        summary = write_zip_shards(df, path, samples_per_shard=3)
+        assert [r["n_samples"] for r in summary] == [3, 3, 1]
+        assert sorted(os.listdir(path))[0] == "shard-000000.zip"
+        blobs.append(
+            [open(os.path.join(path, f), "rb").read()
+             for f in sorted(os.listdir(path))]
+        )
+    assert blobs[0] == blobs[1]  # byte-deterministic
+    got = {(r["key"], r["ext"]): bytes(r["payload"])
+           for r in read_zip_shards(spark, str(tmp_path / "za")).collect()}
+    assert got == {(k, e): p for k, e, p in _member_rows(7)}
+    # members are STORED with zeroed timestamps
+    with zipfile.ZipFile(io.BytesIO(blobs[0][0])) as zf:
+        infos = zf.infolist()
+    assert all(zi.compress_type == zipfile.ZIP_STORED for zi in infos)
+    assert all(zi.date_time == (1980, 1, 1, 0, 0, 0) for zi in infos)
+
+
+def test_zip_reader_skips_directory_entries(spark, tmp_path):
+    import zipfile
+
+    path = tmp_path / "z"
+    path.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("sub/", date_time=(1980, 1, 1, 0, 0, 0)), b"")
+        zf.writestr(
+            zipfile.ZipInfo("sub/doc.txt", date_time=(1980, 1, 1, 0, 0, 0)),
+            b"hi",
+        )
+    (path / "shard-000000.zip").write_bytes(buf.getvalue())
+    rows = {(r["key"], r["ext"]): bytes(r["payload"])
+            for r in read_zip_shards(spark, str(path)).collect()}
+    assert rows == {("sub/doc", "txt"): b"hi"}
 
 
 def test_reader_plan_is_map_side(spark, tmp_path):
