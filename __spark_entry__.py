@@ -5372,6 +5372,101 @@ from feat group by doc_id
 """
 
 
+def multimodal_flac_audio(spark, sf_dir):
+    """FLAC through the real codec chain (extensions/flac_codec.py +
+    multimodal.decode_audio): each document's first 128 sanitized
+    bytes become a STEREO stream (left sample i from byte i, right
+    from byte (i+7) mod 128, both (ord−80)·256), encoded as mid/side
+    FLAC in 64-sample frames (fixed-predictor subframes, Rice
+    residuals, CRC-8/16, armed MD5) inside mapInPandas, then decoded
+    through the multimodal dispatch and reduced to the 4-block
+    (mean |amplitude|, zero crossings) quality integers. FLAC is
+    lossless and both channels are even multiples of 256, so the mono
+    fold is exact and the oracle recomputes everything CLOSED-FORM
+    from ``ord()`` — any Rice, predictor, mid/side or framing bug
+    hash-mismatches (and the armed MD5 catches it in-decoder first)."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.flac_codec import encode_flac
+    from sqlbackuphistoryetl_spark.extensions.multimodal import decode_audio
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import (
+        DecodedAudio,
+        block_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:128].ljust(128, " ").encode("ascii")
+            inter = []
+            for i in range(128):
+                inter.append((s[i] - 80) * 256)
+                inter.append((s[(i + 7) % 128] - 80) * 256)
+            blob = encode_flac(
+                DecodedAudio(16000, 2, inter),
+                stereo_mode="mid_side",
+                block_size=64,
+            )
+            feats = block_features(decode_audio(blob), n_blocks=4)
+            return [v for pair in feats for v in pair]
+
+        for pdf in it:
+            rows = pdf["text"].map(mk)
+            out = {"doc_id": pdf["doc_id"]}
+            for b in range(4):
+                out[f"amp{b}"] = rows.map(lambda r, b=b: r[2 * b])
+                out[f"zc{b}"] = rows.map(lambda r, b=b: r[2 * b + 1])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _mk,
+        "doc_id long, amp0 long, zc0 long, amp1 long, zc1 long, "
+        "amp2 long, zc2 long, amp3 long, zc3 long",
+    )
+
+
+MULTIMODAL_FLAC_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 128),
+              128, ' ') as s
+  from documents),
+samp as (
+  select doc_id, j, (j * 4) // 128 as b,
+         cast(128 * (ord(substr(s, j + 1, 1))
+                     + ord(substr(s, ((j + 7) % 128) + 1, 1))
+                     - 160) as bigint) as x
+  from s, unnest(generate_series(0, 127)) as u(j)),
+samp2 as (
+  select doc_id, b, x,
+         lag(x) over (partition by doc_id, b order by j) as px
+  from samp),
+feat as (
+  select doc_id, b,
+         cast(sum(abs(x)) // count(*) as bigint) as amp,
+         cast(sum(case when (px < 0) <> (x < 0) then 1 else 0 end)
+              as bigint) as zc
+  from samp2 group by doc_id, b)
+select doc_id,
+       max(case when b = 0 then amp end) as amp0,
+       max(case when b = 0 then zc end) as zc0,
+       max(case when b = 1 then amp end) as amp1,
+       max(case when b = 1 then zc end) as zc1,
+       max(case when b = 2 then amp end) as amp2,
+       max(case when b = 2 then zc end) as zc2,
+       max(case when b = 3 then amp end) as amp3,
+       max(case when b = 3 then zc end) as zc3
+from feat group by doc_id
+"""
+
+
 def multimodal_g711_audio(spark, sf_dir):
     """G.711 mu-law telephony audio through the real WAV chain
     (wav_codec format tag 7, r8): each document's first 128 sanitized
@@ -5943,6 +6038,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_gif_fingerprint": MULTIMODAL_GIF_SQL,
     "multimodal_gif_animation": MULTIMODAL_GIF_ANIM_SQL,
     "webdataset_roundtrip": WEBDATASET_SQL,
+    "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6232,6 +6328,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "multimodal_flac_audio": multimodal_flac_audio,
     "multimodal_gif_animation": multimodal_gif_animation,
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
@@ -6281,10 +6378,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "case_type_map": case_type_map,
     "char_entropy_quality": char_entropy_quality,
-    "corpus_report": corpus_report,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "corpus_report": corpus_report,
     "corpus_token_budget": corpus_token_budget,
     "curation_funnel": curation_funnel,
     "curation_pipeline_e2e": curation_pipeline_e2e,
@@ -6387,6 +6484,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "corpus_report",
         "corpus_token_budget",
         "curation_funnel",
         "curation_pipeline_e2e",

@@ -115,6 +115,8 @@ EXTENDED = [
     # tar shard sink+source round trip (write is part of the timed
     # body — it IS the operator)
     "webdataset_roundtrip",
+    # mid/side FLAC encode+decode chain (lossless audio)
+    "multimodal_flac_audio",
 ]
 
 

@@ -384,15 +384,15 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
-    from . import bmp_codec, gif_codec, jpeg_codec, png_codec, wav_codec
+    from . import bmp_codec, flac_codec, gif_codec, jpeg_codec, png_codec, wav_codec
 
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
             return "ok"
-        # header PROBE, not just the signature: over-budget PNGs/GIFs,
-        # arithmetic JPEGs, sub-16-bit BMP forms, non-PCM WAVs would
-        # pass the magic check but raise in decode, and this column's
-        # contract is "a real decoder exists for it"
+        # header PROBE, not just the signature: over-budget PNGs/GIFs/
+        # FLACs, arithmetic JPEGs, sub-16-bit BMP forms, non-PCM WAVs
+        # would pass the magic check but raise in decode, and this
+        # column's contract is "a real decoder exists for it"
         raw = bytes(payload) if payload is not None else None
         if (
             png_codec.probe_png(raw)
@@ -400,6 +400,7 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
             or gif_codec.probe_gif(raw)
             or bmp_codec.probe_bmp(raw)
             or wav_codec.probe_wav(raw)
+            or flac_codec.probe_flac(raw)
         ):
             return "ok"
         return "stubbed"
@@ -565,19 +566,44 @@ AUDIO_SCHEMA = StructType(
 def decode_audio(payload: bytes) -> object:
     """Decode an audio payload to raw samples.
 
-    WAV/PCM decodes FOR REAL via the stdlib codec (:mod:`.wav_codec` —
-    RIFF parsing, 16/8-bit PCM) and returns a
-    ``wav_codec.DecodedAudio``; compressed codecs (MP3/AAC/Opus/FLAC)
-    raise behind the documented stub gate — they need libraries this
-    container doesn't ship."""
-    from . import wav_codec
+    WAV-family (PCM / G.711 / IMA ADPCM via :mod:`.wav_codec`) and
+    FLAC (all subframe types, stereo decorrelation, MD5-verified
+    bit-exact decode via :mod:`.flac_codec`, r9) decode FOR REAL and
+    return a ``wav_codec.DecodedAudio``; perceptual codecs
+    (MP3/AAC/Opus) raise behind the documented stub gate — they need
+    codec libraries this container doesn't ship (see the PLANS.md
+    perceptual-audio doctrine)."""
+    from . import flac_codec, wav_codec
 
     if wav_codec.is_wav(payload):
         try:
             return wav_codec.decode_wav(payload)
         except wav_codec.UnsupportedWAV as e:
             raise NotImplementedError(f"audio decode stub: {e}") from e
+    if flac_codec.is_flac(payload):
+        try:
+            return flac_codec.decode_flac(payload)
+        except flac_codec.UnsupportedFLAC as e:
+            raise NotImplementedError(f"audio decode stub: {e}") from e
     raise NotImplementedError("audio decode stub: codec libraries not installed")
+
+
+def _decode_any_audio(raw: bytes) -> tuple[object | None, str | None]:
+    """Audio twin of :func:`_decode_any`: (DecodedAudio, decoder tag)
+    or (None, None) with the same fall-through doctrine."""
+    from . import flac_codec, wav_codec
+
+    if wav_codec.is_wav(raw):
+        try:
+            return wav_codec.decode_wav(raw), "wav-pcm"
+        except (wav_codec.UnsupportedWAV, wav_codec.WAVError):
+            return None, None
+    if flac_codec.is_flac(raw):
+        try:
+            return flac_codec.decode_flac(raw), "flac"
+        except (flac_codec.UnsupportedFLAC, flac_codec.FLACError):
+            return None, None
+    return None, None
 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
@@ -592,16 +618,15 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     from . import wav_codec
 
     def _one(b):
-        if b is None or not wav_codec.is_wav(bytes(b)):
+        if b is None:
             return None, None, None, None, None
-        try:
-            a = wav_codec.decode_wav(bytes(b))
-        except (wav_codec.UnsupportedWAV, wav_codec.WAVError):
+        a, dec = _decode_any_audio(bytes(b))
+        if a is None:
             return None, None, None, None, None
         h = wav_codec.energy_fingerprint(a)
         if h >= 1 << 63:
             h -= 1 << 64
-        return a.sample_rate, a.channels, len(a.samples), h, "wav-pcm"
+        return a.sample_rate, a.channels, len(a.samples), h, dec
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
