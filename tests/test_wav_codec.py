@@ -340,17 +340,18 @@ class TestIMAADPCM:
 
 
 class TestPerceptualAudioDoctrine:
-    """MP3/AAC/Opus/FLAC stay permanently gated (PLANS.md r9 doctrine,
-    the WebP call's audio twin): every magic-byte family must route to
+    """MP3/AAC/Opus stay permanently gated (PLANS.md r9 doctrine, the
+    WebP call's audio twin): every magic-byte family must route to
     the stub path — probe False, decode_audio raising, metadata
-    'stubbed', fingerprint NULL — never into the PCM decoder."""
+    'stubbed', fingerprint NULL — never into the PCM decoder.
+    (FLAC left this list mid-r9: it is LOSSLESS, not perceptual, and
+    now decodes for real through extensions/flac_codec.py.)"""
 
     PAYLOADS = {
         "mp3-id3v2": b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 64,
         "mp3-framesync": b"\xff\xfb\x90\x64" + b"\x55" * 64,
         "aac-adts": b"\xff\xf1\x50\x80\x02\x1f\xfc" + b"\xaa" * 64,
         "m4a-ftyp": struct.pack(">I", 32) + b"ftypM4A " + b"\x00" * 56,
-        "flac": b"fLaC\x00\x00\x00\x22" + b"\x00" * 64,
         "ogg-opus": b"OggS\x00\x02" + b"\x00" * 64,
     }
 
