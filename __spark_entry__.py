@@ -5467,6 +5467,94 @@ from feat group by doc_id
 """
 
 
+def media_info_mixed(spark, sf_dir):
+    """Header-only media triage over a MIXED-format corpus
+    (extensions/multimodal.media_info): each document becomes a
+    payload whose container rotates by doc_id mod 4 — grayscale PNG,
+    grayscale baseline JPEG, multi-frame GIF, or mono FLAC — with
+    geometry/frame-count/sample-count derived from the first text
+    bytes. media_info then parses HEADERS ONLY (IHDR, SOF, GIF block
+    walk, STREAMINFO; no entropy decode) and the oracle recomputes
+    every field closed-form from doc_id and ``ord()`` — a dispatch,
+    dimension-endianness, frame-count or channel-map bug mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.flac_codec import encode_flac
+    from sqlbackuphistoryetl_spark.extensions.gif_codec import (
+        encode_gif_indexed,
+    )
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import encode_jpeg
+    from sqlbackuphistoryetl_spark.extensions.multimodal import media_info
+    from sqlbackuphistoryetl_spark.extensions.png_codec import encode_png
+    from sqlbackuphistoryetl_spark.extensions.wav_codec import DecodedAudio
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+    gray_palette = bytes(b for g in range(16) for b in (g, g, g))
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(doc_id, t):
+            s = re.sub(r"[^ -~]", "?", t)[:3].ljust(3, " ").encode("ascii")
+            m = doc_id % 4
+            w, h = 1 + s[0] % 16, 1 + s[1] % 16
+            if m == 0:
+                return encode_png(bytes(w * h), w, h, 1)
+            if m == 1:
+                return encode_jpeg(bytes(w * h), w, h, 1)
+            if m == 2:
+                frames = [{"indices": bytes(w * h)}] * (1 + s[2] % 3)
+                return encode_gif_indexed(w, h, gray_palette, frames)
+            n = 32 + s[0]
+            return encode_flac(
+                DecodedAudio(16000, 1, [(i * 3) - 100 for i in range(n)])
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return media_info(payloads)
+
+
+MEDIA_INFO_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 3),
+              3, ' ') as s
+  from documents),
+o as (
+  select doc_id, doc_id % 4 as m,
+         ord(substr(s, 1, 1)) as o0,
+         ord(substr(s, 2, 1)) as o1,
+         ord(substr(s, 3, 1)) as o2
+  from s)
+select doc_id,
+       case m when 0 then 'png' when 1 then 'jpeg'
+              when 2 then 'gif' else 'flac' end as format,
+       case when m <= 2 then cast(1 + o0 % 16 as bigint) end as width,
+       case when m <= 2 then cast(1 + o1 % 16 as bigint) end as height,
+       case when m <= 1 then cast(1 as bigint)
+            when m = 2 then cast(1 + o2 % 3 as bigint) end as n_frames,
+       cast(case when m = 2 then 3 else 1 end as bigint) as channels,
+       case when m = 3 then cast(16000 as bigint) end as sample_rate,
+       case when m = 3 then cast(32 + o0 as bigint) end as n_samples,
+       cast(case when m = 3 then 16 else 8 end as bigint) as bit_depth
+from o
+"""
+
+
 def multimodal_g711_audio(spark, sf_dir):
     """G.711 mu-law telephony audio through the real WAV chain
     (wav_codec format tag 7, r8): each document's first 128 sanitized
@@ -6039,6 +6127,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_gif_animation": MULTIMODAL_GIF_ANIM_SQL,
     "webdataset_roundtrip": WEBDATASET_SQL,
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
+    "media_info_mixed": MEDIA_INFO_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6328,6 +6417,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "media_info_mixed": media_info_mixed,
     "multimodal_flac_audio": multimodal_flac_audio,
     "multimodal_gif_animation": multimodal_gif_animation,
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
@@ -6377,10 +6467,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "case_type_map": case_type_map,
-    "char_entropy_quality": char_entropy_quality,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "char_entropy_quality": char_entropy_quality,
     "corpus_report": corpus_report,
     "corpus_token_budget": corpus_token_budget,
     "curation_funnel": curation_funnel,
@@ -6484,6 +6574,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "char_entropy_quality",
         "corpus_report",
         "corpus_token_budget",
         "curation_funnel",

@@ -117,6 +117,8 @@ EXTENDED = [
     "webdataset_roundtrip",
     # mid/side FLAC encode+decode chain (lossless audio)
     "multimodal_flac_audio",
+    # header-only mixed-container triage pass
+    "media_info_mixed",
 ]
 
 

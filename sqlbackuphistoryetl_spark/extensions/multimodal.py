@@ -426,6 +426,135 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, PAYLOAD_METADATA)
 
 
+MEDIA_INFO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("bit_depth", LongType(), True),
+    ]
+)
+
+
+def _media_info_one(raw: bytes) -> tuple:
+    """(format, width, height, n_frames, channels, sample_rate,
+    n_samples, bit_depth) from HEADERS ONLY — no entropy decode, no
+    pixel/sample work. Corrupt or unrecognized payloads come back as
+    ('unknown', NULL...)."""
+    import struct
+
+    from . import avi_codec, bmp_codec, flac_codec, gif_codec, wav_codec
+
+    none7 = (None,) * 7
+    try:
+        if raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", raw[16:26])
+            chans = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype)
+            if chans is None or w == 0 or h == 0:
+                return ("unknown",) + none7
+            return ("png", w, h, 1, chans, None, None, depth)
+        if raw[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(raw):
+                if raw[pos] != 0xFF:
+                    break
+                marker = raw[pos + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    prec, h, w, ncomp = struct.unpack(
+                        ">BHHB", raw[pos + 4 : pos + 10]
+                    )
+                    return ("jpeg", w, h, 1, ncomp, None, None, prec)
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+                pos += 2 + seglen
+            return ("unknown",) + none7
+        if gif_codec.is_gif(raw):
+            info, frames = gif_codec._parse(
+                raw, gif_codec.MAX_PIXELS, gif_codec.MAX_FRAMES,
+                gif_codec.MAX_TOTAL_PIXELS,
+            )
+            chans = 3 if frames[0].transparent is None else 4
+            return ("gif", info.width, info.height, info.n_frames,
+                    chans, None, None, 8)
+        if bmp_codec.is_bmp(raw):
+            w, h, bit_count, _c, _td, _pal, _off = bmp_codec._parse(
+                raw, bmp_codec.MAX_PIXELS
+            )
+            return ("bmp", w, h, 1, 3, None, None, bit_count)
+        if avi_codec.is_avi(raw):
+            info, _frames = avi_codec.parse_avi(raw)
+            return ("avi", info.width, info.height, info.n_frames,
+                    3, None, None, info.bit_count)
+        if wav_codec.is_wav(raw):
+            pos, n = 12, len(raw)
+            fmt = data_len = None
+            while pos + 8 <= n:
+                cid = raw[pos : pos + 4]
+                (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                if pos + 8 + clen > n:
+                    return ("unknown",) + none7
+                if cid == b"fmt ":
+                    fmt = raw[pos + 8 : pos + 8 + clen]
+                elif cid == b"data":
+                    data_len = clen
+                pos += 8 + clen + (clen & 1)
+            if fmt is None or len(fmt) < 16 or data_len is None:
+                return ("unknown",) + none7
+            afmt, chans, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", fmt[:16]
+            )
+            if chans < 1 or rate < 1:
+                return ("unknown",) + none7
+            n_samples = (
+                data_len // (chans * bits // 8)
+                if afmt == 1 and bits in (8, 16)
+                else None  # companded/ADPCM sample counts need decode state
+            )
+            return ("wav", None, None, None, chans, rate, n_samples, bits)
+        if flac_codec.is_flac(raw):
+            si, _pos = flac_codec._parse_streaminfo(raw)
+            return ("flac", None, None, None, si.channels, si.sample_rate,
+                    si.total_samples or None, si.bits_per_sample)
+    except Exception:  # corrupt header behind a valid magic: triage, not crash
+        return ("unknown",) + none7
+    return ("unknown",) + none7
+
+
+def media_info(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → header-only media triage: format,
+    geometry, frame/sample counts, channels, rate, bit depth — the
+    cheap first pass a crawl runs over 100 TB of opaque payloads
+    BEFORE spending decode time. Parses container headers only (PNG
+    IHDR, JPEG SOF, GIF block walk, BMP/AVI headers, WAV fmt, FLAC
+    STREAMINFO); never entropy-decodes, so cost is O(header bytes) per
+    payload regardless of media size. MJPEG-compressed AVI reports
+    'unknown' (its header walk rides the DIB parser); corrupt headers
+    triage as 'unknown' rather than failing the job. Arrow-batched
+    ``mapInPandas``, embarrassingly parallel, no shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in MEDIA_INFO_SCHEMA if f.name != "doc_id"]
+        for pdf in it:
+            rows = pdf["payload"].map(
+                lambda b: ("unknown",) + (None,) * 7
+                if b is None
+                else _media_info_one(bytes(b))
+            )
+            out = {"doc_id": pdf["doc_id"]}
+            for i, name in enumerate(names):
+                out[name] = rows.map(lambda r, i=i: r[i]).astype("object")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, MEDIA_INFO_SCHEMA)
+
+
 DHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
