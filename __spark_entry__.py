@@ -5467,6 +5467,84 @@ from feat group by doc_id
 """
 
 
+WORDPIECE_GATE_VOCAB = [
+    "th", "he", "an",
+    "a", "t", "h", "e", "s", "o", "i", "n", "d",
+    "##th", "##he", "##an",
+    "##a", "##t", "##h", "##e", "##s", "##o", "##i", "##n", "##d",
+]
+
+
+def wordpiece_segment_fixed(spark, sf_dir):
+    """WordPiece greedy longest-match segmentation under a FIXED vocab
+    (extensions/wordpiece.py — the BERT inference tokenizer: longest
+    piece at each position, ``##`` continuation prefix, whole-word
+    [UNK] on any failure; Python runs once per DISTINCT word, the
+    corpus re-assembles JVM-side). The oracle REPLAYS the greedy scan
+    as a recursive CTE (the stateful-oracle pattern the ADPCM gate
+    established): one recursion step per consumed piece, 2-char
+    candidates tried before 1-char, failure collapsing the word to
+    [UNK] — so a longest-match ordering, continuation-prefix or
+    fallback bug mismatches. Output (doc_id, n_tokens, tok_md5) like
+    the BPE segmentation gate."""
+    from sqlbackuphistoryetl_spark.extensions.wordpiece import (
+        wordpiece_segment_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = wordpiece_segment_corpus(
+        docs, WORDPIECE_GATE_VOCAB, word_pattern=r"[a-z]+", lowercase=True
+    )
+    return seg.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("\x1e", "tokens")).alias("tok_md5"),
+    )
+
+
+WORDPIECE_SQL = r"""
+with recursive
+w as (
+  select doc_id, i as pos, words[i] as word
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as words,
+               unnest(generate_series(1,
+                      len(regexp_extract_all(lower(text), '[a-z]+')))) as i
+        from documents)),
+step as (
+  select doc_id, pos, word, 1 as cur, cast('' as varchar) as toks
+  from w
+  union all
+  select doc_id, pos, word,
+         case when l2 then cur + 2
+              when l1 then cur + 1
+              else len(word) + 1 end as cur,
+         case when not (l1 or l2) then '[UNK]'
+              else toks
+                   || case when toks = '' then '' else chr(30) end
+                   || case when cur > 1 then '##' else '' end
+                   || substr(word, cur, case when l2 then 2 else 1 end)
+         end as toks
+  from (select doc_id, pos, word, cur, toks,
+               cur + 1 <= len(word)
+                 and substr(word, cur, 2) in ('th', 'he', 'an') as l2,
+               substr(word, cur, 1)
+                 in ('a','t','h','e','s','o','i','n','d') as l1
+        from step
+        where cur <= len(word))),
+terminal as (
+  select doc_id, pos, toks from step where cur > len(word)),
+per_doc as (
+  select doc_id, string_agg(toks, chr(30) order by pos) as all_toks
+  from terminal group by doc_id)
+select d.doc_id,
+       cast(case when coalesce(all_toks, '') = '' then 0
+                 else len(string_split(all_toks, chr(30))) end as int)
+         as n_tokens,
+       md5(coalesce(all_toks, '')) as tok_md5
+from documents d left join per_doc p on d.doc_id = p.doc_id
+"""
+
+
 def media_info_mixed(spark, sf_dir):
     """Header-only media triage over a MIXED-format corpus
     (extensions/multimodal.media_info): each document becomes a
@@ -6128,6 +6206,7 @@ _ORACLES: dict[str, str | None] = {
     "webdataset_roundtrip": WEBDATASET_SQL,
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
+    "wordpiece_segment_fixed": WORDPIECE_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6423,6 +6502,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "webdataset_roundtrip": webdataset_roundtrip,
+    "wordpiece_segment_fixed": wordpiece_segment_fixed,
     "heavy_hitter_grams": heavy_hitter_grams,
     "hourly_event_rollup": hourly_event_rollup,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
@@ -6466,10 +6546,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_ranking": bm25_ranking,
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
-    "case_type_map": case_type_map,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "case_type_map": case_type_map,
     "char_entropy_quality": char_entropy_quality,
     "corpus_report": corpus_report,
     "corpus_token_budget": corpus_token_budget,
@@ -6574,6 +6654,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "case_type_map",
         "char_entropy_quality",
         "corpus_report",
         "corpus_token_budget",

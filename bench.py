@@ -119,6 +119,9 @@ EXTENDED = [
     "multimodal_flac_audio",
     # header-only mixed-container triage pass
     "media_info_mixed",
+    # BERT-style greedy longest-match tokenization (distinct-word
+    # Python, JVM re-assembly)
+    "wordpiece_segment_fixed",
 ]
 
 

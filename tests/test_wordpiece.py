@@ -1,0 +1,96 @@
+"""WordPiece greedy longest-match tokenizer (r9): word-level algorithm
+parity with the published BERT behavior, corpus assembly, edge rows."""
+
+from __future__ import annotations
+
+from sqlbackuphistoryetl_spark.extensions.wordpiece import (
+    wordpiece_segment_corpus,
+    wordpiece_tokenize_word,
+)
+
+VOCAB = {
+    "un", "##aff", "##able", "##want", "##ed",
+    "the", "a", "##a", "want", "##s",
+}
+
+
+class TestWordLevel:
+    def test_published_bert_example(self):
+        # the canonical example from the BERT repo docs
+        assert wordpiece_tokenize_word("unwanted", VOCAB) == [
+            "un", "##want", "##ed",
+        ]
+
+    def test_longest_match_wins(self):
+        v = {"ab", "a", "##b", "##bc", "##c"}
+        # greedy takes 'ab' then '##c', never 'a'+'##bc'
+        assert wordpiece_tokenize_word("abc", v) == ["ab", "##c"]
+
+    def test_whole_word_unk_on_any_failure(self):
+        # 'x' never matches -> the WHOLE word is [UNK], not a partial list
+        assert wordpiece_tokenize_word("unx", VOCAB) == ["[UNK]"]
+        assert wordpiece_tokenize_word("", VOCAB) == ["[UNK]"]
+
+    def test_long_word_guard(self):
+        assert wordpiece_tokenize_word("a" * 500, VOCAB) == ["[UNK]"]
+        assert wordpiece_tokenize_word("a" * 3, {"a", "##a"}, max_chars=3) == [
+            "a", "##a", "##a",
+        ]
+
+    def test_continuation_requires_prefix(self):
+        # '##s' exists but bare 's' doesn't: word-initial 's' fails
+        assert wordpiece_tokenize_word("s", VOCAB) == ["[UNK]"]
+        assert wordpiece_tokenize_word("wants", VOCAB) == ["want", "##s"]
+
+
+class TestCorpus:
+    def test_assembly_order_and_edges(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the unwanted a"),
+                (2, ""),
+                (3, None),
+                (4, "zzz the"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in wordpiece_segment_corpus(docs, VOCAB).collect()
+        }
+        assert out[1]["tokens"] == ["the", "un", "##want", "##ed", "a"]
+        assert out[1]["n_tokens"] == 5
+        assert out[2]["tokens"] == [] and out[2]["n_tokens"] == 0
+        assert out[3]["tokens"] == [] and out[3]["n_tokens"] == 0
+        assert out[4]["tokens"] == ["[UNK]", "the"]
+
+    def test_lowercase_pretokenizer(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "The UNWANTED!")], "doc_id long, text string"
+        )
+        out = wordpiece_segment_corpus(
+            docs, VOCAB, word_pattern=r"[a-z]+", lowercase=True
+        ).collect()[0]
+        assert out["tokens"] == ["the", "un", "##want", "##ed"]
+
+    def test_python_stage_is_distinct_words_only(self, spark):
+        # the corpus never moves through Python: mapInPandas input is
+        # the distinct-word frame
+        import pyspark.sql.classic.dataframe as D
+
+        seen = []
+        orig = D.DataFrame.mapInPandas
+
+        def spy(self, func, schema, **kw):
+            seen.append([f.name for f in self.schema.fields])
+            return orig(self, func, schema, **kw)
+
+        D.DataFrame.mapInPandas = spy
+        try:
+            docs = spark.createDataFrame(
+                [(1, "a a a the the")], "doc_id long, text string"
+            )
+            wordpiece_segment_corpus(docs, VOCAB).collect()
+        finally:
+            D.DataFrame.mapInPandas = orig
+        assert seen == [["word"]]  # only the distinct-word column
