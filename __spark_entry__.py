@@ -5467,6 +5467,81 @@ from feat group by doc_id
 """
 
 
+def url_dedup_domain_stats(spark, sf_dir):
+    """URL canonicalization + registered-domain rollup
+    (functions/urlfns.py): every doc synthesizes TWO crawl variants of
+    one page — uppercase host, explicit :443, tracking params, a
+    fragment vs. the clean form — entirely with JVM expressions;
+    normalize_url must collapse the pair to one exact string, and
+    registered_domain (eTLD+1 incl. two-level suffixes like co.uk)
+    keys the rollup. The oracle never normalizes anything: it emits
+    the expected canonical string closed-form from doc_id, so a port,
+    case, param-sort, tracking-filter or suffix-table bug
+    mismatches."""
+    from sqlbackuphistoryetl_spark.functions.urlfns import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    path = F.concat(F.lit("/p/"), F.col("p"))
+    va = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path,
+        F.lit("?utm_source=x&b="), F.col("m"), F.lit("&a=1#f"),
+    )
+    vb = F.concat(
+        F.lit("https://"), host, path, F.lit("?a=1&b="), F.col("m")
+    )
+    urls = d.select(F.explode(F.array(va, vb)).alias("url"))
+    norm = urls.select(normalize_url("url").alias("url"))
+    return (
+        norm.withColumn("domain", registered_domain(url_host("url")))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.min("url").alias("url_min"),
+            F.max("url").alias("url_max"),
+        )
+    )
+
+
+URL_DEDUP_SQL = r"""
+with d as (
+  select doc_id % 7 as k,
+         doc_id % 20 as s,
+         doc_id % 50 as p,
+         doc_id % 3 as m
+  from documents),
+u as (
+  select ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m
+  from d),
+urls as (
+  select distinct
+         'https://www.site' || s || '.' || tld || '/p/' || p
+           || '?a=1&b=' || m as url,
+         'site' || s || '.' || tld as domain
+  from u)
+select domain,
+       cast(count(*) as bigint) as n_urls,
+       min(url) as url_min,
+       max(url) as url_max
+from urls group by domain
+"""
+
+
 WORDPIECE_GATE_VOCAB = [
     "th", "he", "an",
     "a", "t", "h", "e", "s", "o", "i", "n", "d",
@@ -6207,6 +6282,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
+    "url_dedup_domain_stats": URL_DEDUP_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6501,6 +6577,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_animation": multimodal_gif_animation,
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+    "url_dedup_domain_stats": url_dedup_domain_stats,
     "webdataset_roundtrip": webdataset_roundtrip,
     "wordpiece_segment_fixed": wordpiece_segment_fixed,
     "heavy_hitter_grams": heavy_hitter_grams,
@@ -6545,10 +6622,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
     "bpe_fertility_lang": bpe_fertility_lang,
-    "bpe_roundtrip_decode": bpe_roundtrip_decode,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "case_type_map": case_type_map,
     "char_entropy_quality": char_entropy_quality,
     "corpus_report": corpus_report,
@@ -6654,6 +6731,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "bpe_roundtrip_decode",
         "case_type_map",
         "char_entropy_quality",
         "corpus_report",

@@ -122,6 +122,8 @@ EXTENDED = [
     # BERT-style greedy longest-match tokenization (distinct-word
     # Python, JVM re-assembly)
     "wordpiece_segment_fixed",
+    # URL canonicalization + eTLD+1 rollup, pure JVM projection
+    "url_dedup_domain_stats",
 ]
 
 
