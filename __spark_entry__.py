@@ -5467,6 +5467,64 @@ from feat group by doc_id
 """
 
 
+def html_extract_text(spark, sf_dir):
+    """HTML → text extraction (functions/htmlfns.py): every document's
+    text (with raw &/</> blanked so entity handling stays the gate's
+    own) is wrapped in a real page — head/style block, an &nbsp;
+    headline, a paragraph, a script whose BODY contains markup, an
+    &amp; footer div — and html_to_text must recover exactly
+    headline\\ntext\\nfooter under the documented whitespace
+    normalization. The oracle never parses HTML: it assembles the
+    expected prose directly from the document text and applies the
+    same three whitespace regexes, so a tag-stripping, script-content,
+    entity-order or newline bug mismatches."""
+    from sqlbackuphistoryetl_spark.functions.htmlfns import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p{color:red}</style></head><body>'
+            "<h1>Head&nbsp;Line</h1><p>"
+        ),
+        safe,
+        F.lit(
+            '</p><script>var x="<p>sneaky</p>";</script>'
+            "<div>Tail &amp; more</div></body></html>"
+        ),
+    )
+    txt = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        F.md5(txt).alias("txt_md5"),
+    )
+
+
+HTML_EXTRACT_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[&<>]', ' ', 'g') as st
+  from documents),
+raw as (
+  select doc_id,
+         'Head Line' || chr(10) || st || chr(10) || 'Tail & more' as r
+  from s),
+norm as (
+  select doc_id,
+         regexp_replace(regexp_replace(trim(
+           regexp_replace(regexp_replace(regexp_replace(r,
+             '[ \t\r\f]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n{2,}', chr(10), 'g')),
+           '^\n+', ''), '\n+$', '') as txt
+  from raw)
+select doc_id,
+       cast(length(txt) as int) as n_chars,
+       md5(txt) as txt_md5
+from norm
+"""
+
+
 def url_dedup_domain_stats(spark, sf_dir):
     """URL canonicalization + registered-domain rollup
     (functions/urlfns.py): every doc synthesizes TWO crawl variants of
@@ -6283,6 +6341,7 @@ _ORACLES: dict[str, str | None] = {
     "media_info_mixed": MEDIA_INFO_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
+    "html_extract_text": HTML_EXTRACT_SQL,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6572,6 +6631,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "html_extract_text": html_extract_text,
     "media_info_mixed": media_info_mixed,
     "multimodal_flac_audio": multimodal_flac_audio,
     "multimodal_gif_animation": multimodal_gif_animation,
@@ -6621,10 +6681,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
-    "bpe_fertility_lang": bpe_fertility_lang,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "case_type_map": case_type_map,
     "char_entropy_quality": char_entropy_quality,
@@ -6731,6 +6791,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "bpe_fertility_lang",
         "bpe_roundtrip_decode",
         "case_type_map",
         "char_entropy_quality",

@@ -124,6 +124,8 @@ EXTENDED = [
     "wordpiece_segment_fixed",
     # URL canonicalization + eTLD+1 rollup, pure JVM projection
     "url_dedup_domain_stats",
+    # HTML -> text extraction, pure JVM regexp chain
+    "html_extract_text",
 ]
 
 
