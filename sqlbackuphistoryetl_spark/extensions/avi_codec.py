@@ -109,11 +109,16 @@ def parse_avi(
     payload: bytes,
     max_frame_pixels: int = MAX_FRAME_PIXELS,
     max_frames: int = MAX_FRAMES,
+    lenient: bool = False,
 ) -> tuple[AVIInfo, list[bytes]]:
     """Header walk + frame chunk collection (no pixel work). Returns
     (info, raw frame chunk bodies). Raises :class:`AVIError` on a
     malformed container and :class:`UnsupportedAVI` on compressed /
-    non-24-bit streams or budget breaches."""
+    non-24-bit streams or budget breaches. ``lenient=True`` (the
+    media_info triage path) keeps the malformed-container errors but
+    waives the decode gates — geometry/fourcc/frame-count of a
+    codec-we-can't-decode stream is still valid METADATA, and no pixel
+    work follows that the budgets would protect."""
     if not is_avi(payload):
         raise AVIError("not a RIFF/AVI payload")
     strf = None
@@ -177,8 +182,9 @@ def parse_avi(
         # "keep MJPEG gated until the JPEG task lands" condition)
         pass
     elif compression != 0:  # other fourccs need real codec libraries
-        fourcc = struct.pack("<I", compression)
-        raise UnsupportedAVI(f"compressed video stream {fourcc!r}")
+        if not lenient:
+            fourcc = struct.pack("<I", compression)
+            raise UnsupportedAVI(f"compressed video stream {fourcc!r}")
     elif bit_count == 8:
         # palettized DIB (r9): RGBQUAD table follows the 40-byte
         # header inside strf; biClrUsed==0 means a full 256 entries
@@ -193,15 +199,17 @@ def parse_avi(
         # hint; it does not affect decode
         pass
     else:  # 1/2/4-bit packed and 16-bit 555/565 stay gated
-        raise UnsupportedAVI(f"{bit_count}-bit DIB (8/24/32 decode)")
-    if width * height > max_frame_pixels:
-        raise UnsupportedAVI(
-            f"{width}x{height} exceeds the {max_frame_pixels}-pixel budget"
-        )
-    if len(frames) > max_frames:
-        raise UnsupportedAVI(
-            f"{len(frames)} frames exceed the {max_frames}-frame budget"
-        )
+        if not lenient:
+            raise UnsupportedAVI(f"{bit_count}-bit DIB (8/24/32 decode)")
+    if not lenient:
+        if width * height > max_frame_pixels:
+            raise UnsupportedAVI(
+                f"{width}x{height} exceeds the {max_frame_pixels}-pixel budget"
+            )
+        if len(frames) > max_frames:
+            raise UnsupportedAVI(
+                f"{len(frames)} frames exceed the {max_frames}-frame budget"
+            )
     return (
         AVIInfo(
             width, height, bit_count, compression, len(frames), top_down,

@@ -489,7 +489,9 @@ def _media_info_one(raw: bytes) -> tuple:
             )
             return ("bmp", w, h, 1, 3, None, None, bit_count)
         if avi_codec.is_avi(raw):
-            info, _frames = avi_codec.parse_avi(raw)
+            # lenient: geometry/fourcc of a codec-we-can't-decode
+            # stream is still valid triage metadata
+            info, _frames = avi_codec.parse_avi(raw, lenient=True)
             return ("avi", info.width, info.height, info.n_frames,
                     3, None, None, info.bit_count)
         if wav_codec.is_wav(raw):
@@ -534,10 +536,11 @@ def media_info(df: DataFrame) -> DataFrame:
     BEFORE spending decode time. Parses container headers only (PNG
     IHDR, JPEG SOF, GIF block walk, BMP/AVI headers, WAV fmt, FLAC
     STREAMINFO); never entropy-decodes, so cost is O(header bytes) per
-    payload regardless of media size. MJPEG-compressed AVI reports
-    'unknown' (its header walk rides the DIB parser); corrupt headers
-    triage as 'unknown' rather than failing the job. Arrow-batched
-    ``mapInPandas``, embarrassingly parallel, no shuffle."""
+    payload regardless of media size. AVI parses LENIENTLY: geometry
+    and frame count report even for fourccs the decoder gates (triage
+    metadata, not decode). Corrupt headers triage as 'unknown' rather
+    than failing the job. Arrow-batched ``mapInPandas``,
+    embarrassingly parallel, no shuffle."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in MEDIA_INFO_SCHEMA if f.name != "doc_id"]

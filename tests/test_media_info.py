@@ -61,6 +61,27 @@ def test_media_info_all_formats(spark):
         assert out[k]["format"] == "unknown" and out[k]["width"] is None
 
 
+def test_media_info_avi_lenient_on_gated_fourcc(spark):
+    import struct
+
+    from sqlbackuphistoryetl_spark.extensions.png_codec import DecodedImage
+
+    base = bytearray(avi_codec.encode_avi([DecodedImage(4, 4, 3, bytes(48))] * 2))
+    # rewrite the strf compression fourcc to XVID: decode gates it,
+    # but triage must still report geometry/frame count
+    at = bytes(base).index(b"strf")
+    struct.pack_into("<4s", base, at + 8 + 16, b"XVID")
+    import pytest
+
+    with pytest.raises(avi_codec.UnsupportedAVI):
+        avi_codec.parse_avi(bytes(base))
+    df = spark.createDataFrame(
+        [(1, bytes(base), "video/avi")], ["doc_id", "payload", "content_type"]
+    )
+    r = media_info(df).collect()[0]
+    assert (r["format"], r["width"], r["height"], r["n_frames"]) == ("avi", 4, 4, 2)
+
+
 def test_media_info_plan_is_map_side(spark):
     import contextlib
     import io
