@@ -5467,6 +5467,22 @@ from feat group by doc_id
 """
 
 
+def compression_ratio_signal(spark, sf_dir):
+    """The "just compress it" quality signal
+    (extensions/curation.py:compression_ratio — zlib level pinned,
+    integer ppm). zlib has no engine-independent SQL twin, so this is
+    the repo's one deliberately ROWS-ONLY gate (no oracle_sql entry;
+    the driver records the weaker check) — determinism is instead
+    pinned by unit tests asserting exact ppm values for fixed
+    strings and cross-run equality."""
+    from sqlbackuphistoryetl_spark.extensions.curation import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")
+
+
 def html_extract_text(spark, sf_dir):
     """HTML → text extraction (functions/htmlfns.py): every document's
     text (with raw &/</> blanked so entity handling stays the gate's
@@ -6342,6 +6358,8 @@ _ORACLES: dict[str, str | None] = {
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
+    # rows-only by design: zlib has no engine-independent SQL twin
+    "compression_ratio_signal": None,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
     "multimodal_mjpeg_frames": MULTIMODAL_MJPEG_SQL,
     "multimodal_audiofp_fingerprint": MULTIMODAL_AUDIOFP_SQL,
@@ -6631,6 +6649,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r8) ---
+    "compression_ratio_signal": compression_ratio_signal,
     "html_extract_text": html_extract_text,
     "media_info_mixed": media_info_mixed,
     "multimodal_flac_audio": multimodal_flac_audio,
@@ -6680,10 +6699,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
-    "bm25_ranking": bm25_ranking,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "bm25_ranking": bm25_ranking,
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
     "case_type_map": case_type_map,
@@ -6791,6 +6810,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "bm25_ranking",
         "bpe_fertility_lang",
         "bpe_roundtrip_decode",
         "case_type_map",

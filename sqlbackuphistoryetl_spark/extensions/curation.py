@@ -102,6 +102,69 @@ def remove_boilerplate_lines(
 # ------------------------------------------------------------ token budget
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(doc_id, raw_bytes, zlib_bytes, ratio_ppm) — the "just compress
+    it" quality signal (Gopher's repetition appendix; Dolma ships it
+    as a first-class filter): template/boilerplate text compresses far
+    below prose, and binary-ish noise barely compresses at all, so a
+    single integer separates three failure modes the word-level stats
+    miss. zlib level is PINNED and the ratio is integer parts-per-
+    million, so the signal is deterministic across executors and
+    engine-exact in the value hash. Python-bound (stdlib zlib is C,
+    microseconds per doc) inside an Arrow ``mapInPandas`` with the
+    standard explicit fan-out; NULL/empty text emits NULL stats.
+
+    Not SQL-oracle-checkable (no engine-independent zlib exists in
+    SQL) — the driver gate for this op is rows-only by design."""
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("raw_bytes", LongType(), True),
+            StructField("zlib_bytes", LongType(), True),
+            StructField("ratio_ppm", LongType(), True),
+        ]
+    )
+
+    def _one(t):
+        if t is None:
+            return None, None, None
+        raw = t.encode("utf-8")
+        if not raw:
+            return 0, None, None
+        z = len(zlib.compress(raw, level))
+        return len(raw), z, z * 1_000_000 // len(raw)
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = pdf[text_col].map(_one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": rows.map(lambda r: r[0]).astype("object"),
+                    "zlib_bytes": rows.map(lambda r: r[1]).astype("object"),
+                    "ratio_ppm": rows.map(lambda r: r[2]).astype("object"),
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        # Python-bound stage: explicit fan-out (the r8 trap; guard-tested)
+        .repartition(64, id_col)
+        .mapInPandas(_batches, schema)
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,

@@ -484,3 +484,31 @@ def test_connected_components_rejects_null_ids(spark):
     pairs = spark.createDataFrame([(1, 2), (None, 3)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="null ids"):
         connected_components(pairs)
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from sqlbackuphistoryetl_spark.extensions.curation import compression_ratio
+
+    prose = "The quick brown fox jumps over the lazy dog near the bank."
+    template = "click here " * 40
+    docs = spark.createDataFrame(
+        [(1, prose), (2, template), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    # exact pinned values: stdlib zlib level 6 is deterministic
+    want = len(zlib.compress(prose.encode(), 6))
+    assert out[1]["raw_bytes"] == len(prose.encode())
+    assert out[1]["zlib_bytes"] == want
+    assert out[1]["ratio_ppm"] == want * 1_000_000 // len(prose.encode())
+    # repetitive template compresses far below prose
+    assert out[2]["ratio_ppm"] < out[1]["ratio_ppm"] // 3
+    assert out[3]["raw_bytes"] is None and out[3]["ratio_ppm"] is None
+    assert out[4]["raw_bytes"] == 0 and out[4]["ratio_ppm"] is None
+    # cross-run determinism (the rows-only gate's substitute contract)
+    again = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert all(
+        again[k]["ratio_ppm"] == out[k]["ratio_ppm"] for k in out
+    )
