@@ -5467,6 +5467,88 @@ from feat group by doc_id
 """
 
 
+def image_exif_triage(spark, sf_dir):
+    """EXIF capture-metadata triage (extensions/exif_codec.py +
+    multimodal.image_exif): each document's JPEG gets a real APP1/TIFF
+    block — byte order alternating II/MM by doc parity, orientation,
+    a two-digit-day timestamp, make (a LONG ASCII value, so the
+    offset-indirection path runs), and sub-IFD pixel dims — except
+    every third doc ships NO EXIF and must surface NULLs. The oracle
+    recomputes all fields closed-form from doc_id and ord(), so an
+    endianness, offset-base, sub-IFD-link or inline-vs-offset value
+    bug mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.exif_codec import (
+        build_exif_app1,
+        splice_exif,
+    )
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import encode_jpeg
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_exif
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+    base_jpeg = encode_jpeg(bytes(64), 8, 8, 1)
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(doc_id, t):
+            if doc_id % 3 == 0:
+                return base_jpeg
+            s = re.sub(r"[^ -~]", "?", t)[:1].ljust(1, " ").encode("ascii")
+            app1 = build_exif_app1(
+                orientation=1 + doc_id % 8,
+                datetime=f"2024:01:{1 + doc_id % 28:02d} 12:00:00",
+                make=f"CAMERA-MAKER-{doc_id % 5}",
+                pixel_x=100 + s[0],
+                pixel_y=200 + doc_id % 50,
+                endian="<" if doc_id % 2 == 0 else ">",
+            )
+            return splice_exif(base_jpeg, app1)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_exif(payloads).select(
+        "doc_id", "orientation", "exif_datetime", "make", "pixel_x", "pixel_y"
+    )
+
+
+IMAGE_EXIF_SQL = r"""
+with s as (
+  select doc_id,
+         ord(substr(rpad(substr(
+             regexp_replace(text, '[^ -~]', '?', 'g'), 1, 1), 1, ' '),
+             1, 1)) as o0
+  from documents)
+select doc_id,
+       case when doc_id % 3 <> 0
+            then cast(1 + doc_id % 8 as bigint) end as orientation,
+       case when doc_id % 3 <> 0
+            then '2024:01:' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+                 || ' 12:00:00' end as exif_datetime,
+       case when doc_id % 3 <> 0
+            then 'CAMERA-MAKER-' || (doc_id % 5) end as make,
+       case when doc_id % 3 <> 0
+            then cast(100 + o0 as bigint) end as pixel_x,
+       case when doc_id % 3 <> 0
+            then cast(200 + doc_id % 50 as bigint) end as pixel_y
+from s
+"""
+
+
 def compression_ratio_signal(spark, sf_dir):
     """The "just compress it" quality signal
     (extensions/curation.py:compression_ratio — zlib level pinned,
@@ -6358,6 +6440,7 @@ _ORACLES: dict[str, str | None] = {
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
+    "image_exif_triage": IMAGE_EXIF_SQL,
     # rows-only by design: zlib has no engine-independent SQL twin
     "compression_ratio_signal": None,
     "multimodal_avi_frames": MULTIMODAL_AVI_SQL,
@@ -6651,6 +6734,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # greens by (round, name); latest recorded round: r8) ---
     "compression_ratio_signal": compression_ratio_signal,
     "html_extract_text": html_extract_text,
+    "image_exif_triage": image_exif_triage,
     "media_info_mixed": media_info_mixed,
     "multimodal_flac_audio": multimodal_flac_audio,
     "multimodal_gif_animation": multimodal_gif_animation,
@@ -6698,10 +6782,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_global_stringagg": a7_global_stringagg,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
-    "approx_distinct_users": approx_distinct_users,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
     "bpe_fertility_lang": bpe_fertility_lang,
     "bpe_roundtrip_decode": bpe_roundtrip_decode,
@@ -6810,6 +6894,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "approx_distinct_users",
         "bm25_ranking",
         "bpe_fertility_lang",
         "bpe_roundtrip_decode",

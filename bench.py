@@ -128,6 +128,8 @@ EXTENDED = [
     "html_extract_text",
     # zlib "just compress it" quality signal (rows-only gate)
     "compression_ratio_signal",
+    # EXIF APP1/TIFF-IFD capture-metadata triage
+    "image_exif_triage",
 ]
 
 

@@ -558,6 +558,47 @@ def media_info(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, MEDIA_INFO_SCHEMA)
 
 
+EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("orientation", LongType(), True),
+        StructField("exif_datetime", StringType(), True),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("pixel_x", LongType(), True),
+        StructField("pixel_y", LongType(), True),
+    ]
+)
+
+
+def image_exif(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → EXIF triage fields (orientation,
+    capture timestamp, make/model, declared pixel dims) via
+    :mod:`.exif_codec` — an APP1/TIFF-IFD header walk, no pixel
+    decode. Payloads without (or with corrupt) EXIF surface as NULLs;
+    same O(header-bytes) doctrine as :func:`media_info`. Arrow-batched
+    ``mapInPandas``, map-side only."""
+    from . import exif_codec
+
+    def _one(b):
+        if b is None:
+            return (None,) * 6
+        e = exif_codec.parse_exif(bytes(b))
+        return (e.orientation, e.datetime, e.make, e.model,
+                e.pixel_x, e.pixel_y)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in EXIF_SCHEMA if f.name != "doc_id"]
+        for pdf in it:
+            rows = pdf["payload"].map(_one)
+            out = {"doc_id": pdf["doc_id"]}
+            for i, name in enumerate(names):
+                out[name] = rows.map(lambda r, i=i: r[i]).astype("object")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, EXIF_SCHEMA)
+
+
 DHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
