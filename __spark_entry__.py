@@ -4994,6 +4994,83 @@ from fb
 """
 
 
+def multimodal_tiff_fingerprint(spark, sf_dir):
+    """Perceptual dHash through the REAL TIFF codec chain
+    (extensions/tiff_codec.py + multimodal.image_dhash): each
+    document's sanitized-ASCII bytes 24..96 become a 72x64 grayscale
+    TIFF of constant 8x8 blocks, written with the hard settings —
+    early-change LZW, horizontal predictor, 16-row strips — which
+    image_dhash then DECODES (IFD walk, per-strip LZW across the
+    9→10-bit width boundary, predictor undo, strip reassembly) and
+    fingerprints. TIFF is lossless, so the oracle recomputes the
+    dHash straight from ``ord()`` exactly like the GIF gate — an LZW
+    early-change, predictor or strip-boundary bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_dhash
+    from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+        COMP_LZW,
+        encode_tiff,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[24:96].ljust(72, " ").encode("ascii")
+            pats = [
+                b"".join(bytes([s[br * 9 + bc]]) * 8 for bc in range(9))
+                for br in range(8)
+            ]
+            px = b"".join(pats[r // 8] for r in range(64))
+            return encode_tiff(
+                px, 72, 64, 1,
+                compression=COMP_LZW, predictor=2, rows_per_strip=16,
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_dhash(payloads).select("doc_id", "dhash", "decoder")
+
+
+MULTIMODAL_TIFF_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 25, 72),
+              72, ' ') as s
+  from documents),
+cells as (
+  select doc_id, y, x,
+         case when ord(substr(s, y * 9 + x + 1, 1))
+                 > ord(substr(s, y * 9 + x + 2, 1))
+              then 1 else 0 end as bit
+  from s,
+       unnest(generate_series(0, 7)) as t1(y),
+       unnest(generate_series(0, 7)) as t2(x)),
+h as (
+  select doc_id,
+         sum(cast(bit as hugeint)
+             * (cast(1 as hugeint) << (63 - (y * 8 + x)))) as uh
+  from cells group by doc_id)
+select doc_id,
+       cast(case when uh >= cast(1 as hugeint) << 63
+                 then uh - (cast(1 as hugeint) << 64)
+                 else uh end as bigint) as dhash,
+       'tiff-baseline' as decoder
+from h
+"""
+
+
 def webdataset_roundtrip(spark, sf_dir):
     """WebDataset tar shard sink + source round-trip
     (extensions/webdataset.py): every document becomes a 2-member
@@ -6435,6 +6512,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_gif_fingerprint": MULTIMODAL_GIF_SQL,
     "multimodal_gif_animation": MULTIMODAL_GIF_ANIM_SQL,
     "webdataset_roundtrip": WEBDATASET_SQL,
+    "multimodal_tiff_fingerprint": MULTIMODAL_TIFF_SQL,
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
@@ -6740,6 +6818,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_animation": multimodal_gif_animation,
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+    "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
     "url_dedup_domain_stats": url_dedup_domain_stats,
     "webdataset_roundtrip": webdataset_roundtrip,
     "wordpiece_segment_fixed": wordpiece_segment_fixed,
@@ -6781,10 +6860,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
     "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_topk": ann_lsh_topk,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
     "bpe_fertility_lang": bpe_fertility_lang,
@@ -6894,6 +6973,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "ann_lsh_topk",
         "approx_distinct_users",
         "bm25_ranking",
         "bpe_fertility_lang",

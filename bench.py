@@ -130,6 +130,8 @@ EXTENDED = [
     "compression_ratio_signal",
     # EXIF APP1/TIFF-IFD capture-metadata triage
     "image_exif_triage",
+    # early-change LZW + predictor + strips TIFF chain
+    "multimodal_tiff_fingerprint",
 ]
 
 

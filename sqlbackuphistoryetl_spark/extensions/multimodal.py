@@ -9,8 +9,9 @@ re-encode, real-pixel featurization, perceptual dHash), baseline +
 progressive JPEG through :mod:`.jpeg_codec` (Huffman + 8x8 DCT,
 4:2:0/4:2:2/4:4:4; arithmetic coding stays gated), GIF through
 :mod:`.gif_codec` (LZW, interlace, transparency, animation
-compositing), BMP through :mod:`.bmp_codec` (DIB raster, RLE8) and
-WAV/PCM audio through :mod:`.wav_codec` (RIFF parse, block features,
+compositing), BMP through :mod:`.bmp_codec` (DIB raster, RLE8),
+baseline TIFF through :mod:`.tiff_codec` (strips, PackBits,
+early-change LZW, predictor) and WAV/PCM audio through :mod:`.wav_codec` (RIFF parse, block features,
 energy-delta fingerprint). Formats that genuinely need codec libraries
 this container doesn't ship (WebP/AVIF, MP3/AAC/Opus, video) keep the
 clearly-marked NotImplementedError gate / deterministic-fake paths,
@@ -68,7 +69,7 @@ def decode_image(payload: bytes) -> object:
     documented stub gate — WebP/AVIF need codec libraries this
     container doesn't ship.
     """
-    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec, tiff_codec
 
     if png_codec.is_png(payload):
         try:
@@ -90,13 +91,18 @@ def decode_image(payload: bytes) -> object:
             return bmp_codec.decode_bmp(payload)
         except bmp_codec.UnsupportedBMP as e:
             raise NotImplementedError(f"image decode stub: {e}") from e
+    if tiff_codec.is_tiff(payload):
+        try:
+            return tiff_codec.decode_tiff(payload)
+        except tiff_codec.UnsupportedTIFF as e:
+            raise NotImplementedError(f"image decode stub: {e}") from e
     raise NotImplementedError("image decode stub: codec libraries not installed")
 
 
 #: in-container image codecs in dispatch order:
 #: (is_<fmt>, decode_<fmt>, (error types that mean "fall through"), tag)
 def _image_codecs():
-    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec, tiff_codec
 
     return (
         (png_codec.is_png, png_codec.decode_png,
@@ -107,12 +113,14 @@ def _image_codecs():
          (gif_codec.UnsupportedGIF, gif_codec.GIFError), "gif-lzw"),
         (bmp_codec.is_bmp, bmp_codec.decode_bmp,
          (bmp_codec.UnsupportedBMP, bmp_codec.BMPError), "bmp-dib"),
+        (tiff_codec.is_tiff, tiff_codec.decode_tiff,
+         (tiff_codec.UnsupportedTIFF, tiff_codec.TIFFError), "tiff-baseline"),
     )
 
 
 def _decode_any(raw: bytes) -> tuple[object | None, str | None]:
     """Shared image-dispatch for the Arrow-batched operators: try the
-    in-container codecs (PNG, JPEG, GIF, BMP) by signature; a gated
+    in-container codecs (PNG, JPEG, GIF, BMP, TIFF) by signature; a gated
     form or a corrupt body behind a valid signature — routine in
     crawled data — falls through to ``(None, None)`` rather than
     killing the job (the caller's ``decoder`` column records which
@@ -137,7 +145,7 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     other formats raise behind the stub gate (see
     :func:`decode_image`).
     """
-    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec, tiff_codec
 
     img = decode_image(payload)  # raises the stub gate for other formats
     out = png_codec.resize_nearest(img, width, height)
@@ -153,6 +161,12 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         if out.channels != 3:  # pragma: no cover (decode_bmp emits 3)
             raise ValueError("BMP re-encode supports 3 channels")
         return bmp_codec.encode_bmp(out.pixels, out.width, out.height)
+    if tiff_codec.is_tiff(payload):
+        if out.channels not in (1, 3):  # pragma: no cover (decode emits 1/3)
+            raise ValueError("TIFF re-encode supports 1/3 channels")
+        return tiff_codec.encode_tiff(
+            out.pixels, out.width, out.height, out.channels
+        )
     return png_codec.encode_png(out.pixels, out.width, out.height, out.channels)
 
 
@@ -384,7 +398,15 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
     records whether a real decoder exists for the content type.
     """
 
-    from . import bmp_codec, flac_codec, gif_codec, jpeg_codec, png_codec, wav_codec
+    from . import (
+        bmp_codec,
+        flac_codec,
+        gif_codec,
+        jpeg_codec,
+        png_codec,
+        tiff_codec,
+        wav_codec,
+    )
 
     def _status(ct, payload) -> str:
         if ct and ct.startswith("text/"):
@@ -399,6 +421,7 @@ def extract_payload_metadata(df: DataFrame) -> DataFrame:
             or jpeg_codec.probe_jpeg(raw)
             or gif_codec.probe_gif(raw)
             or bmp_codec.probe_bmp(raw)
+            or tiff_codec.probe_tiff(raw)
             or wav_codec.probe_wav(raw)
             or flac_codec.probe_flac(raw)
         ):
@@ -448,7 +471,7 @@ def _media_info_one(raw: bytes) -> tuple:
     ('unknown', NULL...)."""
     import struct
 
-    from . import avi_codec, bmp_codec, flac_codec, gif_codec, wav_codec
+    from . import avi_codec, bmp_codec, flac_codec, gif_codec, tiff_codec, wav_codec
 
     none7 = (None,) * 7
     try:
@@ -488,6 +511,11 @@ def _media_info_one(raw: bytes) -> tuple:
                 raw, bmp_codec.MAX_PIXELS
             )
             return ("bmp", w, h, 1, 3, None, None, bit_count)
+        if tiff_codec.is_tiff(raw):
+            (_e, w, h, spp, _c, photometric, _pr, _o, _ct, _rps,
+             _cm) = tiff_codec._parse(raw, tiff_codec.MAX_PIXELS)
+            chans = 3 if photometric == 3 else spp  # palette expands to RGB
+            return ("tiff", w, h, 1, chans, None, None, 8)
         if avi_codec.is_avi(raw):
             # lenient: geometry/fourcc of a codec-we-can't-decode
             # stream is still valid triage metadata

@@ -1,0 +1,207 @@
+"""TIFF codec: baseline round trips across codings/predictor/strips/
+endiannesses, TIFF-LZW early-change timing, budgets, probe mirror,
+mutation fuzz (r9)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+    COMP_LZW,
+    COMP_NONE,
+    COMP_PACKBITS,
+    TIFFError,
+    UnsupportedTIFF,
+    _lzw_decode,
+    _lzw_encode,
+    _packbits,
+    _unpackbits,
+    decode_tiff,
+    encode_tiff,
+    is_tiff,
+    probe_tiff,
+)
+
+
+def _px(n, seed=1):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("comp", [COMP_NONE, COMP_LZW, COMP_PACKBITS])
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_gray_and_rgb_exact(self, comp, endian):
+        for ch in (1, 3):
+            px = _px(11 * 7 * ch, seed=comp + ch)
+            blob = encode_tiff(px, 11, 7, ch, compression=comp, endian=endian)
+            assert is_tiff(blob) and probe_tiff(blob)
+            img = decode_tiff(blob)
+            assert (img.width, img.height, img.channels) == (11, 7, ch)
+            assert img.pixels == px
+
+    def test_predictor_horizontal(self):
+        # smooth gradients are the predictor's reason to exist
+        px = bytes((x * 2 + y) % 256 for y in range(9) for x in range(13))
+        for comp in (COMP_LZW, COMP_PACKBITS):
+            blob = encode_tiff(px, 13, 9, 1, compression=comp, predictor=2)
+            assert decode_tiff(blob).pixels == px
+        # RGB predictor differences per CHANNEL, not per byte
+        px3 = _px(13 * 9 * 3, seed=5)
+        blob = encode_tiff(px3, 13, 9, 3, compression=COMP_LZW, predictor=2)
+        assert decode_tiff(blob).pixels == px3
+
+    def test_multi_strip(self):
+        px = _px(16 * 20, seed=9)
+        blob = encode_tiff(
+            px, 16, 20, 1, compression=COMP_PACKBITS, rows_per_strip=6
+        )
+        assert decode_tiff(blob).pixels == px
+
+    def test_property_random(self):
+        rng = random.Random(42)
+        for trial in range(30):
+            w = rng.randrange(1, 30)
+            h = rng.randrange(1, 30)
+            ch = rng.choice([1, 3])
+            comp = rng.choice([COMP_NONE, COMP_LZW, COMP_PACKBITS])
+            pred = 2 if (comp != COMP_NONE and rng.random() < 0.5) else 1
+            rps = rng.choice([None, max(1, h // 3)])
+            px = _px(w * h * ch, seed=trial)
+            blob = encode_tiff(
+                px, w, h, ch, compression=comp, predictor=pred,
+                endian=rng.choice(["<", ">"]), rows_per_strip=rps,
+            )
+            assert decode_tiff(blob).pixels == px, (trial, comp, pred)
+
+    def test_lzw_width_ladder(self):
+        # enough distinct content to climb 9->10->11->12-bit codes:
+        # exact recovery pins the EARLY-change timing on both sides
+        data = _px(40000, seed=3)
+        assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    def test_packbits_boundaries(self):
+        for data in (
+            b"", b"a", b"ab", b"aaa", b"aaab", b"ab" * 70,
+            b"x" * 200, bytes(range(200)), b"aab" + b"c" * 130 + b"dd",
+        ):
+            assert _unpackbits(_packbits(data), len(data)) == data
+
+
+class TestGatesAndCorrupt:
+    def test_unsupported_forms_and_probe_mirror(self):
+        base = encode_tiff(_px(4 * 4), 4, 4, 1)
+        # 16-bit samples: rewrite BitsPerSample value
+        blob = base.replace(
+            struct.pack("<HHIHH", 258, 3, 1, 8, 0),
+            struct.pack("<HHIHH", 258, 3, 1, 16, 0),
+        )
+        with pytest.raises(UnsupportedTIFF, match="16-bit"):
+            decode_tiff(blob)
+        assert not probe_tiff(blob)
+        # CCITT fax compression
+        blob = base.replace(
+            struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+            struct.pack("<HHIHH", 259, 3, 1, 4, 0),
+        )
+        with pytest.raises(UnsupportedTIFF, match="compression"):
+            decode_tiff(blob)
+        assert not probe_tiff(blob)
+
+    def test_budget(self):
+        blob = bytearray(encode_tiff(_px(4 * 4), 4, 4, 1))
+        at = bytes(blob).index(struct.pack("<HHI", 256, 4, 1))
+        struct.pack_into("<I", blob, at + 8, 1 << 24)  # width*height > budget
+        with pytest.raises(UnsupportedTIFF, match="budget"):
+            decode_tiff(bytes(blob))
+        assert not probe_tiff(bytes(blob))
+
+    @pytest.mark.parametrize(
+        "mangle",
+        [
+            lambda b: b[:3],                       # truncated header
+            lambda b: b"IX*\x00" + b[4:],          # bad magic
+            lambda b: b[:10],                      # IFD past EOF
+            lambda b: b[:-5],                      # strip data truncated
+        ],
+    )
+    def test_corrupt(self, mangle):
+        bad = mangle(encode_tiff(_px(6 * 6), 6, 6, 1))
+        with pytest.raises(TIFFError):
+            decode_tiff(bad)
+        assert not probe_tiff(bad)
+
+    def test_non_tiff(self):
+        assert not is_tiff(None) and not probe_tiff(b"II")
+
+
+class TestSparkRouting:
+    def test_dispatch_and_media_info(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            decode_image,
+            extract_payload_metadata,
+            image_dhash,
+            media_info,
+            resize_image,
+        )
+        from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+            encode_tiff as _enc,
+        )
+
+        good = _enc(_px(8 * 8 * 3, seed=2), 8, 8, 3, compression=COMP_LZW)
+        fax = good.replace(
+            struct.pack("<HHIHH", 259, 3, 1, 5, 0),
+            struct.pack("<HHIHH", 259, 3, 1, 4, 0),
+        )
+        df = spark.createDataFrame(
+            [(1, good, "image/tiff"), (2, fax, "image/tiff")],
+            ["doc_id", "payload", "content_type"],
+        )
+        dh = {r["doc_id"]: r for r in image_dhash(df).collect()}
+        assert dh[1]["decoder"] == "tiff-baseline"
+        assert dh[2]["decoder"] is None  # gated form falls through
+        meta = {r["doc_id"]: r["decode_status"]
+                for r in extract_payload_metadata(df).collect()}
+        assert meta == {1: "ok", 2: "stubbed"}
+        mi = {r["doc_id"]: r for r in media_info(df).collect()}
+        assert (mi[1]["format"], mi[1]["width"], mi[1]["channels"]) == ("tiff", 8, 3)
+        assert mi[2]["format"] == "unknown"
+        # resize stays in format
+        small = resize_image(good, 4, 4)
+        assert is_tiff(small) and decode_image(small).width == 4
+
+
+class TestFuzz:
+    def test_mutation_corpus_never_hangs_or_escapes(self):
+        rng = random.Random(99)
+        base = encode_tiff(
+            _px(12 * 9 * 3, seed=1), 12, 9, 3,
+            compression=COMP_LZW, predictor=2, rows_per_strip=4,
+        )
+        for trial in range(300):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                buf = buf[: rng.randrange(1, len(buf))]
+            self._decode_with_deadline(bytes(buf), trial)
+
+    @staticmethod
+    def _decode_with_deadline(payload: bytes, tag) -> None:
+        import signal
+
+        def _alarm(_sig, _frm):
+            raise AssertionError(f"tiff decode hung on trial {tag!r}")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(5)
+        try:
+            decode_tiff(payload)
+        except (TIFFError, UnsupportedTIFF):
+            pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
