@@ -5775,6 +5775,81 @@ from urls group by domain
 """
 
 
+UNIGRAM_GATE_VOCAB = {
+    "th": 3, "he": 3, "an": 4,
+    "a": 6, "t": 6, "h": 7, "e": 5, "s": 6, "o": 6, "i": 6, "n": 6, "d": 7,
+}
+
+
+def unigram_segment_viterbi(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation under a FIXED integer-cost
+    vocab (extensions/unigram.py — SentencePiece's inference: the
+    GLOBALLY cheapest split, which disagrees with WordPiece's greedy
+    exactly where a long piece forces an expensive tail; 'the' splits
+    th+e at cost 8 where greedy's th+e ties but 'than' splits th+an=7
+    vs greedy th+a+n=16... the vocab is built so both regimes occur).
+    The DP value is the single integer cost*1024+pieces, so the oracle
+    REPLAYS the recurrence as a recursive CTE carrying the two-slot
+    sliding window (dp[j-1], dp[j-2]) — one recursion step per
+    character, min over the 1-char (UNK-backed) and 2-char
+    transitions — and equality of the summed encoded DP values proves
+    the whole lattice, not just a sampled path."""
+    from sqlbackuphistoryetl_spark.extensions.unigram import (
+        unigram_segment_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = unigram_segment_corpus(
+        docs, UNIGRAM_GATE_VOCAB, word_pattern=r"[a-z]+", lowercase=True
+    )
+    return seg.select("doc_id", "n_tokens", "total_cost", "encoded_total")
+
+
+UNIGRAM_SQL = r"""
+with recursive
+w as (
+  select doc_id, i as pos, words[i] as word
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as words,
+               unnest(generate_series(1,
+                      len(regexp_extract_all(lower(text), '[a-z]+')))) as i
+        from documents)),
+step as (
+  select doc_id, pos, word, 0 as j,
+         cast(0 as bigint) as d1, cast(null as bigint) as d2
+  from w
+  union all
+  select doc_id, pos, word, j + 1,
+         least(
+           d1 + case substr(word, j + 1, 1)
+                  when 'a' then 6 when 't' then 6 when 'h' then 7
+                  when 'e' then 5 when 's' then 6 when 'o' then 6
+                  when 'i' then 6 when 'n' then 6 when 'd' then 7
+                  else 20 end * 1024 + 1,
+           coalesce(
+             d2 + case substr(word, j, 2)
+                    when 'th' then 3 when 'he' then 3 when 'an' then 4
+                    end * 1024 + 1,
+             (cast(1 as bigint) << 60))
+         ) as d1,
+         d1 as d2
+  from step
+  where j < len(word)),
+terminal as (
+  select doc_id, pos, d1 as enc from step where j = len(word)),
+per_doc as (
+  select doc_id,
+         sum(enc % 1024) as n_tokens,
+         sum(enc // 1024) as total_cost,
+         sum(enc) as encoded_total
+  from terminal group by doc_id)
+select d.doc_id,
+       cast(coalesce(n_tokens, 0) as int) as n_tokens,
+       cast(coalesce(total_cost, 0) as bigint) as total_cost,
+       cast(coalesce(encoded_total, 0) as bigint) as encoded_total
+from documents d left join per_doc p on d.doc_id = p.doc_id
+"""
+
+
 WORDPIECE_GATE_VOCAB = [
     "th", "he", "an",
     "a", "t", "h", "e", "s", "o", "i", "n", "d",
@@ -6516,6 +6591,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
+    "unigram_segment_viterbi": UNIGRAM_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
     "image_exif_triage": IMAGE_EXIF_SQL,
@@ -6819,6 +6895,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
+    "unigram_segment_viterbi": unigram_segment_viterbi,
     "url_dedup_domain_stats": url_dedup_domain_stats,
     "webdataset_roundtrip": webdataset_roundtrip,
     "wordpiece_segment_fixed": wordpiece_segment_fixed,
@@ -6859,10 +6936,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
-    "ann_ivf_topk": ann_ivf_topk,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
     "bm25_ranking": bm25_ranking,
@@ -6973,6 +7050,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "ann_ivf_topk",
         "ann_lsh_topk",
         "approx_distinct_users",
         "bm25_ranking",

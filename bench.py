@@ -132,6 +132,8 @@ EXTENDED = [
     "image_exif_triage",
     # early-change LZW + predictor + strips TIFF chain
     "multimodal_tiff_fingerprint",
+    # SentencePiece-style Viterbi segmentation (recursive-CTE oracle)
+    "unigram_segment_viterbi",
 ]
 
 
