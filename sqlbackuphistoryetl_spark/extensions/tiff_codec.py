@@ -9,6 +9,7 @@ APP1) pointing at strip data in one of three baseline codings, all
 
 - Compression 1: uncompressed rows;
 - Compression 32773: PackBits (the Apple RLE);
+- Compression 8: Adobe deflate (stdlib zlib per strip);
 - Compression 5: TIFF-flavor LZW — MSB-first growing codes with
   EARLY width change (one code before the table fills, the documented
   TIFF 6.0 quirk — deliberately a THIRD LZW variant next to GIF's
@@ -18,7 +19,7 @@ APP1) pointing at strip data in one of three baseline codings, all
 Decoded forms: 8-bit grayscale, 8-bit RGB(A), and 8-bit palette (the
 16-bit-per-entry ColorMap scaled down), both endiannesses, multi-strip
 images. Bilevel/sub-byte/16-bit sample depths, tiled layout, and the
-non-baseline codings (CCITT fax, JPEG-in-TIFF, Deflate) raise
+non-baseline codings (CCITT fax, JPEG-in-TIFF) raise
 :class:`UnsupportedTIFF` behind the standard stub gate; structural or
 entropy corruption raises :class:`TIFFError`. :func:`probe_tiff`
 mirrors the gate header-only. The encoder writes all three baseline
@@ -52,6 +53,7 @@ TAG_COLOR_MAP = 320
 
 COMP_NONE = 1
 COMP_LZW = 5
+COMP_DEFLATE = 8  # Adobe deflate: zlib streams per strip
 COMP_PACKBITS = 32773
 
 
@@ -145,8 +147,8 @@ def _parse(payload: bytes, max_pixels: int):
             f"{bits[0]}-bit samples (baseline 8-bit decode only)"
         )
     comp = one(TAG_COMPRESSION, COMP_NONE)
-    if comp not in (COMP_NONE, COMP_LZW, COMP_PACKBITS):
-        raise UnsupportedTIFF(f"compression {comp} (1/5/32773 decode)")
+    if comp not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
+        raise UnsupportedTIFF(f"compression {comp} (1/5/8/32773 decode)")
     photometric = one(TAG_PHOTOMETRIC)
     if photometric not in (0, 1, 2, 3):
         raise UnsupportedTIFF(f"photometric {photometric}")
@@ -301,6 +303,16 @@ def decode_tiff(
             strip = bytes(chunk[:expected])
         elif comp == COMP_PACKBITS:
             strip = _unpackbits(chunk, expected)
+        elif comp == COMP_DEFLATE:
+            import zlib
+
+            try:
+                strip = zlib.decompress(bytes(chunk), bufsize=expected)
+            except zlib.error as e:
+                raise TIFFError(f"deflate strip: {e}") from None
+            if len(strip) < expected:
+                raise TIFFError("deflate output shorter than the strip")
+            strip = strip[:expected]
         else:
             strip = _lzw_decode(chunk, expected)
         if predictor == 2:
@@ -430,8 +442,8 @@ def encode_tiff(
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    if compression not in (COMP_NONE, COMP_LZW, COMP_PACKBITS):
-        raise ValueError("compression must be 1, 5 or 32773")
+    if compression not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
+        raise ValueError("compression must be 1, 5, 8 or 32773")
     if predictor == 2 and compression == COMP_NONE:
         raise ValueError("predictor needs a compressed coding")
     rps = rows_per_strip or height
@@ -455,6 +467,10 @@ def encode_tiff(
             )
         elif compression == COMP_LZW:
             strip = _lzw_encode(strip)
+        elif compression == COMP_DEFLATE:
+            import zlib
+
+            strip = zlib.compress(strip, 6)
         strips.append(strip)
 
     entries: list[tuple[int, int, int, list[int]]] = [

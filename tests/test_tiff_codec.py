@@ -205,3 +205,31 @@ class TestFuzz:
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+
+
+class TestDeflate:
+    def test_deflate_round_trip_and_predictor(self):
+        from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+            COMP_DEFLATE,
+        )
+
+        px = bytes((x * 3 + y) % 256 for y in range(15) for x in range(10))
+        for pred, endian, rps in ((1, "<", None), (2, ">", 5)):
+            blob = encode_tiff(
+                px, 10, 15, 1, compression=COMP_DEFLATE,
+                predictor=pred, endian=endian, rows_per_strip=rps,
+            )
+            assert probe_tiff(blob)
+            assert decode_tiff(blob).pixels == px
+
+    def test_corrupt_deflate_raises_codec_error(self):
+        from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+            COMP_DEFLATE,
+        )
+
+        blob = bytearray(
+            encode_tiff(_px(8 * 8), 8, 8, 1, compression=COMP_DEFLATE)
+        )
+        blob[-3] ^= 0xFF  # inside the zlib stream
+        with pytest.raises(TIFFError):
+            decode_tiff(bytes(blob))
