@@ -5775,6 +5775,82 @@ from urls group by domain
 """
 
 
+def pq_adc_search(spark, sf_dir):
+    """Product-quantization encode + asymmetric-distance search
+    (extensions/similarity.py: pq_encode / pq_adc_topk — the IVF-PQ
+    memory architecture's other half: a 64-dim vector becomes 4 codes
+    here). Codebooks are FIXED constant-fill centroids (value
+    0.3(c+1) − 0.6 + 0.05j for subspace j, centroid c), so the oracle
+    recomputes everything in SQL: per-subspace argmin of the L2
+    distances (the encode), the query's m×k lookup table from the
+    same distances, the table-lookup sum (the ADC), and the ranked
+    top-10 — an argmin, code-indexing, slicing or fold bug
+    mismatches. ``code_sig`` pins the codes themselves, not just the
+    distance they imply."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    books = [
+        [[0.3 * (c + 1) - 0.6 + 0.05 * j] * 16 for c in range(4)]
+        for j in range(4)
+    ]
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, books)
+    out = pq_adc_topk(codes, books, emb.filter(F.col("vec_id") == 0), topk=10)
+    return (
+        out.join(codes, out["neighbor_id"] == codes["vec_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.concat_ws("-", F.col("codes").cast("array<string>")).alias(
+                "code_sig"
+            ),
+            F.round("adc", 6).alias("adc"),
+            "rank",
+        )
+    )
+
+
+PQ_ADC_SQL = r"""
+with p as (select unnest(generate_series(0, 3)) as j),
+cc as (select unnest(generate_series(0, 3)) as c),
+d as (
+  select e.vec_id, p.j, cc.c,
+         list_sum(list_transform(
+             e.embedding[p.j * 16 + 1 : p.j * 16 + 16],
+             x -> (x::double - (0.3 * (cc.c + 1) - 0.6 + 0.05 * p.j)) ^ 2))
+           as dist
+  from embeddings e, p, cc),
+codes as (
+  select vec_id, j, c as code
+  from (select *, row_number() over (partition by vec_id, j
+                                     order by dist, c) as rn
+        from d)
+  where rn = 1),
+sig as (
+  select vec_id, string_agg(code, '-' order by j) as code_sig
+  from codes group by vec_id),
+qt as (select j, c, dist from d where vec_id = 0),
+adc as (
+  select codes.vec_id as neighbor_id, sum(qt.dist) as adc_full
+  from codes join qt on codes.j = qt.j and codes.code = qt.c
+  group by codes.vec_id),
+ranked as (
+  select neighbor_id, adc_full,
+         row_number() over (order by adc_full, neighbor_id) as rank
+  from adc)
+select cast(0 as bigint) as query_id,
+       r.neighbor_id,
+       s.code_sig,
+       round(r.adc_full, 6) as adc,
+       r.rank
+from ranked r join sig s on s.vec_id = r.neighbor_id
+where r.rank <= 10
+"""
+
+
 UNIGRAM_GATE_VOCAB = {
     "th": 3, "he": 3, "an": 4,
     "a": 6, "t": 6, "h": 7, "e": 5, "s": 6, "o": 6, "i": 6, "n": 6, "d": 7,
@@ -6592,6 +6668,7 @@ _ORACLES: dict[str, str | None] = {
     "media_info_mixed": MEDIA_INFO_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
+    "pq_adc_search": PQ_ADC_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
     "image_exif_triage": IMAGE_EXIF_SQL,
@@ -6895,6 +6972,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
+    "pq_adc_search": pq_adc_search,
     "unigram_segment_viterbi": unigram_segment_viterbi,
     "url_dedup_domain_stats": url_dedup_domain_stats,
     "webdataset_roundtrip": webdataset_roundtrip,
@@ -6935,10 +7013,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
-    "a7_global_stringagg": a7_global_stringagg,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "a7_global_stringagg": a7_global_stringagg,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "approx_distinct_users": approx_distinct_users,
@@ -7050,6 +7128,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "a7_global_stringagg",
         "ann_ivf_topk",
         "ann_lsh_topk",
         "approx_distinct_users",

@@ -134,6 +134,8 @@ EXTENDED = [
     "multimodal_tiff_fingerprint",
     # SentencePiece-style Viterbi segmentation (recursive-CTE oracle)
     "unigram_segment_viterbi",
+    # product-quantization encode + ADC top-k (IVF-PQ's other half)
+    "pq_adc_search",
 ]
 
 

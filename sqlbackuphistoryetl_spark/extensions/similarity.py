@@ -1408,3 +1408,150 @@ def semdedup_prune(
             F.col("_pruned_id").isNull().alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------- product quant
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 10_000,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and k-means each (Jégou et al. 2011 — with IVF, THE
+    memory architecture for web-scale ANN: a 64-dim float vector
+    becomes ``m`` bytes). Codebooks train on a deterministic
+    md5-ordered sample collected driver-side (standard PQ practice —
+    codebooks are a few KB of model, not data; the corpus itself never
+    leaves the executors) and refine with ``iters`` Lloyd steps in
+    numpy. Returns ``m × k × (dim/m)`` nested lists."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    k = min(k, n)
+    books = []
+    for j in range(m):
+        sub = x[:, j * sd : (j + 1) * sd]
+        cent = sub[:k].copy()  # md5-ordered sample = deterministic init
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                sel = sub[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each subvector's nearest-centroid index.
+    Vectorized numpy inside an Arrow ``mapInPandas`` (the argmin over
+    ``k`` centroids per subspace is a dense numeric kernel — the
+    documented Pandas-UDF exception; at k=256 a JVM expression tree
+    would be thousands of codegen nodes). Explicit fan-out before the
+    Python stage, per the guard doctrine."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            x = np.asarray(
+                [list(v) for v in pdf[vec_col]], dtype=np.float64
+            )
+            if len(x) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "codes": []})
+                continue
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j, cent in enumerate(books):
+                sub = x[:, j * sd : (j + 1) * sd]
+                d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .repartition(64, id_col)
+        .mapInPandas(_batches, f"{id_col} long, codes array<int>")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    its ``m × k`` lookup table driver-side (tiny — the query side is
+    always small), the table broadcasts as a literal column, and
+    scoring is a pure JVM fold — ``zip_with(codes, table)`` +
+    ``element_at`` — so the corpus-sized side never touches Python and
+    the scan stays one projection + one TakeOrderedAndProject per
+    query. Returns (query_id, neighbor_id, adc, rank)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sd = books[0].shape[1]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    ).collect()
+    spark = codes.sparkSession
+    tables = []
+    for r in qrows:
+        q = np.asarray(list(r["_q"]), dtype=np.float64)
+        table = [
+            ((q[j * sd : (j + 1) * sd][None, :] - cent) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for j, cent in enumerate(books)
+        ]
+        tables.append((r["query_id"], table))
+    qdf = spark.createDataFrame(
+        tables, "query_id long, _table array<array<double>>"
+    )
+    scored = codes.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                "codes", "_table",
+                lambda c, t: F.element_at(t, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

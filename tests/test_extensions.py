@@ -738,3 +738,66 @@ class TestRRFFuse:
     def test_empty_rankings_rejected(self, spark):
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+class TestProductQuantization:
+    def test_train_encode_adc_pipeline(self, spark):
+        import numpy as np
+
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(80, 16)
+        # vec 1 is a near-copy of vec 0: PQ codes must coincide and ADC
+        # must rank it first for query 0
+        base[1] = base[0] + 0.01
+        rows = [(i, [float(v) for v in base[i]]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        books = pq_train(emb, m=4, k=8, iters=3)
+        assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+        # determinism: same call, same books
+        assert pq_train(emb, m=4, k=8, iters=3) == books
+
+        codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+        assert len(codes) == 80 and all(len(c) == 4 for c in codes.values())
+        assert codes[0] == codes[1]  # near-copies share a cell path
+        assert all(0 <= c < 8 for c in codes[0])
+
+        out = pq_adc_topk(
+            pq_encode(emb, books), books,
+            emb.filter("vec_id = 0"), topk=3,
+        ).collect()
+        ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # ADC of the query's own code is minimal; the near-copy ties it
+        assert set(ranked[:2]) == {0, 1}
+
+    def test_adc_plan_is_jvm_side(self, spark):
+        import contextlib
+        import io
+
+        import numpy as np
+
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            pq_adc_topk,
+            pq_encode,
+        )
+
+        rng = np.random.RandomState(1)
+        rows = [(i, [float(v) for v in rng.randn(8)]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = [[[0.0] * 4, [1.0] * 4]] * 2  # m=2, k=2
+        codes = pq_encode(emb, books)
+        out = pq_adc_topk(codes, books, emb.filter("vec_id = 0"), topk=2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the scoring side: one broadcast join, no Python beyond the
+        # encode stage's ArrowEvalPython, no cartesian explosion
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
