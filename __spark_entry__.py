@@ -5775,6 +5775,43 @@ from urls group by domain
 """
 
 
+def sentence_split_stats(spark, sf_dir):
+    """Rule-based sentence segmentation
+    (functions/textfns.py:split_sentences): the deliberately
+    lookaround-free pattern runs verbatim under Java regex AND RE2, so
+    the oracle applies the SAME pattern + trim + drop-empty chain in
+    DuckDB and every (doc, index, sentence) row must hash-match — a
+    pattern-semantics, trim, index or empty-fragment bug
+    mismatches."""
+    from sqlbackuphistoryetl_spark.functions.textfns import split_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_sentences(docs).select(
+        "doc_id",
+        "sent_idx",
+        F.md5("sentence").alias("sent_md5"),
+        "n_chars",
+    )
+
+
+SENTENCE_SPLIT_SQL = r"""
+with s as (
+  select doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+'),
+             x -> trim(x)), x -> x <> '') as sents
+  from documents),
+e as (
+  select doc_id, i - 1 as sent_idx, sents[i] as sentence
+  from s, unnest(generate_series(1, len(sents))) as t(i))
+select doc_id,
+       cast(sent_idx as int) as sent_idx,
+       md5(sentence) as sent_md5,
+       cast(length(sentence) as int) as n_chars
+from e
+"""
+
+
 def pq_adc_search(spark, sf_dir):
     """Product-quantization encode + asymmetric-distance search
     (extensions/similarity.py: pq_encode / pq_adc_topk — the IVF-PQ
@@ -6669,6 +6706,7 @@ _ORACLES: dict[str, str | None] = {
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
+    "sentence_split_stats": SENTENCE_SPLIT_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
     "image_exif_triage": IMAGE_EXIF_SQL,
@@ -6973,6 +7011,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
     "pq_adc_search": pq_adc_search,
+    "sentence_split_stats": sentence_split_stats,
     "unigram_segment_viterbi": unigram_segment_viterbi,
     "url_dedup_domain_stats": url_dedup_domain_stats,
     "webdataset_roundtrip": webdataset_roundtrip,
@@ -7012,10 +7051,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_retention_cutoff": a3_retention_cutoff,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
-    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -7128,6 +7167,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "a6_sorted_stringagg_per_group",
         "a7_global_stringagg",
         "ann_ivf_topk",
         "ann_lsh_topk",

@@ -136,6 +136,8 @@ EXTENDED = [
     "unigram_segment_viterbi",
     # product-quantization encode + ADC top-k (IVF-PQ's other half)
     "pq_adc_search",
+    # rule-based sentence segmentation, same pattern both engines
+    "sentence_split_stats",
 ]
 
 

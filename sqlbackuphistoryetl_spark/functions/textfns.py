@@ -1166,3 +1166,38 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
         .limit(int(k))
     )
+
+
+#: rule-based sentence pattern, deliberately lookaround-free so the
+#: SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle):
+#: a run ending in terminal punctuation, or a trailing unpunctuated run
+SENTENCE_PATTERN = r"[^.!?]*[.!?]+|[^.!?]+"
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sent_idx, sentence, n_chars): rule-based sentence
+    segmentation — the unit most chunking/dedup/quality passes want
+    between "line" and "document". Terminal-punctuation runs split
+    (``Hi! Ok?`` → two sentences, multi-punct kept with its sentence);
+    abbreviation handling (``Dr. Smith``) is a MODEL problem and out
+    of a rule's reach — documented heuristic, same stance as the
+    lang-id n-gram scorer. Whitespace-only fragments drop; sentences
+    come back trimmed with their in-document index. Pure JVM
+    (regexp_extract_all + higher-order filters + posexplode), one
+    map-side projection then the explode."""
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(SENTENCE_PATTERN), F.lit(0)
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    ).withColumn("n_chars", F.length("sentence"))

@@ -95,3 +95,29 @@ def test_sharded_export_roundtrip(spark, tmp_path):
     assert [r["ordinal"] for r in got] == list(range(25))  # stable order
     assert "shard" in back.columns  # partition discovery supplies it
     assert back.filter(F.col("shard") == 0).count() == 10
+
+
+def test_split_sentences(spark):
+    from sqlbackuphistoryetl_spark.functions.textfns import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third?! trailing tail"),
+            (2, "no terminal punctuation at all"),
+            (3, "..."),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert [s for _, s in sorted(by_doc[1])] == [
+        "First one.", "Second!", "Third?!", "trailing tail",
+    ]
+    assert by_doc[2] == [(0, "no terminal punctuation at all")]
+    assert by_doc[3] == [(0, "...")]  # bare punctuation is one run
+    assert 4 not in by_doc and 5 not in by_doc  # empty/NULL: no rows
+    assert all(r["n_chars"] == len(r["sentence"]) for r in rows)
