@@ -5816,24 +5816,31 @@ def pq_adc_search(spark, sf_dir):
     """Product-quantization encode + asymmetric-distance search
     (extensions/similarity.py: pq_encode / pq_adc_topk — the IVF-PQ
     memory architecture's other half: a 64-dim vector becomes 4 codes
-    here). Codebooks are FIXED constant-fill centroids (value
-    0.3(c+1) − 0.6 + 0.05j for subspace j, centroid c), so the oracle
-    recomputes everything in SQL: per-subspace argmin of the L2
-    distances (the encode), the query's m×k lookup table from the
-    same distances, the table-lookup sum (the ADC), and the ranked
-    top-10 — an argmin, code-indexing, slicing or fold bug
-    mismatches. ``code_sig`` pins the codes themselves, not just the
-    distance they imply."""
+    here). The gate is INTEGER-EXACT end to end: embeddings floor-
+    quantize to milli-units JVM-side before encoding, and the fixed
+    codebooks are integer constant-fills (value 250(c+1) − 600 + 50j),
+    so every distance, argmin and ADC sum is the same exact integer in
+    numpy, Spark and DuckDB — constant-fill centroids collapse the
+    argmin to a scalar threshold on sum(x), where float ulp noise
+    flipped codes between engines until the quantization (found by the
+    sf0.001 sim). The oracle recomputes encode, the query's m×k table,
+    the ADC and the ranked top-10 entirely in SQL; ``code_sig`` pins
+    the codes themselves, not just the distance they imply."""
     from sqlbackuphistoryetl_spark.extensions.similarity import (
         pq_adc_topk,
         pq_encode,
     )
 
     books = [
-        [[0.3 * (c + 1) - 0.6 + 0.05 * j] * 16 for c in range(4)]
+        [[float(250 * (c + 1) - 600 + 50 * j)] * 16 for c in range(4)]
         for j in range(4)
     ]
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("double")
+        ).alias("embedding"),
+    )
     codes = pq_encode(emb, books)
     out = pq_adc_topk(codes, books, emb.filter(F.col("vec_id") == 0), topk=10)
     return (
@@ -5844,7 +5851,7 @@ def pq_adc_search(spark, sf_dir):
             F.concat_ws("-", F.col("codes").cast("array<string>")).alias(
                 "code_sig"
             ),
-            F.round("adc", 6).alias("adc"),
+            F.col("adc").cast("long").alias("adc"),
             "rank",
         )
     )
@@ -5857,7 +5864,8 @@ d as (
   select e.vec_id, p.j, cc.c,
          list_sum(list_transform(
              e.embedding[p.j * 16 + 1 : p.j * 16 + 16],
-             x -> (x::double - (0.3 * (cc.c + 1) - 0.6 + 0.05 * p.j)) ^ 2))
+             x -> (floor(x::double * 1000)
+                   - (250 * (cc.c + 1) - 600 + 50 * p.j)) ^ 2))::bigint
            as dist
   from embeddings e, p, cc),
 codes as (
@@ -5881,12 +5889,11 @@ ranked as (
 select cast(0 as bigint) as query_id,
        r.neighbor_id,
        s.code_sig,
-       round(r.adc_full, 6) as adc,
+       cast(r.adc_full as bigint) as adc,
        r.rank
 from ranked r join sig s on s.vec_id = r.neighbor_id
 where r.rank <= 10
 """
-
 
 UNIGRAM_GATE_VOCAB = {
     "th": 3, "he": 3, "an": 4,
