@@ -233,6 +233,8 @@ FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("frame_index", LongType(), False),
         StructField("frame_bytes", BinaryType(), True),
+        StructField("frame_w", LongType(), True),
+        StructField("frame_h", LongType(), True),
         StructField("n_frames", LongType(), True),
         StructField("decoder", StringType(), True),
     ]
@@ -250,8 +252,10 @@ def sample_frames(
     frame count; re-encode with ``png_codec.encode_png(fb, w, h, 3)``
     to feed the image ops). Animated GIF decodes FOR REAL too
     (:mod:`.gif_codec`, r9): composited RGBA canvases,
-    ``decoder = 'gif-lzw'``. Compressed non-MJPEG AVI and every other
-    format
+    ``decoder = 'gif-lzw'``. Decoded frames carry ``frame_w/frame_h``
+    (r9: raw pixel buffers are uninterpretable without geometry — the
+    gap :func:`frame_dhash` exposed); the fake path leaves them NULL.
+    Compressed non-MJPEG AVI and every other format
     keep the DETERMINISTIC FAKE (fixed-size byte slices,
     ``decoder = 'fake-slice'``) so the fan-out shape — 1→N rows inside
     ``mapInPandas``, no driver involvement, no shuffle — stays real
@@ -274,7 +278,7 @@ def sample_frames(
                 picked = None  # over-budget/corrupt: fall through to fake
             if picked is not None:
                 for fi, img in picked:
-                    yield fi, img.pixels, info.n_frames, "gif-lzw"
+                    yield fi, img.pixels, img.width, img.height, info.n_frames, "gif-lzw"
                 return
         if avi_codec.is_avi(payload):
             try:
@@ -292,27 +296,31 @@ def sample_frames(
                     else "avi-dib"
                 )
                 for fi, img in picked:
-                    yield fi, img.pixels, info.n_frames, dec
+                    yield fi, img.pixels, img.width, img.height, info.n_frames, dec
                 return
         n_frames = (len(payload) + frame_size - 1) // frame_size
         for fi in range(0, n_frames, stride):
             yield (
                 fi,
                 payload[fi * frame_size : (fi + 1) * frame_size],
+                None,
+                None,
                 n_frames,
                 "fake-slice",
             )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, frames, totals, decs = [], [], [], [], []
+            ids, idxs, frames, ws, hs, totals, decs = [], [], [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 if r.payload is None:
                     continue
-                for fi, fb, n, dec in _rows(r):
+                for fi, fb, w, h, n, dec in _rows(r):
                     ids.append(r.doc_id)
                     idxs.append(fi)
                     frames.append(fb)
+                    ws.append(w)
+                    hs.append(h)
                     totals.append(n)
                     decs.append(dec)
             yield pd.DataFrame(
@@ -320,12 +328,69 @@ def sample_frames(
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_index": pd.Series(idxs, dtype="int64"),
                     "frame_bytes": pd.Series(frames, dtype="object"),
+                    "frame_w": pd.Series(ws, dtype="object"),
+                    "frame_h": pd.Series(hs, dtype="object"),
                     "n_frames": pd.Series(totals, dtype="int64"),
                     "decoder": pd.Series(decs, dtype="object"),
                 }
             )
 
     return df.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_index", LongType(), False),
+        StructField("dhash", LongType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def frame_dhash(frames: DataFrame) -> DataFrame:
+    """Per-frame perceptual hash over :func:`sample_frames` output:
+    ``sample_frames → frame_dhash → image_near_dup`` is cross-video
+    visual dedup (same banded hamming join as images; pass
+    ``id_col="doc_id"`` after aggregating per-video, or dedup at frame
+    granularity directly). Raw canvases reconstruct via the r9
+    ``frame_w/frame_h`` columns; channel count infers from the buffer
+    size (AVI frames are RGB, GIF canvases RGBA). Fake-slice rows and
+    geometry-less frames surface NULL. Map-side Arrow batches, no
+    shuffle."""
+    from . import png_codec
+
+    def _one(fb, w, h):
+        if fb is None or w is None or h is None:
+            return None
+        n = len(fb)
+        if w * h == 0 or n % (w * h):
+            return None
+        ch = n // (w * h)
+        if ch not in (1, 3, 4):
+            return None
+        hsh = png_codec.dhash(
+            png_codec.DecodedImage(int(w), int(h), ch, bytes(fb))
+        )
+        return hsh - (1 << 64) if hsh >= 1 << 63 else hsh
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_index": pdf["frame_index"],
+                    "dhash": [
+                        _one(fb, w, h)
+                        for fb, w, h in zip(
+                            pdf["frame_bytes"], pdf["frame_w"], pdf["frame_h"]
+                        )
+                    ],
+                    "decoder": pdf["decoder"],
+                }
+            )
+
+    return frames.mapInPandas(_batches, FRAME_DHASH_SCHEMA)
 
 
 IMAGE_QUALITY_SCHEMA = StructType(

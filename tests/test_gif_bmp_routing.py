@@ -128,3 +128,46 @@ def test_sample_frames_routes_animated_gif(spark):
     )
     out2 = sample_frames(df2, frame_size=8, stride=1).collect()
     assert out2 and all(r["decoder"] == "fake-slice" for r in out2)
+
+
+def test_frame_dhash_over_animated_gif_and_avi(spark):
+    from sqlbackuphistoryetl_spark.extensions import avi_codec, png_codec
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        frame_dhash,
+        sample_frames,
+    )
+
+    # GIF: two distinct composited canvases (RGBA path)
+    frames = [
+        {"indices": bytes([(x % 4) for x in range(16)])},
+        {"indices": bytes([3] * 16)},
+    ]
+    anim = gif_codec.encode_gif_indexed(4, 4, PAL4, frames)
+    # AVI: one RGB frame with a real gradient
+    import random
+
+    rng = random.Random(3)
+    px = bytes(rng.randrange(256) for _ in range(4 * 4 * 3))
+    avi = avi_codec.encode_avi([png_codec.DecodedImage(4, 4, 3, px)])
+    rows = [
+        (1, anim, "image/gif"),
+        (2, avi, "video/avi"),
+        (3, b"justbytes" * 30, "video/mp4"),  # fake path: NULL dhash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload", "content_type"])
+    out = frame_dhash(sample_frames(df, stride=1)).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], {})[r["frame_index"]] = r
+    # GIF frame 0 hash equals the direct codec chain on the canvas
+    _, picked = gif_codec.decode_gif_frames_at(anim, stride=1)
+    want = png_codec.dhash(picked[0][1])
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert by[1][0]["dhash"] == want
+    assert by[2][0]["decoder"] == "avi-dib"
+    want_avi = png_codec.dhash(png_codec.DecodedImage(4, 4, 3, px))
+    if want_avi >= 1 << 63:
+        want_avi -= 1 << 64
+    assert by[2][0]["dhash"] == want_avi
+    assert all(r["dhash"] is None for r in by[3].values())
