@@ -586,3 +586,44 @@ def test_minhash_index_query_plan_shape(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan parquet" in plan  # stored side is the index files
     assert "BatchEvalPython" not in plan
+
+
+def test_r9_codec_gates_plan_shapes(spark):
+    """The r9 codec gates keep the r8 discipline: ONE exchange (the
+    deliberate pre-Python repartition), no join, Arrow-only Python."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "multimodal_gif_fingerprint",
+        "multimodal_tiff_fingerprint",
+        "multimodal_flac_audio",
+        "media_info_mixed",
+        "image_exif_triage",
+    ):
+        plan = _explain(E._FUNCS[name](spark, sf))
+        assert plan.count("+- Exchange") == 1, (name, plan)
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_r9_jvm_gates_have_no_python(spark):
+    """html_extract_text / url_dedup_domain_stats / sentence_split are
+    pure JVM expression chains: zero Python eval nodes; the sentence
+    explode is map-side (no exchange), the URL rollup pays exactly its
+    one groupBy exchange."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    html = _explain(E._FUNCS["html_extract_text"](spark, sf))
+    assert "EvalPython" not in html and "Exchange" not in html
+
+    sent = _explain(E._FUNCS["sentence_split_stats"](spark, sf))
+    assert "EvalPython" not in sent and "Exchange" not in sent
+    assert "Generate" in sent  # the posexplode
+
+    url = _explain(E._FUNCS["url_dedup_domain_stats"](spark, sf))
+    assert "EvalPython" not in url
+    # count(distinct) plans the standard two-phase: one exchange for
+    # the distinct, one for the domain rollup — and nothing more
+    assert url.count("+- Exchange") == 2
