@@ -5775,6 +5775,41 @@ from urls group by domain
 """
 
 
+def parquet_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction (extensions/maintenance.py): the
+    documents table is deliberately fragmented into 48 files in a tmp
+    dir, compacted (coalesce to the byte target, atomic rename swap),
+    and read back — the oracle reads the ORIGINAL table, so any row
+    lost, duplicated or corrupted through the rewrite+swap
+    mismatches. The no-op guard and partitioned layout are
+    unit-tested; like the webdataset gate, the side effects are
+    rmtree-then-write idempotent per sf."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.extensions.maintenance import (
+        compact_parquet,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_compact_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".compacting", ignore_errors=True)
+    shutil.rmtree(path + ".pre-compact", ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.repartition(48).write.mode("overwrite").parquet(path)
+    stats = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert stats["skipped"] is False and stats["files_after"] < 48
+    return spark.read.parquet(path).select(
+        "doc_id", F.md5("text").alias("txt_md5"), "lang"
+    )
+
+
+PARQUET_COMPACT_SQL = r"""
+select doc_id, md5(text) as txt_md5, lang from documents
+"""
+
+
 def sentence_split_stats(spark, sf_dir):
     """Rule-based sentence segmentation
     (functions/textfns.py:split_sentences): the deliberately
@@ -6714,6 +6749,7 @@ _ORACLES: dict[str, str | None] = {
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
     "sentence_split_stats": SENTENCE_SPLIT_SQL,
+    "parquet_compact_roundtrip": PARQUET_COMPACT_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
     "html_extract_text": HTML_EXTRACT_SQL,
     "image_exif_triage": IMAGE_EXIF_SQL,
@@ -7017,6 +7053,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
+    "parquet_compact_roundtrip": parquet_compact_roundtrip,
     "pq_adc_search": pq_adc_search,
     "sentence_split_stats": sentence_split_stats,
     "unigram_segment_viterbi": unigram_segment_viterbi,
@@ -7057,10 +7094,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_nonempty_guard": a2_nonempty_guard,
     "a3_retention_cutoff": a3_retention_cutoff,
     "a4_min_after_threshold": a4_min_after_threshold,
-    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
     "ann_ivf_topk": ann_ivf_topk,
@@ -7174,6 +7211,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "a5_minmax_loop_bounds",
         "a6_sorted_stringagg_per_group",
         "a7_global_stringagg",
         "ann_ivf_topk",

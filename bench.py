@@ -138,6 +138,8 @@ EXTENDED = [
     "pq_adc_search",
     # rule-based sentence segmentation, same pattern both engines
     "sentence_split_stats",
+    # small-file compaction round trip (fragment+compact+swap IS the op)
+    "parquet_compact_roundtrip",
 ]
 
 
