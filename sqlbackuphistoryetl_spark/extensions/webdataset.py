@@ -129,6 +129,7 @@ def _write_shards(
     num_partitions: int | None,
     pack,
     suffix: str,
+    shard_offset: int = 0,
 ) -> list:
     """Shared shard-writing machinery: distributed-ordinal sample→shard
     assignment, one packer task per shard, atomic rename publish."""
@@ -146,7 +147,7 @@ def _write_shards(
 
         if len(pdf) == 0:  # pragma: no cover (groupBy never yields empty)
             return pd.DataFrame(columns=[f.name for f in WRITE_SUMMARY_SCHEMA])
-        sid = int(pdf["shard"].iloc[0])
+        sid = int(pdf["shard"].iloc[0]) + shard_offset
         os.makedirs(path, exist_ok=True)  # task-side: executors ≠ driver fs
         blob = pack(pdf.sort_values(["key", "ext"], kind="mergesort"))
         # atomic-ish publish: write sidecar then rename, so a reader
@@ -194,6 +195,33 @@ def write_webdataset(
     """
     return _write_shards(
         df, path, samples_per_shard, num_partitions, _pack_tar, ".tar"
+    )
+
+
+def append_webdataset(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """Incremental append: the new batch's samples land in NEW shards
+    numbered after the highest existing one — existing shard files are
+    never rewritten or re-read (the tar twin of the MinHash index's
+    never-re-hash-the-stored-corpus operating point; at 100 TB the
+    standing corpus is orders of magnitude bigger than any increment).
+    Key uniqueness across batches is the caller's contract, same as
+    any append sink. Returns the new shards' summary rows."""
+    existing = -1
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("shard-") and name.endswith(".tar"):
+                try:
+                    existing = max(existing, int(name[6:12]))
+                except ValueError:
+                    continue
+    return _write_shards(
+        df, path, samples_per_shard, num_partitions, _pack_tar, ".tar",
+        shard_offset=existing + 1,
     )
 
 

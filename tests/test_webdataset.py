@@ -177,3 +177,37 @@ def test_reader_plan_is_map_side(spark, tmp_path):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_append_new_shards_only(spark, tmp_path):
+    import hashlib
+
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        append_webdataset,
+    )
+
+    path = str(tmp_path / "wds")
+    base = spark.createDataFrame(_member_rows(5), "key string, ext string, payload binary")
+    write_webdataset(base, path, samples_per_shard=2)  # shards 0,1,2
+    before = {
+        f: hashlib.md5(open(os.path.join(path, f), "rb").read()).hexdigest()
+        for f in os.listdir(path)
+    }
+    extra = spark.createDataFrame(
+        [(f"9{i:05d}", "txt", f"extra {i}".encode()) for i in range(3)],
+        "key string, ext string, payload binary",
+    )
+    summary = append_webdataset(extra, path, samples_per_shard=2)
+    assert [r["shard"] for r in summary] == [3, 4]
+    # existing shards untouched byte-for-byte
+    after = {
+        f: hashlib.md5(open(os.path.join(path, f), "rb").read()).hexdigest()
+        for f in os.listdir(path) if f in before
+    }
+    assert after == before
+    got = {r["key"] for r in read_webdataset(spark, path).select("key").collect()}
+    assert len(got) == 8
+    # appending to an empty/missing dir starts at shard 0
+    p2 = str(tmp_path / "fresh")
+    s2 = append_webdataset(extra, p2, samples_per_shard=2)
+    assert [r["shard"] for r in s2] == [0, 1]
