@@ -5930,6 +5930,111 @@ from ranked r join sig s on s.vec_id = r.neighbor_id
 where r.rank <= 10
 """
 
+def ivf_pq_search(spark, sf_dir):
+    """The full IVF-PQ architecture end to end
+    (extensions/similarity.py: ivf_pq_encode / ivf_pq_topk): coarse
+    cell assignment, RESIDUAL PQ codes, and a 2-probe ADC search whose
+    per-cell lookup tables come from the query's residual against each
+    probed cell. Integer-exact like the PQ gate (floor-quantized
+    embeddings, constant-fill integer coarse centroids 400c − 600 and
+    residual codebooks 125(c+1) − 300 + 25j), so the oracle replays
+    cell argmin, residual encode, probe selection, per-cell tables,
+    ADC and the ranked top-10 entirely in SQL with no float
+    ambiguity — a residual-vs-raw, probe-order or per-cell-table bug
+    mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+    )
+
+    coarse = [[float(400 * c - 600)] * 64 for c in range(4)]
+    books = [
+        [[float(125 * (c + 1) - 300 + 25 * j)] * 16 for c in range(4)]
+        for j in range(4)
+    ]
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("double")
+        ).alias("embedding"),
+    )
+    idx = ivf_pq_encode(emb, coarse, books)
+    out = ivf_pq_topk(
+        idx, coarse, books, emb.filter(F.col("vec_id") == 0),
+        n_probe=2, topk=10,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("adc").cast("long").alias("adc"),
+        "rank",
+    )
+
+
+IVF_PQ_SQL = r"""
+with e as (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(floor(x::double * 1000) as bigint)) as v
+  from embeddings),
+cells as (select unnest(generate_series(0, 3)) as c),
+dc as (
+  select e.vec_id, c.c,
+         cast(list_sum(list_transform(e.v,
+             x -> (x - (400 * c.c - 600)) ^ 2)) as bigint) as d
+  from e, cells c),
+assign as (
+  select vec_id, c as cell
+  from (select *, row_number() over (partition by vec_id
+                                     order by d, c) as rn from dc)
+  where rn = 1),
+subs as (select unnest(generate_series(0, 3)) as j),
+ks as (select unnest(generate_series(0, 3)) as k2),
+dsub as (
+  select e.vec_id, a.cell, s.j, k2.k2,
+         cast(list_sum(list_transform(
+             e.v[s.j * 16 + 1 : s.j * 16 + 16],
+             x -> (x - (400 * a.cell - 600)
+                   - (125 * (k2.k2 + 1) - 300 + 25 * s.j)) ^ 2))
+           as bigint) as d
+  from e join assign a using (vec_id), subs s, ks k2),
+codes as (
+  select vec_id, cell, j, k2 as code
+  from (select *, row_number() over (partition by vec_id, j
+                                     order by d, k2) as rn from dsub)
+  where rn = 1),
+probe as (
+  select c as cell
+  from (select c, row_number() over (order by d, c) as rn
+        from dc where vec_id = 0)
+  where rn <= 2),
+qtab as (
+  select p.cell, s.j, k2.k2,
+         cast(list_sum(list_transform(
+             q.v[s.j * 16 + 1 : s.j * 16 + 16],
+             x -> (x - (400 * p.cell - 600)
+                   - (125 * (k2.k2 + 1) - 300 + 25 * s.j)) ^ 2))
+           as bigint) as d
+  from (select v from e where vec_id = 0) q, probe p, subs s, ks k2),
+adc as (
+  select c.vec_id as neighbor_id, c.cell, sum(t.d) as adc_full
+  from codes c
+  join qtab t on t.cell = c.cell and t.j = c.j and t.k2 = c.code
+  group by c.vec_id, c.cell),
+ranked as (
+  select neighbor_id, cell, adc_full,
+         row_number() over (order by adc_full, neighbor_id) as rank
+  from adc)
+select cast(0 as bigint) as query_id,
+       neighbor_id,
+       cast(cell as int) as cell,
+       cast(adc_full as bigint) as adc,
+       rank
+from ranked where rank <= 10
+"""
+
+
 UNIGRAM_GATE_VOCAB = {
     "th": 3, "he": 3, "an": 4,
     "a": 6, "t": 6, "h": 7, "e": 5, "s": 6, "o": 6, "i": 6, "n": 6, "d": 7,
@@ -6748,6 +6853,7 @@ _ORACLES: dict[str, str | None] = {
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
+    "ivf_pq_search": IVF_PQ_SQL,
     "sentence_split_stats": SENTENCE_SPLIT_SQL,
     "parquet_compact_roundtrip": PARQUET_COMPACT_SQL,
     "url_dedup_domain_stats": URL_DEDUP_SQL,
@@ -7047,6 +7153,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compression_ratio_signal": compression_ratio_signal,
     "html_extract_text": html_extract_text,
     "image_exif_triage": image_exif_triage,
+    "ivf_pq_search": ivf_pq_search,
     "media_info_mixed": media_info_mixed,
     "multimodal_flac_audio": multimodal_flac_audio,
     "multimodal_gif_animation": multimodal_gif_animation,
@@ -7093,10 +7200,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_watermark_advance": a1_watermark_advance,
     "a2_nonempty_guard": a2_nonempty_guard,
     "a3_retention_cutoff": a3_retention_cutoff,
-    "a4_min_after_threshold": a4_min_after_threshold,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
     "a7_global_stringagg": a7_global_stringagg,
@@ -7211,6 +7318,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "a4_min_after_threshold",
         "a5_minmax_loop_bounds",
         "a6_sorted_stringagg_per_group",
         "a7_global_stringagg",

@@ -140,6 +140,8 @@ EXTENDED = [
     "sentence_split_stats",
     # small-file compaction round trip (fragment+compact+swap IS the op)
     "parquet_compact_roundtrip",
+    # the full IVF-PQ architecture: residual codes + 2-probe ADC
+    "ivf_pq_search",
 ]
 
 

@@ -1555,3 +1555,121 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def ivf_pq_encode(
+    emb: DataFrame,
+    coarse_centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): the full IVF-PQ index entry — nearest coarse
+    centroid, then the RESIDUAL (x − centroid) PQ-encoded (Jégou 2011:
+    residual encoding is what makes m bytes enough; raw-vector PQ
+    wastes its precision re-describing the cell). One vectorized numpy
+    pass computes both (same Arrow/fan-out doctrine as
+    :func:`pq_encode`). Partition the output by ``cell`` on write and
+    a probe prunes to n_probe partitions — the ``ivf_build_index``
+    storage layout applies unchanged."""
+    import numpy as np
+
+    coarse = np.asarray(coarse_centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sd = books[0].shape[1]
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(x) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "cell": [], "codes": []}
+                )
+                continue
+            d = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1)
+            resid = x - coarse[cell]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j, cent in enumerate(books):
+                sub = resid[:, j * sd : (j + 1) * sd]
+                dj = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dj.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.tolist(),
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .repartition(64, id_col)
+        .mapInPandas(_batches, f"{id_col} long, cell int, codes array<int>")
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    coarse_centroids: list,
+    codebooks: list,
+    queries: DataFrame,
+    n_probe: int = 8,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over an :func:`ivf_pq_encode` index: each query
+    probes its ``n_probe`` nearest cells with a PER-CELL lookup table
+    built from the query's residual against that cell (driver-side —
+    n_queries × n_probe × m × k floats, model-sized). The probe list
+    broadcasts as (query_id, cell, table) rows, the join on ``cell``
+    prunes the corpus to the probed cells (partition pruning when the
+    index is cell-partitioned parquet), and scoring is the same pure
+    JVM zip_with/element_at fold as :func:`pq_adc_topk`."""
+    import numpy as np
+
+    coarse = np.asarray(coarse_centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sd = books[0].shape[1]
+    spark = index.sparkSession
+    probes = []
+    for r in queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    ).collect():
+        q = np.asarray(list(r["_q"]), dtype=np.float64)
+        dc = ((q[None, :] - coarse) ** 2).sum(axis=1)
+        order = np.argsort(dc, kind="stable")[:n_probe]
+        for cell in order:
+            resid = q - coarse[cell]
+            table = [
+                ((resid[j * sd : (j + 1) * sd][None, :] - cent) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for j, cent in enumerate(books)
+            ]
+            probes.append((r["query_id"], int(cell), table))
+    pdf = spark.createDataFrame(
+        probes, "query_id long, cell int, _table array<array<double>>"
+    )
+    scored = index.join(F.broadcast(pdf), "cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell"),
+        F.aggregate(
+            F.zip_with(
+                "codes", "_table",
+                lambda c, t: F.element_at(t, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

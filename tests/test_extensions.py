@@ -801,3 +801,46 @@ class TestProductQuantization:
         # encode stage's ArrowEvalPython, no cartesian explosion
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestIVFPQ:
+    def test_residual_encode_and_probe_search(self, spark):
+        import numpy as np
+
+        from sqlbackuphistoryetl_spark.extensions.similarity import (
+            ivf_pq_encode,
+            ivf_pq_topk,
+        )
+
+        rng = np.random.RandomState(3)
+        # two well-separated clusters so coarse assignment is decisive
+        a = rng.randn(40, 8) + 10.0
+        b = rng.randn(40, 8) - 10.0
+        base = np.vstack([a, b])
+        base[1] = base[0] + 0.001  # near-copy inside cluster A
+        rows = [(i, [float(v) for v in base[i]]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        coarse = [[10.0] * 8, [-10.0] * 8]
+        books = [
+            [[float(c) - 1.5] * 4 for c in range(4)] for _ in range(2)
+        ]  # m=2, k=4 over the residual
+        idx = ivf_pq_encode(emb, coarse, books)
+        got = {r["vec_id"]: r for r in idx.collect()}
+        assert all(got[i]["cell"] == 0 for i in range(40))
+        assert all(got[i]["cell"] == 1 for i in range(40, 80))
+        assert got[0]["codes"] == got[1]["codes"]  # near-copies share codes
+
+        # n_probe=1: only cluster A candidates are scored for query 0
+        out = ivf_pq_topk(
+            idx, coarse, books, emb.filter("vec_id = 0"),
+            n_probe=1, topk=50,
+        ).collect()
+        assert {r["cell"] for r in out} == {0}
+        ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert set(ranked[:2]) == {0, 1}
+        # n_probe=2 reaches the other cluster too
+        out2 = ivf_pq_topk(
+            idx, coarse, books, emb.filter("vec_id = 0"),
+            n_probe=2, topk=100,
+        )
+        assert out2.count() == 80
