@@ -159,6 +159,28 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    # IVF-PQ (r9): residual codes + 2-probe ADC — encode is the
+    # vectorized numpy pass (cost ~linear in vectors), search reads
+    # only the probed cells' codes
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=8, k=64, sample=4000, iters=2)
+    timings["pq_train_m8_k64"] = round(time.perf_counter() - t0, 2)
+    coarse = [list(map(float, r["embedding"])) for r in
+              emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+              .limit(64).collect()]
+    t0 = time.perf_counter()
+    idx = ivf_pq_encode(emb, coarse, books).localCheckpoint(eager=True)
+    timings["ivf_pq_encode"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_ivfpq = ivf_pq_topk(idx, coarse, books, queries, n_probe=8, topk=5).count()
+    timings["ivf_pq_topk_100q"] = round(time.perf_counter() - t0, 2)
+
     from sqlbackuphistoryetl_spark.extensions.dedup import minhash_lsh_cross
     from sqlbackuphistoryetl_spark.extensions.packing import pack_sequences
 
@@ -552,6 +574,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "ann_rows": n_ann,
         "ivf_rows": n_ivf,
         "ivf_probe_rows": n_ivf_probe,
+        "ivf_pq_rows": n_ivfpq,
         "cross_pairs": n_cross,
         "packed_spans": n_packed,
         "sample_rows": n_sample,
