@@ -198,6 +198,18 @@ def write_webdataset(
     )
 
 
+def _max_shard_index(path: str, suffix: str) -> int:
+    existing = -1
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("shard-") and name.endswith(suffix):
+                try:
+                    existing = max(existing, int(name[6:12]))
+                except ValueError:
+                    continue
+    return existing
+
+
 def append_webdataset(
     df: DataFrame,
     path: str,
@@ -211,17 +223,22 @@ def append_webdataset(
     standing corpus is orders of magnitude bigger than any increment).
     Key uniqueness across batches is the caller's contract, same as
     any append sink. Returns the new shards' summary rows."""
-    existing = -1
-    if os.path.isdir(path):
-        for name in os.listdir(path):
-            if name.startswith("shard-") and name.endswith(".tar"):
-                try:
-                    existing = max(existing, int(name[6:12]))
-                except ValueError:
-                    continue
     return _write_shards(
         df, path, samples_per_shard, num_partitions, _pack_tar, ".tar",
-        shard_offset=existing + 1,
+        shard_offset=_max_shard_index(path, ".tar") + 1,
+    )
+
+
+def append_zip_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """ZIP twin of :func:`append_webdataset`."""
+    return _write_shards(
+        df, path, samples_per_shard, num_partitions, _pack_zip, ".zip",
+        shard_offset=_max_shard_index(path, ".zip") + 1,
     )
 
 

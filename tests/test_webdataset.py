@@ -211,3 +211,18 @@ def test_append_new_shards_only(spark, tmp_path):
     p2 = str(tmp_path / "fresh")
     s2 = append_webdataset(extra, p2, samples_per_shard=2)
     assert [r["shard"] for r in s2] == [0, 1]
+
+
+def test_zip_append(spark, tmp_path):
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        append_zip_shards,
+    )
+
+    path = str(tmp_path / "z")
+    base = spark.createDataFrame(_member_rows(3), "key string, ext string, payload binary")
+    write_zip_shards(base, path, samples_per_shard=2)  # shards 0,1
+    extra = spark.createDataFrame(
+        [("900000", "txt", b"x")], "key string, ext string, payload binary"
+    )
+    assert [r["shard"] for r in append_zip_shards(extra, path, 2)] == [2]
+    assert read_zip_shards(spark, path).count() == 7
