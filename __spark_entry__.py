@@ -7149,60 +7149,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 # a new gate or when a new CORRECTNESS_r*.json lands.
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
-    # greens by (round, name); latest recorded round: r8) ---
-    "compression_ratio_signal": compression_ratio_signal,
-    "html_extract_text": html_extract_text,
-    "image_exif_triage": image_exif_triage,
-    "ivf_pq_search": ivf_pq_search,
-    "media_info_mixed": media_info_mixed,
-    "multimodal_flac_audio": multimodal_flac_audio,
-    "multimodal_gif_animation": multimodal_gif_animation,
-    "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
-    "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
-    "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
-    "parquet_compact_roundtrip": parquet_compact_roundtrip,
-    "pq_adc_search": pq_adc_search,
-    "sentence_split_stats": sentence_split_stats,
-    "unigram_segment_viterbi": unigram_segment_viterbi,
-    "url_dedup_domain_stats": url_dedup_domain_stats,
-    "webdataset_roundtrip": webdataset_roundtrip,
-    "wordpiece_segment_fixed": wordpiece_segment_fixed,
-    "heavy_hitter_grams": heavy_hitter_grams,
-    "hourly_event_rollup": hourly_event_rollup,
-    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
-    "incremental_dedup_cross": incremental_dedup_cross,
-    "knn_label_vote": knn_label_vote_gate,
-    "lang_id_multi": lang_id_multi,
-    "lang_id_stopwords": lang_id_stopwords,
-    "length_outlier_trim": length_outlier_trim,
-    "ngram_containment_capped": ngram_containment_capped,
-    "packed_sequence_export": packed_sequence_export,
-    "pii_redaction": pii_redaction,
-    "pmi_collocations": pmi_collocations_gate,
-    "q1_pricing_summary": q1_pricing_summary,
-    "quality_model_score": quality_model_score,
-    "quality_rare_tokens": quality_rare_tokens,
-    "rag_chunking": rag_chunking,
-    "semantic_decontam": semantic_decontam,
-    "semdedup_prune": semdedup_prune,
-    "sequence_packing": sequence_packing,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
-    "temperature_lang_sample": temperature_lang_sample,
-    "text_bpe_token_count": text_bpe_token_count,
-    "text_quality_score": text_quality_score,
-    "text_token_count": text_token_count,
-    "token_len_histogram": token_len_histogram,
-    "token_percentiles": token_percentiles,
-    "train_val_test_split": train_val_test_split,
-    "unimax_lang_budget": unimax_lang_budget,
-    "weighted_sample_docs": weighted_sample_docs,
-    "weighted_source_mix": weighted_source_mix,
-    "a1_watermark_advance": a1_watermark_advance,
-    "a2_nonempty_guard": a2_nonempty_guard,
-    "a3_retention_cutoff": a3_retention_cutoff,
-    # ---------------------------------------------------------------
-    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
-    # overflow (rotates into the next window), then the fresh greens.
+    # greens by (round, name); latest recorded round: r9) ---
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
@@ -7250,10 +7197,12 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
-    # --- fresh greens (eligible to park two rounds) ---------------
     "asof_last_purchase": asof_last_purchase,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     "boilerplate_line_removal": boilerplate_line_removal,
+    # ---------------------------------------------------------------
+    # Parked behind the 50-slot window: first the ROTATION_DEFERRED
+    # overflow (rotates into the next window), then the fresh greens.
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_packed_export": bpe_packed_export,
     "bpe_segment_fixed": bpe_segment_fixed,
@@ -7301,6 +7250,57 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_latest_order_per_customer": w1_latest_order_per_customer,
     "w2_canonical_group_id": w2_canonical_group_id,
     "w3_tail_two_patch": w3_tail_two_patch,
+    # --- fresh greens (eligible to park two rounds) ---------------
+    "a1_watermark_advance": a1_watermark_advance,
+    "a2_nonempty_guard": a2_nonempty_guard,
+    "a3_retention_cutoff": a3_retention_cutoff,
+    "compression_ratio_signal": compression_ratio_signal,
+    "heavy_hitter_grams": heavy_hitter_grams,
+    "hourly_event_rollup": hourly_event_rollup,
+    "html_extract_text": html_extract_text,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "image_exif_triage": image_exif_triage,
+    "incremental_dedup_cross": incremental_dedup_cross,
+    "ivf_pq_search": ivf_pq_search,
+    "knn_label_vote": knn_label_vote_gate,
+    "lang_id_multi": lang_id_multi,
+    "lang_id_stopwords": lang_id_stopwords,
+    "length_outlier_trim": length_outlier_trim,
+    "media_info_mixed": media_info_mixed,
+    "multimodal_flac_audio": multimodal_flac_audio,
+    "multimodal_gif_animation": multimodal_gif_animation,
+    "multimodal_gif_fingerprint": multimodal_gif_fingerprint,
+    "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+    "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
+    "ngram_containment_capped": ngram_containment_capped,
+    "packed_sequence_export": packed_sequence_export,
+    "parquet_compact_roundtrip": parquet_compact_roundtrip,
+    "pii_redaction": pii_redaction,
+    "pmi_collocations": pmi_collocations_gate,
+    "pq_adc_search": pq_adc_search,
+    "q1_pricing_summary": q1_pricing_summary,
+    "quality_model_score": quality_model_score,
+    "quality_rare_tokens": quality_rare_tokens,
+    "rag_chunking": rag_chunking,
+    "semantic_decontam": semantic_decontam,
+    "semdedup_prune": semdedup_prune,
+    "sentence_split_stats": sentence_split_stats,
+    "sequence_packing": sequence_packing,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "temperature_lang_sample": temperature_lang_sample,
+    "text_bpe_token_count": text_bpe_token_count,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "token_len_histogram": token_len_histogram,
+    "token_percentiles": token_percentiles,
+    "train_val_test_split": train_val_test_split,
+    "unigram_segment_viterbi": unigram_segment_viterbi,
+    "unimax_lang_budget": unimax_lang_budget,
+    "url_dedup_domain_stats": url_dedup_domain_stats,
+    "webdataset_roundtrip": webdataset_roundtrip,
+    "weighted_sample_docs": weighted_sample_docs,
+    "weighted_source_mix": weighted_source_mix,
+    "wordpiece_segment_fixed": wordpiece_segment_fixed,
 }
 
 # Structural rotation debt, made explicit and bounded. The registry
@@ -7318,53 +7318,53 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
-        "a4_min_after_threshold",
-        "a5_minmax_loop_bounds",
-        "a6_sorted_stringagg_per_group",
-        "a7_global_stringagg",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "approx_distinct_users",
-        "bm25_ranking",
-        "bpe_fertility_lang",
-        "bpe_roundtrip_decode",
-        "case_type_map",
-        "char_entropy_quality",
-        "corpus_report",
-        "corpus_token_budget",
-        "curation_funnel",
-        "curation_pipeline_e2e",
-        "datefmt_stopat",
-        "dedup_cluster_histogram",
-        "dedup_clusters",
-        "dedup_exact",
-        "dedup_keep_one",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "dedup_source_matrix",
-        "doc_fingerprint",
-        "embedding_cosine_topk",
-        "embedding_covariance",
-        "embedding_near_dup",
-        "embedding_quantize_profile",
-        "event_sessionization",
-        "fineweb_quality",
-        "j1_region_revenue",
-        "j2_customers_without_recent_orders",
-        "j3_filtered_left_join",
-        "j5_order_lines_json",
-        "j6_watermark_antijoin_dedup",
-        "json_props_extract",
-        "multimodal_audio_quality",
-        "multimodal_audiofp_fingerprint",
-        "multimodal_dhash_fingerprint",
-        "multimodal_metadata",
-        "ngram_containment",
-        "sample_global_k",
-        "script_composition",
-        "temperature_lang_sample_a25",
-        "winnowing_overlap_pairs",
+        "bpe_merge_candidates",
+        "bpe_packed_export",
+        "bpe_segment_fixed",
+        "ccnet_perplexity",
+        "chain_state_fold",
+        "chunk_dedup_spans",
+        "contamination_ngram",
+        "corpus_version_diff",
+        "domain_cap_topn",
+        "dsir_selection",
+        "dup_window_spans",
+        "edit_distance_pairs",
+        "funnel_view_click_purchase",
+        "global_shard_ids",
+        "gopher_quality",
+        "gopher_repetition",
+        "hard_negative_mining",
+        "jsonl_roundtrip_ingest",
+        "label_centroid_stats",
+        "minhash_index_compact",
+        "multimodal_adpcm_audio",
+        "multimodal_avi_frames",
+        "multimodal_featurize_ann",
+        "multimodal_frame_sample",
+        "multimodal_g711_audio",
+        "multimodal_image_quality",
+        "multimodal_jpeg_fingerprint",
+        "multimodal_mjpeg_frames",
+        "o1_ordered_chain_page",
+        "o3_top1_scalar",
+        "o4_first_event_after",
+        "o5_top2_desc",
+        "p3_decimal_lsn_range",
+        "p4_watermark_overlap_window",
+        "p9_fallback_probe",
+        "quality_repetition",
+        "retention_filter_counts",
+        "scalar_path_surgery",
+        "size_trunc_math",
+        "skew_salted_agg",
+        "stream_dedup_sessions",
+        "text_tfidf_top_terms",
+        "u1_union_distinct_tail",
+        "unigram_surprisal",
+        "w1_latest_order_per_customer",
+        "w2_canonical_group_id",
+        "w3_tail_two_patch",
     }
 )
 

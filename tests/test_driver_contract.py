@@ -34,7 +34,17 @@ def _green_rounds() -> tuple[dict[str, int], int]:
             continue
         latest = max(latest, rnd)
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match"):
+            if not isinstance(row, dict):
+                continue
+            # Mirror tools/rotation.py: a rows-only-by-design gate the
+            # driver ran (err == "no_oracle" + recorded row count)
+            # counts as driver-verified, so it rotates on the normal
+            # cadence instead of camping in the window as never-green.
+            ran_rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if row.get("hash_match") or ran_rows_only:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return last_green, latest
 

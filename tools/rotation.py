@@ -44,7 +44,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load_green_history(repo: str = REPO) -> tuple[dict[str, int], int]:
     """(last driver-green round per gate, latest recorded round) from
     the committed ``CORRECTNESS_r*.json`` files.  A gate counts green
-    only on ``hash_match`` — rows-only matches don't reset staleness."""
+    on ``hash_match``; a gate the driver ran WITHOUT an oracle
+    (``err == "no_oracle"`` with a recorded row count — only the
+    rows-only-by-design allowlist can produce this, the contract tests
+    forbid oracle-less gates otherwise) counts as driver-verified too,
+    so it rotates on the normal cadence instead of consuming a window
+    slot forever as never-green.  A gate whose oracle RAN but
+    hash-mismatched stays non-green — rows-only near-misses don't
+    reset staleness."""
     last_green: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -56,7 +63,13 @@ def load_green_history(repo: str = REPO) -> tuple[dict[str, int], int]:
             continue
         latest = max(latest, rnd)
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match"):
+            if not isinstance(row, dict):
+                continue
+            ran_rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if row.get("hash_match") or ran_rows_only:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return last_green, latest
 
