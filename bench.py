@@ -1,9 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+The LAST printed line is the authoritative record:
+  {"metric": "headline_queries_total_wall", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+It is deliberately compact (headline basket only, ~600 bytes): the
+driver keeps just the TAIL of bench output, and in r9 a single
+headline-first line carrying all 57 extended timings outgrew that
+buffer, truncating the headline (BENCH_r09.json parsed: null). The
+per-extended-query map now rides a separate, earlier
+"ext_queries_detail" line that may fall off the tail without losing
+the official number.
 
 Each query materializes fully through the noop sink (no driver-side
 collect cost, no disk write skew) after a warm-up pass of the session.
@@ -232,20 +239,40 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
+    for line in emit_records(timings, timings_ext, float(sf)):
+        print(line)
+    spark.stop()
+
+
+def emit_records(
+    timings: dict[str, float],
+    timings_ext: dict[str, float],
+    sf: float,
+) -> list[str]:
+    """The two output lines, ext-detail first, compact headline LAST
+    (tail-truncation-proof — see module docstring)."""
+    ext_total = round(sum(timings_ext.values()), 3)
+    return [
+        json.dumps(
+            {
+                "metric": "ext_queries_detail",
+                "unit": "sec",
+                "queries_ext": timings_ext,
+                "ext_total": ext_total,
+                "sf": sf,
+            }
+        ),
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_ext": timings_ext,
-                "ext_total": round(sum(timings_ext.values()), 3),
-                "sf": float(sf),
+                "ext_total": ext_total,
+                "sf": sf,
             }
-        )
-    )
-    spark.stop()
+        ),
+    ]
 
 
 if __name__ == "__main__":
