@@ -99,12 +99,23 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image decode stub: codec libraries not installed")
 
 
+_CODEC_TABLE = None
+
+
 #: in-container image codecs in dispatch order:
 #: (is_<fmt>, decode_<fmt>, (error types that mean "fall through"), tag)
 def _image_codecs():
+    # Built once per process (imports stay lazy so loading this module
+    # stays light); _decode_any runs per PAYLOAD, and rebuilding the
+    # table there means five sys.modules lookups and a tuple
+    # construction per image — ~3 µs each, pure waste against billions
+    # of payloads.
+    global _CODEC_TABLE
+    if _CODEC_TABLE is not None:
+        return _CODEC_TABLE
     from . import bmp_codec, gif_codec, jpeg_codec, png_codec, tiff_codec
 
-    return (
+    _CODEC_TABLE = (
         (png_codec.is_png, png_codec.decode_png,
          (png_codec.UnsupportedPNG, png_codec.PNGError), "png-zlib"),
         (jpeg_codec.is_jpeg, jpeg_codec.decode_jpeg,
@@ -116,6 +127,7 @@ def _image_codecs():
         (tiff_codec.is_tiff, tiff_codec.decode_tiff,
          (tiff_codec.UnsupportedTIFF, tiff_codec.TIFFError), "tiff-baseline"),
     )
+    return _CODEC_TABLE
 
 
 def _decode_any(raw: bytes) -> tuple[object | None, str | None]:
