@@ -6276,6 +6276,89 @@ from o
 """
 
 
+def media_info_mp4(spark, sf_dir):
+    """MP4/ISO-BMFF header triage (extensions/mp4_codec.py, r10): each
+    document becomes a two-track MP4 whose geometry, frame count,
+    channel layout, sample rate and sample count derive from the first
+    text bytes; the full-box version (v0 32-bit vs v1 64-bit layouts)
+    alternates by doc_id parity and every third payload carries a
+    64-bit-largesize mdat, so BOTH offset layouts and the largesize
+    header sit under the oracle. media_info walks boxes only (mdat is
+    skipped by its size field — H.264/AAC stay un-decoded per the
+    perceptual-codec doctrine); the oracle recomputes every field
+    closed-form from ``ord()``, so a box-offset, fixed-point-16.16, or
+    version-branch bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import media_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.mp4_codec import build_mp4
+
+        def mk(d, t):
+            s = re.sub(r"[^ -~]", "?", t)[:3].ljust(3, " ").encode("ascii")
+            return build_mp4(
+                brand="mp42",
+                timescale=1000,
+                duration=1000 * (1 + s[2] % 60),
+                width=100 + s[0],
+                height=50 + s[1],
+                n_frames=10 + s[2],
+                channels=1 + s[0] % 2,
+                sample_rate=8000 * (1 + s[1] % 4),
+                bit_depth=16,
+                n_samples=977 + s[2] * 7,
+                version=d % 2,
+                mdat_largesize=(d % 3 == 0),
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return media_info(payloads)
+
+
+MEDIA_INFO_MP4_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 3),
+              3, ' ') as s
+  from documents),
+o as (
+  select doc_id,
+         ord(substr(s, 1, 1)) as o0,
+         ord(substr(s, 2, 1)) as o1,
+         ord(substr(s, 3, 1)) as o2
+  from s)
+select doc_id,
+       'mp4' as format,
+       cast(100 + o0 as bigint) as width,
+       cast(50 + o1 as bigint) as height,
+       cast(10 + o2 as bigint) as n_frames,
+       cast(1 + o0 % 2 as bigint) as channels,
+       cast(8000 * (1 + o1 % 4) as bigint) as sample_rate,
+       cast(977 + o2 * 7 as bigint) as n_samples,
+       cast(16 as bigint) as bit_depth
+from o
+"""
+
+
 def multimodal_g711_audio(spark, sf_dir):
     """G.711 mu-law telephony audio through the real WAV chain
     (wav_codec format tag 7, r8): each document's first 128 sanitized
@@ -6850,6 +6933,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_tiff_fingerprint": MULTIMODAL_TIFF_SQL,
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
+    "media_info_mp4": MEDIA_INFO_MP4_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7150,6 +7234,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r9) ---
+    "media_info_mp4": media_info_mp4,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
@@ -7199,10 +7284,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "asof_last_purchase": asof_last_purchase,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
-    "boilerplate_line_removal": boilerplate_line_removal,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "boilerplate_line_removal": boilerplate_line_removal,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_packed_export": bpe_packed_export,
     "bpe_segment_fixed": bpe_segment_fixed,
@@ -7318,6 +7403,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "boilerplate_line_removal",
         "bpe_merge_candidates",
         "bpe_packed_export",
         "bpe_segment_fixed",

@@ -126,6 +126,7 @@ EXTENDED = [
     "multimodal_flac_audio",
     # header-only mixed-container triage pass
     "media_info_mixed",
+    "media_info_mp4",
     # BERT-style greedy longest-match tokenization (distinct-word
     # Python, JVM re-assembly)
     "wordpiece_segment_fixed",

@@ -548,7 +548,15 @@ def _media_info_one(raw: bytes) -> tuple:
     ('unknown', NULL...)."""
     import struct
 
-    from . import avi_codec, bmp_codec, flac_codec, gif_codec, tiff_codec, wav_codec
+    from . import (
+        avi_codec,
+        bmp_codec,
+        flac_codec,
+        gif_codec,
+        mp4_codec,
+        tiff_codec,
+        wav_codec,
+    )
 
     none7 = (None,) * 7
     try:
@@ -629,6 +637,13 @@ def _media_info_one(raw: bytes) -> tuple:
             si, _pos = flac_codec._parse_streaminfo(raw)
             return ("flac", None, None, None, si.channels, si.sample_rate,
                     si.total_samples or None, si.bits_per_sample)
+        if mp4_codec.is_mp4(raw):
+            # dominant crawl video container; box walk only — the
+            # H.264/AAC payload is perceptual-codec territory and is
+            # skipped by mdat's size field, never read
+            mi = mp4_codec.parse_mp4(raw)
+            return ("mp4", mi.width, mi.height, mi.n_frames, mi.channels,
+                    mi.sample_rate, mi.n_samples, mi.bit_depth)
     except Exception:  # corrupt header behind a valid magic: triage, not crash
         return ("unknown",) + none7
     return ("unknown",) + none7
