@@ -174,8 +174,15 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
             raise ValueError("BMP re-encode supports 3 channels")
         return bmp_codec.encode_bmp(out.pixels, out.width, out.height)
     if tiff_codec.is_tiff(payload):
-        if out.channels not in (1, 3):  # pragma: no cover (decode emits 1/3)
-            raise ValueError("TIFF re-encode supports 1/3 channels")
+        if out.channels == 4:
+            # decode_tiff emits RGBA for photometric-2 spp=4 scans; the
+            # encoder is RGB — drop alpha (same flattening GIF re-encode
+            # applies) instead of erroring on a legal input
+            px = out.pixels
+            out = png_codec.DecodedImage(
+                out.width, out.height, 3,
+                bytes(b for i, b in enumerate(px) if i % 4 != 3),
+            )
         return tiff_codec.encode_tiff(
             out.pixels, out.width, out.height, out.channels
         )
@@ -597,10 +604,11 @@ def _media_info_one(raw: bytes) -> tuple:
             )
             return ("bmp", w, h, 1, 3, None, None, bit_count)
         if tiff_codec.is_tiff(raw):
-            (_e, w, h, spp, _c, photometric, _pr, _o, _ct, _rps,
-             _cm) = tiff_codec._parse(raw, tiff_codec.MAX_PIXELS)
-            chans = 3 if photometric == 3 else spp  # palette expands to RGB
-            return ("tiff", w, h, 1, chans, None, None, 8)
+            lay = tiff_codec._parse(raw, tiff_codec.MAX_PIXELS)
+            # palette expands to RGB on decode
+            chans = 3 if lay.photometric == 3 else lay.spp
+            return ("tiff", lay.width, lay.height, 1, chans, None, None,
+                    lay.bits)
         if avi_codec.is_avi(raw):
             # lenient: geometry/fourcc of a codec-we-can't-decode
             # stream is still valid triage metadata

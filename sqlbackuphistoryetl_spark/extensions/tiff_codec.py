@@ -16,15 +16,20 @@ APP1) pointing at strip data in one of three baseline codings, all
   LSB-first/late pairing), plus the optional horizontal-differencing
   predictor (tag 317).
 
-Decoded forms: 8-bit grayscale, 8-bit RGB(A), and 8-bit palette (the
-16-bit-per-entry ColorMap scaled down), both endiannesses, multi-strip
-images. Bilevel/sub-byte/16-bit sample depths, tiled layout, and the
-non-baseline codings (CCITT fax, JPEG-in-TIFF) raise
-:class:`UnsupportedTIFF` behind the standard stub gate; structural or
-entropy corruption raises :class:`TIFFError`. :func:`probe_tiff`
-mirrors the gate header-only. The encoder writes all three baseline
-codings (+ predictor) so round trips pin the LZW early-change timing
-and the PackBits boundary cases without binary fixtures.
+Decoded forms: 1/2/4/8-bit grayscale (bilevel scans — the most common
+archival TIFF form — included; sub-byte rows unpack through the same
+MSB-first byte-padded expansion PNG uses, ``png_codec._unpack_bits``),
+8-bit RGB(A), and 1/2/4/8-bit palette (the 16-bit-per-entry ColorMap
+scaled down), both endiannesses, in both STRIP and TILE layouts (tags
+322-325; edge tiles clip their padding). 16-bit samples, sub-byte
+multi-channel packing, predictor-on-sub-byte, and the non-baseline
+codings (CCITT fax, JPEG-in-TIFF) raise :class:`UnsupportedTIFF`
+behind the standard stub gate; structural or entropy corruption
+raises :class:`TIFFError`. :func:`probe_tiff` mirrors the gate
+header-only. The encoder writes all the decoded forms (all three
+compressed codings + predictor, sub-byte packing, tiles, palette) so
+round trips pin the LZW early-change timing, the bit-packing edges
+and the tile-clip arithmetic without binary fixtures.
 
 Runs inside the Arrow-batched ``mapInPandas`` workers of
 ``extensions.multimodal``; driver-free pure Python over ``bytes``.
@@ -33,8 +38,9 @@ Runs inside the Arrow-batched ``mapInPandas`` workers of
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
-from .png_codec import DecodedImage
+from .png_codec import DecodedImage, _unpack_bits
 
 #: decoded-pixel budget, same doctrine as the sibling codecs
 MAX_PIXELS = 1 << 25
@@ -50,6 +56,10 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PREDICTOR = 317
 TAG_COLOR_MAP = 320
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
 
 COMP_NONE = 1
 COMP_LZW = 5
@@ -63,7 +73,8 @@ class TIFFError(ValueError):
 
 class UnsupportedTIFF(NotImplementedError):
     """Legal TIFF form this codec refuses (non-baseline coding,
-    sub-byte/16-bit depths, tiles, over-budget dimensions)."""
+    16-bit depths, sub-byte multi-channel packing, over-budget
+    dimensions)."""
 
 
 def is_tiff(payload: bytes | None) -> bool:
@@ -113,7 +124,25 @@ def _read_entries(payload: bytes, endian: str, off: int) -> dict[int, list[int]]
     return out
 
 
-def _parse(payload: bytes, max_pixels: int):
+class TiffLayout(NamedTuple):
+    endian: str
+    width: int
+    height: int
+    spp: int
+    bits: int  # per sample: 1/2/4/8 (sub-byte only for spp == 1)
+    comp: int
+    photometric: int
+    predictor: int
+    offsets: list[int]  # strip or tile offsets, per `tiled`
+    counts: list[int]
+    rows_per_strip: int  # strip layout only
+    tile_w: int  # tile layout only
+    tile_h: int
+    colormap: list[int] | None
+    tiled: bool
+
+
+def _parse(payload: bytes, max_pixels: int) -> TiffLayout:
     if not is_tiff(payload):
         raise TIFFError("not a TIFF (missing II*/MM* header)")
     if len(payload) < 8:
@@ -139,13 +168,19 @@ def _parse(payload: bytes, max_pixels: int):
             f"{width}x{height} over the {max_pixels}-pixel budget"
         )
     spp = one(TAG_SAMPLES_PER_PIXEL, 1)
-    bits = tags.get(TAG_BITS_PER_SAMPLE, [1])
-    if len(bits) not in (1, spp):
+    bits_list = tags.get(TAG_BITS_PER_SAMPLE, [1])
+    if len(bits_list) not in (1, spp):
         raise TIFFError("BitsPerSample count disagrees with SamplesPerPixel")
-    if any(b != 8 for b in bits):
+    if any(b != bits_list[0] for b in bits_list):
+        raise UnsupportedTIFF("heterogeneous per-sample bit depths")
+    bits = bits_list[0]
+    if bits not in (1, 2, 4, 8):
         raise UnsupportedTIFF(
-            f"{bits[0]}-bit samples (baseline 8-bit decode only)"
+            f"{bits}-bit samples (1/2/4/8-bit decode only)"
         )
+    if bits != 8 and spp != 1:
+        # sub-byte multi-sample packing is not baseline TIFF
+        raise UnsupportedTIFF(f"{bits}-bit samples with {spp} channels")
     comp = one(TAG_COMPRESSION, COMP_NONE)
     if comp not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
         raise UnsupportedTIFF(f"compression {comp} (1/5/8/32773 decode)")
@@ -159,23 +194,55 @@ def _parse(payload: bytes, max_pixels: int):
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise UnsupportedTIFF(f"predictor {predictor}")
-    offsets = tags.get(TAG_STRIP_OFFSETS)
-    counts = tags.get(TAG_STRIP_BYTE_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TIFFError("strip offsets/byte counts missing or mismatched")
+    if predictor == 2 and bits != 8:
+        # horizontal differencing is byte-wise; on packed sub-byte
+        # rows it's writer-specific, not baseline
+        raise UnsupportedTIFF("predictor 2 with sub-byte samples")
+
+    tiled = TAG_TILE_OFFSETS in tags
+    if tiled and TAG_STRIP_OFFSETS in tags:
+        raise TIFFError("both strip and tile layouts present")
+    tile_w = tile_h = 0
+    rows_per_strip = 0
+    if tiled:
+        offsets = tags.get(TAG_TILE_OFFSETS)
+        counts = tags.get(TAG_TILE_BYTE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TIFFError("tile offsets/byte counts missing or mismatched")
+        tile_w = one(TAG_TILE_WIDTH)
+        tile_h = one(TAG_TILE_LENGTH)
+        if tile_w == 0 or tile_h == 0:
+            raise TIFFError("zero tile dimensions")
+        if tile_w * tile_h > max_pixels:
+            # a tiny declared image with giant declared tiles is a
+            # decompression bomb, not a legal layout
+            raise UnsupportedTIFF(
+                f"{tile_w}x{tile_h} tiles over the {max_pixels}-pixel budget"
+            )
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_h - 1) // tile_h
+        if len(offsets) != across * down:
+            raise TIFFError("tile count disagrees with image/tile geometry")
+    else:
+        offsets = tags.get(TAG_STRIP_OFFSETS)
+        counts = tags.get(TAG_STRIP_BYTE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TIFFError("strip offsets/byte counts missing or mismatched")
+        rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
+        if rows_per_strip == 0:
+            raise TIFFError("zero RowsPerStrip")
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(payload):
             raise TIFFError("strip data past end of file")
-    rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
-    if rows_per_strip == 0:
-        raise TIFFError("zero RowsPerStrip")
     colormap = tags.get(TAG_COLOR_MAP)
     if photometric == 3:
-        if not colormap or len(colormap) != 3 * 256:
-            raise TIFFError("palette image without a 3x256 ColorMap")
-    return (
-        endian, width, height, spp, comp, photometric, predictor,
-        offsets, counts, rows_per_strip, colormap,
+        if not colormap or len(colormap) != 3 * (1 << bits):
+            raise TIFFError(
+                f"palette image without a 3x{1 << bits} ColorMap"
+            )
+    return TiffLayout(
+        endian, width, height, spp, bits, comp, photometric, predictor,
+        offsets, counts, rows_per_strip, tile_w, tile_h, colormap, tiled,
     )
 
 
@@ -276,68 +343,110 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _decompress_chunk(chunk: bytes, comp: int, expected: int) -> bytes:
+    """One strip/tile of entropy data → exactly ``expected`` bytes."""
+    if comp == COMP_NONE:
+        if len(chunk) < expected:
+            raise TIFFError("uncompressed chunk shorter than its rows")
+        return bytes(chunk[:expected])
+    if comp == COMP_PACKBITS:
+        return _unpackbits(chunk, expected)
+    if comp == COMP_DEFLATE:
+        import zlib
+
+        try:
+            out = zlib.decompress(bytes(chunk), bufsize=expected)
+        except zlib.error as e:
+            raise TIFFError(f"deflate chunk: {e}") from None
+        if len(out) < expected:
+            raise TIFFError("deflate output shorter than the chunk")
+        return out[:expected]
+    return _lzw_decode(chunk, expected)
+
+
+def _undiff(strip: bytes, nrows: int, row_bytes: int, spp: int) -> bytes:
+    """Undo the horizontal-differencing predictor (tag 317 = 2)."""
+    s = bytearray(strip)
+    for r in range(nrows):
+        base = r * row_bytes
+        for i in range(spp, row_bytes):
+            s[base + i] = (s[base + i] + s[base + i - spp]) & 0xFF
+    return bytes(s)
+
+
 def decode_tiff(
     payload: bytes, max_pixels: int = MAX_PIXELS
 ) -> DecodedImage:
     """First-IFD baseline decode to a :class:`png_codec.DecodedImage`
     (palette expands to RGB; gray PhotometricInterpretation 0 is
-    inverted to the usual min-is-black)."""
-    (
-        endian, width, height, spp, comp, photometric, predictor,
-        offsets, counts, rows_per_strip, colormap,
-    ) = _parse(payload, max_pixels)
-    row_bytes = width * spp
-    raster = bytearray()
-    row0 = 0
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise TIFFError("strip data past end of file")
-        nrows = min(rows_per_strip, height - row0)
-        if nrows <= 0:
-            raise TIFFError("more strips than image rows")
-        expected = nrows * row_bytes
-        chunk = payload[off : off + cnt]
-        if comp == COMP_NONE:
-            if len(chunk) < expected:
-                raise TIFFError("uncompressed strip shorter than its rows")
-            strip = bytes(chunk[:expected])
-        elif comp == COMP_PACKBITS:
-            strip = _unpackbits(chunk, expected)
-        elif comp == COMP_DEFLATE:
-            import zlib
+    inverted to the usual min-is-black). Both strip and tile layouts
+    decode; 1/2/4-bit packed grayscale/bilevel/palette rows (each row
+    — or tile row — padded to a byte edge, MSB-first, same packing
+    PNG uses) expand through :func:`png_codec._unpack_bits`, with
+    gray scaled by the exact 255/85/17 factors and palette indexes
+    kept raw for the ColorMap lookup."""
+    lay = _parse(payload, max_pixels)
+    width, height, spp, bits = lay.width, lay.height, lay.spp, lay.bits
+    gray_scale = lay.photometric in (0, 1)  # not palette indexes
 
-            try:
-                strip = zlib.decompress(bytes(chunk), bufsize=expected)
-            except zlib.error as e:
-                raise TIFFError(f"deflate strip: {e}") from None
-            if len(strip) < expected:
-                raise TIFFError("deflate output shorter than the strip")
-            strip = strip[:expected]
-        else:
-            strip = _lzw_decode(chunk, expected)
-        if predictor == 2:
-            s = bytearray(strip)
-            for r in range(nrows):
-                base = r * row_bytes
-                for i in range(spp, row_bytes):
-                    s[base + i] = (s[base + i] + s[base + i - spp]) & 0xFF
-            strip = bytes(s)
-        raster += strip
-        row0 += nrows
-    if row0 < height:
-        raise TIFFError("strips cover fewer rows than ImageLength")
+    if lay.tiled:
+        tw, th = lay.tile_w, lay.tile_h
+        across = (width + tw - 1) // tw
+        tile_stride = (tw * spp * bits + 7) // 8
+        raster = bytearray(width * height * spp)
+        for ti, (off, cnt) in enumerate(zip(lay.offsets, lay.counts)):
+            ty, tx = divmod(ti, across)
+            tile = _decompress_chunk(
+                payload[off : off + cnt], lay.comp, th * tile_stride
+            )
+            if lay.predictor == 2:
+                tile = _undiff(tile, th, tw * spp, spp)
+            if bits != 8:
+                tile = _unpack_bits(tile, tw, th, bits, gray_scale)
+            # blit the valid region; edge tiles carry padding to clip
+            cw = min(tw, width - tx * tw)
+            ch = min(th, height - ty * th)
+            for r in range(ch):
+                src = r * tw * spp
+                dst = ((ty * th + r) * width + tx * tw) * spp
+                raster[dst : dst + cw * spp] = tile[src : src + cw * spp]
+    else:
+        row_stride = (width * spp * bits + 7) // 8
+        packed = bytearray()
+        row0 = 0
+        for off, cnt in zip(lay.offsets, lay.counts):
+            nrows = min(lay.rows_per_strip, height - row0)
+            if nrows <= 0:
+                raise TIFFError("more strips than image rows")
+            strip = _decompress_chunk(
+                payload[off : off + cnt], lay.comp, nrows * row_stride
+            )
+            if lay.predictor == 2:
+                strip = _undiff(strip, nrows, width * spp, spp)
+            packed += strip
+            row0 += nrows
+        if row0 < height:
+            raise TIFFError("strips cover fewer rows than ImageLength")
+        raster = (
+            _unpack_bits(packed, width, height, bits, gray_scale)
+            if bits != 8
+            else packed
+        )
 
-    if photometric == 3:
+    if lay.photometric == 3:
         # ColorMap entries are 16-bit; baseline writers scale 8-bit
         # values by 257 — scale back down
-        pal = colormap
+        pal = lay.colormap
+        n = 1 << bits
         rgb = bytearray(width * height * 3)
         for p, v in enumerate(raster):
+            if v >= n:
+                raise TIFFError("palette index out of ColorMap range")
             rgb[3 * p] = pal[v] >> 8
-            rgb[3 * p + 1] = pal[256 + v] >> 8
-            rgb[3 * p + 2] = pal[512 + v] >> 8
+            rgb[3 * p + 1] = pal[n + v] >> 8
+            rgb[3 * p + 2] = pal[2 * n + v] >> 8
         return DecodedImage(width, height, 3, bytes(rgb))
-    if photometric == 0:  # WhiteIsZero: invert to min-is-black
+    if lay.photometric == 0:  # WhiteIsZero: invert to min-is-black
         raster = bytearray(255 - b for b in raster)
     return DecodedImage(width, height, spp, bytes(raster))
 
@@ -425,6 +534,18 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pack_row(vals: bytes, bits: int) -> bytearray:
+    """Inverse of ``png_codec._unpack_bits`` for one row: MSB-first
+    sub-byte packing, padded to a byte edge."""
+    stride = (len(vals) * bits + 7) // 8
+    out = bytearray(stride)
+    mask = (1 << bits) - 1
+    for x, v in enumerate(vals):
+        shift = 8 - bits - ((x * bits) & 7)
+        out[(x * bits) >> 3] |= (v & mask) << shift
+    return out
+
+
 def encode_tiff(
     pixels: bytes,
     width: int,
@@ -434,67 +555,138 @@ def encode_tiff(
     predictor: int = 1,
     endian: str = "<",
     rows_per_strip: int | None = None,
+    bits: int = 8,
+    tile: tuple[int, int] | None = None,
+    colormap: list[tuple[int, int, int]] | None = None,
+    photometric: int | None = None,
 ) -> bytes:
-    """Baseline TIFF writer for fixtures and gates: 1 (gray) or 3 (RGB)
-    8-bit channels, compression 1/5/32773, optional horizontal
-    predictor, multi-strip, both endiannesses."""
+    """TIFF writer for fixtures and gates, covering every form the
+    decoder accepts: 1 (gray) or 3 (RGB) channels, 1/2/4/8-bit gray
+    or palette samples (``pixels`` is always one byte per sample; the
+    writer packs sub-byte rows), compression 1/5/8/32773, optional
+    horizontal predictor (8-bit only), strip OR tile layout, optional
+    ColorMap (8-bit triples, scaled x257 as baseline writers do), and
+    both endiannesses. ``photometric`` overrides the inferred value
+    (e.g. 0 for a WhiteIsZero bilevel scan)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
+    if bits not in (1, 2, 4, 8):
+        raise ValueError("bits must be 1, 2, 4 or 8")
+    if bits != 8 and channels != 1:
+        raise ValueError("sub-byte packing is single-channel only")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
+    if bits != 8 and any(v >> bits for v in pixels):
+        raise ValueError(f"sample value exceeds {bits}-bit range")
     if compression not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
         raise ValueError("compression must be 1, 5, 8 or 32773")
     if predictor == 2 and compression == COMP_NONE:
         raise ValueError("predictor needs a compressed coding")
-    rps = rows_per_strip or height
-    row_bytes = width * channels
+    if predictor == 2 and bits != 8:
+        raise ValueError("predictor 2 is 8-bit only")
+    if colormap is not None:
+        if channels != 1:
+            raise ValueError("palette images are single-channel indexes")
+        if len(colormap) != 1 << bits:
+            raise ValueError(f"ColorMap needs {1 << bits} entries")
+        if any(v >= (1 << bits) for v in pixels):
+            raise ValueError("palette index out of ColorMap range")
+    if photometric is None:
+        photometric = 3 if colormap is not None else (1 if channels == 1 else 2)
 
-    strips: list[bytes] = []
-    for row0 in range(0, height, rps):
-        nrows = min(rps, height - row0)
-        strip = pixels[row0 * row_bytes : (row0 + nrows) * row_bytes]
-        if predictor == 2:
-            s = bytearray(strip)
-            for r in range(nrows):
-                base = r * row_bytes
-                for i in range(row_bytes - 1, channels - 1, -1):
+    row_samples = width * channels
+
+    def _rows_chunk(row_vals: list[bytes]) -> bytes:
+        """rows of one-byte samples -> packed, predicted, compressed."""
+        if bits != 8:
+            raw = b"".join(bytes(_pack_row(r, bits)) for r in row_vals)
+        elif predictor == 2:
+            s = bytearray(b"".join(row_vals))
+            rb = len(row_vals[0])
+            for r in range(len(row_vals)):
+                base = r * rb
+                for i in range(rb - 1, channels - 1, -1):
                     s[base + i] = (s[base + i] - s[base + i - channels]) & 0xFF
-            strip = bytes(s)
+            raw = bytes(s)
+        else:
+            raw = b"".join(row_vals)
         if compression == COMP_PACKBITS:
-            strip = b"".join(
-                _packbits(strip[r * row_bytes : (r + 1) * row_bytes])
-                for r in range(nrows)
+            rb = len(raw) // len(row_vals)
+            return b"".join(
+                _packbits(raw[r * rb : (r + 1) * rb])
+                for r in range(len(row_vals))
             )
-        elif compression == COMP_LZW:
-            strip = _lzw_encode(strip)
-        elif compression == COMP_DEFLATE:
+        if compression == COMP_LZW:
+            return _lzw_encode(raw)
+        if compression == COMP_DEFLATE:
             import zlib
 
-            strip = zlib.compress(strip, 6)
-        strips.append(strip)
+            return zlib.compress(raw, 6)
+        return raw
+
+    chunks: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        if tw < 1 or th < 1:
+            raise ValueError("tile dimensions must be positive")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        for ty in range(down):
+            for tx in range(across):
+                rows = []
+                for r in range(th):
+                    y = ty * th + r
+                    row = bytearray(tw * channels)
+                    if y < height:
+                        cw = min(tw, width - tx * tw)
+                        src = (y * width + tx * tw) * channels
+                        row[: cw * channels] = pixels[src : src + cw * channels]
+                    rows.append(bytes(row))
+                chunks.append(_rows_chunk(rows))
+    else:
+        rps = rows_per_strip or height
+        for row0 in range(0, height, rps):
+            nrows = min(rps, height - row0)
+            rows = [
+                pixels[(row0 + r) * row_samples : (row0 + r + 1) * row_samples]
+                for r in range(nrows)
+            ]
+            chunks.append(_rows_chunk(rows))
 
     entries: list[tuple[int, int, int, list[int]]] = [
         (TAG_WIDTH, 4, 1, [width]),
         (TAG_HEIGHT, 4, 1, [height]),
-        (TAG_BITS_PER_SAMPLE, 3, channels, [8] * channels),
+        (TAG_BITS_PER_SAMPLE, 3, channels, [bits] * channels),
         (TAG_COMPRESSION, 3, 1, [compression]),
-        (TAG_PHOTOMETRIC, 3, 1, [1 if channels == 1 else 2]),
+        (TAG_PHOTOMETRIC, 3, 1, [photometric]),
         (TAG_SAMPLES_PER_PIXEL, 3, 1, [channels]),
-        (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
     ]
+    if tile is not None:
+        entries.append((TAG_TILE_WIDTH, 4, 1, [tile[0]]))
+        entries.append((TAG_TILE_LENGTH, 4, 1, [tile[1]]))
+        off_tag, cnt_tag = TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS
+    else:
+        entries.append((TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip or height]))
+        off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
     if predictor == 2:
         entries.append((TAG_PREDICTOR, 3, 1, [2]))
+    if colormap is not None:
+        n = 1 << bits
+        cm = (
+            [r * 257 for r, _g, _b in colormap]
+            + [g * 257 for _r, g, _b in colormap]
+            + [b * 257 for _r, _g, b in colormap]
+        )
+        entries.append((TAG_COLOR_MAP, 3, 3 * n, cm))
 
-    n_entries = len(entries) + 2  # + StripOffsets, StripByteCounts
+    n_entries = len(entries) + 2  # + chunk offsets, chunk byte counts
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     data_off = ifd_off + ifd_size
 
-    # out-of-line tag data (bits-per-sample for RGB, strip arrays)
     extra = bytearray()
 
     def _tag_bytes(tag, vtype, count, vals) -> bytes:
-        nonlocal data_off
         fmt = {3: "H", 4: "I"}[vtype]
         size = _TYPE_SIZES[vtype] * count
         packed = struct.pack(endian + fmt * count, *vals)
@@ -505,30 +697,21 @@ def encode_tiff(
         extra.extend(packed)
         return head + struct.pack(endian + "I", at)
 
-    # strip arrays need placement AFTER we know extra's layout; place
-    # the strip data after all out-of-line tag values
-    strip_count_vals = [len(s) for s in strips]
-    # first pass to account for extra sizes of fixed tags
     fixed_bytes = [
         _tag_bytes(tag, vtype, count, vals)
         for tag, vtype, count, vals in entries
     ]
-    # reserve space for the two strip arrays (LONGs, out-of-line iff >1)
-    def _array_tag(tag, vals) -> bytes:
-        nonlocal data_off
-        return _tag_bytes(tag, 4, len(vals), vals)
-
-    # compute strip data offsets: after IFD + extra (including the two
-    # arrays themselves when out-of-line)
-    arr_extra = sum(4 * len(strips) for _ in range(2)) if len(strips) > 1 else 0
-    strips_base = data_off + len(extra) + arr_extra
-    strip_offsets = []
-    at = strips_base
-    for s in strips:
-        strip_offsets.append(at)
-        at += len(s)
-    off_bytes = _array_tag(TAG_STRIP_OFFSETS, strip_offsets)
-    cnt_bytes = _array_tag(TAG_STRIP_BYTE_COUNTS, strip_count_vals)
+    # the two chunk arrays land in `extra` next (iff out-of-line);
+    # chunk data follows everything
+    arr_extra = (4 * len(chunks)) * 2 if len(chunks) > 1 else 0
+    chunk_base = data_off + len(extra) + arr_extra
+    chunk_offsets = []
+    at = chunk_base
+    for c in chunks:
+        chunk_offsets.append(at)
+        at += len(c)
+    off_bytes = _tag_bytes(off_tag, 4, len(chunks), chunk_offsets)
+    cnt_bytes = _tag_bytes(cnt_tag, 4, len(chunks), [len(c) for c in chunks])
 
     all_tags = sorted(
         fixed_bytes + [off_bytes, cnt_bytes],
@@ -542,6 +725,6 @@ def encode_tiff(
         out += t
     out += struct.pack(endian + "I", 0)  # no next IFD
     out += extra
-    for s in strips:
-        out += s
+    for c in chunks:
+        out += c
     return bytes(out)
