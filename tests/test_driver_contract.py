@@ -367,3 +367,70 @@ def test_python_bound_gate_stages_fan_out(spark):
         f"single-partition mapInPandas input would serialize Python "
         f"codec work on one Arrow worker: {serialized}"
     )
+
+
+def test_grouped_python_gate_stages_fan_out(spark):
+    """r9 verdict task 8: the mapInPandas spy above misses the grouped
+    Python family — ``GroupedData.applyInPandas`` (webdataset shard
+    packing) and ``applyInPandasWithState``. For grouped stages the
+    parent's partition count is irrelevant (the groupBy shuffles), so
+    the serialization trap is different: an EMPTY grouping key list
+    (``df.groupBy().applyInPandas``) collapses the whole input into
+    one global group on one worker. Spy on groupBy + the apply family
+    across every registry gate build and assert each grouped-Python
+    site carries at least one grouping column."""
+    import pyspark.sql.classic.dataframe as D
+    import pyspark.sql.group as G
+
+    import __spark_entry__ as entry
+
+    sf_dir = os.path.join(os.path.dirname(REPO), "testdata", "sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+
+    orig_groupby = D.DataFrame.groupBy
+    orig_apply = G.GroupedData.applyInPandas
+    orig_state = G.GroupedData.applyInPandasWithState
+    current = {"gate": None}
+    seen: dict[str, list[tuple[str, int]]] = {}
+
+    def spy_groupby(self, *cols):
+        gd = orig_groupby(self, *cols)
+        gd._spy_n_group_cols = len(cols)
+        return gd
+
+    def _record(gd, kind):
+        seen.setdefault(current["gate"], []).append(
+            (kind, getattr(gd, "_spy_n_group_cols", -1))
+        )
+
+    def spy_apply(self, func, schema):
+        _record(self, "applyInPandas")
+        return orig_apply(self, func, schema)
+
+    def spy_state(self, func, *a, **kw):
+        _record(self, "applyInPandasWithState")
+        return orig_state(self, func, *a, **kw)
+
+    D.DataFrame.groupBy = spy_groupby
+    G.GroupedData.applyInPandas = spy_apply
+    G.GroupedData.applyInPandasWithState = spy_state
+    try:
+        for name, fn in entry._FUNCS.items():
+            current["gate"] = name
+            fn(spark, sf_dir)  # build only — no action
+    finally:
+        D.DataFrame.groupBy = orig_groupby
+        G.GroupedData.applyInPandas = orig_apply
+        G.GroupedData.applyInPandasWithState = orig_state
+
+    # the webdataset shard-packing site must be visible (spy works;
+    # n_group_cols -1 would mean a groupBy the spy didn't wrap)
+    flat = [(g, kind, n) for g, sites in seen.items()
+            for kind, n in sites]
+    assert flat, "no grouped-Python site seen — spy wiring broke"
+    bad = [(g, kind, n) for g, kind, n in flat if n < 1]
+    assert not bad, (
+        f"grouped-Python stages without a grouping column run as ONE "
+        f"global group on one worker: {bad}"
+    )
