@@ -6068,7 +6068,12 @@ def unigram_segment_viterbi(spark, sf_dir):
 UNIGRAM_SQL = r"""
 with recursive
 w as (
-  select doc_id, i as pos, words[i] as word
+  -- r9 advice: mirror unigram.MAX_WORD_CHARS — the engine collapses
+  -- words over 200 chars to [UNK] (enc = 20*1024 + 1), which is
+  -- exactly one unknown char ('x' is outside the gate vocab, unknown
+  -- chars cost UNK_COST = 20), so substitute instead of recursing
+  select doc_id, i as pos,
+         case when len(words[i]) > 200 then 'x' else words[i] end as word
   from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as words,
                unnest(generate_series(1,
                       len(regexp_extract_all(lower(text), '[a-z]+')))) as i
@@ -6148,7 +6153,11 @@ def wordpiece_segment_fixed(spark, sf_dir):
 WORDPIECE_SQL = r"""
 with recursive
 w as (
-  select doc_id, i as pos, words[i] as word
+  -- r9 advice: mirror wordpiece's 200-char guard — over-long words
+  -- collapse to whole-word [UNK]; a single out-of-vocab char ('x')
+  -- takes the same failure branch in one recursion step
+  select doc_id, i as pos,
+         case when len(words[i]) > 200 then 'x' else words[i] end as word
   from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as words,
                unnest(generate_series(1,
                       len(regexp_extract_all(lower(text), '[a-z]+')))) as i

@@ -94,3 +94,44 @@ class TestCorpus:
         finally:
             D.DataFrame.mapInPandas = orig
         assert seen == [["word"]]  # only the distinct-word column
+
+
+def test_oracle_mirrors_long_word_guard():
+    """r9 advice: the engine collapses words over 200 chars to a
+    whole-word [UNK]; the recursive-CTE oracles must agree, or any
+    future fixture with a 200+ char [a-z]+ run hash-mismatches even
+    though both sides are 'correct'. The oracle substitutes a single
+    out-of-vocab char, which takes the same failure branch."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from sqlbackuphistoryetl_spark.extensions.unigram import (
+        viterbi_segment_word,
+    )
+    from sqlbackuphistoryetl_spark.extensions.wordpiece import (
+        wordpiece_tokenize_word,
+    )
+
+    text = "the " + "a" * 250 + " than"
+    vocab = set(E.WORDPIECE_GATE_VOCAB)
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select 1 as doc_id, ? as text", [text]
+    )
+    wp = con.execute(E.WORDPIECE_SQL).fetchall()[0]
+    uni = con.execute(E.UNIGRAM_SQL).fetchall()[0]
+
+    toks = []
+    n_tok = tot_cost = tot_enc = 0
+    for w in re.findall(r"[a-z]+", text.lower()):
+        toks += wordpiece_tokenize_word(w, vocab)
+        _p, _c, enc = viterbi_segment_word(w, E.UNIGRAM_GATE_VOCAB)
+        n_tok += enc % 1024
+        tot_cost += enc // 1024
+        tot_enc += enc
+    md5 = hashlib.md5("\x1e".join(toks).encode()).hexdigest()
+    assert (len(toks), md5) == (wp[1], wp[2])
+    assert (n_tok, tot_cost, tot_enc) == tuple(uni[1:])
