@@ -11,10 +11,13 @@ twin of the MinHash index's purpose-built ``compact`` (dedup_index.py).
 Design: one read → ``coalesce(ceil(bytes/target))`` (coalesce, not
 repartition — compaction must not pay a shuffle; slight size skew
 across output files is the accepted trade) → write to a sibling
-``.compacting`` dir → atomic rename swap. Either the old or the new
-layout is fully intact at every crash point (rename is atomic on
-HDFS/local; the fsutil docstring's object-store caveat applies — on
-S3-like stores run compaction through a table format instead).
+``.compacting`` dir → rename swap. One complete layout survives every
+crash point (rename is atomic on HDFS/local; the fsutil docstring's
+object-store caveat applies — on S3-like stores run compaction
+through a table format instead), but between the swap's two renames
+the table is briefly ABSENT at its path; a re-run repairs that state
+via ``_recover_interrupted_compaction`` (roll forward to the complete
+``.compacting`` output, else roll back to ``.pre-compact``).
 Partitioned tables pass ``partition_by``: the rewrite then shuffles on
 the partition columns so each partition directory collapses to one
 file per shuffle partition.
@@ -48,6 +51,40 @@ def table_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return total, n
 
 
+def _recover_interrupted_compaction(spark: SparkSession, path: str) -> str | None:
+    """Repair the states a crash during a previous :func:`compact_parquet`
+    swap can leave behind, so a re-run never fails on a missing table.
+
+    The swap is rename(path → .pre-compact) then rename(.compacting →
+    path): between those two renames the table is ABSENT at its path
+    (the one-rename exposure window — a reader in that instant sees no
+    table, and a naive re-run used to crash in ``table_stats``).
+    States and their repairs:
+
+    - ``.pre-compact`` present, ``path`` missing → crashed inside the
+      window. Roll FORWARD to ``.compacting`` if it exists (it was
+      fully written before the first rename fired), else roll BACK to
+      ``.pre-compact``.
+    - ``.pre-compact`` AND ``path`` present → crashed after the second
+      rename, before cleanup: compaction completed; drop the leftover.
+    - ``.compacting`` present alone → crashed mid-write; the partial
+      output is dropped by the normal pre-write cleanup below.
+    """
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".pre-compact"
+    if not fsutil.exists(spark, old):
+        return None
+    if fsutil.exists(spark, path):
+        fsutil.delete(spark, old)
+        return "completed_prior"
+    if fsutil.exists(spark, tmp):
+        fsutil.rename(spark, tmp, path)
+        fsutil.delete(spark, old)
+        return "rolled_forward"
+    fsutil.rename(spark, old, path)
+    return "rolled_back"
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -56,7 +93,10 @@ def compact_parquet(
 ) -> dict:
     """Compact a parquet table in place; returns the before/after
     stats dict (``skipped=True`` when the table already meets the
-    target — a no-op compaction must never rewrite data)."""
+    target — a no-op compaction must never rewrite data). A leftover
+    ``.pre-compact``/``.compacting`` pair from a crashed prior run is
+    repaired first (see :func:`_recover_interrupted_compaction`)."""
+    recovered = _recover_interrupted_compaction(spark, path)
     bytes_before, files_before = table_stats(spark, path)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     if files_before <= n_out:
@@ -66,6 +106,7 @@ def compact_parquet(
             "files_before": files_before,
             "files_after": files_before,
             "n_out": n_out,
+            "recovered": recovered,
         }
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
@@ -81,7 +122,10 @@ def compact_parquet(
         )
     else:
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    # swap: at every crash point either layout is fully intact
+    # swap: the data is never lost at any crash point (one complete
+    # layout always exists under SOME name), but between the two
+    # renames the table is briefly absent at `path` — the exposure
+    # window _recover_interrupted_compaction repairs on the next run
     fsutil.rename(spark, path, old)
     fsutil.rename(spark, tmp, path)
     fsutil.delete(spark, old)
@@ -92,4 +136,5 @@ def compact_parquet(
         "files_before": files_before,
         "files_after": files_after,
         "n_out": n_out,
+        "recovered": recovered,
     }

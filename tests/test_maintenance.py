@@ -75,3 +75,63 @@ def test_partitioned_layout_preserved(spark, tmp_path):
     assert dirs == ["part=0", "part=1", "part=2"]
     after = spark.read.parquet(repart).orderBy("doc_id").collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+class TestCrashRecovery:
+    """r9 advice: between the swap's two renames the table is absent
+    at its path; a re-run must repair every leftover state instead of
+    crashing in table_stats."""
+
+    def _setup(self, spark, tmp_path):
+        import shutil
+
+        path = str(tmp_path / "t")
+        _fragmented(spark, path)
+        rows = spark.read.parquet(path).orderBy("doc_id").collect()
+        return path, rows, shutil
+
+    def test_mid_window_rolls_forward(self, spark, tmp_path):
+        import os
+
+        path, rows, shutil = self._setup(spark, tmp_path)
+        # simulate: .compacting fully written, path renamed away,
+        # second rename never fired
+        compact_parquet(spark, path, target_bytes=1 << 30)
+        # rebuild the crash state from a fresh fragmented table
+        _fragmented(spark, path)
+        spark.read.parquet(path).coalesce(1).write.mode("overwrite").parquet(
+            path + ".compacting"
+        )
+        os.rename(path, path + ".pre-compact")
+        assert not os.path.exists(path)
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 30)
+        assert stats["recovered"] == "rolled_forward"
+        assert not os.path.exists(path + ".pre-compact")
+        got = spark.read.parquet(path).orderBy("doc_id").collect()
+        assert got == rows
+
+    def test_mid_window_no_tmp_rolls_back(self, spark, tmp_path):
+        import os
+
+        path, rows, shutil = self._setup(spark, tmp_path)
+        os.rename(path, path + ".pre-compact")
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 30)
+        assert stats["recovered"] == "rolled_back"
+        got = spark.read.parquet(path).orderBy("doc_id").collect()
+        assert got == rows
+
+    def test_completed_prior_drops_leftover(self, spark, tmp_path):
+        import os
+
+        path, rows, shutil = self._setup(spark, tmp_path)
+        # crash after the second rename: compacted table in place,
+        # .pre-compact never deleted
+        shutil.copytree(path, path + ".pre-compact")
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 30)
+        assert stats["recovered"] == "completed_prior"
+        assert not os.path.exists(path + ".pre-compact")
+        got = spark.read.parquet(path).orderBy("doc_id").collect()
+        assert got == rows
