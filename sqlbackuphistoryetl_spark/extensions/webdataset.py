@@ -63,6 +63,14 @@ from pyspark.sql.types import (
 
 from .sharding import global_ordinals
 
+#: archive-member decompression budget, the container twin of the
+#: codecs' MAX_PIXELS/MAX_SAMPLES doctrine: own shards write STORED/
+#: uncompressed members, but scraped zips can DEFLATE ~1000x — one
+#: hostile member must not OOM an executor. Over-budget members
+#: surface as rows with a NULL payload (visible drop, never a silent
+#: vanish or a job kill).
+MAX_MEMBER_BYTES = 256 << 20
+
 MEMBER_SCHEMA = StructType(
     [
         StructField("shard", StringType(), False),
@@ -133,6 +141,15 @@ def _write_shards(
 ) -> list:
     """Shared shard-writing machinery: distributed-ordinal sample→shard
     assignment, one packer task per shard, atomic rename publish."""
+    if shard_offset == 0 and _max_shard_index(path, suffix) >= 0:
+        # a fresh write over existing shard files would silently merge
+        # two corpora (stale shard-*.tar from a prior run with a
+        # different samples_per_shard survive into every later scan)
+        raise ValueError(
+            f"{path} already holds shard-*{suffix} files; clear the "
+            f"directory for a fresh write, or use the append_* form "
+            f"to add new shards after the existing ones"
+        )
     keys = df.select("key").distinct()
     assign = global_ordinals(
         keys, ["key"], shard_size=samples_per_shard,
@@ -281,6 +298,9 @@ def read_webdataset(
             for m in tf:
                 if not m.isfile():
                     continue
+                if m.size > MAX_MEMBER_BYTES:
+                    yield m.name, None  # over budget: visible NULL drop
+                    continue
                 yield m.name, tf.extractfile(m).read()
 
     return _read_archives(spark, path, "*.tar", _walk_tar, fan_out)
@@ -291,7 +311,12 @@ def read_zip_shards(
 ) -> DataFrame:
     """ZIP twin of :func:`read_webdataset`: ``*.zip`` archives into the
     same long member form. Directory entries are skipped; the same
-    key/ext basename convention applies."""
+    key/ext basename convention applies. Scraped zips are hostile
+    input: a member whose DECLARED size exceeds :data:`MAX_MEMBER_BYTES`
+    (own shards are STORED; a DEFLATED crawl member can expand ~1000x)
+    is never decompressed — it surfaces as a NULL-payload row instead
+    of OOMing an executor — and a lying header (stream larger than
+    declared) is truncated by reading at most the declared size."""
     def _walk_zip(blob: bytes):
         import zipfile
 
@@ -299,7 +324,14 @@ def read_zip_shards(
             for zi in zf.infolist():
                 if zi.is_dir():
                     continue
-                yield zi.filename, zf.read(zi)
+                if zi.file_size > MAX_MEMBER_BYTES:
+                    yield zi.filename, None  # over budget: visible drop
+                    continue
+                with zf.open(zi) as mf:
+                    # read(n+1), not read(): a header declaring 1 KB
+                    # over a 10 GB stream must not materialize 10 GB
+                    data = mf.read(zi.file_size + 1)
+                yield zi.filename, data[: zi.file_size]
 
     return _read_archives(spark, path, "*.zip", _walk_zip, fan_out)
 

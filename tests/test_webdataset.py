@@ -226,3 +226,88 @@ def test_zip_append(spark, tmp_path):
     )
     assert [r["shard"] for r in append_zip_shards(extra, path, 2)] == [2]
     assert read_zip_shards(spark, path).count() == 7
+
+
+def test_fresh_write_refuses_existing_shards(spark, tmp_path):
+    """r9 advice: a fresh write over existing shard files would merge
+    two corpora into later scans (stale shard-000xxx.tar from a prior
+    run survive any re-write with fewer shards). Fail and point at the
+    append form; append itself still works."""
+    import pytest
+
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        append_webdataset,
+        write_webdataset,
+    )
+
+    rows = [(f"k{i:03d}", "txt", f"v{i}".encode()) for i in range(8)]
+    df = spark.createDataFrame(rows, ["key", "ext", "payload"])
+    path = str(tmp_path / "wds")
+    write_webdataset(df, path, samples_per_shard=4)
+    with pytest.raises(ValueError, match="append"):
+        write_webdataset(df, path, samples_per_shard=4)
+    # append remains the sanctioned way to add to a populated dir
+    more = spark.createDataFrame(
+        [(f"m{i}", "txt", b"x") for i in range(4)], ["key", "ext", "payload"]
+    )
+    assert append_webdataset(more, path, samples_per_shard=4)
+
+
+def test_zip_member_budget_yields_null_payload(spark, tmp_path):
+    """r9 advice: a scraped DEFLATED zip member declaring more than
+    MAX_MEMBER_BYTES must never be decompressed — it surfaces as a
+    visible NULL-payload row, not an executor OOM or a vanished key."""
+    import io
+    import zipfile
+
+    from sqlbackuphistoryetl_spark.extensions import webdataset as wds
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("ok.txt", b"fine")
+        zf.writestr("bomb.bin", b"\0" * 4096)  # compresses tiny
+    blob = bytearray(buf.getvalue())
+    path = str(tmp_path / "z")
+    import os
+
+    os.makedirs(path)
+    with open(os.path.join(path, "shard-000000.zip"), "wb") as fh:
+        fh.write(bytes(blob))
+
+    orig = wds.MAX_MEMBER_BYTES
+    wds.MAX_MEMBER_BYTES = 1024  # force 'bomb.bin' over budget
+    try:
+        out = {r["key"]: r["payload"]
+               for r in wds.read_zip_shards(spark, path).collect()}
+    finally:
+        wds.MAX_MEMBER_BYTES = orig
+    assert out["ok"] == b"fine"
+    assert out["bomb"] is None  # present, visibly dropped
+
+
+def test_tar_member_budget_yields_null_payload(spark, tmp_path):
+    import io
+    import os
+    import tarfile
+
+    from sqlbackuphistoryetl_spark.extensions import webdataset as wds
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("a.txt", b"ok"), ("big.bin", b"\0" * 4096)]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with open(os.path.join(path, "shard-000000.tar"), "wb") as fh:
+        fh.write(buf.getvalue())
+
+    orig = wds.MAX_MEMBER_BYTES
+    wds.MAX_MEMBER_BYTES = 1024
+    try:
+        out = {r["key"]: r["payload"]
+               for r in wds.read_webdataset(spark, path).collect()}
+    finally:
+        wds.MAX_MEMBER_BYTES = orig
+    assert out["a"] == b"ok" and out["big"] is None
