@@ -553,7 +553,87 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     )
     timings["codec_avi_frames_20k"] = round(time.perf_counter() - t0, 2)
 
+    # r10: the r9 operators' scaling claims, measured (r9 verdict
+    # task 6). WordPiece/unigram segment the FULL corpus — their cost
+    # model is Python-once-per-DISTINCT-word + a broadcast join-back,
+    # so the number to watch is wall time tracking the distinct-word
+    # count, not the doc count.
+    from sqlbackuphistoryetl_spark.extensions.multimodal import media_info
+    from sqlbackuphistoryetl_spark.extensions.unigram import (
+        unigram_segment_corpus,
+    )
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+    from sqlbackuphistoryetl_spark.extensions.wordpiece import (
+        wordpiece_segment_corpus,
+    )
+
+    wp_vocab = [
+        "th", "he", "an",
+        "a", "t", "h", "e", "s", "o", "i", "n", "d",
+        "##th", "##he", "##an",
+        "##a", "##t", "##h", "##e", "##s", "##o", "##i", "##n", "##d",
+    ]
+    t0 = time.perf_counter()
+    n_wp = (
+        wordpiece_segment_corpus(docs_m, wp_vocab)
+        .filter(F.col("n_tokens") > 0)
+        .count()
+    )
+    timings["wordpiece_segment"] = round(time.perf_counter() - t0, 2)
+
+    uni_vocab = {
+        "th": 3, "he": 3, "an": 4,
+        "a": 6, "t": 6, "h": 7, "e": 5, "s": 6, "o": 6, "i": 6,
+        "n": 6, "d": 7,
+    }
+    t0 = time.perf_counter()
+    n_uni = (
+        unigram_segment_corpus(docs_m, uni_vocab)
+        .filter(F.col("n_tokens") > 0)
+        .count()
+    )
+    timings["unigram_segment"] = round(time.perf_counter() - t0, 2)
+
+    # webdataset: 20k samples (2 members each) written as tar shards
+    # then scanned back — the write (range shuffle + per-task packing)
+    # IS the operator; the read is one shard per task
+    wds_dir = tempfile.mkdtemp(prefix="scale_smoke_wds_")
+    members = pay.select(
+        F.concat(F.lit("k"), F.format_string("%07d", "doc_id")).alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).unionByName(
+        pay.select(
+            F.concat(F.lit("k"), F.format_string("%07d", "doc_id")).alias("key"),
+            F.lit("cls").alias("ext"),
+            F.encode((F.col("doc_id") % 10).cast("string"), "utf-8").alias("payload"),
+        )
+    )
+    t0 = time.perf_counter()
+    shards = write_webdataset(members, wds_dir, samples_per_shard=256)
+    timings["webdataset_write_20k"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_wds_members = read_webdataset(spark, wds_dir, fan_out=64).count()
+    timings["webdataset_read_20k"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(wds_dir, ignore_errors=True)
+
+    # media_info triage over the mixed 20k codec slice: header walks
+    # only — per-payload cost must stay far below the decode stages
+    t0 = time.perf_counter()
+    n_media = (
+        media_info(payloads).filter(F.col("format") != "unknown").count()
+    )
+    timings["media_info_20k"] = round(time.perf_counter() - t0, 2)
+
     return {
+        "wordpiece_docs": n_wp,
+        "unigram_docs": n_uni,
+        "wds_shards": len(shards),
+        "wds_members": n_wds_members,
+        "media_known": n_media,
         "edit_pairs_d2": n_edit,
         "gopher_rep_docs": n_goprep,
         "fineweb_pass": n_fineweb,
