@@ -4994,6 +4994,92 @@ from fb
 """
 
 
+def multimodal_ccitt_fax(spark, sf_dir):
+    """Bilevel fax TIFFs through the REAL CCITT chain
+    (extensions/ccitt.py + tiff_codec + multimodal.image_quality,
+    r10): each document's first 16 sanitized chars become a 16x7
+    WhiteIsZero bilevel raster (pixel(y,x) = bit y of ord(s[x])),
+    encoded as Modified Huffman (odd doc_id) or Group 4 MMR (even),
+    tiled 8x4 on every third document and 3-row strips otherwise — so
+    BOTH fax codings, both layouts, and the photometric-0 inversion
+    all sit under ONE oracle that recomputes the luminance stats
+    closed-form from ``ord()`` bit arithmetic. A T.4 table value, G4
+    mode, changing-element, bit-packing or inversion bug
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
+    from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
+        COMP_CCITT_MH,
+        COMP_G4,
+        encode_tiff,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(d, t):
+            s = re.sub(r"[^ -~]", "?", t)[:16].ljust(16, " ")
+            vals = bytes(
+                (ord(s[x]) >> y) & 1 for y in range(7) for x in range(16)
+            )
+            comp = COMP_CCITT_MH if d % 2 else COMP_G4
+            kw = {"tile": (8, 4)} if d % 3 == 0 else {"rows_per_strip": 3}
+            return encode_tiff(
+                vals, 16, 7, 1, compression=comp, bits=1, photometric=0,
+                **kw,
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_quality(payloads).select(
+        "doc_id", "width", "height", "mean_lum", "min_lum", "max_lum",
+        "n_distinct_lum", "is_flat", "decoder",
+    )
+
+
+MULTIMODAL_CCITT_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 16),
+              16, ' ') as s
+  from documents),
+px as (
+  -- WhiteIsZero: a set bit is BLACK and decodes to luminance 0
+  select doc_id,
+         case when (ord(substr(s, x + 1, 1)) >> y) & 1 = 1
+              then 0 else 255 end as v
+  from s,
+       unnest(generate_series(0, 15)) as t1(x),
+       unnest(generate_series(0, 6)) as t2(y))
+select doc_id,
+       cast(16 as bigint) as width,
+       cast(7 as bigint) as height,
+       cast(sum(v) // 112 as bigint) as mean_lum,
+       min(v) as min_lum,
+       max(v) as max_lum,
+       cast(count(distinct v) as bigint) as n_distinct_lum,
+       case when min(v) = max(v) then 'y' else 'n' end as is_flat,
+       'tiff-baseline' as decoder
+from px group by doc_id
+"""
+
+
 def multimodal_tiff_fingerprint(spark, sf_dir):
     """Perceptual dHash through the REAL TIFF codec chain
     (extensions/tiff_codec.py + multimodal.image_dhash): each
@@ -6943,6 +7029,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_flac_audio": MULTIMODAL_FLAC_SQL,
     "media_info_mixed": MEDIA_INFO_SQL,
     "media_info_mp4": MEDIA_INFO_MP4_SQL,
+    "multimodal_ccitt_fax": MULTIMODAL_CCITT_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7244,6 +7331,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r9) ---
     "media_info_mp4": media_info_mp4,
+    "multimodal_ccitt_fax": multimodal_ccitt_fax,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
@@ -7292,10 +7380,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
     "asof_last_purchase": asof_last_purchase,
-    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     "boilerplate_line_removal": boilerplate_line_removal,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_packed_export": bpe_packed_export,
@@ -7412,6 +7500,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "bloom_prefilter_verdicts",
         "boilerplate_line_removal",
         "bpe_merge_candidates",
         "bpe_packed_export",

@@ -127,6 +127,7 @@ EXTENDED = [
     # header-only mixed-container triage pass
     "media_info_mixed",
     "media_info_mp4",
+    "multimodal_ccitt_fax",
     # BERT-style greedy longest-match tokenization (distinct-word
     # Python, JVM re-assembly)
     "wordpiece_segment_fixed",

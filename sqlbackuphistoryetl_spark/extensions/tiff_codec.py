@@ -14,7 +14,11 @@ APP1) pointing at strip data in one of three baseline codings, all
   EARLY width change (one code before the table fills, the documented
   TIFF 6.0 quirk — deliberately a THIRD LZW variant next to GIF's
   LSB-first/late pairing), plus the optional horizontal-differencing
-  predictor (tag 317).
+  predictor (tag 317);
+- Compression 2 (T.4 Modified Huffman) and 4 (ITU T.6 "Group 4" MMR)
+  via :mod:`.ccitt` (r10) — what real bilevel archival scans actually
+  use; Compression 3 (Group 3 with EOL/T4Options plumbing) and T.6
+  uncompressed mode stay gated.
 
 Decoded forms: 1/2/4/8-bit grayscale (bilevel scans — the most common
 archival TIFF form — included; sub-byte rows unpack through the same
@@ -54,6 +58,8 @@ TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
+TAG_T4_OPTIONS = 292
+TAG_T6_OPTIONS = 293
 TAG_PREDICTOR = 317
 TAG_COLOR_MAP = 320
 TAG_TILE_WIDTH = 322
@@ -62,6 +68,9 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 
 COMP_NONE = 1
+COMP_CCITT_MH = 2  # T.4 1-D Modified Huffman, no EOLs (fax)
+COMP_G3 = 3  # Group 3 with EOLs/T4Options — gated
+COMP_G4 = 4  # ITU T.6 Group 4 MMR — the archival-scan standard
 COMP_LZW = 5
 COMP_DEFLATE = 8  # Adobe deflate: zlib streams per strip
 COMP_PACKBITS = 32773
@@ -182,8 +191,19 @@ def _parse(payload: bytes, max_pixels: int) -> TiffLayout:
         # sub-byte multi-sample packing is not baseline TIFF
         raise UnsupportedTIFF(f"{bits}-bit samples with {spp} channels")
     comp = one(TAG_COMPRESSION, COMP_NONE)
-    if comp not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
-        raise UnsupportedTIFF(f"compression {comp} (1/5/8/32773 decode)")
+    if comp not in (
+        COMP_NONE, COMP_CCITT_MH, COMP_G4, COMP_LZW, COMP_DEFLATE,
+        COMP_PACKBITS,
+    ):
+        raise UnsupportedTIFF(
+            f"compression {comp} (1/2/4/5/8/32773 decode)"
+        )
+    if comp in (COMP_CCITT_MH, COMP_G4):
+        if bits != 1 or spp != 1:
+            raise TIFFError("CCITT coding on a non-bilevel image")
+        if one(TAG_T6_OPTIONS, 0) & 2:
+            # T.6 uncompressed-mode escape sequences
+            raise UnsupportedTIFF("T6 uncompressed mode")
     photometric = one(TAG_PHOTOMETRIC)
     if photometric not in (0, 1, 2, 3):
         raise UnsupportedTIFF(f"photometric {photometric}")
@@ -343,12 +363,25 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _decompress_chunk(chunk: bytes, comp: int, expected: int) -> bytes:
-    """One strip/tile of entropy data → exactly ``expected`` bytes."""
+def _decompress_chunk(
+    chunk: bytes, comp: int, expected: int, width: int = 0, nrows: int = 0
+) -> bytes:
+    """One strip/tile of entropy data → exactly ``expected`` bytes.
+    The CCITT codings are row-structured, so they take the chunk's
+    (width, nrows) geometry and emit packed bilevel rows directly."""
     if comp == COMP_NONE:
         if len(chunk) < expected:
             raise TIFFError("uncompressed chunk shorter than its rows")
         return bytes(chunk[:expected])
+    if comp in (COMP_CCITT_MH, COMP_G4):
+        from . import ccitt
+
+        try:
+            if comp == COMP_CCITT_MH:
+                return ccitt.decode_mh(bytes(chunk), width, nrows)
+            return ccitt.decode_g4(bytes(chunk), width, nrows)
+        except ccitt.CCITTError as e:
+            raise TIFFError(f"CCITT chunk: {e}") from None
     if comp == COMP_PACKBITS:
         return _unpackbits(chunk, expected)
     if comp == COMP_DEFLATE:
@@ -397,7 +430,8 @@ def decode_tiff(
         for ti, (off, cnt) in enumerate(zip(lay.offsets, lay.counts)):
             ty, tx = divmod(ti, across)
             tile = _decompress_chunk(
-                payload[off : off + cnt], lay.comp, th * tile_stride
+                payload[off : off + cnt], lay.comp, th * tile_stride,
+                width=tw, nrows=th,
             )
             if lay.predictor == 2:
                 tile = _undiff(tile, th, tw * spp, spp)
@@ -419,7 +453,8 @@ def decode_tiff(
             if nrows <= 0:
                 raise TIFFError("more strips than image rows")
             strip = _decompress_chunk(
-                payload[off : off + cnt], lay.comp, nrows * row_stride
+                payload[off : off + cnt], lay.comp, nrows * row_stride,
+                width=width, nrows=nrows,
             )
             if lay.predictor == 2:
                 strip = _undiff(strip, nrows, width * spp, spp)
@@ -578,8 +613,13 @@ def encode_tiff(
         raise ValueError("pixel buffer does not match dimensions")
     if bits != 8 and any(v >> bits for v in pixels):
         raise ValueError(f"sample value exceeds {bits}-bit range")
-    if compression not in (COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS):
-        raise ValueError("compression must be 1, 5, 8 or 32773")
+    if compression not in (
+        COMP_NONE, COMP_CCITT_MH, COMP_G4, COMP_LZW, COMP_DEFLATE,
+        COMP_PACKBITS,
+    ):
+        raise ValueError("compression must be 1, 2, 4, 5, 8 or 32773")
+    if compression in (COMP_CCITT_MH, COMP_G4) and bits != 1:
+        raise ValueError("CCITT codings are bilevel (bits=1) only")
     if predictor == 2 and compression == COMP_NONE:
         raise ValueError("predictor needs a compressed coding")
     if predictor == 2 and bits != 8:
@@ -598,6 +638,12 @@ def encode_tiff(
 
     def _rows_chunk(row_vals: list[bytes]) -> bytes:
         """rows of one-byte samples -> packed, predicted, compressed."""
+        if compression in (COMP_CCITT_MH, COMP_G4):
+            from . import ccitt
+
+            if compression == COMP_CCITT_MH:
+                return ccitt.encode_mh(list(row_vals), len(row_vals[0]))
+            return ccitt.encode_g4(list(row_vals), len(row_vals[0]))
         if bits != 8:
             raw = b"".join(bytes(_pack_row(r, bits)) for r in row_vals)
         elif predictor == 2:
