@@ -6454,6 +6454,112 @@ from o
 """
 
 
+def media_info_web(spark, sf_dir):
+    """Header triage for the open-web trio (r10): WebP (lossy, VP8L
+    lossless, VP8X extended+animation — rotating by text byte), MP3
+    (Layer III frame-header walk, frame count x 1152 = duration), and
+    Ogg (OpusHead/Vorbis identification + last-page granule, Opus
+    pre-skip subtracted). Entropy decode stays gated per the
+    perceptual-codec doctrine; every reported field is a header walk
+    the oracle recomputes closed-form from ``ord()`` — a 14-bit
+    dimension unpack, frame-length computation, granule or pre-skip
+    bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import media_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.mp3_codec import build_mp3
+        from sqlbackuphistoryetl_spark.extensions.ogg_codec import build_ogg
+        from sqlbackuphistoryetl_spark.extensions.webp_codec import build_webp
+
+        def mk(d, t):
+            s = re.sub(r"[^ -~]", "?", t)[:3].ljust(3, " ").encode("ascii")
+            m = d % 3
+            if m == 0:
+                form = ["lossy", "lossless", "extended"][s[2] % 3]
+                return build_webp(
+                    form, 100 + s[0], 20 + s[1],
+                    has_alpha=(form != "lossy" and s[0] % 2 == 1),
+                    n_frames=(1 + s[2] % 4) if form == "extended" else 1,
+                )
+            if m == 1:
+                return build_mp3(
+                    5 + s[0] % 20,
+                    [44100, 48000, 32000][s[1] % 3],
+                    128,
+                    1 + s[2] % 2,
+                    id3=(s[0] % 2 == 0),
+                )
+            return build_ogg(
+                "opus" if s[0] % 2 else "vorbis",
+                1 + s[1] % 2,
+                8000 * (1 + s[2] % 5),
+                500 + s[0] * 3,
+                pre_skip=312 if s[0] % 2 else 0,
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return media_info(payloads)
+
+
+MEDIA_INFO_WEB_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 3),
+              3, ' ') as s
+  from documents),
+o as (
+  select doc_id, doc_id % 3 as m,
+         ord(substr(s, 1, 1)) as o0,
+         ord(substr(s, 2, 1)) as o1,
+         ord(substr(s, 3, 1)) as o2
+  from s)
+select doc_id,
+       case m when 0 then 'webp' when 1 then 'mp3' else 'ogg' end
+         as format,
+       case when m = 0 then cast(100 + o0 as bigint) end as width,
+       case when m = 0 then cast(20 + o1 as bigint) end as height,
+       case when m = 0 then
+              cast(case when o2 % 3 = 2 then 1 + o2 % 4 else 1 end
+                   as bigint)
+            when m = 1 then cast(5 + o0 % 20 as bigint) end as n_frames,
+       case when m = 0 then
+              cast(case when o2 % 3 != 0 and o0 % 2 = 1 then 4 else 3 end
+                   as bigint)
+            when m = 1 then cast(1 + o2 % 2 as bigint)
+            else cast(1 + o1 % 2 as bigint) end as channels,
+       case when m = 1 then
+              cast(case o1 % 3 when 0 then 44100 when 1 then 48000
+                   else 32000 end as bigint)
+            when m = 2 then cast(8000 * (1 + o2 % 5) as bigint)
+         end as sample_rate,
+       case when m = 1 then cast((5 + o0 % 20) * 1152 as bigint)
+            when m = 2 then cast(500 + o0 * 3 as bigint)
+         end as n_samples,
+       case when m = 0 then cast(8 as bigint) end as bit_depth
+from o
+"""
+
+
 def multimodal_g711_audio(spark, sf_dir):
     """G.711 mu-law telephony audio through the real WAV chain
     (wav_codec format tag 7, r8): each document's first 128 sanitized
@@ -7030,6 +7136,7 @@ _ORACLES: dict[str, str | None] = {
     "media_info_mixed": MEDIA_INFO_SQL,
     "media_info_mp4": MEDIA_INFO_MP4_SQL,
     "multimodal_ccitt_fax": MULTIMODAL_CCITT_SQL,
+    "media_info_web": MEDIA_INFO_WEB_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7331,6 +7438,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r9) ---
     "media_info_mp4": media_info_mp4,
+    "media_info_web": media_info_web,
     "multimodal_ccitt_fax": multimodal_ccitt_fax,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
@@ -7379,10 +7487,10 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "winnowing_overlap_pairs": winnowing_overlap_pairs,
-    "asof_last_purchase": asof_last_purchase,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
+    "asof_last_purchase": asof_last_purchase,
     "bloom_prefilter_verdicts": bloom_prefilter_verdicts,
     "boilerplate_line_removal": boilerplate_line_removal,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -7500,6 +7608,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         # Computed by tools/rotation.py (see tools/regen_registry.py):
         # parked gates whose last green row predates the latest
         # recorded round — they rotate into the NEXT window.
+        "asof_last_purchase",
         "bloom_prefilter_verdicts",
         "boilerplate_line_removal",
         "bpe_merge_candidates",

@@ -128,6 +128,7 @@ EXTENDED = [
     "media_info_mixed",
     "media_info_mp4",
     "multimodal_ccitt_fax",
+    "media_info_web",
     # BERT-style greedy longest-match tokenization (distinct-word
     # Python, JVM re-assembly)
     "wordpiece_segment_fixed",

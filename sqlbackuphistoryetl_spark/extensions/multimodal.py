@@ -560,9 +560,12 @@ def _media_info_one(raw: bytes) -> tuple:
         bmp_codec,
         flac_codec,
         gif_codec,
+        mp3_codec,
         mp4_codec,
+        ogg_codec,
         tiff_codec,
         wav_codec,
+        webp_codec,
     )
 
     none7 = (None,) * 7
@@ -652,6 +655,20 @@ def _media_info_one(raw: bytes) -> tuple:
             mi = mp4_codec.parse_mp4(raw)
             return ("mp4", mi.width, mi.height, mi.n_frames, mi.channels,
                     mi.sample_rate, mi.n_samples, mi.bit_depth)
+        if webp_codec.is_webp(raw):
+            wi = webp_codec.parse_webp(raw)
+            return ("webp", wi.width, wi.height, wi.n_frames,
+                    4 if wi.has_alpha else 3, None, None, 8)
+        if ogg_codec.is_ogg(raw):
+            oi = ogg_codec.parse_ogg(raw)
+            return ("ogg", None, None, None, oi.channels, oi.sample_rate,
+                    oi.n_samples, None)
+        if mp3_codec.is_mp3(raw):
+            # LAST in dispatch: the 0xFF frame-sync prefix is weak, so
+            # is_mp3 validates the full first header
+            pi = mp3_codec.parse_mp3(raw)
+            return ("mp3", None, None, pi.n_frames, pi.channels,
+                    pi.sample_rate, pi.n_samples, None)
     except Exception:  # corrupt header behind a valid magic: triage, not crash
         return ("unknown",) + none7
     return ("unknown",) + none7
