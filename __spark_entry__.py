@@ -6454,6 +6454,78 @@ from o
 """
 
 
+def multimodal_jpeg_12bit(spark, sf_dir):
+    """12-bit extended-sequential JPEG (SOF1, r10) through the real
+    codec chain: each document's first 4 sanitized chars become the
+    four 8x8 blocks of a 16x16 grayscale frame, encoded at precision
+    12 (16-bit DQT entries, wide Huffman tables, coded samples << 4)
+    and decoded back at the pipeline's 8-bit depth — blockwise-
+    constant content keeps the FDCT/IDCT float-noise-free, so the
+    oracle recomputes the exact luminance stats from ``ord()``. A
+    precision-byte, 16-bit-DQT, wide-table or >>4 emission bug
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+        QUANT_FLAT8,
+        encode_jpeg,
+    )
+    from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:4].ljust(4, " ").encode("ascii")
+            px = bytes(
+                s[(r // 8) * 2 + (c // 8)]
+                for r in range(16)
+                for c in range(16)
+            )
+            return encode_jpeg(
+                px, 16, 16, 1, quant_luma=QUANT_FLAT8, precision=12
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["text"].map(mk)}
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return image_quality(payloads).select(
+        "doc_id", "width", "height", "mean_lum", "min_lum", "max_lum",
+        "n_distinct_lum", "is_flat", "decoder",
+    )
+
+
+MULTIMODAL_JPEG12_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 4),
+              4, ' ') as s
+  from documents),
+b as (
+  select doc_id, cast(ord(substr(s, j + 1, 1)) as bigint) as v
+  from s, unnest(generate_series(0, 3)) as u(j))
+select doc_id,
+       cast(16 as bigint) as width,
+       cast(16 as bigint) as height,
+       cast(sum(v * 64) // 256 as bigint) as mean_lum,
+       min(v) as min_lum,
+       max(v) as max_lum,
+       cast(count(distinct v) as bigint) as n_distinct_lum,
+       case when min(v) = max(v) then 'y' else 'n' end as is_flat,
+       'jpeg-baseline' as decoder
+from b group by doc_id
+"""
+
+
 def media_info_web(spark, sf_dir):
     """Header triage for the open-web trio (r10): WebP (lossy, VP8L
     lossless, VP8X extended+animation — rotating by text byte), MP3
@@ -7137,6 +7209,7 @@ _ORACLES: dict[str, str | None] = {
     "media_info_mp4": MEDIA_INFO_MP4_SQL,
     "multimodal_ccitt_fax": MULTIMODAL_CCITT_SQL,
     "media_info_web": MEDIA_INFO_WEB_SQL,
+    "multimodal_jpeg_12bit": MULTIMODAL_JPEG12_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7440,6 +7513,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_info_mp4": media_info_mp4,
     "media_info_web": media_info_web,
     "multimodal_ccitt_fax": multimodal_ccitt_fax,
+    "multimodal_jpeg_12bit": multimodal_jpeg_12bit,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
@@ -7486,7 +7560,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
-    "winnowing_overlap_pairs": winnowing_overlap_pairs,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7540,6 +7613,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_latest_order_per_customer": w1_latest_order_per_customer,
     "w2_canonical_group_id": w2_canonical_group_id,
     "w3_tail_two_patch": w3_tail_two_patch,
+    "winnowing_overlap_pairs": winnowing_overlap_pairs,
     # --- fresh greens (eligible to park two rounds) ---------------
     "a1_watermark_advance": a1_watermark_advance,
     "a2_nonempty_guard": a2_nonempty_guard,
@@ -7658,6 +7732,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "w1_latest_order_per_customer",
         "w2_canonical_group_id",
         "w3_tail_two_patch",
+        "winnowing_overlap_pairs",
     }
 )
 

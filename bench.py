@@ -117,6 +117,7 @@ EXTENDED = [
     # successive-approximation progressive JPEG ladder, the
     # interlaced-GIF dHash chain and the animated-GIF compositing walk.
     "multimodal_jpeg_progressive",
+    "multimodal_jpeg_12bit",
     "multimodal_gif_fingerprint",
     "multimodal_gif_animation",
     # tar shard sink+source round trip (write is part of the timed

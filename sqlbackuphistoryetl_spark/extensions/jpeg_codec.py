@@ -33,9 +33,14 @@ process decodes, including the libjpeg-default SA scan scripts real
 encoders emit. A completed SA ladder is bit-identical to the
 sequential decode of the same coefficients; a truncated ladder (legal
 — that's progressive's preview feature) decodes at reduced precision.
-Arithmetic coding (SOF9+), hierarchical, 12-bit and >2x sampling
-forms raise :class:`UnsupportedJPEG` — they fall back to the
-documented stub gate exactly like non-JPEG formats.
+12-bit extended-sequential frames (SOF1, r10) decode too — 16-bit
+DQT entries, DC categories to 15 — emitted at the pipeline's 8-bit
+sample depth (``>> 4``, the same output-domain decision as sub-byte
+TIFF scaling UP to 8 bits); the writer's 12-bit mode uses generic
+wide Huffman tables since Annex K's stop at the 8-bit categories.
+Arithmetic coding (SOF9+), hierarchical, 12-bit progressive and >2x
+sampling forms raise :class:`UnsupportedJPEG` — they fall back to
+the documented stub gate exactly like non-JPEG formats.
 
 Exactness contract the gate oracles rely on: a block whose 64 samples
 are one constant value ``v`` round-trips EXACTLY through
@@ -80,8 +85,8 @@ class JPEGError(ValueError):
 
 class UnsupportedJPEG(NotImplementedError):
     """Valid JPEG, but a process this codec doesn't implement
-    (progressive, arithmetic, 12-bit, >2x sampling factors). Callers
-    treat it like the stub gate."""
+    (arithmetic, hierarchical, 12-bit progressive, >2x sampling).
+    Callers treat it like the stub gate."""
 
 
 def is_jpeg(payload: bytes | None) -> bool:
@@ -147,6 +152,21 @@ _DC_LUMA = (
 _DC_CHROMA = (
     [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
     list(range(12)),
+)
+#: generic tables for 12-bit sample data (T.81 allows DC categories
+#: to 15 and AC magnitude categories to 14, which the Annex-K
+#: interchange tables don't cover): 16 DC symbols at 5 bits, and
+#: EOB/ZRL + every (run, size<=14) AC symbol at 8 bits — legal
+#: canonical codes (no all-ones codeword), suboptimal by design
+#: (fixtures, not compression).
+_DC_WIDE = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_AC_WIDE = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
 )
 _AC_LUMA = (
     [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
@@ -330,12 +350,15 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
-def _idct_block(coef: list[float]) -> list[int]:
-    """8x8 inverse DCT -> level-shifted, clamped 0..255 samples.
-    DC-only blocks (the common flat case) shortcut to a constant."""
+def _idct_block(
+    coef: list[float], level: int = 128, maxval: int = 255
+) -> list[int]:
+    """8x8 inverse DCT -> level-shifted, clamped 0..maxval samples
+    (128/255 for 8-bit, 2048/4095 for 12-bit). DC-only blocks (the
+    common flat case) shortcut to a constant."""
     if not any(coef[1:]):
-        v = int(round(coef[0] / 8.0)) + 128
-        v = 0 if v < 0 else (255 if v > 255 else v)
+        v = int(round(coef[0] / 8.0)) + level
+        v = 0 if v < 0 else (maxval if v > maxval else v)
         return [v] * 64
     # rows then columns, separable
     tmp = [0.0] * 64
@@ -356,8 +379,10 @@ def _idct_block(coef: list[float]) -> list[int]:
             for v in range(8):
                 if col[v]:
                     s += _C[v] * col[v] * _COS[v][y]
-            val = int(round(s * 0.5)) + 128
-            out[y * 8 + c] = 0 if val < 0 else (255 if val > 255 else val)
+            val = int(round(s * 0.5)) + level
+            out[y * 8 + c] = (
+                0 if val < 0 else (maxval if val > maxval else val)
+            )
     return out
 
 
@@ -476,8 +501,9 @@ _SOF_UNSUPPORTED = {
 def _parse_header(payload: bytes, max_pixels: int):
     """Shared SOI..SOS walk for decode_jpeg and probe_jpeg. Returns
     (width, height, components, quant, huff_dc, huff_ac, restart,
-    scan_map, scan_start). components = [(h, v, tq)] in frame order;
-    scan_map = [(comp_index, dc_id, ac_id)] in scan order."""
+    scan_map, scan_start, prec). components = [(h, v, tq)] in frame
+    order; scan_map = [(comp_index, dc_id, ac_id)] in scan order;
+    prec is 8 or 12 (extended sequential)."""
     quant: dict[int, list[int]] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -497,8 +523,13 @@ def _parse_header(payload: bytes, max_pixels: int):
         elif marker in _SOF_UNSUPPORTED:
             raise UnsupportedJPEG(_SOF_UNSUPPORTED[marker])
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise JPEGError("truncated SOF header")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if len(body) < 6 + 3 * nc:
+                raise JPEGError("truncated SOF component list")
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                # 12-bit is legal only in extended sequential (SOF1)
                 raise UnsupportedJPEG(f"{prec}-bit precision")
             if nc not in (1, 3):
                 raise UnsupportedJPEG(f"{nc}-component frame")
@@ -517,12 +548,12 @@ def _parse_header(payload: bytes, max_pixels: int):
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise UnsupportedJPEG(f"sampling factors {h}x{v}")
                 comps.append((cid, h, v, tq))
-            frame = (width, height, comps)
+            frame = (width, height, comps, prec)
         elif marker == SOS:
             if frame is None:
                 raise JPEGError("SOS before SOF")
             ns = body[0]
-            width, height, comps = frame
+            width, height, comps, prec = frame
             if ns != len(comps):
                 raise UnsupportedJPEG("multi-scan / partial-scan stream")
             ids = [c[0] for c in comps]
@@ -548,6 +579,7 @@ def _parse_header(payload: bytes, max_pixels: int):
                 restart,
                 scan_map,
                 end,
+                prec,
             )
     raise JPEGError("no SOS marker")  # pragma: no cover (walk raises)
 
@@ -618,9 +650,15 @@ def _decode_progressive(
         elif marker == DHT:
             _parse_dht(body, huff_dc, huff_ac)
         elif marker == DRI:
+            if len(body) != 2:
+                raise JPEGError("bad DRI length")
             (restart,) = struct.unpack(">H", body)
         elif marker == 0xC2:
+            if len(body) < 6:
+                raise JPEGError("truncated SOF header")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * nc:
+                raise JPEGError("truncated SOF component list")
             if prec != 8:
                 raise UnsupportedJPEG(f"{prec}-bit precision")
             if nc not in (1, 3):
@@ -905,8 +943,8 @@ def probe_jpeg(payload: bytes | None, max_pixels: int = MAX_PIXELS) -> bool:
     if _frame_marker(payload) == 0xC2:
         return _probe_progressive(payload, max_pixels)
     try:
-        (_w, _h, comps, quant, hdc, hac, _ri, scan, _s) = _parse_header(
-            payload, max_pixels
+        (_w, _h, comps, quant, hdc, hac, _ri, scan, _s, _prec) = (
+            _parse_header(payload, max_pixels)
         )
     except (JPEGError, UnsupportedJPEG, struct.error, IndexError):
         return False
@@ -1047,6 +1085,7 @@ def decode_jpeg(
         restart,
         scan_map,
         scan_start,
+        prec,
     ) = _parse_header(payload, max_pixels)
 
     hmax = max(h for h, _v, _tq in comps)
@@ -1086,8 +1125,8 @@ def decode_jpeg(
                     for bx in range(h):
                         coef = [0.0] * 64
                         ssss = reader.decode_symbol(dct)
-                        if ssss > 11:
-                            raise JPEGError("DC category > 11")
+                        if ssss > (15 if prec == 12 else 11):
+                            raise JPEGError("DC category out of range")
                         diff = _extend(reader.receive(ssss), ssss)
                         pred[ci] += diff
                         coef[0] = pred[ci] * q[0]
@@ -1106,7 +1145,17 @@ def decode_jpeg(
                             ri = ZIGZAG[z]
                             coef[ri] = _extend(reader.receive(s), s) * q[ri]
                             z += 1
-                        samples = _idct_block(coef)
+                        if prec == 12:
+                            # 12-bit IDCT domain, emitted at the
+                            # pipeline's 8-bit sample depth (same
+                            # output-domain decision as sub-byte TIFF
+                            # scaling UP to 8 bits)
+                            samples = [
+                                v >> 4
+                                for v in _idct_block(coef, 2048, 4095)
+                            ]
+                        else:
+                            samples = _idct_block(coef)
                         ox = (mx * h + bx) * 8
                         oy = (my * v + by) * 8
                         for r8 in range(8):
@@ -1161,16 +1210,17 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def _fdct_block(samples: list[int]) -> list[float]:
-    """8x8 forward DCT of level-shifted samples. Constant blocks
-    shortcut to DC-only (exactly 8*(v-128)), keeping the flat-block
-    round-trip contract float-noise-free."""
+def _fdct_block(samples: list[int], level: int = 128) -> list[float]:
+    """8x8 forward DCT of level-shifted samples (level 128 for 8-bit,
+    2048 for 12-bit). Constant blocks shortcut to DC-only (exactly
+    8*(v-level)), keeping the flat-block round-trip contract
+    float-noise-free."""
     first = samples[0]
     if samples.count(first) == 64:  # C-speed constant check
         out = [0.0] * 64
-        out[0] = 8.0 * (first - 128)
+        out[0] = 8.0 * (first - level)
         return out
-    shifted = [s - 128 for s in samples]
+    shifted = [s - level for s in samples]
     tmp = [0.0] * 64
     for r in range(8):
         base = r * 8
@@ -1373,6 +1423,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Baseline sequential JPEG encoder: grayscale (``channels=1``)
     or RGB (``channels=3``, encoded as YCbCr). ``subsampling``:
@@ -1400,6 +1451,10 @@ def encode_jpeg(
     """
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit writer is sequential only")
     if progressive not in (False, True, "ss", "sa"):
         raise ValueError("progressive must be False, True, 'ss' or 'sa'")
     if progressive and (subsampling != "444" or restart_interval):
@@ -1447,6 +1502,11 @@ def encode_jpeg(
         qtabs = [ql, qc, qc]
         qids = [0, 1, 1]
 
+    if precision == 12:
+        # input stays 8-bit; coded samples are <<4 so a decode at the
+        # pipeline's 8-bit output depth (>>4) returns them exactly
+        full = [[v << 4 for v in plane] for plane in full]
+
     hmax = max(h for h, _v in samp)
     vmax = max(v for _h, v in samp)
 
@@ -1479,19 +1539,34 @@ def encode_jpeg(
     out += _seg(
         0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )  # APP0, no density
-    dqt = bytes([0x00]) + bytes(ql[ZIGZAG[z]] for z in range(64))
-    if channels == 3:
-        dqt += bytes([0x01]) + bytes(qc[ZIGZAG[z]] for z in range(64))
+    if precision == 12:  # Pq=1: 16-bit table entries
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", ql[ZIGZAG[z]]) for z in range(64)
+        )
+        if channels == 3:
+            dqt += bytes([0x11]) + b"".join(
+                struct.pack(">H", qc[ZIGZAG[z]]) for z in range(64)
+            )
+    else:
+        dqt = bytes([0x00]) + bytes(ql[ZIGZAG[z]] for z in range(64))
+        if channels == 3:
+            dqt += bytes([0x01]) + bytes(qc[ZIGZAG[z]] for z in range(64))
     out += _seg(DQT, dqt)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for cid in range(channels):
         h, v = samp[cid]
         sof += bytes([cid + 1, (h << 4) | v, qids[cid]])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
+    out += _seg(
+        0xC2 if progressive else (0xC1 if precision == 12 else 0xC0), sof
+    )
     dht = b""
-    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    dc_pair = _DC_WIDE if precision == 12 else _DC_LUMA
+    ac_pair = _AC_WIDE if precision == 12 else _AC_LUMA
+    dc_pair_c = _DC_WIDE if precision == 12 else _DC_CHROMA
+    ac_pair_c = _AC_WIDE if precision == 12 else _AC_CHROMA
+    tables = [(0x00, dc_pair), (0x10, ac_pair)]
     if channels == 3:
-        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+        tables += [(0x01, dc_pair_c), (0x11, ac_pair_c)]
     if progressive == "sa":
         tables += [(0x12, _AC_REFINE)]
     for tid, (bits, vals) in tables:
@@ -1500,11 +1575,11 @@ def encode_jpeg(
     if restart_interval:
         out += _seg(DRI, struct.pack(">H", restart_interval))
 
-    enc_dc = [_encode_codes(*_DC_LUMA)]
-    enc_ac = [_encode_codes(*_AC_LUMA)]
+    enc_dc = [_encode_codes(*dc_pair)]
+    enc_ac = [_encode_codes(*ac_pair)]
     if channels == 3:
-        enc_dc += [_encode_codes(*_DC_CHROMA)] * 2
-        enc_ac += [_encode_codes(*_AC_CHROMA)] * 2
+        enc_dc += [_encode_codes(*dc_pair_c)] * 2
+        enc_ac += [_encode_codes(*ac_pair_c)] * 2
 
     if progressive:
         # hmax == vmax == 1, so the block grid is bw x bh per comp
@@ -1671,7 +1746,9 @@ def encode_jpeg(
                                 for c8 in range(8):
                                     sx = min(pw - 1, x0 + c8)
                                     block[r8 * 8 + c8] = plane[sy * pw + sx]
-                        coef = _fdct_block(block)
+                        coef = _fdct_block(
+                            block, 2048 if precision == 12 else 128
+                        )
                         coef_q = [
                             int(round(coef[i] / q[i])) if coef[i] else 0
                             for i in range(64)
