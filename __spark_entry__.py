@@ -4999,18 +4999,20 @@ def multimodal_ccitt_fax(spark, sf_dir):
     (extensions/ccitt.py + tiff_codec + multimodal.image_quality,
     r10): each document's first 16 sanitized chars become a 16x7
     WhiteIsZero bilevel raster (pixel(y,x) = bit y of ord(s[x])),
-    encoded as Modified Huffman (odd doc_id) or Group 4 MMR (even),
+    encoded per doc_id mod 3 as Group 4 MMR, Modified Huffman, or
+    Group 3 proper (EOL framing; T4Options 2-D "MR" on half of those),
     tiled 8x4 on every third document and 3-row strips otherwise — so
-    BOTH fax codings, both layouts, and the photometric-0 inversion
-    all sit under ONE oracle that recomputes the luminance stats
-    closed-form from ``ord()`` bit arithmetic. A T.4 table value, G4
-    mode, changing-element, bit-packing or inversion bug
-    hash-mismatches."""
+    ALL THREE fax codings, both layouts, and the photometric-0
+    inversion sit under ONE oracle that recomputes the luminance
+    stats closed-form from ``ord()`` bit arithmetic. A T.4 table
+    value, G4/MR mode, EOL-framing, changing-element, bit-packing or
+    inversion bug hash-mismatches."""
     import re
 
     from sqlbackuphistoryetl_spark.extensions.multimodal import image_quality
     from sqlbackuphistoryetl_spark.extensions.tiff_codec import (
         COMP_CCITT_MH,
+        COMP_G3,
         COMP_G4,
         encode_tiff,
     )
@@ -5029,8 +5031,10 @@ def multimodal_ccitt_fax(spark, sf_dir):
             vals = bytes(
                 (ord(s[x]) >> y) & 1 for y in range(7) for x in range(16)
             )
-            comp = COMP_CCITT_MH if d % 2 else COMP_G4
+            comp = [COMP_G4, COMP_CCITT_MH, COMP_G3][d % 3]
             kw = {"tile": (8, 4)} if d % 3 == 0 else {"rows_per_strip": 3}
+            if comp == COMP_G3:
+                kw["t4_options"] = 1 if d % 2 else 0  # mix 1-D and MR
             return encode_tiff(
                 vals, 16, 7, 1, compression=comp, bits=1, photometric=0,
                 **kw,

@@ -4,10 +4,12 @@ The sub-byte TIFF work (r10) decodes bilevel rasters, but real
 archival scans — patent files, book scans, microfilm digitization —
 almost universally compress them with the CCITT fax codings TIFF
 carries as Compression 2 (Modified Huffman, the T.4 one-dimensional
-code without EOLs, each row padded to a byte edge) and Compression 4
+code without EOLs, each row padded to a byte edge), Compression 3
+(Group 3 proper: EOL-delimited rows, T4Options selecting 1-D or
+mixed 1-D/2-D "MR" coding and byte-aligned EOLs) and Compression 4
 (ITU T.6 "Group 4" MMR, pure two-dimensional coding against the
-previous row, no EOLs). This module implements both, from the public
-ITU T.4/T.6 specifications, stdlib-only:
+previous row, no EOLs). This module implements all three, from the
+public ITU T.4/T.6 specifications, stdlib-only:
 
 - the T.4 white/black terminating (0-63) and make-up (64-1728) run
   codes plus the shared extended make-ups (1792-2560), used directly
@@ -322,6 +324,80 @@ def _b1_b2(ref_changes: list[int], a0: int, color_white: bool) -> tuple[int, int
     return b1, b2
 
 
+def _decode_2d_row(rd: _BitReader, ref_changes: list[int], width: int):
+    """One T.4-2D / T.6 coded row against its reference line.
+    Returns (black_spans, new_ref_changes)."""
+    cur_changes: list[int] = []
+    black: list[tuple[int, int]] = []
+    a0 = -1
+    color_white = True
+    while a0 < width:
+        b1, b2 = _b1_b2(ref_changes, a0, color_white)
+        if b1 < 0:
+            b1 = width
+        if b2 < 0:
+            b2 = width
+        mode = rd.read_code(_MODE_DEC)
+        start = max(a0, 0)
+        if mode == "P":
+            if not color_white:
+                black.append((start, min(b2, width)))
+            a0 = b2
+        elif mode == "H":
+            r1 = _read_run(
+                rd, _WHITE_DEC if color_white else _BLACK_DEC,
+                width - start,
+            )
+            r2 = _read_run(
+                rd, _BLACK_DEC if color_white else _WHITE_DEC,
+                width - start - r1,
+            )
+            if color_white:
+                black.append((start + r1, start + r1 + r2))
+            else:
+                black.append((start, start + r1))
+            cur_changes.append(start + r1)
+            cur_changes.append(start + r1 + r2)
+            a0 = start + r1 + r2
+        else:  # vertical
+            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + delta
+            if a1 < 0 or a1 > width:
+                raise CCITTError("vertical mode outside the row")
+            if not color_white:
+                black.append((start, min(a1, width)))
+            cur_changes.append(a1)
+            a0 = a1
+            color_white = not color_white
+        if len(cur_changes) > 2 * width + 4:
+            raise CCITTError("more changes than pixels")
+    # rebuild the reference changes from the decoded row (pass mode
+    # contributes no changing elements, so cur_changes is incomplete)
+    row = bytearray(width)
+    for s, e in black:
+        for x in range(max(s, 0), min(e, width)):
+            row[x] = 1
+    return black, _changes_of_row(bytes(row))
+
+
+def _decode_1d_row(rd: _BitReader, width: int) -> list[tuple[int, int]]:
+    """One T.4 1-D (Modified Huffman) row: alternating white/black
+    runs from imaginary white. Returns black spans."""
+    x = 0
+    black: list[tuple[int, int]] = []
+    color_white = True
+    while x < width:
+        run = _read_run(
+            rd, _WHITE_DEC if color_white else _BLACK_DEC, width - x
+        )
+        if not color_white and run:
+            black.append((x, x + run))
+        x += run
+        color_white = not color_white
+    return black
+
+
 def decode_g4(data: bytes, width: int, height: int) -> bytes:
     """ITU T.6 (Group 4 / MMR) block decode: every row codes against
     the previous one; the reference line above the first row is all
@@ -332,115 +408,202 @@ def decode_g4(data: bytes, width: int, height: int) -> bytes:
     out = bytearray(stride * height)
     ref_changes: list[int] = []  # imaginary all-white line
     for y in range(height):
-        cur_changes: list[int] = []
-        black: list[tuple[int, int]] = []
-        a0 = -1
-        color_white = True
-        while a0 < width:
-            b1, b2 = _b1_b2(ref_changes, a0, color_white)
-            if b1 < 0:
-                b1 = width
-            if b2 < 0:
-                b2 = width
-            mode = rd.read_code(_MODE_DEC)
-            start = max(a0, 0)
-            if mode == "P":
-                if not color_white:
-                    black.append((start, min(b2, width)))
-                a0 = b2
-            elif mode == "H":
-                r1 = _read_run(
-                    rd, _WHITE_DEC if color_white else _BLACK_DEC,
-                    width - start,
-                )
-                r2 = _read_run(
-                    rd, _BLACK_DEC if color_white else _WHITE_DEC,
-                    width - start - r1,
-                )
-                if color_white:
-                    black.append((start + r1, start + r1 + r2))
-                else:
-                    black.append((start, start + r1))
-                cur_changes.append(start + r1)
-                cur_changes.append(start + r1 + r2)
-                a0 = start + r1 + r2
-            else:  # vertical
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + delta
-                if a1 < 0 or a1 > width:
-                    raise CCITTError("vertical mode outside the row")
-                if not color_white:
-                    black.append((start, min(a1, width)))
-                cur_changes.append(a1)
-                a0 = a1
-                color_white = not color_white
-            if len(cur_changes) > 2 * width + 4:
-                raise CCITTError("more changes than pixels")
+        black, ref_changes = _decode_2d_row(rd, ref_changes, width)
         out[y * stride : (y + 1) * stride] = _runs_to_packed(
             [(s, e) for s, e in black if e > s], width
         )
-        # rebuild the reference changes from the decoded row (pass
-        # mode contributes no changing elements, so cur_changes alone
-        # is incomplete)
-        row = bytearray(width)
-        for s, e in black:
-            for x in range(max(s, 0), min(e, width)):
-                row[x] = 1
-        ref_changes = _changes_of_row(bytes(row))
     return bytes(out)
 
 
+def _encode_2d_row(
+    wr: _BitWriter, row: bytes, ref_changes: list[int], width: int
+) -> None:
+    """One 2-D coded row (shared by T.6 G4 and T.4 G3-2D): greedy
+    standard mode selection — vertical when |a1-b1| <= 3, else pass
+    when b2 < a1, else horizontal."""
+    import bisect
+
+    cur_changes = _changes_of_row(row)
+    a0 = -1
+    color_white = True
+    while a0 < width:
+        # a1: next change right of a0 (any color — it is by
+        # construction the end of the current color's run)
+        j = bisect.bisect_right(cur_changes, a0)
+        a1 = cur_changes[j] if j < len(cur_changes) else width
+        b1, b2 = _b1_b2(ref_changes, a0, color_white)
+        if b1 < 0:
+            b1 = width
+        if b2 < 0:
+            b2 = width
+        if b2 < a1:
+            v, n = _MODE_ENC["P"]
+            wr.write(v, n)
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            mode = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                    -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+            v, n = _MODE_ENC[mode]
+            wr.write(v, n)
+            a0 = a1
+            color_white = not color_white
+            continue
+        # horizontal: two runs from max(a0, 0)
+        a2 = cur_changes[j + 1] if j + 1 < len(cur_changes) else width
+        start = max(a0, 0)
+        v, n = _MODE_ENC["H"]
+        wr.write(v, n)
+        _write_run(
+            wr, _WHITE_ENC if color_white else _BLACK_ENC, a1 - start
+        )
+        _write_run(
+            wr, _BLACK_ENC if color_white else _WHITE_ENC, a2 - a1
+        )
+        a0 = a2
+
+
 def encode_g4(rows: list[bytes], width: int) -> bytes:
-    """Greedy standard T.6 encoder (vertical when |a1-b1| <= 3, else
-    pass when b2 < a1, else horizontal)."""
+    """Greedy standard T.6 encoder (see :func:`_encode_2d_row`)."""
     wr = _BitWriter()
     ref_changes: list[int] = []
     for row in rows:
         if len(row) != width:
             raise ValueError("row length disagrees with width")
-        cur_changes = _changes_of_row(row)
-        a0 = -1
-        color_white = True
-        while a0 < width:
-            import bisect
-
-            # a1: next change right of a0 (any color — it is by
-            # construction the end of the current color's run)
-            j = bisect.bisect_right(cur_changes, a0)
-            a1 = cur_changes[j] if j < len(cur_changes) else width
-            b1, b2 = _b1_b2(ref_changes, a0, color_white)
-            if b1 < 0:
-                b1 = width
-            if b2 < 0:
-                b2 = width
-            if b2 < a1:
-                v, n = _MODE_ENC["P"]
-                wr.write(v, n)
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                mode = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
-                        -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
-                v, n = _MODE_ENC[mode]
-                wr.write(v, n)
-                a0 = a1
-                color_white = not color_white
-                continue
-            # horizontal: two runs from max(a0, 0)
-            a2 = cur_changes[j + 1] if j + 1 < len(cur_changes) else width
-            start = max(a0, 0)
-            v, n = _MODE_ENC["H"]
-            wr.write(v, n)
-            _write_run(
-                wr, _WHITE_ENC if color_white else _BLACK_ENC, a1 - start
-            )
-            _write_run(
-                wr, _BLACK_ENC if color_white else _WHITE_ENC, a2 - a1
-            )
-            a0 = a2
-        ref_changes = cur_changes
+        _encode_2d_row(wr, row, ref_changes, width)
+        ref_changes = _changes_of_row(row)
     return wr.bytes()
+
+
+def _read_eol(rd: _BitReader) -> None:
+    """Consume fill bits + one EOL (>= 11 zeros then a 1). T.4 allows
+    any number of 0 fill bits before the EOL, which merge into it."""
+    zeros = 0
+    while True:
+        if rd.pos >= len(rd.data) * 8:
+            raise CCITTError("EOL runs past end of stream")
+        byte = rd.data[rd.pos >> 3]
+        bit = (byte >> (7 - (rd.pos & 7))) & 1
+        rd.pos += 1
+        if bit == 0:
+            zeros += 1
+            continue
+        if zeros < 11:
+            raise CCITTError("EOL with fewer than 11 zero bits")
+        return
+
+
+def decode_g3(
+    data: bytes,
+    width: int,
+    height: int,
+    *,
+    two_d: bool = False,
+    aligned: bool = False,
+) -> bytes:
+    """ITU T.4 Group 3 decode (TIFF Compression 3): every row is
+    preceded by an EOL; in 2-D mode (T4Options bit 0) the EOL carries
+    a tag bit choosing 1-D (MH) or 2-D (MR, same modes as G4) coding
+    for the next row; ``aligned`` (T4Options bit 2) pads each EOL to
+    start on a byte boundary. A leading EOL is required per spec but
+    tolerated absent (lenient, like real readers — some writers start
+    straight into row data). Returns packed rows (1 = black)."""
+    rd = _BitReader(data)
+    stride = (width + 7) // 8
+    out = bytearray(stride * height)
+    ref_changes: list[int] = []
+    for y in range(height):
+        if aligned and y > 0:
+            rd.align()
+        # the EOL before each row (leading one optional on row 0)
+        if y > 0 or _peek_is_eol(rd):
+            _read_eol(rd)
+        if two_d:
+            if rd.pos >= len(rd.data) * 8:
+                raise CCITTError("missing 2-D tag bit")
+            byte = rd.data[rd.pos >> 3]
+            tag = (byte >> (7 - (rd.pos & 7))) & 1
+            rd.pos += 1
+            if tag:  # 1 = one-dimensional row
+                black = _decode_1d_row(rd, width)
+                row = bytearray(width)
+                for s, e in black:
+                    for x in range(s, e):
+                        row[x] = 1
+                ref_changes = _changes_of_row(bytes(row))
+            else:
+                black, ref_changes = _decode_2d_row(rd, ref_changes, width)
+        else:
+            black = _decode_1d_row(rd, width)
+        out[y * stride : (y + 1) * stride] = _runs_to_packed(
+            [(s, e) for s, e in black if e > s], width
+        )
+    return bytes(out)
+
+
+def _peek_is_eol(rd: _BitReader) -> bool:
+    """True iff the stream continues with fill+EOL (>= 11 zeros then
+    a 1) — used only to tolerate a missing LEADING EOL."""
+    pos = rd.pos
+    zeros = 0
+    while pos < len(rd.data) * 8:
+        bit = (rd.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        pos += 1
+        if bit == 0:
+            zeros += 1
+            if zeros > 64:  # plenty for fill; avoid scanning the world
+                return False
+            continue
+        return zeros >= 11
+    return False
+
+
+def encode_g3(
+    rows: list[bytes],
+    width: int,
+    *,
+    two_d: bool = False,
+    aligned: bool = False,
+    k: int = 2,
+) -> bytes:
+    """T.4 Group 3 encoder. 1-D mode: EOL + MH per row. 2-D mode:
+    EOL+tag per row with at most ``k - 1`` consecutive 2-D rows after
+    each 1-D row (the T.4 K-parameter error-containment rule)."""
+    wr = _BitWriter()
+    ref_changes: list[int] = []
+    since_1d = 0
+    for row in rows:
+        if len(row) != width:
+            raise ValueError("row length disagrees with width")
+        if aligned:
+            wr.align()
+        wr.write(1, 12)  # EOL: 000000000001
+        if not two_d:
+            _encode_1d_row(wr, row, width)
+            continue
+        use_1d = since_1d >= k - 1
+        wr.write(1 if use_1d else 0, 1)  # tag bit
+        if use_1d:
+            _encode_1d_row(wr, row, width)
+            since_1d = 0
+        else:
+            _encode_2d_row(wr, row, ref_changes, width)
+            since_1d += 1
+        ref_changes = _changes_of_row(row)
+    return wr.bytes()
+
+
+def _encode_1d_row(wr: _BitWriter, row: bytes, width: int) -> None:
+    x = 0
+    color_white = True
+    while x < width:
+        run = 0
+        want = 0 if color_white else 1
+        while x + run < width and row[x + run] == want:
+            run += 1
+        _write_run(wr, _WHITE_ENC if color_white else _BLACK_ENC, run)
+        x += run
+        color_white = not color_white
 
 
 def unpack_rows(packed: bytes, width: int, height: int) -> list[bytes]:

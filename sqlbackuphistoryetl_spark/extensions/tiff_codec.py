@@ -15,10 +15,10 @@ APP1) pointing at strip data in one of three baseline codings, all
   TIFF 6.0 quirk — deliberately a THIRD LZW variant next to GIF's
   LSB-first/late pairing), plus the optional horizontal-differencing
   predictor (tag 317);
-- Compression 2 (T.4 Modified Huffman) and 4 (ITU T.6 "Group 4" MMR)
-  via :mod:`.ccitt` (r10) — what real bilevel archival scans actually
-  use; Compression 3 (Group 3 with EOL/T4Options plumbing) and T.6
-  uncompressed mode stay gated.
+- Compression 2 (T.4 Modified Huffman), 3 (Group 3 proper: EOLs +
+  T4Options 1-D/2-D/byte-aligned) and 4 (ITU T.6 "Group 4" MMR) via
+  :mod:`.ccitt` (r10) — what real bilevel archival scans actually
+  use; the T.4/T.6 uncompressed-mode escapes stay gated.
 
 Decoded forms: 1/2/4/8-bit grayscale (bilevel scans — the most common
 archival TIFF form — included; sub-byte rows unpack through the same
@@ -69,7 +69,7 @@ TAG_TILE_BYTE_COUNTS = 325
 
 COMP_NONE = 1
 COMP_CCITT_MH = 2  # T.4 1-D Modified Huffman, no EOLs (fax)
-COMP_G3 = 3  # Group 3 with EOLs/T4Options — gated
+COMP_G3 = 3  # T.4 Group 3 proper: EOLs + T4Options 1-D/2-D (r10)
 COMP_G4 = 4  # ITU T.6 Group 4 MMR — the archival-scan standard
 COMP_LZW = 5
 COMP_DEFLATE = 8  # Adobe deflate: zlib streams per strip
@@ -149,6 +149,7 @@ class TiffLayout(NamedTuple):
     tile_h: int
     colormap: list[int] | None
     tiled: bool
+    t4_options: int
 
 
 def _parse(payload: bytes, max_pixels: int) -> TiffLayout:
@@ -192,18 +193,21 @@ def _parse(payload: bytes, max_pixels: int) -> TiffLayout:
         raise UnsupportedTIFF(f"{bits}-bit samples with {spp} channels")
     comp = one(TAG_COMPRESSION, COMP_NONE)
     if comp not in (
-        COMP_NONE, COMP_CCITT_MH, COMP_G4, COMP_LZW, COMP_DEFLATE,
-        COMP_PACKBITS,
+        COMP_NONE, COMP_CCITT_MH, COMP_G3, COMP_G4, COMP_LZW,
+        COMP_DEFLATE, COMP_PACKBITS,
     ):
         raise UnsupportedTIFF(
-            f"compression {comp} (1/2/4/5/8/32773 decode)"
+            f"compression {comp} (1/2/3/4/5/8/32773 decode)"
         )
-    if comp in (COMP_CCITT_MH, COMP_G4):
+    t4_options = one(TAG_T4_OPTIONS, 0)
+    if comp in (COMP_CCITT_MH, COMP_G3, COMP_G4):
         if bits != 1 or spp != 1:
             raise TIFFError("CCITT coding on a non-bilevel image")
         if one(TAG_T6_OPTIONS, 0) & 2:
             # T.6 uncompressed-mode escape sequences
             raise UnsupportedTIFF("T6 uncompressed mode")
+        if comp == COMP_G3 and t4_options & 2:
+            raise UnsupportedTIFF("T.4 uncompressed mode")
     photometric = one(TAG_PHOTOMETRIC)
     if photometric not in (0, 1, 2, 3):
         raise UnsupportedTIFF(f"photometric {photometric}")
@@ -263,6 +267,7 @@ def _parse(payload: bytes, max_pixels: int) -> TiffLayout:
     return TiffLayout(
         endian, width, height, spp, bits, comp, photometric, predictor,
         offsets, counts, rows_per_strip, tile_w, tile_h, colormap, tiled,
+        t4_options,
     )
 
 
@@ -364,7 +369,8 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
 
 
 def _decompress_chunk(
-    chunk: bytes, comp: int, expected: int, width: int = 0, nrows: int = 0
+    chunk: bytes, comp: int, expected: int, width: int = 0, nrows: int = 0,
+    t4_options: int = 0,
 ) -> bytes:
     """One strip/tile of entropy data → exactly ``expected`` bytes.
     The CCITT codings are row-structured, so they take the chunk's
@@ -373,12 +379,18 @@ def _decompress_chunk(
         if len(chunk) < expected:
             raise TIFFError("uncompressed chunk shorter than its rows")
         return bytes(chunk[:expected])
-    if comp in (COMP_CCITT_MH, COMP_G4):
+    if comp in (COMP_CCITT_MH, COMP_G3, COMP_G4):
         from . import ccitt
 
         try:
             if comp == COMP_CCITT_MH:
                 return ccitt.decode_mh(bytes(chunk), width, nrows)
+            if comp == COMP_G3:
+                return ccitt.decode_g3(
+                    bytes(chunk), width, nrows,
+                    two_d=bool(t4_options & 1),
+                    aligned=bool(t4_options & 4),
+                )
             return ccitt.decode_g4(bytes(chunk), width, nrows)
         except ccitt.CCITTError as e:
             raise TIFFError(f"CCITT chunk: {e}") from None
@@ -431,7 +443,7 @@ def decode_tiff(
             ty, tx = divmod(ti, across)
             tile = _decompress_chunk(
                 payload[off : off + cnt], lay.comp, th * tile_stride,
-                width=tw, nrows=th,
+                width=tw, nrows=th, t4_options=lay.t4_options,
             )
             if lay.predictor == 2:
                 tile = _undiff(tile, th, tw * spp, spp)
@@ -454,7 +466,7 @@ def decode_tiff(
                 raise TIFFError("more strips than image rows")
             strip = _decompress_chunk(
                 payload[off : off + cnt], lay.comp, nrows * row_stride,
-                width=width, nrows=nrows,
+                width=width, nrows=nrows, t4_options=lay.t4_options,
             )
             if lay.predictor == 2:
                 strip = _undiff(strip, nrows, width * spp, spp)
@@ -594,6 +606,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     colormap: list[tuple[int, int, int]] | None = None,
     photometric: int | None = None,
+    t4_options: int = 0,
 ) -> bytes:
     """TIFF writer for fixtures and gates, covering every form the
     decoder accepts: 1 (gray) or 3 (RGB) channels, 1/2/4/8-bit gray
@@ -614,11 +627,11 @@ def encode_tiff(
     if bits != 8 and any(v >> bits for v in pixels):
         raise ValueError(f"sample value exceeds {bits}-bit range")
     if compression not in (
-        COMP_NONE, COMP_CCITT_MH, COMP_G4, COMP_LZW, COMP_DEFLATE,
-        COMP_PACKBITS,
+        COMP_NONE, COMP_CCITT_MH, COMP_G3, COMP_G4, COMP_LZW,
+        COMP_DEFLATE, COMP_PACKBITS,
     ):
-        raise ValueError("compression must be 1, 2, 4, 5, 8 or 32773")
-    if compression in (COMP_CCITT_MH, COMP_G4) and bits != 1:
+        raise ValueError("compression must be 1, 2, 3, 4, 5, 8 or 32773")
+    if compression in (COMP_CCITT_MH, COMP_G3, COMP_G4) and bits != 1:
         raise ValueError("CCITT codings are bilevel (bits=1) only")
     if predictor == 2 and compression == COMP_NONE:
         raise ValueError("predictor needs a compressed coding")
@@ -638,11 +651,17 @@ def encode_tiff(
 
     def _rows_chunk(row_vals: list[bytes]) -> bytes:
         """rows of one-byte samples -> packed, predicted, compressed."""
-        if compression in (COMP_CCITT_MH, COMP_G4):
+        if compression in (COMP_CCITT_MH, COMP_G3, COMP_G4):
             from . import ccitt
 
             if compression == COMP_CCITT_MH:
                 return ccitt.encode_mh(list(row_vals), len(row_vals[0]))
+            if compression == COMP_G3:
+                return ccitt.encode_g3(
+                    list(row_vals), len(row_vals[0]),
+                    two_d=bool(t4_options & 1),
+                    aligned=bool(t4_options & 4),
+                )
             return ccitt.encode_g4(list(row_vals), len(row_vals[0]))
         if bits != 8:
             raw = b"".join(bytes(_pack_row(r, bits)) for r in row_vals)
@@ -716,6 +735,8 @@ def encode_tiff(
         off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
     if predictor == 2:
         entries.append((TAG_PREDICTOR, 3, 1, [2]))
+    if compression == COMP_G3 and t4_options:
+        entries.append((TAG_T4_OPTIONS, 4, 1, [t4_options]))
     if colormap is not None:
         n = 1 << bits
         cm = (

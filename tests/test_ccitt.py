@@ -138,13 +138,28 @@ class TestTiffIntegration:
                            tile=(16, 8))
         assert decode_tiff(blob).pixels == bytes(v * 255 for v in vals)
 
-    def test_g3_stays_gated(self):
+    def test_mislabeled_coding_is_corrupt_not_crash(self):
+        # MH data labeled compression 3: G3 decode finds no EOL/valid
+        # stream -> classified corrupt, never an escape or a hang
         blob = bytearray(encode_tiff(bytes(16), 4, 4, 1, bits=1,
                                      compression=COMP_CCITT_MH))
         pat = struct.pack("<HHIHH", 259, 3, 1, COMP_CCITT_MH, 0)
         at = bytes(blob).index(pat)
         struct.pack_into("<HHIHH", blob, at, 259, 3, 1, COMP_G3, 0)
-        with pytest.raises(UnsupportedTIFF, match="compression 3"):
+        with pytest.raises(TIFFError):
+            decode_tiff(bytes(blob))
+        # probe is header-only: a plausible header probes True; only
+        # decode detects the stream mismatch (same contract as a
+        # corrupt LZW strip)
+        assert probe_tiff(bytes(blob))
+
+    def test_jpeg_in_tiff_stays_gated(self):
+        blob = bytearray(encode_tiff(bytes(16), 4, 4, 1, bits=1,
+                                     compression=COMP_CCITT_MH))
+        pat = struct.pack("<HHIHH", 259, 3, 1, COMP_CCITT_MH, 0)
+        at = bytes(blob).index(pat)
+        struct.pack_into("<HHIHH", blob, at, 259, 3, 1, 7, 0)  # JPEG
+        with pytest.raises(UnsupportedTIFF, match="compression"):
             decode_tiff(bytes(blob))
         assert not probe_tiff(bytes(blob))
 
@@ -222,3 +237,86 @@ def test_spark_dispatch_g4(spark):
     assert q["decoder"] == "tiff-baseline"
     assert q["mean_lum"] == (255 * (w * h - n_black)) // (w * h)
     assert (q["min_lum"], q["max_lum"]) == (0, 255)
+
+
+class TestG3:
+    """T.4 Group 3 proper (TIFF Compression 3, r10): EOL framing,
+    1-D/2-D tag bits, byte-aligned EOLs, K-parameter mixing."""
+
+    @pytest.mark.parametrize("two_d", [False, True])
+    @pytest.mark.parametrize("aligned", [False, True])
+    def test_round_trips(self, two_d, aligned):
+        from sqlbackuphistoryetl_spark.extensions.ccitt import (
+            decode_g3,
+            encode_g3,
+        )
+
+        rows = _rows(41, 17, seed=int(two_d) * 2 + int(aligned))
+        enc = encode_g3(rows, 41, two_d=two_d, aligned=aligned)
+        assert decode_g3(enc, 41, 17, two_d=two_d,
+                         aligned=aligned) == _packed(rows)
+
+    def test_2d_mode_mixes_1d_rows_by_k(self):
+        from sqlbackuphistoryetl_spark.extensions.ccitt import (
+            decode_g3,
+            encode_g3,
+        )
+
+        rows = _rows(64, 12, seed=9)
+        # k=4: a 1-D row at least every 4th row, all decodable
+        enc = encode_g3(rows, 64, two_d=True, k=4)
+        assert decode_g3(enc, 64, 12, two_d=True) == _packed(rows)
+
+    def test_missing_leading_eol_tolerated(self):
+        from sqlbackuphistoryetl_spark.extensions.ccitt import (
+            _BitWriter,
+            _encode_1d_row,
+            decode_g3,
+        )
+
+        rows = _rows(16, 2, seed=3)
+        wr = _BitWriter()
+        _encode_1d_row(wr, rows[0], 16)  # row 0 without its EOL
+        wr.write(1, 12)  # EOL
+        _encode_1d_row(wr, rows[1], 16)
+        assert decode_g3(wr.bytes(), 16, 2) == _packed(rows)
+
+    def test_tiff_compression_3_round_trip(self):
+        rng = random.Random(77)
+        for t4 in (0, 1, 4, 5):
+            vals = bytes(1 if rng.random() < 0.4 else 0
+                         for _ in range(41 * 17))
+            blob = encode_tiff(vals, 41, 17, 1, compression=COMP_G3,
+                               bits=1, t4_options=t4, rows_per_strip=6)
+            assert probe_tiff(blob)
+            assert decode_tiff(blob).pixels == bytes(v * 255 for v in vals)
+
+    def test_t4_uncompressed_mode_gated(self):
+        blob = bytearray(encode_tiff(bytes(16), 4, 4, 1,
+                                     compression=COMP_G3, bits=1,
+                                     t4_options=1))
+        pat = struct.pack("<HHII", 292, 4, 1, 1)
+        at = bytes(blob).index(pat)
+        struct.pack_into("<HHII", blob, at, 292, 4, 1, 3)  # bit1 set
+        with pytest.raises(UnsupportedTIFF, match="uncompressed"):
+            decode_tiff(bytes(blob))
+        assert not probe_tiff(bytes(blob))
+
+    def test_g3_mutation_corpus(self):
+        from sqlbackuphistoryetl_spark.extensions.ccitt import decode_g3
+
+        rng = random.Random(0x63)
+        rows = _rows(50, 20, seed=5)
+        from sqlbackuphistoryetl_spark.extensions.ccitt import encode_g3
+
+        base = encode_g3(rows, 50, two_d=True)
+        for i in range(150):
+            raw = bytearray(base)
+            if i % 2:
+                raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
+            else:
+                raw = raw[: rng.randrange(1, len(raw))]
+            try:
+                decode_g3(bytes(raw), 50, 20, two_d=True)
+            except CCITTError:
+                pass

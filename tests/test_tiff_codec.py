@@ -102,10 +102,11 @@ class TestGatesAndCorrupt:
         with pytest.raises(UnsupportedTIFF, match="16-bit"):
             decode_tiff(blob)
         assert not probe_tiff(blob)
-        # CCITT fax compression
+        # JPEG-in-TIFF (compression 7) — CCITT 2/3/4 decode since r10,
+        # so the gated-coding probe moved to a still-gated value
         blob = base.replace(
             struct.pack("<HHIHH", 259, 3, 1, 1, 0),
-            struct.pack("<HHIHH", 259, 3, 1, 4, 0),
+            struct.pack("<HHIHH", 259, 3, 1, 7, 0),
         )
         with pytest.raises(UnsupportedTIFF, match="compression"):
             decode_tiff(blob)
