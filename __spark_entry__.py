@@ -2280,6 +2280,68 @@ from documents order by ordinal
 """
 
 
+def zorder_cluster_stats(spark, sf_dir):
+    """Z-order clustering for multi-column data skipping
+    (extensions/zorder.py, r10 — the OPTIMIZE ZORDER BY lever): each
+    order's (custkey mod 256, orderkey mod 256) pair is Morton-
+    interleaved by the pure-JVM ``morton_code`` expression (bit b of
+    column j at position 2b+j, 8 bits each), rows land in 16 Z-curve
+    buckets (z * 16 >> 16), and the gate emits the per-bucket counts
+    and per-column min/max — exactly the file-level statistics a scan
+    planner would prune on. The oracle recomputes the interleave as
+    16 literal shift-and-mask terms, so a bit-position, shift-
+    direction or bucket-boundary bug hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.zorder import morton_code
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+    )
+    z = orders.withColumn("zcode", morton_code(["x", "y"], 8))
+    return (
+        z.withColumn("bucket", F.shiftright(F.col("zcode") * 16, 16))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+ZORDER_SQL = r"""
+with z as (
+  select
+    (o_custkey % 256) as x,
+    (o_orderkey % 256) as y,
+    (((o_custkey % 256) >> 0) & 1) * 1
+      + (((o_orderkey % 256) >> 0) & 1) * 2
+      + (((o_custkey % 256) >> 1) & 1) * 4
+      + (((o_orderkey % 256) >> 1) & 1) * 8
+      + (((o_custkey % 256) >> 2) & 1) * 16
+      + (((o_orderkey % 256) >> 2) & 1) * 32
+      + (((o_custkey % 256) >> 3) & 1) * 64
+      + (((o_orderkey % 256) >> 3) & 1) * 128
+      + (((o_custkey % 256) >> 4) & 1) * 256
+      + (((o_orderkey % 256) >> 4) & 1) * 512
+      + (((o_custkey % 256) >> 5) & 1) * 1024
+      + (((o_orderkey % 256) >> 5) & 1) * 2048
+      + (((o_custkey % 256) >> 6) & 1) * 4096
+      + (((o_orderkey % 256) >> 6) & 1) * 8192
+      + (((o_custkey % 256) >> 7) & 1) * 16384
+      + (((o_orderkey % 256) >> 7) & 1) * 32768
+      as zcode
+  from orders)
+select cast((zcode * 16) >> 16 as bigint) as bucket,
+       cast(count(*) as bigint) as n,
+       min(x) as min_x, max(x) as max_x,
+       min(y) as min_y, max(y) as max_y
+from z group by 1
+"""
+
+
 def asof_last_purchase(spark, sf_dir):
     """Backward as-of join (operators.asof): each 'error' event joined
     to the same user's most recent at-or-before 'purchase'. The
@@ -7214,6 +7276,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_ccitt_fax": MULTIMODAL_CCITT_SQL,
     "media_info_web": MEDIA_INFO_WEB_SQL,
     "multimodal_jpeg_12bit": MULTIMODAL_JPEG12_SQL,
+    "zorder_cluster_stats": ZORDER_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7518,6 +7581,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_info_web": media_info_web,
     "multimodal_ccitt_fax": multimodal_ccitt_fax,
     "multimodal_jpeg_12bit": multimodal_jpeg_12bit,
+    "zorder_cluster_stats": zorder_cluster_stats,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
     "a6_sorted_stringagg_per_group": a6_sorted_stringagg_per_group,
@@ -7563,7 +7627,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
-    "temperature_lang_sample_a25": temperature_lang_sample_a25,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7611,6 +7674,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "size_trunc_math": size_trunc_math,
     "skew_salted_agg": skew_salted_agg,
     "stream_dedup_sessions": stream_dedup_sessions,
+    "temperature_lang_sample_a25": temperature_lang_sample_a25,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "u1_union_distinct_tail": u1_union_distinct_tail,
     "unigram_surprisal": unigram_surprisal,
@@ -7730,6 +7794,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "size_trunc_math",
         "skew_salted_agg",
         "stream_dedup_sessions",
+        "temperature_lang_sample_a25",
         "text_tfidf_top_terms",
         "u1_union_distinct_tail",
         "unigram_surprisal",

@@ -151,6 +151,7 @@ EXTENDED = [
     "sentence_split_stats",
     # small-file compaction round trip (fragment+compact+swap IS the op)
     "parquet_compact_roundtrip",
+    "zorder_cluster_stats",
     # the full IVF-PQ architecture: residual codes + 2-probe ADC
     "ivf_pq_search",
 ]
