@@ -2280,6 +2280,78 @@ from documents order by ordinal
 """
 
 
+def pdf_extract_text(spark, sf_dir):
+    """PDF text extraction through the real stdlib chain
+    (extensions/pdf_codec.py + multimodal.extract_pdf_text, r10 — the
+    largest single text source in crawl pipelines): each document's
+    first 120 sanitized chars become a 2-page, 3-lines-per-page PDF
+    (FlateDecode on even doc_ids, raw streams on odd — both stream
+    paths under the oracle), written by build_pdf with a real xref and
+    read back through the object scan, /Length resolution, inflate,
+    and BT..ET operator walk. The oracle reconstructs the exact
+    page/line text from ``substr`` arithmetic, so an escape-decode,
+    stream-boundary, operator or page-ordering bug hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        extract_pdf_text,
+    )
+    from sqlbackuphistoryetl_spark.extensions.pdf_codec import build_pdf
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(d, t):
+            s = re.sub(r"[^ -~]", "?", t)[:120].ljust(120, " ")
+            lines = [s[j * 20 : (j + 1) * 20] for j in range(6)]
+            return build_pdf(
+                [lines[:3], lines[3:]], compress=(d % 2 == 0)
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return extract_pdf_text(payloads).select(
+        "doc_id",
+        "n_pages",
+        F.md5(F.col("text")).alias("text_md5"),
+        "status",
+    )
+
+
+PDF_EXTRACT_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 120),
+              120, ' ') as s
+  from documents)
+select doc_id,
+       cast(2 as bigint) as n_pages,
+       md5(
+         substr(s, 1, 20) || chr(10) || substr(s, 21, 20) || chr(10)
+         || substr(s, 41, 20) || chr(12)
+         || substr(s, 61, 20) || chr(10) || substr(s, 81, 20) || chr(10)
+         || substr(s, 101, 20)
+       ) as text_md5,
+       'ok' as status
+from s
+"""
+
+
 def zorder_cluster_stats(spark, sf_dir):
     """Z-order clustering for multi-column data skipping
     (extensions/zorder.py, r10 — the OPTIMIZE ZORDER BY lever): each
@@ -7277,6 +7349,7 @@ _ORACLES: dict[str, str | None] = {
     "media_info_web": MEDIA_INFO_WEB_SQL,
     "multimodal_jpeg_12bit": MULTIMODAL_JPEG12_SQL,
     "zorder_cluster_stats": ZORDER_SQL,
+    "pdf_extract_text": PDF_EXTRACT_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7581,6 +7654,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_info_web": media_info_web,
     "multimodal_ccitt_fax": multimodal_ccitt_fax,
     "multimodal_jpeg_12bit": multimodal_jpeg_12bit,
+    "pdf_extract_text": pdf_extract_text,
     "zorder_cluster_stats": zorder_cluster_stats,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
@@ -7626,7 +7700,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": multimodal_metadata,
     "ngram_containment": ngram_containment,
     "sample_global_k": sample_global_k,
-    "script_composition": script_composition,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7671,6 +7744,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
     "scalar_path_surgery": scalar_path_surgery,
+    "script_composition": script_composition,
     "size_trunc_math": size_trunc_math,
     "skew_salted_agg": skew_salted_agg,
     "stream_dedup_sessions": stream_dedup_sessions,
@@ -7791,6 +7865,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "quality_repetition",
         "retention_filter_counts",
         "scalar_path_surgery",
+        "script_composition",
         "size_trunc_math",
         "skew_salted_agg",
         "stream_dedup_sessions",

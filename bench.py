@@ -137,6 +137,7 @@ EXTENDED = [
     "url_dedup_domain_stats",
     # HTML -> text extraction, pure JVM regexp chain
     "html_extract_text",
+    "pdf_extract_text",
     # zlib "just compress it" quality signal (rows-only gate)
     "compression_ratio_signal",
     # EXIF APP1/TIFF-IFD capture-metadata triage

@@ -563,6 +563,7 @@ def _media_info_one(raw: bytes) -> tuple:
         mp3_codec,
         mp4_codec,
         ogg_codec,
+        pdf_codec,
         tiff_codec,
         wav_codec,
         webp_codec,
@@ -663,6 +664,9 @@ def _media_info_one(raw: bytes) -> tuple:
             oi = ogg_codec.parse_ogg(raw)
             return ("ogg", None, None, None, oi.channels, oi.sample_rate,
                     oi.n_samples, None)
+        if pdf_codec.is_pdf(raw):
+            di = pdf_codec.pdf_info(raw)
+            return ("pdf", None, None, di.n_pages, None, None, None, None)
         if mp3_codec.is_mp3(raw):
             # LAST in dispatch: the 0xFF frame-sync prefix is weak, so
             # is_mp3 validates the full first header
@@ -714,6 +718,52 @@ EXIF_SCHEMA = StructType(
         StructField("pixel_y", LongType(), True),
     ]
 )
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_pages", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("status", StringType(), True),
+    ]
+)
+
+
+def extract_pdf_text(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → per-document PDF text: page count and
+    the pages joined by form-feeds (the text-pipeline convention), via
+    :mod:`.pdf_codec`'s stdlib object/stream/operator walk. Encrypted
+    or corrupt payloads surface with NULL text and a status of
+    'encrypted'/'corrupt' rather than vanishing or killing the job —
+    the crawl reader contract every codec here follows. Arrow-batched
+    ``mapInPandas``, embarrassingly parallel, no shuffle."""
+    from . import pdf_codec
+
+    def _one(b):
+        if b is None or not pdf_codec.is_pdf(bytes(b)):
+            return None, None, "not_pdf"
+        try:
+            pages = pdf_codec.extract_text(bytes(b))
+            return len(pages), "\f".join(pages), "ok"
+        except pdf_codec.PDFError as e:
+            return None, None, (
+                "encrypted" if "encrypted" in str(e) else "corrupt"
+            )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf["payload"].map(_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pages": rows.map(lambda r: r[0]).astype("object"),
+                    "text": rows.map(lambda r: r[1]),
+                    "status": rows.map(lambda r: r[2]),
+                }
+            )
+
+    return df.mapInPandas(_batches, PDF_TEXT_SCHEMA)
 
 
 def image_exif(df: DataFrame) -> DataFrame:
