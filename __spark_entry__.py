@@ -2352,6 +2352,128 @@ from s
 """
 
 
+def pdf_scanned_images(spark, sf_dir):
+    """Embedded-image extraction from scanned PDFs
+    (pdf_codec.extract_images + decode_pdf_image routing to the
+    sibling codecs, r10): even doc_ids embed a G4-fax CCITTFaxDecode
+    image (16x7 bit raster from the first 16 chars, fax-black =
+    luminance 0), odd doc_ids a blockwise-constant DCTDecode JPEG
+    (16x16 from 4 chars — float-noise-free), each inside a full
+    one-page document with XObject resources and a real xref. The
+    oracle recomputes the first image's filter/geometry/luminance
+    stats closed-form from ``ord()``, so an object-scan,
+    stream-boundary, filter-routing, fax-polarity or DCT bug
+    hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        extract_pdf_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.ccitt import encode_g4
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+            QUANT_FLAT8,
+            encode_jpeg,
+        )
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            build_scanned_pdf,
+        )
+
+        def mk(d, t):
+            if d % 2 == 0:
+                s = re.sub(r"[^ -~]", "?", t)[:16].ljust(16, " ")
+                rows = [
+                    bytes((ord(s[x]) >> y) & 1 for x in range(16))
+                    for y in range(7)
+                ]
+                img = {
+                    "width": 16, "height": 7,
+                    "filter": "CCITTFaxDecode",
+                    "data": encode_g4(rows, 16), "k": -1,
+                }
+            else:
+                s = re.sub(r"[^ -~]", "?", t)[:4].ljust(4, " ")
+                px = bytes(
+                    ord(s[(r // 8) * 2 + (c // 8)])
+                    for r in range(16)
+                    for c in range(16)
+                )
+                img = {
+                    "width": 16, "height": 16, "filter": "DCTDecode",
+                    "data": encode_jpeg(
+                        px, 16, 16, 1, quant_luma=QUANT_FLAT8
+                    ),
+                }
+            return build_scanned_pdf([img])
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return extract_pdf_image_features(payloads).select(
+        "doc_id", "n_images", "filter", "width", "height",
+        "mean_lum", "min_lum", "max_lum",
+    )
+
+
+PDF_SCANNED_SQL = r"""
+with s as (
+  select doc_id, doc_id % 2 as m,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 16),
+              16, ' ') as s
+  from documents),
+fax as (
+  -- fax arm: pixel (y, x) = bit y of char x; black (1) -> 0, else 255
+  select doc_id,
+         case when (ord(substr(s, x + 1, 1)) >> y) & 1 = 1
+              then 0 else 255 end as v
+  from s,
+       unnest(generate_series(0, 15)) as t1(x),
+       unnest(generate_series(0, 6)) as t2(y)
+  where m = 0),
+fax_agg as (
+  select doc_id, sum(v) // 112 as mean_lum,
+         min(v) as min_lum, max(v) as max_lum
+  from fax group by doc_id),
+dct as (
+  select doc_id, cast(ord(substr(s, j + 1, 1)) as bigint) as v
+  from s, unnest(generate_series(0, 3)) as u(j)
+  where m = 1),
+dct_agg as (
+  select doc_id, sum(v * 64) // 256 as mean_lum,
+         min(v) as min_lum, max(v) as max_lum
+  from dct group by doc_id)
+select s.doc_id,
+       cast(1 as bigint) as n_images,
+       case when m = 0 then 'CCITTFaxDecode' else 'DCTDecode' end
+         as filter,
+       cast(16 as bigint) as width,
+       cast(case when m = 0 then 7 else 16 end as bigint) as height,
+       cast(coalesce(f.mean_lum, d.mean_lum) as bigint) as mean_lum,
+       cast(coalesce(f.min_lum, d.min_lum) as bigint) as min_lum,
+       cast(coalesce(f.max_lum, d.max_lum) as bigint) as max_lum
+from s
+left join fax_agg f on s.doc_id = f.doc_id
+left join dct_agg d on s.doc_id = d.doc_id
+"""
+
+
 def zorder_cluster_stats(spark, sf_dir):
     """Z-order clustering for multi-column data skipping
     (extensions/zorder.py, r10 — the OPTIMIZE ZORDER BY lever): each
@@ -7350,6 +7472,7 @@ _ORACLES: dict[str, str | None] = {
     "multimodal_jpeg_12bit": MULTIMODAL_JPEG12_SQL,
     "zorder_cluster_stats": ZORDER_SQL,
     "pdf_extract_text": PDF_EXTRACT_SQL,
+    "pdf_scanned_images": PDF_SCANNED_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
@@ -7655,6 +7778,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_ccitt_fax": multimodal_ccitt_fax,
     "multimodal_jpeg_12bit": multimodal_jpeg_12bit,
     "pdf_extract_text": pdf_extract_text,
+    "pdf_scanned_images": pdf_scanned_images,
     "zorder_cluster_stats": zorder_cluster_stats,
     "a4_min_after_threshold": a4_min_after_threshold,
     "a5_minmax_loop_bounds": a5_minmax_loop_bounds,
@@ -7699,7 +7823,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_dhash_fingerprint": multimodal_dhash_fingerprint,
     "multimodal_metadata": multimodal_metadata,
     "ngram_containment": ngram_containment,
-    "sample_global_k": sample_global_k,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7743,6 +7866,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
+    "sample_global_k": sample_global_k,
     "scalar_path_surgery": scalar_path_surgery,
     "script_composition": script_composition,
     "size_trunc_math": size_trunc_math,
@@ -7864,6 +7988,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "p9_fallback_probe",
         "quality_repetition",
         "retention_filter_counts",
+        "sample_global_k",
         "scalar_path_surgery",
         "script_composition",
         "size_trunc_math",

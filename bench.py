@@ -138,6 +138,7 @@ EXTENDED = [
     # HTML -> text extraction, pure JVM regexp chain
     "html_extract_text",
     "pdf_extract_text",
+    "pdf_scanned_images",
     # zlib "just compress it" quality signal (rows-only gate)
     "compression_ratio_signal",
     # EXIF APP1/TIFF-IFD capture-metadata triage

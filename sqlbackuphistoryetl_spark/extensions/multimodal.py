@@ -766,6 +766,64 @@ def extract_pdf_text(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, PDF_TEXT_SCHEMA)
 
 
+PDF_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_images", LongType(), True),
+        StructField("filter", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_lum", LongType(), True),
+        StructField("min_lum", LongType(), True),
+        StructField("max_lum", LongType(), True),
+    ]
+)
+
+
+def extract_pdf_image_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → the scanned-PDF path: embedded-image
+    count plus the FIRST image's filter, geometry and exact-integer
+    luminance stats, decoded through the sibling codecs (DCTDecode →
+    jpeg_codec, CCITTFaxDecode → ccitt with fax-black = luminance 0,
+    FlateDecode → raw samples). Undecodable images or non-PDFs
+    surface as NULL stats — triage, never a crash. Arrow-batched
+    ``mapInPandas``, map-side only."""
+    from . import pdf_codec, png_codec
+
+    def _one(b):
+        none6 = (None,) * 6
+        if b is None or not pdf_codec.is_pdf(bytes(b)):
+            return (None,) + none6
+        try:
+            imgs = pdf_codec.extract_images(bytes(b))
+        except pdf_codec.PDFError:
+            return (None,) + none6
+        if not imgs:
+            return (0,) + none6
+        im = imgs[0]
+        try:
+            dec = pdf_codec.decode_pdf_image(im)
+        except (pdf_codec.PDFError, NotImplementedError, ValueError):
+            return (len(imgs), im.filter, im.width, im.height,
+                    None, None, None)
+        lum = png_codec.luminance(dec).pixels
+        return (
+            len(imgs), im.filter, dec.width, dec.height,
+            sum(lum) // len(lum), min(lum), max(lum),
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in PDF_IMAGE_SCHEMA if f.name != "doc_id"]
+        for pdf in it:
+            rows = pdf["payload"].map(_one)
+            out = {"doc_id": pdf["doc_id"]}
+            for i, name in enumerate(names):
+                out[name] = rows.map(lambda r, i=i: r[i]).astype("object")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, PDF_IMAGE_SCHEMA)
+
+
 def image_exif(df: DataFrame) -> DataFrame:
     """(doc_id, payload, ...) → EXIF triage fields (orientation,
     capture timestamp, make/model, declared pixel dims) via

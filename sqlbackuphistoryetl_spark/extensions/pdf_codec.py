@@ -306,7 +306,124 @@ def extract_text(payload: bytes) -> list[str]:
     return pages
 
 
+@dataclass
+class PdfImage:
+    obj_num: int
+    width: int
+    height: int
+    filter: str  # 'DCTDecode' | 'CCITTFaxDecode' | 'FlateDecode' | 'raw' | other
+    data: bytes  # the ENCODED stream bytes (JPEG file for DCTDecode,
+    # fax-coded bits for CCITTFaxDecode, inflated raw samples for
+    # FlateDecode/raw) — decoding routes to the sibling codecs
+    k: int = 0  # CCITT /K: <0 G4, 0 MH, >0 G3 2-D
+    blackis1: bool = False
+
+
+_INT_RE = {
+    "w": re.compile(rb"/Width\s+(\d+)"),
+    "h": re.compile(rb"/Height\s+(\d+)"),
+    "k": re.compile(rb"/K\s+(-?\d+)"),
+}
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
+
+
+def extract_images(payload: bytes) -> list[PdfImage]:
+    """Embedded image XObjects (``/Subtype /Image``) in object-number
+    order — the scanned-PDF path. Returns the ENCODED payloads plus
+    the parameters needed to decode them with the sibling codecs:
+    DCTDecode data IS a JPEG file (``jpeg_codec.decode_jpeg``),
+    CCITTFaxDecode data is a fax-coded block (``ccitt.decode_g4`` /
+    ``decode_g3`` / ``decode_mh`` per ``/K``; ``/BlackIs1`` flips the
+    run-color convention), FlateDecode inflates here to raw samples.
+    Unknown filters pass through tagged so callers can triage."""
+    if not is_pdf(payload):
+        raise PDFError("not a PDF (no %PDF- header)")
+    objects = _scan_objects(payload)
+    out: list[PdfImage] = []
+    for num in sorted(objects):
+        body = objects[num]
+        head = _dict_of(body)
+        if not re.search(rb"/Subtype\s*/Image\b", head):
+            continue
+        wm = _INT_RE["w"].search(head)
+        hm = _INT_RE["h"].search(head)
+        if wm is None or hm is None:
+            continue  # geometry-less image: not decodable, skip
+        fm = _FILTER_RE.search(head)
+        filt = fm.group(1).decode("ascii") if fm else "raw"
+        if filt == "FlateDecode":
+            data = _stream_data(body, objects)  # inflates
+            if data is None:
+                continue
+        else:
+            # hand the ENCODED bytes out un-inflated: _stream_data
+            # only decodes Flate, everything else passes through raw
+            data = _stream_data(body, objects)
+            if data is None:
+                continue
+        km = _INT_RE["k"].search(head)
+        out.append(
+            PdfImage(
+                num,
+                int(wm.group(1)),
+                int(hm.group(1)),
+                filt,
+                data,
+                k=int(km.group(1)) if km else 0,
+                blackis1=bool(re.search(rb"/BlackIs1\s+true", head)),
+            )
+        )
+    return out
+
+
+def decode_pdf_image(img: PdfImage, max_pixels: int = 1 << 25):
+    """Route an extracted image to the sibling decoders. Returns a
+    ``png_codec.DecodedImage`` or raises (PDFError for unsupported
+    filters — callers triage). CCITT decodes to gray with fax-black =
+    luminance 0 ALWAYS: ``/BlackIs1`` only selects the bit-value
+    convention of the filter's raw output (default false = black
+    pixels stored as 0 bits), not which pixels are black — it is
+    carried in :class:`PdfImage` for raw-bit consumers but does not
+    change the gray decode."""
+    if img.width * img.height > max_pixels:
+        raise PDFError("image over the pixel budget")
+    if img.filter == "DCTDecode":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(img.data, max_pixels)
+    if img.filter == "CCITTFaxDecode":
+        from . import ccitt
+        from .png_codec import DecodedImage, _unpack_bits
+
+        if img.k < 0:
+            packed = ccitt.decode_g4(img.data, img.width, img.height)
+        elif img.k == 0:
+            packed = ccitt.decode_mh(img.data, img.width, img.height)
+        else:
+            packed = ccitt.decode_g3(
+                img.data, img.width, img.height, two_d=True
+            )
+        gray = _unpack_bits(packed, img.width, img.height, 1, True)
+        # ccitt emits 1 = fax-black; black is luminance 0
+        gray = bytearray(255 - v for v in gray)
+        return DecodedImage(img.width, img.height, 1, bytes(gray))
+    if img.filter in ("FlateDecode", "raw"):
+        from .png_codec import DecodedImage
+
+        n = img.width * img.height
+        for ch in (1, 3):
+            if len(img.data) >= n * ch and (
+                ch == 3 or len(img.data) < n * 3
+            ):
+                return DecodedImage(
+                    img.width, img.height, ch, bytes(img.data[: n * ch])
+                )
+        raise PDFError("raw image data shorter than its geometry")
+    raise PDFError(f"unsupported image filter {img.filter}")
+
+
 # ---------------------------------------------------------------- writer
+
 
 
 def _escape_literal(s: str) -> bytes:
@@ -358,6 +475,65 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
 
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def build_scanned_pdf(images: list[dict]) -> bytes:
+    """Deterministic scanned-document fixture: one page whose content
+    draws each image XObject. Each dict: ``width``, ``height``,
+    ``filter`` ('DCTDecode'/'CCITTFaxDecode'/'FlateDecode'), ``data``
+    (ENCODED bytes), optional ``k``/``blackis1`` for CCITT. Real xref
+    included."""
+    objs: list[bytes] = []
+    n = len(images)
+    res = b" ".join(
+        b"/Im%d %d 0 R" % (i, 4 + i) for i in range(n)
+    )
+    draw = b"\n".join(
+        b"q 100 0 0 100 %d 100 cm /Im%d Do Q" % (50 + 120 * i, i)
+        for i in range(n)
+    )
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << " + res + b" >> >> "
+        b"/Contents %d 0 R >>" % (4 + n)
+    )
+    for im in images:
+        extra = b""
+        if im["filter"] == "CCITTFaxDecode":
+            extra = b"/K %d " % im.get("k", 0)
+            if im.get("blackis1"):
+                extra += b"/BlackIs1 true "
+            extra = (
+                b"/DecodeParms << /Columns %d /Rows %d >> " % (
+                    im["width"], im["height"]) + extra
+            )
+        objs.append(
+            b"<< /Subtype /Image /Width %d /Height %d /Filter /%s "
+            % (im["width"], im["height"], im["filter"].encode("ascii"))
+            + extra
+            + b"/Length %d >>\nstream\n" % len(im["data"])
+            + im["data"] + b"\nendstream"
+        )
+    objs.append(
+        b"<< /Length %d >>\nstream\n" % len(draw) + draw + b"\nendstream"
+    )
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):

@@ -166,3 +166,104 @@ def test_spark_extract_and_media_info(spark):
     assert out[4]["status"] == "not_pdf"
     mi = {r["doc_id"]: r for r in media_info(df).collect()}
     assert (mi[1]["format"], mi[1]["n_frames"]) == ("pdf", 2)
+
+
+class TestScannedPdf:
+    """r10: embedded-image extraction — the scanned-document path
+    that routes DCTDecode to jpeg_codec and CCITTFaxDecode to ccitt."""
+
+    def _fixture(self):
+        import random as _r
+
+        from sqlbackuphistoryetl_spark.extensions import ccitt
+        from sqlbackuphistoryetl_spark.extensions.jpeg_codec import (
+            QUANT_FLAT8,
+            encode_jpeg,
+        )
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            build_scanned_pdf,
+        )
+
+        rng = _r.Random(2)
+        rows = [bytes(rng.randrange(2) for _ in range(16))
+                for _ in range(7)]
+        g4 = ccitt.encode_g4(rows, 16)
+        px = bytes([66] * 64)
+        jp = encode_jpeg(px, 8, 8, 1, quant_luma=QUANT_FLAT8)
+        blob = build_scanned_pdf([
+            {"width": 16, "height": 7, "filter": "CCITTFaxDecode",
+             "data": g4, "k": -1},
+            {"width": 8, "height": 8, "filter": "DCTDecode", "data": jp},
+        ])
+        return blob, rows, px
+
+    def test_extract_and_decode(self):
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            decode_pdf_image,
+            extract_images,
+        )
+
+        blob, rows, px = self._fixture()
+        imgs = extract_images(blob)
+        assert [(i.filter, i.width, i.height) for i in imgs] == [
+            ("CCITTFaxDecode", 16, 7), ("DCTDecode", 8, 8)]
+        fax = decode_pdf_image(imgs[0])
+        # fax-black = luminance 0, regardless of BlackIs1
+        assert fax.pixels == bytes(
+            0 if v else 255 for r in rows for v in r)
+        assert decode_pdf_image(imgs[1]).pixels == px
+
+    def test_text_pdfs_have_zero_images(self):
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            extract_images,
+        )
+
+        assert extract_images(build_pdf([["just text"]])) == []
+
+    def test_unknown_filter_tagged_and_gated(self):
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            decode_pdf_image,
+            extract_images,
+        )
+
+        blob = (b"%PDF-1.4\n1 0 obj\n"
+                b"<< /Subtype /Image /Width 4 /Height 4 "
+                b"/Filter /JBIG2Decode /Length 4 >>\nstream\n\x00\x01\x02\x03"
+                b"\nendstream\nendobj\n%%EOF\n")
+        imgs = extract_images(blob)
+        assert imgs[0].filter == "JBIG2Decode"
+        with pytest.raises(PDFError, match="unsupported image filter"):
+            decode_pdf_image(imgs[0])
+
+    def test_pixel_budget(self):
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            PdfImage,
+            decode_pdf_image,
+        )
+
+        with pytest.raises(PDFError, match="budget"):
+            decode_pdf_image(
+                PdfImage(1, 1 << 16, 1 << 16, "DCTDecode", b""))
+
+    def test_spark_operator(self, spark):
+        from sqlbackuphistoryetl_spark.extensions.multimodal import (
+            extract_pdf_image_features,
+        )
+
+        blob, rows, px = self._fixture()
+        n_black = sum(v for r in rows for v in r)
+        n = 16 * 7
+        df = spark.createDataFrame(
+            [(1, blob, "application/pdf"),
+             (2, build_pdf([["text only"]]), "application/pdf"),
+             (3, b"nope", "application/pdf")],
+            ["doc_id", "payload", "content_type"],
+        )
+        out = {r["doc_id"]: r
+               for r in extract_pdf_image_features(df).collect()}
+        assert (out[1]["n_images"], out[1]["filter"], out[1]["width"],
+                out[1]["height"]) == (2, "CCITTFaxDecode", 16, 7)
+        assert out[1]["mean_lum"] == (255 * (n - n_black)) // n
+        assert (out[1]["min_lum"], out[1]["max_lum"]) == (0, 255)
+        assert out[2]["n_images"] == 0
+        assert out[3]["n_images"] is None
