@@ -628,12 +628,50 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     )
     timings["media_info_20k"] = round(time.perf_counter() - t0, 2)
 
+    # r10: PDF chain over a 20k slice — build (write side), then
+    # text extraction (object scan + inflate + operator walk)
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        extract_pdf_text,
+    )
+
+    def _mk_pdfs(it):
+        import re as _re
+
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import build_pdf
+
+        def mk(d, t):
+            s = _re.sub(r"[^ -~]", "?", t)[:120].ljust(120, " ")
+            lines = [s[j * 20 : (j + 1) * 20] for j in range(6)]
+            return build_pdf([lines[:3], lines[3:]], compress=(d % 2 == 0))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    pdfs = pay.mapInPandas(
+        _mk_pdfs, "doc_id long, payload binary"
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    n_pdf = (
+        extract_pdf_text(pdfs).filter(F.col("status") == "ok").count()
+    )
+    timings["pdf_extract_text_20k"] = round(time.perf_counter() - t0, 2)
+
     return {
         "wordpiece_docs": n_wp,
         "unigram_docs": n_uni,
         "wds_shards": len(shards),
         "wds_members": n_wds_members,
         "media_known": n_media,
+        "pdf_ok": n_pdf,
         "edit_pairs_d2": n_edit,
         "gopher_rep_docs": n_goprep,
         "fineweb_pass": n_fineweb,
