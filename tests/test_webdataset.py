@@ -311,3 +311,39 @@ def test_tar_member_budget_yields_null_payload(spark, tmp_path):
     finally:
         wds.MAX_MEMBER_BYTES = orig
     assert out["a"] == b"ok" and out["big"] is None
+
+
+def test_read_tar_gz_shards(spark, tmp_path):
+    """r10: compressed shards are common in scraped corpora — the
+    .tar.gz reader walks them streaming with the same member budget."""
+    import gzip
+    import io
+    import os
+    import tarfile
+
+    from sqlbackuphistoryetl_spark.extensions import webdataset as wds
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("a.txt", b"alpha"), ("b.txt", b"beta"),
+                           ("big.bin", b"\0" * 4096)]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    path = str(tmp_path / "gz")
+    os.makedirs(path)
+    with open(os.path.join(path, "shard-000000.tar.gz"), "wb") as fh:
+        fh.write(gzip.compress(buf.getvalue(), 6))
+
+    out = {r["key"]: r["payload"]
+           for r in wds.read_webdataset_gz(spark, path).collect()}
+    assert out == {"a": b"alpha", "b": b"beta", "big": b"\0" * 4096}
+
+    orig = wds.MAX_MEMBER_BYTES
+    wds.MAX_MEMBER_BYTES = 1024
+    try:
+        out = {r["key"]: r["payload"]
+               for r in wds.read_webdataset_gz(spark, path).collect()}
+    finally:
+        wds.MAX_MEMBER_BYTES = orig
+    assert out["a"] == b"alpha" and out["big"] is None
