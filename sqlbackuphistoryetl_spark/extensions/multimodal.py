@@ -683,8 +683,10 @@ def media_info(df: DataFrame) -> DataFrame:
     geometry, frame/sample counts, channels, rate, bit depth — the
     cheap first pass a crawl runs over 100 TB of opaque payloads
     BEFORE spending decode time. Parses container headers only (PNG
-    IHDR, JPEG SOF, GIF block walk, BMP/AVI headers, WAV fmt, FLAC
-    STREAMINFO); never entropy-decodes, so cost is O(header bytes) per
+    IHDR, JPEG SOF, GIF block walk, BMP/TIFF/AVI headers, WAV fmt,
+    FLAC STREAMINFO, MP4 box walk, WebP chunk walk, Ogg page walk,
+    MP3 frame headers, PDF object scan — twelve containers as of
+    r10); never entropy-decodes, so cost is O(header bytes) per
     payload regardless of media size. AVI parses LENIENTLY: geometry
     and frame count report even for fourccs the decoder gates (triage
     metadata, not decode). Corrupt headers triage as 'unknown' rather
