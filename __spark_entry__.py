@@ -7762,6 +7762,80 @@ from counts
 
 _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 
+
+def warc_ingest_stats(spark, sf_dir):
+    """WARC crawl-archive sink + source round-trip (sources/warc.py,
+    r11): every document becomes TWO records — a ``response`` whose
+    block is a deterministic ``HTTP/1.1 200 OK`` envelope around the
+    UTF-8 text (the Common Crawl WARC shape), and a ``conversion``
+    (WET shape) whose block is the lang-prefixed text — written as
+    one-gzip-member-per-record ``shard-NNNNNN.warc.gz`` files via the
+    distributed-ordinal shard assignment (ONE range shuffle, one
+    packer task per shard), then read back through the binaryFile +
+    streaming multi-member-gzip record walk. The oracle never touches
+    WARC: byte lengths and md5s recompute straight from the documents
+    table, so a framing, Content-Length, HTTP-envelope-split,
+    gzip-member or header-parse bug mismatches. Write is EAGER and
+    rmtree-then-write idempotent into a per-sf tmp dir; ``fan_out``
+    spreads the tiny fixture shards (production ~1 GB shards are
+    their own parallelism, see read_warc_gz's docstring)."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        MALFORMED,
+        read_warc_gz,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    uri = F.concat(
+        F.lit("http://example.com/doc/"),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    ).alias("target_uri")
+    date = F.lit("2025-01-01T00:00:00Z").alias("warc_date")
+    resp = docs.select(
+        uri, F.lit("response").alias("warc_type"), date,
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("http_content_type"),
+    )
+    conv = docs.select(
+        uri, F.lit("conversion").alias("warc_type"), date,
+        F.encode(
+            F.concat(F.col("lang"), F.lit("\n"), F.col("text")), "UTF-8"
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("http_content_type"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_warc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(resp.unionByName(conv), path, records_per_shard=64)
+    back = read_warc_gz(spark, path, fan_out=64)
+    return back.filter(F.col("warc_type") != MALFORMED).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "warc_type",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("payload").cast("int").alias("body_bytes"),
+        F.md5("payload").alias("body_md5"),
+    )
+
+
+WARC_INGEST_SQL = """
+select doc_id, 'response' as warc_type, cast(200 as int) as http_status,
+       cast(octet_length(encode(text)) as int) as body_bytes,
+       md5(text) as body_md5
+from documents
+union all
+select doc_id, 'conversion' as warc_type, cast(null as int) as http_status,
+       cast(octet_length(encode(lang || chr(10) || text)) as int)
+         as body_bytes,
+       md5(lang || chr(10) || text) as body_md5
+from documents
+"""
+
+_ORACLES["warc_ingest_stats"] = WARC_INGEST_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -7773,6 +7847,7 @@ _ORACLES["curation_pipeline_e2e"] = _curation_e2e_sql()
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
+    "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
@@ -7822,7 +7897,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": skew_salted_agg,
     "stream_dedup_sessions": stream_dedup_sessions,
     "text_tfidf_top_terms": text_tfidf_top_terms,
-    "u1_union_distinct_tail": u1_union_distinct_tail,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7869,6 +7943,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_len_histogram": token_len_histogram,
     "token_percentiles": token_percentiles,
     "train_val_test_split": train_val_test_split,
+    "u1_union_distinct_tail": u1_union_distinct_tail,
     "unigram_segment_viterbi": unigram_segment_viterbi,
     "unigram_surprisal": unigram_surprisal,
     "unimax_lang_budget": unimax_lang_budget,
@@ -7991,6 +8066,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "token_len_histogram",
         "token_percentiles",
         "train_val_test_split",
+        "u1_union_distinct_tail",
         "unigram_segment_viterbi",
         "unigram_surprisal",
         "unimax_lang_budget",

@@ -8,9 +8,13 @@ It is deliberately compact (headline basket only, ~600 bytes): the
 driver keeps just the TAIL of bench output, and in r9 a single
 headline-first line carrying all 57 extended timings outgrew that
 buffer, truncating the headline (BENCH_r09.json parsed: null). The
-per-extended-query map now rides a separate, earlier
-"ext_queries_detail" line that may fall off the tail without losing
-the official number.
+per-extended-query map rides earlier "ext_queries_detail" lines —
+CHUNKED to ≤20 queries per line since r11 (the r10 single detail
+line was itself head-truncated to 41/62 entries; chunks are
+individually small so the tail keeps whole parseable lines, newest
+first) — and the COMPLETE map is also written to
+BENCH_ext_detail_sf{sf}.json next to this file, which survives in
+the repo regardless of the driver's buffer.
 
 Each query materializes fully through the noop sink (no driver-side
 collect cost, no disk write skew) after a warm-up pass of the session.
@@ -156,6 +160,9 @@ EXTENDED = [
     "zorder_cluster_stats",
     # the full IVF-PQ architecture: residual codes + 2-probe ADC
     "ivf_pq_search",
+    # round-11: WARC crawl-archive sink+source round trip (the write
+    # is part of the timed body — it IS the operator, like webdataset)
+    "warc_ingest_stats",
 ]
 
 
@@ -246,9 +253,31 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_ext_detail_sf{sf}.json",
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {
+                "metric": "ext_queries_detail",
+                "unit": "sec",
+                "queries_ext": timings_ext,
+                "ext_total": round(sum(timings_ext.values()), 3),
+                "sf": float(sf),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     for line in emit_records(timings, timings_ext, float(sf)):
         print(line)
     spark.stop()
+
+
+#: max extended queries per detail line — keeps each line well under
+#: the driver's tail window so truncation drops whole lines, not JSON
+EXT_CHUNK = 20
 
 
 def emit_records(
@@ -256,19 +285,28 @@ def emit_records(
     timings_ext: dict[str, float],
     sf: float,
 ) -> list[str]:
-    """The two output lines, ext-detail first, compact headline LAST
-    (tail-truncation-proof — see module docstring)."""
+    """The output lines: ≤:data:`EXT_CHUNK`-query ext-detail chunks
+    first, compact headline LAST (tail-truncation-proof — see module
+    docstring). Chunks carry ``chunk``/``n_chunks`` indices so a
+    partial tail is self-describing about what fell off."""
     ext_total = round(sum(timings_ext.values()), 3)
-    return [
+    names = sorted(timings_ext)
+    chunks = [names[i : i + EXT_CHUNK] for i in range(0, len(names), EXT_CHUNK)]
+    lines = [
         json.dumps(
             {
                 "metric": "ext_queries_detail",
                 "unit": "sec",
-                "queries_ext": timings_ext,
+                "chunk": i + 1,
+                "n_chunks": len(chunks),
+                "queries_ext": {n: timings_ext[n] for n in part},
                 "ext_total": ext_total,
                 "sf": sf,
             }
-        ),
+        )
+        for i, part in enumerate(chunks)
+    ]
+    lines.append(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
@@ -278,8 +316,9 @@ def emit_records(
                 "ext_total": ext_total,
                 "sf": sf,
             }
-        ),
-    ]
+        )
+    )
+    return lines
 
 
 if __name__ == "__main__":

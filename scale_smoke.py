@@ -620,6 +620,34 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["webdataset_read_20k"] = round(time.perf_counter() - t0, 2)
     shutil.rmtree(wds_dir, ignore_errors=True)
 
+    # r11: WARC — 20k response records written as one-gzip-member-per-
+    # record shards (the Common Crawl layout) then record-walked back;
+    # like webdataset, the write (ordinal shuffle + per-task gzip
+    # packing) IS the sink operator and the read is one shard per task
+    from sqlbackuphistoryetl_spark.sources.warc import read_warc_gz, write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="scale_smoke_warc_")
+    recs = pay.select(
+        F.concat(
+            F.lit("http://example.com/d/"), F.format_string("%07d", "doc_id")
+        ).alias("target_uri"),
+        F.lit("response").alias("warc_type"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("http_content_type"),
+    )
+    t0 = time.perf_counter()
+    write_warc(recs, warc_dir, records_per_shard=256)
+    timings["warc_write_20k"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_warc = (
+        read_warc_gz(spark, warc_dir, fan_out=64)
+        .filter(F.col("http_status") == 200)
+        .count()
+    )
+    timings["warc_read_20k"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
     # media_info triage over the mixed 20k codec slice: header walks
     # only — per-payload cost must stay far below the decode stages
     t0 = time.perf_counter()
@@ -670,6 +698,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "unigram_docs": n_uni,
         "wds_shards": len(shards),
         "wds_members": n_wds_members,
+        "warc_responses": n_warc,
         "media_known": n_media,
         "pdf_ok": n_pdf,
         "edit_pairs_d2": n_edit,

@@ -1,0 +1,411 @@
+"""WARC / WET crawl-archive source + sink (extension layer, r11).
+
+WARC (ISO 28500) is the interchange format Common Crawl and every
+web-archive pipeline ship: a flat sequence of records, each a
+``WARC/1.x`` version line, RFC-822-style named headers, a blank line,
+``Content-Length`` bytes of block, and a ``\\r\\n\\r\\n`` terminator.
+``response`` records carry a full HTTP response message as their
+block; WET files are the same container whose ``conversion`` records
+carry already-extracted plain text. On disk both are almost always
+``.warc.gz`` with EACH RECORD its own gzip member (multi-member gzip),
+which is what makes per-record random access possible server-side.
+
+Spark mapping (same doctrine as ``extensions/webdataset.py``):
+
+* archives are NOT splittable — ``binaryFile`` reads each shard whole
+  into its own task and a map-side Arrow batch walks the records with
+  stdlib ``gzip`` (``GzipFile`` iterates multi-member streams
+  transparently). Shard size is the parallelism knob at 100 TB
+  (Common Crawl shards are ~1 GB for exactly this reason); for tiny
+  fixture shards pass ``fan_out`` to spread file rows first.
+* one hostile record must never OOM an executor: a block whose
+  declared ``Content-Length`` exceeds :data:`MAX_MEMBER_BYTES` is
+  skipped in bounded chunks and surfaces as a NULL-payload row
+  (visible drop, never a silent vanish or a job kill). A record that
+  cannot be framed at all (missing/garbage Content-Length, bad magic)
+  ends the shard walk with a visible ``__malformed__`` sentinel row —
+  framing is byte-offset arithmetic, so nothing after a framing error
+  can be trusted.
+* everything downstream of extraction is JVM-side: WET text, HTML
+  prose (``functions/htmlfns.html_to_text``), stats — the Python walk
+  only frames bytes and parses headers, O(header bytes + one memcpy
+  per in-budget block).
+
+The writer emits the Common Crawl layout (one gzip member per record,
+``mtime=0`` for byte-stable members) through the same
+distributed-ordinal shard assignment as the webdataset sinks: one
+range shuffle, one packer task per shard, atomic rename publish.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..extensions.webdataset import MAX_MEMBER_BYTES, _write_shards
+from ..functions.htmlfns import html_to_text
+
+#: reader output: one row per WARC record, long form
+WARC_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("http_content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+#: sentinel warc_type for a shard whose remaining bytes cannot be framed
+MALFORMED = "__malformed__"
+
+_SKIP_CHUNK = 1 << 20
+
+
+class WARCError(ValueError):
+    """Raised by the writer on rows it cannot serialize."""
+
+
+# ---------------------------------------------------------------- reader
+
+
+def _parse_headers(stream) -> dict | None:
+    """Named headers up to the blank line; None on EOF mid-headers.
+
+    Lowercased keys, latin-1 values (WARC headers are ASCII; latin-1
+    never throws on hostile bytes). Obsolete line folding (leading
+    SP/HT continuation) is honored per RFC 822.
+    """
+    headers: dict[str, str] = {}
+    last = None
+    while True:
+        line = stream.readline()
+        if line in (b"\r\n", b"\n"):
+            return headers
+        if not line:
+            return None
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        key, sep, val = line.partition(b":")
+        if not sep:
+            return None  # not a header line: framing is broken
+        last = key.strip().decode("latin-1").lower()
+        headers[last] = val.strip().decode("latin-1")
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body; the raw bytes
+    come back unchanged if the chunk framing is broken (lenient —
+    crawlers store what the server actually sent)."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return body
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        end = start + size
+        if end > len(body):
+            return body
+        out.append(body[start:end])
+        pos = end + 2  # skip the chunk-data CRLF
+
+
+def _split_http(block: bytes):
+    """(status, content_type, payload) from an HTTP message block;
+    (None, None, block) when it isn't parseable as HTTP."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, block
+    head, payload = block[:sep], block[sep + 4 :]
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, block
+    ctype, chunked = None, False
+    for line in lines[1:]:
+        key, sep2, val = line.partition(b":")
+        if not sep2:
+            continue
+        k = key.strip().lower()
+        if k == b"content-type" and ctype is None:
+            ctype = val.strip().decode("latin-1")
+        elif k == b"transfer-encoding" and b"chunked" in val.lower():
+            chunked = True
+    if chunked:
+        payload = _dechunk(payload)
+    return status, ctype, payload
+
+
+def iter_warc_records(stream):
+    """Walk one WARC stream (plain or an open ``GzipFile``), yielding
+    ``(headers_dict, block_or_None, over_budget)`` per record.
+
+    Over-budget blocks are skipped in bounded chunks (``block`` is
+    None, ``over_budget`` True). A framing failure yields one final
+    ``(None, None, False)`` sentinel and stops: Content-Length
+    arithmetic is the only record boundary, so a walk cannot resync
+    reliably after losing it (cf. the webdataset visible-drop
+    doctrine, extensions/webdataset.py MAX_MEMBER_BYTES).
+    """
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record padding
+        if not line.startswith(b"WARC/"):
+            yield None, None, False
+            return
+        headers = _parse_headers(stream)
+        if headers is None:
+            yield None, None, False
+            return
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            yield None, None, False
+            return
+        if clen < 0:
+            yield None, None, False
+            return
+        if clen > MAX_MEMBER_BYTES:
+            left = clen
+            while left > 0:
+                got = stream.read(min(_SKIP_CHUNK, left))
+                if not got:
+                    break
+                left -= len(got)
+            yield headers, None, True
+            continue
+        block = stream.read(clen)
+        if len(block) < clen:  # truncated shard tail: visible drop
+            yield headers, None, True
+            return
+        yield headers, block, False
+
+
+def _record_rows(shard: str, stream):
+    for headers, block, _over in iter_warc_records(stream):
+        if headers is None:
+            yield (shard, None, MALFORMED, None, None, None, None,
+                   None, None, None)
+            continue
+        wtype = headers.get("warc-type", "")
+        ctype = headers.get("content-type")
+        status, http_ctype, payload = None, None, block
+        if (
+            block is not None
+            and wtype == "response"
+            and (ctype or "").startswith("application/http")
+        ):
+            status, http_ctype, payload = _split_http(block)
+        yield (
+            shard,
+            headers.get("warc-record-id"),
+            wtype,
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            ctype,
+            int(headers["content-length"]),
+            status,
+            http_ctype,
+            payload,
+        )
+
+
+def _read_warc_files(
+    spark: SparkSession, path: str, glob: str, open_stream, fan_out: int | None
+) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    if fan_out is not None:
+        files = files.repartition(fan_out, "path")
+
+    cols = [f.name for f in WARC_SCHEMA]
+
+    def _walk(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                shard = os.path.basename(r.path)
+                with open_stream(bytes(r.content)) as stream:
+                    rows.extend(_record_rows(shard, stream))
+            out = {c: pd.Series([r[i] for r in rows], dtype="object")
+                   for i, c in enumerate(cols)}
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(_walk, WARC_SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession, path: str, fan_out: int | None = None,
+    glob: str = "*.warc",
+) -> DataFrame:
+    """Scan uncompressed ``*.warc`` shards into :data:`WARC_SCHEMA`."""
+    return _read_warc_files(spark, path, glob, io.BytesIO, fan_out)
+
+
+def read_warc_gz(
+    spark: SparkSession, path: str, fan_out: int | None = None,
+    glob: str = "*.warc.gz",
+) -> DataFrame:
+    """Scan ``*.warc.gz`` shards (one gzip member per record, the
+    Common Crawl layout — but any valid gzip stream works: GzipFile
+    walks concatenated members transparently) into
+    :data:`WARC_SCHEMA`. For WET dumps pass ``glob='*.warc.wet.gz'``
+    or use :func:`read_wet_gz`."""
+    def _open(blob: bytes):
+        return gzip.GzipFile(fileobj=io.BytesIO(blob), mode="rb")
+
+    return _read_warc_files(spark, path, glob, _open, fan_out)
+
+
+def read_wet_gz(
+    spark: SparkSession, path: str, fan_out: int | None = None
+) -> DataFrame:
+    """Common Crawl WET convenience: ``*.warc.wet.gz`` shards."""
+    return read_warc_gz(spark, path, fan_out, glob="*.warc.wet.gz")
+
+
+# ----------------------------------------------------- JVM-side derivations
+
+
+def wet_text(df: DataFrame) -> DataFrame:
+    """``conversion`` records as ``(target_uri, warc_date, text)`` —
+    the WET payload IS the extracted text (UTF-8)."""
+    return df.filter(
+        (F.col("warc_type") == "conversion") & F.col("payload").isNotNull()
+    ).select(
+        "target_uri", "warc_date", F.decode("payload", "UTF-8").alias("text")
+    )
+
+
+def response_text(df: DataFrame) -> DataFrame:
+    """HTML ``response`` records reduced to prose
+    ``(target_uri, warc_date, http_status, text)`` via the pure-JVM
+    ``html_to_text`` chain — no Python past extraction."""
+    html = df.filter(
+        (F.col("warc_type") == "response")
+        & F.col("payload").isNotNull()
+        & F.col("http_content_type").startswith("text/html")
+    )
+    return html.select(
+        "target_uri",
+        "warc_date",
+        "http_status",
+        html_to_text(F.decode("payload", "UTF-8")).alias("text"),
+    )
+
+
+# ----------------------------------------------------------------- writer
+
+_HTTP_ENVELOPE_TYPES = {"response"}
+
+
+def _record_bytes(r) -> bytes:
+    import hashlib
+
+    payload = bytes(r.payload) if r.payload is not None else b""
+    wtype = r.warc_type
+    if wtype in _HTTP_ENVELOPE_TYPES:
+        http_ctype = getattr(r, "http_content_type", None) or "text/plain"
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + http_ctype.encode("latin-1")
+            + b"\r\nContent-Length: "
+            + str(len(payload)).encode()
+            + b"\r\n\r\n"
+            + payload
+        )
+        ctype = "application/http; msgtype=response"
+    else:
+        block = payload
+        ctype = getattr(r, "content_type", None) or "text/plain"
+    digest = hashlib.md5(
+        r.target_uri.encode() + b"|" + wtype.encode() + b"|" + payload
+    ).hexdigest()
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:md5:{digest}>\r\n"
+        f"WARC-Date: {r.warc_date}\r\n"
+        f"WARC-Target-URI: {r.target_uri}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + block + b"\r\n\r\n"
+
+
+def _pack_warc_gz(pdf) -> bytes:
+    out = io.BytesIO()
+    for r in pdf.itertuples(index=False):
+        if r.payload is None or r.target_uri is None:
+            raise WARCError("write_warc rows need target_uri and payload")
+        # one gzip member PER RECORD (the Common Crawl layout) so a
+        # server-side reader can seek to any record; mtime=0 keeps
+        # members byte-stable across runs
+        out.write(gzip.compress(_record_bytes(r), mtime=0))
+    return out.getvalue()
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """Write ``(target_uri, warc_type, warc_date, payload[,
+    http_content_type, content_type])`` rows as ``shard-NNNNNN.warc.gz``
+    files — one gzip member per record. ``response`` rows get a
+    deterministic ``HTTP/1.1 200 OK`` envelope around their payload
+    (crawl-fixture semantics); every other type writes the payload as
+    the block verbatim. Shard assignment, packing, and the atomic
+    rename publish ride the webdataset machinery
+    (extensions/webdataset.py _write_shards): ONE range shuffle, one
+    packer task per shard. Eager; returns per-shard summary rows.
+    """
+    key = F.col("target_uri").alias("key")
+    ext = F.col("warc_type").alias("ext")
+    passthrough = [
+        c for c in df.columns if c not in ("target_uri", "warc_type")
+    ]
+    shaped = df.select(key, ext, "target_uri", "warc_type", *passthrough)
+    return _write_shards(
+        shaped, path, records_per_shard, num_partitions,
+        _pack_warc_gz, ".warc.gz",
+    )

@@ -40,14 +40,23 @@ def test_last_line_is_complete_compact_headline_record():
     assert len(lines[-1].encode()) < TAIL_BUDGET_BYTES
 
 
-def test_ext_detail_line_precedes_and_carries_full_map():
+def test_ext_detail_chunks_precede_and_union_to_full_map():
+    """r10 lesson: the ONE detail line was itself head-truncated
+    (41/62 entries survived). Chunks of ≤EXT_CHUNK queries keep every
+    line individually small so truncation drops whole parseable lines."""
     timings = _fake(len(bench.HEADLINE), "headline")
-    timings_ext = _fake(57, "ext")
+    timings_ext = _fake(63, "ext")
     lines = bench.emit_records(timings, timings_ext, 0.1)
-    assert len(lines) == 2
-    detail = json.loads(lines[0])
-    assert detail["metric"] == "ext_queries_detail"
-    assert detail["queries_ext"] == timings_ext
-    assert detail["ext_total"] == round(sum(timings_ext.values()), 3)
-    # both lines agree on the ext total so either alone is consistent
-    assert json.loads(lines[-1])["ext_total"] == detail["ext_total"]
+    details = [json.loads(l) for l in lines[:-1]]
+    assert len(details) == 4  # ceil(63 / 20)
+    merged: dict[str, float] = {}
+    for i, d in enumerate(details):
+        assert d["metric"] == "ext_queries_detail"
+        assert d["chunk"] == i + 1 and d["n_chunks"] == len(details)
+        assert len(d["queries_ext"]) <= bench.EXT_CHUNK
+        assert d["ext_total"] == round(sum(timings_ext.values()), 3)
+        assert len(lines[i].encode()) < TAIL_BUDGET_BYTES
+        merged.update(d["queries_ext"])
+    assert merged == timings_ext
+    # headline agrees on the ext total so either alone is consistent
+    assert json.loads(lines[-1])["ext_total"] == details[0]["ext_total"]

@@ -1,0 +1,204 @@
+"""WARC/WET source + sink: framing, HTTP envelope split, chunked
+bodies, multi-member gzip, budget/malformed visible drops, write →
+read round-trip (r11, sources/warc.py)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.sources.warc import (
+    MALFORMED,
+    WARCError,
+    _dechunk,
+    _split_http,
+    iter_warc_records,
+    read_warc,
+    read_warc_gz,
+    response_text,
+    wet_text,
+    write_warc,
+)
+
+
+def _record(wtype, uri, block, ctype="text/plain", extra=()):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:test:{uri}>\r\n"
+        f"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        + "".join(f"{k}: {v}\r\n" for k, v in extra)
+        + f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return head + block + b"\r\n\r\n"
+
+
+def _http_block(body, ctype="text/html", extra=b""):
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+        + b"\r\n" + extra
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def test_iter_plain_records():
+    raw = _record("warcinfo", "meta", b"software: test\r\n") + _record(
+        "conversion", "http://a/1", b"hello world"
+    )
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    assert len(recs) == 2
+    (h1, b1, o1), (h2, b2, o2) = recs
+    assert h1["warc-type"] == "warcinfo" and not o1
+    assert h2["warc-type"] == "conversion"
+    assert b2 == b"hello world"
+
+
+def test_iter_header_folding_and_padding():
+    raw = (
+        b"\r\n\r\n"  # leading inter-record padding
+        + _record("conversion", "http://a/1", b"x",
+                  extra=[("X-Long", "part1\r\n  part2")])
+    )
+    (h, b, _o), = list(iter_warc_records(io.BytesIO(raw)))
+    assert h["x-long"] == "part1 part2"
+    assert b == b"x"
+
+
+def test_iter_malformed_stops_with_sentinel():
+    raw = _record("conversion", "http://a/1", b"ok") + b"GARBAGE NOT WARC\r\n"
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    assert recs[0][1] == b"ok"
+    assert recs[1] == (None, None, False)
+
+
+def test_iter_bad_content_length_is_malformed():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"Content-Length: banana\r\n\r\n"
+    )
+    assert list(iter_warc_records(io.BytesIO(raw))) == [(None, None, False)]
+
+
+def test_iter_truncated_block_is_visible_drop():
+    rec = _record("conversion", "http://a/1", b"full body here")
+    recs = list(iter_warc_records(io.BytesIO(rec[:-10])))
+    assert len(recs) == 1
+    h, b, over = recs[0]
+    assert h["warc-type"] == "conversion" and b is None and over
+
+
+def test_iter_over_budget_skips_and_continues(monkeypatch):
+    import sqlbackuphistoryetl_spark.sources.warc as W
+
+    monkeypatch.setattr(W, "MAX_MEMBER_BYTES", 8)
+    raw = _record("conversion", "http://a/big", b"0123456789abcdef") + _record(
+        "conversion", "http://a/ok", b"tiny"
+    )
+    recs = list(W.iter_warc_records(io.BytesIO(raw)))
+    assert len(recs) == 2
+    assert recs[0][1] is None and recs[0][2] is True
+    assert recs[1][1] == b"tiny" and recs[1][2] is False
+
+
+def test_split_http_and_dechunk():
+    s, c, p = _split_http(_http_block(b"<html>hi</html>"))
+    assert (s, c, p) == (200, "text/html", b"<html>hi</html>")
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    s, c, p = _split_http(chunked)
+    assert p == b"hello world"
+    # broken chunk framing falls back to the raw bytes
+    assert _dechunk(b"ZZZ\r\nnope") == b"ZZZ\r\nnope"
+    # non-HTTP block passes through
+    assert _split_http(b"not http") == (None, None, b"not http")
+
+
+def _fixture_df(spark, n=12):
+    rows = []
+    for i in range(n):
+        uri = f"http://example.com/doc/{i:04d}"
+        rows.append(
+            (uri, "response", "2025-01-01T00:00:00Z",
+             f"<html><body><p>body {i}</p></body></html>".encode(),
+             "text/html")
+        )
+        rows.append(
+            (uri, "conversion", "2025-01-01T00:00:00Z",
+             f"body {i}".encode(), None)
+        )
+    return spark.createDataFrame(
+        rows,
+        "target_uri string, warc_type string, warc_date string, "
+        "payload binary, http_content_type string",
+    )
+
+
+def test_write_read_round_trip(spark, tmp_path):
+    path = str(tmp_path / "warc")
+    df = _fixture_df(spark, 12)
+    summary = write_warc(df, path, records_per_shard=5)
+    assert [r["n_samples"] for r in summary] == [5, 5, 2]
+    back = read_warc_gz(spark, path, fan_out=8)
+    rows = back.collect()
+    assert len(rows) == 24
+    by = {(r["target_uri"], r["warc_type"]): r for r in rows}
+    r0 = by[("http://example.com/doc/0000", "response")]
+    assert r0["http_status"] == 200
+    assert r0["http_content_type"] == "text/html"
+    assert bytes(r0["payload"]) == b"<html><body><p>body 0</p></body></html>"
+    assert r0["content_type"].startswith("application/http")
+    c0 = by[("http://example.com/doc/0000", "conversion")]
+    assert bytes(c0["payload"]) == b"body 0"
+    assert c0["http_status"] is None
+    assert c0["warc_date"] == "2025-01-01T00:00:00Z"
+    # record ids are deterministic content digests
+    assert r0["record_id"].startswith("<urn:md5:")
+
+
+def test_wet_and_response_text(spark, tmp_path):
+    path = str(tmp_path / "warc")
+    write_warc(_fixture_df(spark, 6), path, records_per_shard=16)
+    back = read_warc_gz(spark, path, fan_out=4)
+    wet = {r["target_uri"]: r["text"] for r in wet_text(back).collect()}
+    assert wet["http://example.com/doc/0003"] == "body 3"
+    prose = {r["target_uri"]: r["text"] for r in response_text(back).collect()}
+    assert prose["http://example.com/doc/0003"] == "body 3"
+
+
+def test_read_plain_warc(spark, tmp_path):
+    shard = tmp_path / "x.warc"
+    shard.write_bytes(
+        _record("conversion", "http://a/1", b"alpha")
+        + _record("conversion", "http://a/2", b"beta")
+    )
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert sorted(bytes(r["payload"]) for r in rows) == [b"alpha", b"beta"]
+
+
+def test_read_malformed_shard_sentinel(spark, tmp_path):
+    blob = _record("conversion", "http://a/1", b"ok") + b"NOT A RECORD"
+    (tmp_path / "bad.warc.gz").write_bytes(gzip.compress(blob, mtime=0))
+    rows = read_warc_gz(spark, str(tmp_path)).collect()
+    types = sorted(r["warc_type"] for r in rows)
+    assert types == [MALFORMED, "conversion"]
+    ok = [r for r in rows if r["warc_type"] == "conversion"][0]
+    assert bytes(ok["payload"]) == b"ok"
+
+
+def test_writer_rejects_null_payload(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("http://a/1", "conversion", "2025-01-01T00:00:00Z", None, None)],
+        "target_uri string, warc_type string, warc_date string, "
+        "payload binary, http_content_type string",
+    )
+    with pytest.raises(Exception) as ei:
+        write_warc(df, str(tmp_path / "w"), records_per_shard=4)
+    assert "target_uri and payload" in str(ei.value)
