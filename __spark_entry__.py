@@ -2282,15 +2282,18 @@ from documents order by ordinal
 
 def pdf_extract_text(spark, sf_dir):
     """PDF text extraction through the real stdlib chain
-    (extensions/pdf_codec.py + multimodal.extract_pdf_text, r10 — the
-    largest single text source in crawl pipelines): each document's
-    first 120 sanitized chars become a 2-page, 3-lines-per-page PDF
-    (FlateDecode on even doc_ids, raw streams on odd — both stream
-    paths under the oracle), written by build_pdf with a real xref and
-    read back through the object scan, /Length resolution, inflate,
-    and BT..ET operator walk. The oracle reconstructs the exact
-    page/line text from ``substr`` arithmetic, so an escape-decode,
-    stream-boundary, operator or page-ordering bug hash-mismatches."""
+    (extensions/pdf_codec.py + multimodal.extract_pdf_text, r10/r11 —
+    the largest single text source in crawl pipelines): each
+    document's first 120 sanitized chars become a 2-page,
+    3-lines-per-page PDF whose CONTAINER cycles with doc_id % 6 —
+    FlateDecode, raw streams, the modern ObjStm + predictor-12
+    xref-stream layout (r11: objects compressed inside /Type /ObjStm,
+    invisible to the plain obj..endobj scan), LZWDecode,
+    ASCII85Decode and ASCIIHexDecode content streams — all under the
+    SAME oracle, which reconstructs the exact page/line text from
+    ``substr`` arithmetic. An escape-decode, stream-boundary,
+    filter-decode, ObjStm-expansion, operator or page-ordering bug
+    hash-mismatches in whichever arm it breaks."""
     import re
 
     from sqlbackuphistoryetl_spark.extensions.multimodal import (
@@ -2310,9 +2313,19 @@ def pdf_extract_text(spark, sf_dir):
         def mk(d, t):
             s = re.sub(r"[^ -~]", "?", t)[:120].ljust(120, " ")
             lines = [s[j * 20 : (j + 1) * 20] for j in range(6)]
-            return build_pdf(
-                [lines[:3], lines[3:]], compress=(d % 2 == 0)
-            )
+            pg = [lines[:3], lines[3:]]
+            mode = d % 6
+            if mode == 0:
+                return build_pdf(pg, compress=True)
+            if mode == 1:
+                return build_pdf(pg)
+            if mode == 2:
+                return build_pdf(pg, compress=True, compress_objects=True)
+            if mode == 3:
+                return build_pdf(pg, content_filter="lzw")
+            if mode == 4:
+                return build_pdf(pg, content_filter="a85")
+            return build_pdf(pg, content_filter="ahx")
 
         for pdf in it:
             yield pd.DataFrame(
@@ -7836,6 +7849,78 @@ from documents
 
 _ORACLES["warc_ingest_stats"] = WARC_INGEST_SQL
 
+
+def pdf_tounicode_text(spark, sf_dir):
+    """ToUnicode CMap text mapping (pdf_codec._parse_cmap/_apply_cmap,
+    r11): each document's first 60 sanitized chars become a 1-page PDF
+    whose Helvetica font carries a ToUnicode CMap mapping a-z to A-Z
+    (bfrange <61> <7a> <0041>), written inside the modern ObjStm
+    layout on even doc_ids and the classic table layout on odd — so
+    the glyph-code → unicode path runs through both containers. The
+    oracle is plain ``upper()`` over the same substrings: a CMap
+    parse, code-width, range-increment or font-selection (Tf) bug
+    changes the extracted text and hash-mismatches."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import (
+        extract_pdf_text,
+    )
+    from sqlbackuphistoryetl_spark.extensions.pdf_codec import build_pdf
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        def mk(d, t):
+            s = re.sub(r"[^ -~]", "?", t)[:60].ljust(60, " ")
+            lines = [s[j * 20 : (j + 1) * 20] for j in range(3)]
+            return build_pdf(
+                [lines],
+                compress=True,
+                compress_objects=(d % 2 == 0),
+                tounicode=[(0x61, 0x7A, 0x0041)],
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return extract_pdf_text(payloads).select(
+        "doc_id",
+        "n_pages",
+        F.md5(F.col("text")).alias("text_md5"),
+        "status",
+    )
+
+
+PDF_TOUNICODE_SQL = r"""
+with s as (
+  select doc_id,
+         upper(rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'),
+                           1, 60), 60, ' ')) as s
+  from documents)
+select doc_id,
+       cast(1 as bigint) as n_pages,
+       md5(substr(s, 1, 20) || chr(10) || substr(s, 21, 20) || chr(10)
+           || substr(s, 41, 20)) as text_md5,
+       'ok' as status
+from s
+"""
+
+_ORACLES["pdf_tounicode_text"] = PDF_TOUNICODE_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -7847,6 +7932,7 @@ _ORACLES["warc_ingest_stats"] = WARC_INGEST_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
+    "pdf_tounicode_text": pdf_tounicode_text,
     "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
@@ -7896,7 +7982,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "size_trunc_math": size_trunc_math,
     "skew_salted_agg": skew_salted_agg,
     "stream_dedup_sessions": stream_dedup_sessions,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -7939,6 +8024,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_lang_sample": temperature_lang_sample,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_count": text_token_count,
     "token_len_histogram": token_len_histogram,
     "token_percentiles": token_percentiles,
@@ -8062,6 +8148,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "temperature_lang_sample",
         "text_bpe_token_count",
         "text_quality_score",
+        "text_tfidf_top_terms",
         "text_token_count",
         "token_len_histogram",
         "token_percentiles",

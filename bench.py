@@ -163,6 +163,8 @@ EXTENDED = [
     # round-11: WARC crawl-archive sink+source round trip (the write
     # is part of the timed body — it IS the operator, like webdataset)
     "warc_ingest_stats",
+    # ToUnicode CMap text mapping through both PDF container layouts
+    "pdf_tounicode_text",
 ]
 
 

@@ -310,11 +310,35 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     """TIFF-flavor LZW: MSB-first, 8-bit roots, clear=256, EOI=257,
     EARLY code-width change (TIFF 6.0 §13: the width grows when the
     NEXT code would not fit — one code earlier than GIF)."""
+    out = lzw_decompress(data, expected, strict_length=True)
+    if len(out) < expected:
+        raise TIFFError("LZW output shorter than the strip")
+    return out[:expected]
+
+
+def lzw_decompress(
+    data: bytes,
+    max_out: int,
+    early: bool = True,
+    strict_length: bool = False,
+) -> bytes:
+    """The LZW core, shared with PDF's LZWDecode (same coding family,
+    PDF 32000 §7.4.4 = TIFF 6.0 §13; PDF's ``/EarlyChange 0`` variant
+    turns off the one-code-early width growth via ``early``).
+
+    Stops at EOI or when the input bits run out (lenient — crawled
+    PDFs drop the EOI routinely). ``max_out`` is the decompression-
+    bomb budget: output reaching it raises unless ``strict_length``
+    (the TIFF strip path, where ``max_out`` IS the expected length and
+    stopping there is the contract). Truncated input raises only
+    under ``strict_length``; the lenient path returns what decoded.
+    """
     CLEAR, EOI = 256, 257
     literals = [bytes([i]) for i in range(256)]
     table: list[bytes] = []
     code_size = 9
     prev: bytes | None = None
+    grow_slack = 1 if early else 0
 
     def _reset() -> None:
         nonlocal table, code_size, prev
@@ -326,9 +350,11 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     out = bytearray()
     bitpos = 0
     nbits = len(data) * 8
-    while len(out) < expected:
+    while len(out) < max_out:
         if bitpos + code_size > nbits:
-            raise TIFFError("LZW strip truncated")
+            if strict_length:
+                raise TIFFError("LZW strip truncated")
+            break
         byte_i = bitpos >> 3
         # right-pad: a short slice near the end would silently shift
         # the big-endian window
@@ -359,13 +385,16 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
                 table.append(prev + entry[:1])
                 # EARLY change: grow when the next-to-assign code
                 # hits the width limit minus one
-                if len(table) == (1 << code_size) - 1 and code_size < 12:
+                if (
+                    len(table) == (1 << code_size) - grow_slack
+                    and code_size < 12
+                ):
                     code_size += 1
         out += entry
         prev = entry
-    if len(out) < expected:
-        raise TIFFError("LZW output shorter than the strip")
-    return bytes(out[:expected])
+    if not strict_length and len(out) >= max_out:
+        raise TIFFError(f"LZW output past the {max_out}-byte budget")
+    return bytes(out)
 
 
 def _decompress_chunk(
