@@ -357,6 +357,12 @@ def read_zip_shards(
                     # read(n+1), not read(): a header declaring 1 KB
                     # over a 10 GB stream must not materialize 10 GB
                     data = mf.read(zi.file_size + 1)
+                if len(data) < zi.file_size:
+                    # under-delivering member: visible NULL drop, the
+                    # same doctrine as over-declared/over-budget ones
+                    # (r10 advice — short bytes were yielded silently)
+                    yield zi.filename, None
+                    continue
                 yield zi.filename, data[: zi.file_size]
 
     return _read_archives(spark, path, "*.zip", _walk_zip, fan_out)

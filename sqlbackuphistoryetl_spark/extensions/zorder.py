@@ -80,11 +80,16 @@ def normalize_columns(
             out = out.withColumn(name, F.lit(0).cast("long"))
         else:
             span = int(hi) - int(lo)
+            # the offset-times-2^bits product overflows long silently
+            # (non-ANSI Spark) once span exceeds ~2^(63-bits) — go
+            # through double BEFORE the multiply (r10 advice; the bin
+            # precision was already double via the division)
             out = out.withColumn(
                 name,
                 F.least(
                     F.lit(n - 1),
                     ((F.col(c).cast("long") - F.lit(int(lo)))
+                     .cast("double")
                      * F.lit(n) / F.lit(span + 1)).cast("long"),
                 ),
             )

@@ -347,3 +347,42 @@ def test_read_tar_gz_shards(spark, tmp_path):
     finally:
         wds.MAX_MEMBER_BYTES = orig
     assert out["a"] == b"alpha" and out["big"] is None
+
+
+def test_zip_short_member_yields_null_payload(spark, tmp_path):
+    """r10 advice: a deflated member whose stream inflates to FEWER
+    bytes than its declared uncompressed size must surface as a
+    visible NULL drop, consistent with over-declared/over-budget
+    members — not as silently short bytes."""
+    import io
+    import struct
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("ok.txt", (1980, 1, 1, 0, 0, 0)), b"fine"
+        )
+        zf.writestr(
+            zipfile.ZipInfo("short.txt", (1980, 1, 1, 0, 0, 0)),
+            b"hello world",
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+    blob = bytearray(buf.getvalue())
+    # lie: bump short.txt's uncompressed size 11 -> 21 in both the
+    # local header (offset 22) and the central directory (offset 24)
+    lh = blob.find(b"PK\x03\x04", blob.find(b"short.txt") - 40)
+    cd = blob.rfind(b"PK\x01\x02")
+    assert blob[lh + 22 : lh + 26] == struct.pack("<I", 11)
+    blob[lh + 22 : lh + 26] = struct.pack("<I", 21)
+    assert blob[cd + 24 : cd + 28] == struct.pack("<I", 11)
+    blob[cd + 24 : cd + 28] = struct.pack("<I", 21)
+
+    path = str(tmp_path / "zs")
+    os.makedirs(path)
+    with open(os.path.join(path, "shard-000000.zip"), "wb") as fh:
+        fh.write(bytes(blob))
+    out = {r["key"]: r["payload"]
+           for r in read_zip_shards(spark, path).collect()}
+    assert out["ok"] == b"fine"
+    assert out["short"] is None  # present, visibly dropped

@@ -104,3 +104,17 @@ def test_zorder_write_file_count(spark, tmp_path):
     zorder_write(df, path, ["a", "b"], n_files=8, bits=8)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 8
+
+
+def test_normalize_wide_span_no_overflow(spark):
+    """r10 advice: (col - lo) * 2^bits in long overflows silently for
+    spans above ~2^47 at bits=16 (non-ANSI Spark), producing negative
+    bins; the multiply now goes through double first."""
+    lo, hi = 0, 1 << 52
+    df = spark.createDataFrame(
+        [(lo,), (hi // 2,), (hi,)], ["a"]
+    )
+    out, names = normalize_columns(df, ["a"], bits=16)
+    bins = [r["__z_a"] for r in out.select(*names).collect()]
+    assert all(0 <= b <= (1 << 16) - 1 for b in bins)
+    assert bins == sorted(bins) and bins[0] < bins[1] < bins[2]
