@@ -7921,6 +7921,109 @@ from s
 
 _ORACLES["pdf_tounicode_text"] = PDF_TOUNICODE_SQL
 
+
+#: lookahead-free GPT-2 pretokenizer shared by the gate's Spark side
+#: (Java regex) and oracle (RE2 — no lookahead support): differs from
+#: bpe.GPT2_PRETOKEN_RE only on multi-space runs, where the whole run
+#: tokenizes as whitespace instead of donating its last space to the
+#: following word. Both engines are leftmost-first, so the split is
+#: engine-identical.
+_BYTE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+_BYTE_MERGES = [
+    ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("i", "n"), ("e", "r"),
+]
+
+
+def bpe_byte_level(spark, sf_dir):
+    """Byte-level (GPT-2-form) BPE segmentation + decode
+    (extensions/bpe.py: byte_initial_vocab / bpe_segment_corpus_bytes /
+    bpe_decode_bytes, r11): documents sanitized to printable ASCII
+    (multibyte byte-fallback is pinned by unit tests; the oracle needs
+    byte==char) are pretokenized with the GPT-2 regex, byte-mapped
+    (space → Ġ, everything else identity on this alphabet), and
+    segmented under FIXED merges incl. the space-prefixed ``Ġth``/
+    ``Ġthe`` chain that is the signature of the byte-level form. The
+    oracle re-derives the token stream with the same chr(31)
+    replace-chain encoding as ``bpe_segment_fixed`` — no end marker,
+    space mapped via chr(288) — and the ``decoded_md5`` column proves
+    the decode path reproduces the input EXACTLY (tokens → translate →
+    UTF-8), which plain-text md5 recomputes independently."""
+    from sqlbackuphistoryetl_spark.extensions.bpe import (
+        bpe_decode_bytes,
+        bpe_segment_corpus_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"[^ -~]", "?").alias("text"),
+    )
+    seg = bpe_segment_corpus_bytes(
+        docs, _BYTE_MERGES, pretoken_re=_BYTE_PRETOKEN_RE
+    )
+    dec = bpe_decode_bytes(seg, out_col="decoded")
+    return dec.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("\x1e", "tokens")).alias("tok_md5"),
+        F.md5("decoded").alias("decoded_md5"),
+    )
+
+
+BPE_BYTE_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[^ -~]', '?', 'g') as s
+  from documents),
+w as (
+  select doc_id, toks[i] as word, i as pos
+  from (select doc_id, s,
+               regexp_extract_all(
+                 s,
+                 '''s|''t|''re|''ve|''m|''ll|''d'
+                 || '| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') as toks,
+               unnest(generate_series(1, len(regexp_extract_all(
+                 s,
+                 '''s|''t|''re|''ve|''m|''ll|''d'
+                 || '| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))) as i
+        from s)),
+segd as (
+  select doc_id, pos,
+         trim(
+           replace(replace(replace(replace(replace(
+             repeat(chr(31), 2)
+               || array_to_string(
+                    string_split(replace(word, ' ', chr(288)), ''),
+                    repeat(chr(31), 2))
+               || repeat(chr(31), 2),
+             chr(31)||chr(288)||chr(31)||chr(31)||'t'||chr(31),
+             chr(31)||chr(288)||'t'||chr(31)),
+             chr(31)||chr(288)||'t'||chr(31)||chr(31)||'h'||chr(31),
+             chr(31)||chr(288)||'th'||chr(31)),
+             chr(31)||chr(288)||'th'||chr(31)||chr(31)||'e'||chr(31),
+             chr(31)||chr(288)||'the'||chr(31)),
+             chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31),
+             chr(31)||'in'||chr(31)),
+             chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31),
+             chr(31)||'er'||chr(31)),
+           chr(31)) as seg
+  from w),
+per_doc as (
+  select doc_id,
+         string_agg(seg, repeat(chr(31), 2) order by pos) as all_toks
+  from segd group by doc_id)
+select p.doc_id,
+       cast(len(string_split(p.all_toks, repeat(chr(31), 2))) as int)
+         as n_tokens,
+       md5(replace(p.all_toks, repeat(chr(31), 2), chr(30))) as tok_md5,
+       md5(s.s) as decoded_md5
+from per_doc p join s on p.doc_id = s.doc_id
+"""
+
+_ORACLES["bpe_byte_level"] = BPE_BYTE_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -7932,6 +8035,7 @@ _ORACLES["pdf_tounicode_text"] = PDF_TOUNICODE_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
+    "bpe_byte_level": bpe_byte_level,
     "pdf_tounicode_text": pdf_tounicode_text,
     "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
@@ -7981,7 +8085,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_path_surgery": scalar_path_surgery,
     "size_trunc_math": size_trunc_math,
     "skew_salted_agg": skew_salted_agg,
-    "stream_dedup_sessions": stream_dedup_sessions,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8021,6 +8124,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "stream_dedup_sessions": stream_dedup_sessions,
     "temperature_lang_sample": temperature_lang_sample,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
@@ -8145,6 +8249,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "sentence_split_stats",
         "sequence_packing",
         "stratified_sample_by_lang",
+        "stream_dedup_sessions",
         "temperature_lang_sample",
         "text_bpe_token_count",
         "text_quality_score",

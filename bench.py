@@ -165,6 +165,8 @@ EXTENDED = [
     "warc_ingest_stats",
     # ToUnicode CMap text mapping through both PDF container layouts
     "pdf_tounicode_text",
+    # byte-level (GPT-2-form) BPE segment + lossless decode
+    "bpe_byte_level",
 ]
 
 

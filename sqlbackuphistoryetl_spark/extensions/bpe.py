@@ -149,6 +149,19 @@ def bpe_fit(
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     vocab = initial_vocab(docs, text_col, end_marker).select("count", "syms")
+    return _fit_loop(vocab, n_merges, min_pair_count, initial_merges)
+
+
+def _fit_loop(
+    vocab: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    initial_merges: list[tuple[str, str]] | None,
+) -> list[tuple[str, str]]:
+    """The greedy merge loop over a prepared (count, syms) vocab frame
+    — shared by the char-level (:func:`bpe_fit`) and byte-level
+    (:func:`bpe_fit_bytes`) trainers; the two differ ONLY in how raw
+    text becomes the initial symbol sequences."""
     if initial_merges:
         vocab = segment_vocab(vocab, list(initial_merges))
     vocab = vocab.localCheckpoint(eager=True)
@@ -553,4 +566,165 @@ def bpe_encode_corpus(
             ).alias("token_ids"),
         )
         .withColumn("n_tokens", F.size("token_ids"))
+    )
+
+
+# ------------------------------------------------------- byte-level BPE
+
+#: GPT-2's pretokenization pattern (Radford et al. 2019; the public
+#: gpt2/tiktoken regex): contractions, space-prefixed letter/digit/
+#: punctuation runs, and whitespace — the ``\s+(?!\S)`` lookahead
+#: leaves the LAST space of a run attached to the following word.
+#: Java regex (Spark's engine) supports the lookahead; RE2-based
+#: engines don't, so oracle-paired gates pass a lookahead-free
+#: ``pretoken_re`` instead.
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> list[str]:
+    """The GPT-2 byte→printable-unicode bijection, index = byte value:
+    visible latin-1 bytes map to themselves, everything else (controls,
+    space, DEL, 0x7F-0xA0, 0xAD) shifts to U+0100+ so every byte is a
+    printable single-char symbol and merge tables stay plain text.
+    Space is U+0120 ('Ġ'), newline U+010A ('Ċ') — the familiar GPT-2
+    vocab glyphs."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    table = [""] * 256
+    for b, c in zip(bs, cs):
+        table[b] = chr(c)
+    return table
+
+
+def _byte_syms(word) -> "F.Column":
+    """UTF-8 bytes of a string column as an array of mapped one-char
+    symbols — pure JVM: encode → hex → 2-char groups → a 256-entry
+    literal-array lookup. No Python in the path."""
+    table = F.array(*[F.lit(c) for c in bytes_to_unicode()])
+    hx = F.hex(F.encode(word, "UTF-8"))
+    return F.transform(
+        F.regexp_extract_all(hx, F.lit(".."), F.lit(0)),
+        lambda h: F.element_at(table, F.conv(h, 16, 10).cast("int") + 1),
+    )
+
+
+def byte_initial_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    pretoken_re: str = GPT2_PRETOKEN_RE,
+) -> DataFrame:
+    """(word, count, syms) over GPT-2 pretokens — the byte-level twin
+    of :func:`initial_vocab`. Pretokens keep their leading space (the
+    regex's job), there is NO end-of-word marker, and ``syms`` is the
+    pretoken's UTF-8 bytes through :func:`bytes_to_unicode` — so ANY
+    input text segments losslessly (byte fallback: an unseen unicode
+    char is just its bytes) and merges never cross pretoken
+    boundaries. Same one-corpus-pass cost model as the char form."""
+    words = F.regexp_extract_all(
+        F.col(text_col), F.lit(pretoken_re), F.lit(0)
+    )
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        .withColumn("syms", _byte_syms(F.col("word")))
+    )
+
+
+def bpe_fit_bytes(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    pretoken_re: str = GPT2_PRETOKEN_RE,
+    initial_merges: list[tuple[str, str]] | None = None,
+) -> list[tuple[str, str]]:
+    """Learn byte-level (GPT-2-form) BPE merges: the SAME greedy loop
+    as :func:`bpe_fit` (two vocab-sized jobs per merge), over
+    byte-symbol sequences from :func:`byte_initial_vocab`. The 256
+    byte symbols make every string tokenizable — no OOV, ever — which
+    is why modern LLM pipelines fit this form."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    vocab = byte_initial_vocab(docs, text_col, pretoken_re).select(
+        "count", "syms"
+    )
+    return _fit_loop(vocab, n_merges, min_pair_count, initial_merges)
+
+
+def bpe_segment_corpus_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pretoken_re: str = GPT2_PRETOKEN_RE,
+) -> DataFrame:
+    """(doc_id, tokens, n_tokens) under byte-level merges — the
+    GPT-2-form twin of :func:`bpe_segment_corpus` (segment once per
+    DISTINCT pretoken, broadcast/hash join back, one doc-keyed
+    reassembly shuffle). Because the pretoken regex covers every
+    character and the byte map is a bijection, ``concat(tokens)``
+    through :func:`bpe_decode_bytes` reproduces the document EXACTLY
+    — whitespace included."""
+    seg = (
+        segment_vocab(
+            byte_initial_vocab(docs, text_col, pretoken_re), merges
+        )
+        .localCheckpoint(eager=True)
+        .select("word", F.col("syms").alias("toks"))
+    )
+    words = F.regexp_extract_all(
+        F.col(text_col), F.lit(pretoken_re), F.lit(0)
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    ).join(seg, "word")
+    assembled = exploded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda st: st["toks"],
+            )
+        ).alias("tokens")
+    )
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "tokens", F.expr("cast(array() as array<string>)")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+
+
+def bpe_decode_bytes(
+    seg: DataFrame, tokens_col: str = "tokens", out_col: str = "text"
+) -> DataFrame:
+    """Token arrays back to the original text: concat → reverse the
+    byte map (one JVM ``translate`` — the 256 mapped chars back to
+    latin-1 code points) → re-encode latin-1 → decode UTF-8. Pure
+    expression chain; exact inverse of segmentation by construction."""
+    table = bytes_to_unicode()
+    matching = "".join(table)
+    replace = "".join(chr(b) for b in range(256))
+    s = F.concat_ws("", F.col(tokens_col))
+    raw = F.translate(s, matching, replace)
+    return seg.withColumn(
+        out_col, F.decode(F.encode(raw, "ISO-8859-1"), "UTF-8")
     )
