@@ -8024,6 +8024,88 @@ from per_doc p join s on p.doc_id = s.doc_id
 
 _ORACLES["bpe_byte_level"] = BPE_BYTE_SQL
 
+
+def media_info_webm(spark, sf_dir):
+    """WebM/Matroska EBML header triage (extensions/webm_codec.py,
+    r11 — the other dominant crawl video container next to MP4): each
+    document's first four sanitized bytes parameterize a build_webm
+    fixture (geometry, channels, rate, bit depth, webm-vs-matroska
+    DocType, and the all-ones unknown-Segment-size streaming layout on
+    even o2), pushed through the same O(header-bytes) media_info
+    dispatch as the other twelve containers. Every reported field is a
+    varint walk the oracle recomputes closed-form from ``ord()`` — an
+    ID/size-varint, float-sampling-rate, track-selection or
+    unknown-size-scope bug hash-mismatches. VP9/Opus Cluster decode
+    stays gated per the perceptual-codec doctrine."""
+    import re
+
+    from sqlbackuphistoryetl_spark.extensions.multimodal import media_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+
+    def _mk(it):
+        import pandas as pd
+
+        from sqlbackuphistoryetl_spark.extensions.webm_codec import (
+            build_webm,
+        )
+
+        def mk(t):
+            s = re.sub(r"[^ -~]", "?", t)[:4].ljust(4, " ").encode("ascii")
+            return build_webm(
+                100 + s[0] * 4,
+                20 + s[1] * 2,
+                1 + s[2] % 2,
+                8000 * (1 + s[3] % 6),
+                bit_depth=16 + 8 * (s[0] % 2),
+                duration_ms=1000 + s[1],
+                doc_type="webm" if s[1] % 2 else "matroska",
+                unknown_segment_size=(s[2] % 2 == 0),
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [mk(t) for t in pdf["text"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return media_info(payloads)
+
+
+MEDIA_INFO_WEBM_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 4),
+              4, ' ') as s
+  from documents),
+o as (
+  select doc_id,
+         ord(substr(s, 1, 1)) as o0,
+         ord(substr(s, 2, 1)) as o1,
+         ord(substr(s, 3, 1)) as o2,
+         ord(substr(s, 4, 1)) as o3
+  from s)
+select doc_id,
+       case when o1 % 2 = 1 then 'webm' else 'mkv' end as format,
+       cast(100 + o0 * 4 as bigint) as width,
+       cast(20 + o1 * 2 as bigint) as height,
+       cast(null as bigint) as n_frames,
+       cast(1 + o2 % 2 as bigint) as channels,
+       cast(8000 * (1 + o3 % 6) as bigint) as sample_rate,
+       cast(null as bigint) as n_samples,
+       cast(16 + 8 * (o0 % 2) as bigint) as bit_depth
+from o
+"""
+
+_ORACLES["media_info_webm"] = MEDIA_INFO_WEBM_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8036,6 +8118,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
     "bpe_byte_level": bpe_byte_level,
+    "media_info_webm": media_info_webm,
     "pdf_tounicode_text": pdf_tounicode_text,
     "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
@@ -8084,7 +8167,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_filter_counts": retention_filter_counts,
     "scalar_path_surgery": scalar_path_surgery,
     "size_trunc_math": size_trunc_math,
-    "skew_salted_agg": skew_salted_agg,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8123,6 +8205,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
+    "skew_salted_agg": skew_salted_agg,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "stream_dedup_sessions": stream_dedup_sessions,
     "temperature_lang_sample": temperature_lang_sample,
@@ -8248,6 +8331,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "semdedup_prune",
         "sentence_split_stats",
         "sequence_packing",
+        "skew_salted_agg",
         "stratified_sample_by_lang",
         "stream_dedup_sessions",
         "temperature_lang_sample",

@@ -167,6 +167,8 @@ EXTENDED = [
     "pdf_tounicode_text",
     # byte-level (GPT-2-form) BPE segment + lossless decode
     "bpe_byte_level",
+    # WebM/Matroska EBML header triage (13th container)
+    "media_info_webm",
 ]
 
 

@@ -566,6 +566,7 @@ def _media_info_one(raw: bytes) -> tuple:
         pdf_codec,
         tiff_codec,
         wav_codec,
+        webm_codec,
         webp_codec,
     )
 
@@ -656,6 +657,14 @@ def _media_info_one(raw: bytes) -> tuple:
             mi = mp4_codec.parse_mp4(raw)
             return ("mp4", mi.width, mi.height, mi.n_frames, mi.channels,
                     mi.sample_rate, mi.n_samples, mi.bit_depth)
+        if webm_codec.is_webm(raw):
+            # the other dominant crawl video container (r11): EBML
+            # varint walk only — VP8/VP9/Opus Clusters are skipped by
+            # their size field, never read (the mp4/H.264 doctrine)
+            ki = webm_codec.parse_webm(raw)
+            fmt = "webm" if ki.doc_type == "webm" else "mkv"
+            return (fmt, ki.width, ki.height, None, ki.channels,
+                    ki.sample_rate, None, ki.bit_depth)
         if webp_codec.is_webp(raw):
             wi = webp_codec.parse_webp(raw)
             return ("webp", wi.width, wi.height, wi.n_frames,
@@ -684,9 +693,10 @@ def media_info(df: DataFrame) -> DataFrame:
     cheap first pass a crawl runs over 100 TB of opaque payloads
     BEFORE spending decode time. Parses container headers only (PNG
     IHDR, JPEG SOF, GIF block walk, BMP/TIFF/AVI headers, WAV fmt,
-    FLAC STREAMINFO, MP4 box walk, WebP chunk walk, Ogg page walk,
-    MP3 frame headers, PDF object scan — twelve containers as of
-    r10); never entropy-decodes, so cost is O(header bytes) per
+    FLAC STREAMINFO, MP4 box walk, WebM/Matroska EBML walk, WebP
+    chunk walk, Ogg page walk, MP3 frame headers, PDF object scan —
+    thirteen containers as of r11); never entropy-decodes, so cost is
+    O(header bytes) per
     payload regardless of media size. AVI parses LENIENTLY: geometry
     and frame count report even for fourccs the decoder gates (triage
     metadata, not decode). Corrupt headers triage as 'unknown' rather
