@@ -234,3 +234,63 @@ class TestContentsArray:
             + b" >>\nstream\n" + s2 + b"\nendstream\nendobj\n"
         )
         assert extract_text(blob) == ["part one\npart two"]
+
+
+class TestGatedImageCodecs:
+    """JBIG2/JPX stay gated (COVERAGE.md r11 decision: the MQ coder's
+    47-row table is unverifiable here — the arithmetic-JPEG argument).
+    The verifiable part is the gating itself: filter names surface
+    verbatim through extract_images and the decode raises by name."""
+
+    def test_jbig2_and_jpx_tagged_and_gated(self):
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            build_scanned_pdf,
+            decode_pdf_image,
+            extract_images,
+        )
+
+        blob = build_scanned_pdf(
+            [
+                {"width": 8, "height": 8, "filter": "JBIG2Decode",
+                 "data": b"\x97JB2\r\n\x1a\n" + b"\x00" * 16},
+                {"width": 4, "height": 4, "filter": "JPXDecode",
+                 "data": b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 8},
+            ]
+        )
+        imgs = extract_images(blob)
+        assert [i.filter for i in imgs] == ["JBIG2Decode", "JPXDecode"]
+        for img in imgs:
+            with pytest.raises(PDFError) as ei:
+                decode_pdf_image(img)
+            assert img.filter in str(ei.value)
+
+    def test_transport_prefix_still_surfaces_codec_name(self):
+        # [/ASCIIHexDecode /JBIG2Decode]: the hex armor decodes, the
+        # codec name and the DE-ARMORED payload surface for triage
+        import re
+
+        from sqlbackuphistoryetl_spark.extensions.pdf_codec import (
+            build_scanned_pdf,
+            extract_images,
+        )
+
+        raw = b"\x97JB2\r\n\x1a\n" + b"\x01\x02\x03\x04"
+        blob = build_scanned_pdf(
+            [{"width": 8, "height": 8, "filter": "JBIG2Decode",
+              "data": raw}]
+        )
+        armored = blob.replace(
+            b"/Filter /JBIG2Decode ",
+            b"/Filter [/ASCIIHexDecode /JBIG2Decode] ",
+        ).replace(raw, raw.hex().encode("ascii") + b">")
+        armored = re.sub(
+            rb"/Length \d+ >>\nstream\n" + re.escape(
+                raw.hex().encode("ascii") + b">"),
+            b"/Length %d >>\nstream\n" % (len(raw) * 2 + 1)
+            + raw.hex().encode("ascii") + b">",
+            armored,
+        )
+        imgs = extract_images(armored)
+        assert len(imgs) == 1
+        assert imgs[0].filter == "JBIG2Decode"
+        assert imgs[0].data == raw
