@@ -8106,6 +8106,92 @@ from o
 
 _ORACLES["media_info_webm"] = MEDIA_INFO_WEBM_SQL
 
+
+def warc_html_prose(spark, sf_dir):
+    """End-to-end crawl text path (r11 composite): documents wrapped
+    in the SAME real-page HTML as the ``html_extract_text`` gate
+    become WARC ``response`` records (HTTP 200, text/html) written as
+    Common Crawl gzip-member shards (sources/warc.py), read back
+    through the record walk + HTTP envelope split, and reduced to
+    prose by the pure-JVM ``response_text`` → ``html_to_text`` chain
+    — WARC framing, Content-Length arithmetic, HTTP header parse
+    (incl. the ``; charset=utf-8`` content-type tail the startswith
+    filter must tolerate), UTF-8 decode and tag stripping all under
+    ONE oracle, which assembles the expected prose directly from the
+    document text (never parsing HTML or WARC), exactly like
+    HTML_EXTRACT_SQL."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        read_warc_gz,
+        response_text,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p{color:red}</style></head><body>'
+            "<h1>Head&nbsp;Line</h1><p>"
+        ),
+        safe,
+        F.lit(
+            '</p><script>var x="<p>sneaky</p>";</script>'
+            "<div>Tail &amp; more</div></body></html>"
+        ),
+    )
+    recs = docs.select(
+        F.concat(
+            F.lit("http://example.com/page/"),
+            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        ).alias("target_uri"),
+        F.lit("response").alias("warc_type"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(html, "UTF-8").alias("payload"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_warc_html_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(recs, path, records_per_shard=64)
+    prose = response_text(read_warc_gz(spark, path, fan_out=64))
+    return prose.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("txt_md5"),
+    )
+
+
+WARC_HTML_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[&<>]', ' ', 'g') as st
+  from documents),
+raw as (
+  select doc_id,
+         'Head Line' || chr(10) || st || chr(10) || 'Tail & more' as r
+  from s),
+norm as (
+  select doc_id,
+         regexp_replace(regexp_replace(trim(
+           regexp_replace(regexp_replace(regexp_replace(r,
+             '[ \t\r\f]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n{2,}', chr(10), 'g')),
+           '^\n+', ''), '\n+$', '') as txt
+  from raw)
+select doc_id,
+       cast(200 as int) as http_status,
+       cast(length(txt) as int) as n_chars,
+       md5(txt) as txt_md5
+from norm
+"""
+
+_ORACLES["warc_html_prose"] = WARC_HTML_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8120,6 +8206,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_byte_level": bpe_byte_level,
     "media_info_webm": media_info_webm,
     "pdf_tounicode_text": pdf_tounicode_text,
+    "warc_html_prose": warc_html_prose,
     "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
@@ -8166,7 +8253,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
     "scalar_path_surgery": scalar_path_surgery,
-    "size_trunc_math": size_trunc_math,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8205,6 +8291,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
+    "size_trunc_math": size_trunc_math,
     "skew_salted_agg": skew_salted_agg,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "stream_dedup_sessions": stream_dedup_sessions,
@@ -8331,6 +8418,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "semdedup_prune",
         "sentence_split_stats",
         "sequence_packing",
+        "size_trunc_math",
         "skew_salted_agg",
         "stratified_sample_by_lang",
         "stream_dedup_sessions",

@@ -169,6 +169,8 @@ EXTENDED = [
     "bpe_byte_level",
     # WebM/Matroska EBML header triage (13th container)
     "media_info_webm",
+    # composite: WARC shards -> HTTP split -> html_to_text prose
+    "warc_html_prose",
 ]
 
 
