@@ -386,3 +386,30 @@ def test_zip_short_member_yields_null_payload(spark, tmp_path):
            for r in read_zip_shards(spark, path).collect()}
     assert out["ok"] == b"fine"
     assert out["short"] is None  # present, visibly dropped
+
+
+def test_tar_xz_reader_round_trip(spark, tmp_path):
+    """r11: the xz-compressed tar twin — stdlib lzma streaming, same
+    budget doctrine as the gz walk."""
+    import lzma
+    import tarfile as tf
+
+    from sqlbackuphistoryetl_spark.extensions.webdataset import (
+        read_webdataset_xz,
+    )
+
+    path = str(tmp_path / "xz")
+    os.makedirs(path)
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w:xz") as arc:
+        for key, ext, payload in _member_rows(6):
+            ti = tf.TarInfo(f"{key}.{ext}")
+            ti.size = len(payload)
+            arc.addfile(ti, io.BytesIO(payload))
+    with open(os.path.join(path, "shard-000000.tar.xz"), "wb") as fh:
+        fh.write(buf.getvalue())
+    rows = {(r["key"], r["ext"]): bytes(r["payload"])
+            for r in read_webdataset_xz(spark, path).collect()}
+    assert rows[("000003", "txt")] == b"document 3"
+    assert rows[("000005", "json")] == b'{"id": 5}'
+    assert len(rows) == 12
