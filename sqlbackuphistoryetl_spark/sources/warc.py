@@ -409,3 +409,141 @@ def write_warc(
         shaped, path, records_per_shard, num_partitions,
         _pack_warc_gz, ".warc.gz",
     )
+
+
+# -------------------------------------------------- random-access index
+
+#: CDX-style index row: where each record's gzip member lives
+CDX_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+    ]
+)
+
+
+def iter_gzip_members(blob: bytes):
+    """(offset, length, decompressed bytes) per gzip member of a
+    multi-member stream — the boundary walk GzipFile hides. Header
+    FEXTRA/FNAME/FCOMMENT/FHCRC fields are skipped per RFC 1952; a
+    member inflating past :data:`MAX_MEMBER_BYTES` or truncated
+    mid-stream raises (framing is offset arithmetic; nothing after a
+    bad member can be trusted)."""
+    import zlib
+
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos : pos + 2] != b"\x1f\x8b":
+            raise WARCError(f"bad gzip magic at offset {pos}")
+        if pos + 10 > n:
+            raise WARCError("truncated gzip header")
+        flg = blob[pos + 3]
+        p = pos + 10
+        try:
+            if flg & 4:  # FEXTRA
+                xlen = int.from_bytes(blob[p : p + 2], "little")
+                p += 2 + xlen
+            if flg & 8:  # FNAME
+                p = blob.index(b"\x00", p) + 1
+            if flg & 16:  # FCOMMENT
+                p = blob.index(b"\x00", p) + 1
+            if flg & 2:  # FHCRC
+                p += 2
+        except ValueError:
+            raise WARCError("unterminated gzip header field") from None
+        d = zlib.decompressobj(-15)
+        try:
+            data = d.decompress(blob[p:], MAX_MEMBER_BYTES)
+        except zlib.error as e:
+            raise WARCError(f"gzip member at {pos}: {e}") from None
+        if d.unconsumed_tail:
+            raise WARCError(
+                f"gzip member at {pos} inflates past {MAX_MEMBER_BYTES}"
+            )
+        if not d.eof:
+            raise WARCError(f"gzip member at {pos} is truncated")
+        consumed = (n - p) - len(d.unused_data)
+        end = p + consumed + 8  # CRC32 + ISIZE trailer
+        if end > n:
+            raise WARCError(f"gzip member at {pos} missing its trailer")
+        yield pos, end - pos, data
+        pos = end
+
+
+def warc_cdx_index(
+    spark: SparkSession, path: str, fan_out: int | None = None,
+    glob: str = "*.warc.gz",
+) -> DataFrame:
+    """CDX-style random-access index over ``*.warc.gz`` shards —
+    (shard, offset, length, record_id, warc_type, target_uri) per
+    record, where (offset, length) frame the record's OWN gzip member
+    (the reason Common Crawl writes one member per record: a serving
+    layer range-reads exactly those bytes). Works on shards this
+    module wrote AND on external member-per-record archives; persist
+    the result as parquet and join on target_uri to serve. One
+    map-side pass, no shuffle."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    if fan_out is not None:
+        files = files.repartition(fan_out, "path")
+
+    cols = [f.name for f in CDX_SCHEMA]
+
+    def _walk(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                shard = os.path.basename(r.path)
+                for off, length, data in iter_gzip_members(
+                    bytes(r.content)
+                ):
+                    for headers, _block, _over in iter_warc_records(
+                        io.BytesIO(data)
+                    ):
+                        if headers is None:
+                            rows.append(
+                                (shard, off, length, None, MALFORMED, None)
+                            )
+                            break
+                        rows.append(
+                            (
+                                shard,
+                                off,
+                                length,
+                                headers.get("warc-record-id"),
+                                headers.get("warc-type", ""),
+                                headers.get("warc-target-uri"),
+                            )
+                        )
+            out = {c: pd.Series([row[i] for row in rows], dtype="object")
+                   for i, c in enumerate(cols)}
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(_walk, CDX_SCHEMA)
+
+
+def read_warc_record(shard_path: str, offset: int, length: int):
+    """Serve ONE record by its index entry: range-read ``length``
+    bytes at ``offset``, inflate the single gzip member, parse the
+    record. Returns (headers dict, block bytes or None). This is the
+    point-lookup half of :func:`warc_cdx_index` — on an object store
+    the same (offset, length) pair becomes an HTTP Range request."""
+    with open(shard_path, "rb") as fh:
+        fh.seek(offset)
+        member = fh.read(length)
+    blob = gzip.decompress(member)
+    for headers, block, _over in iter_warc_records(io.BytesIO(blob)):
+        if headers is None:
+            raise WARCError("indexed member does not frame a record")
+        return headers, block
+    raise WARCError("indexed member holds no record")

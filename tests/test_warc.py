@@ -202,3 +202,79 @@ def test_writer_rejects_null_payload(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         write_warc(df, str(tmp_path / "w"), records_per_shard=4)
     assert "target_uri and payload" in str(ei.value)
+
+
+class TestRandomAccessIndex:
+    def test_gzip_member_walk_boundaries(self):
+        blobs = [gzip.compress(b"alpha", mtime=0),
+                 gzip.compress(b"bravo charlie", mtime=0)]
+        stream = b"".join(blobs)
+        from sqlbackuphistoryetl_spark.sources.warc import iter_gzip_members
+
+        got = list(iter_gzip_members(stream))
+        assert [(o, l) for o, l, _ in got] == [
+            (0, len(blobs[0])), (len(blobs[0]), len(blobs[1])),
+        ]
+        assert [d for _, _, d in got] == [b"alpha", b"bravo charlie"]
+
+    def test_member_walk_rejects_truncation_and_garbage(self):
+        from sqlbackuphistoryetl_spark.sources.warc import iter_gzip_members
+
+        good = gzip.compress(b"data", mtime=0)
+        with pytest.raises(WARCError):
+            list(iter_gzip_members(good[:-6]))
+        with pytest.raises(WARCError):
+            list(iter_gzip_members(good + b"NOTGZIP"))
+
+    def test_index_then_point_lookup(self, spark, tmp_path):
+        import os
+
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_record,
+            warc_cdx_index,
+        )
+
+        path = str(tmp_path / "warc")
+        write_warc(_fixture_df(spark, 10), path, records_per_shard=4)
+        idx = warc_cdx_index(spark, path, fan_out=4).collect()
+        assert len(idx) == 20  # 10 docs x (response + conversion)
+        by_uri = {}
+        for r in idx:
+            by_uri.setdefault((r["target_uri"], r["warc_type"]), r)
+        row = by_uri[("http://example.com/doc/0007", "conversion")]
+        headers, block = read_warc_record(
+            os.path.join(path, row["shard"]), row["offset"], row["length"]
+        )
+        assert headers["warc-target-uri"] == "http://example.com/doc/0007"
+        assert block == b"body 7"
+        # a response member serves its full HTTP message
+        row = by_uri[("http://example.com/doc/0007", "response")]
+        headers, block = read_warc_record(
+            os.path.join(path, row["shard"]), row["offset"], row["length"]
+        )
+        assert block.startswith(b"HTTP/1.1 200 OK")
+        assert block.endswith(b"<html><body><p>body 7</p></body></html>")
+
+    def test_index_matches_full_scan(self, spark, tmp_path):
+        import os
+
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_record,
+            warc_cdx_index,
+        )
+
+        path = str(tmp_path / "warc")
+        write_warc(_fixture_df(spark, 6), path, records_per_shard=16)
+        scan = {
+            (r["target_uri"], r["warc_type"]): r["record_id"]
+            for r in read_warc_gz(spark, path).collect()
+        }
+        for r in warc_cdx_index(spark, path).collect():
+            headers, _ = read_warc_record(
+                os.path.join(path, r["shard"]), r["offset"], r["length"]
+            )
+            assert (
+                headers["warc-record-id"]
+                == scan[(r["target_uri"], r["warc_type"])]
+                == r["record_id"]
+            )
