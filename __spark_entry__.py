@@ -8192,6 +8192,65 @@ from norm
 
 _ORACLES["warc_html_prose"] = WARC_HTML_SQL
 
+
+def html_numeric_refs(spark, sf_dir):
+    """Numeric character reference decoding
+    (functions/htmlfns.py: decode_numeric_refs, r11 — pure JVM, the
+    module's documented "out of regexp reach" limitation retired):
+    each document's sanitized prefix gets a decimal ref (Latin-1
+    supplement, byte-parameterized), a hex ref (Greek block), a
+    malformed ref (``&#zz;``), a supplementary-plane ref (``&#128512;``
+    — BMP-only by doctrine, stays literal) and a surrogate ref
+    (``&#55296;``, stays literal) appended; the decoder must decode
+    exactly the two valid BMP refs and pass everything else through
+    byte-identical. The oracle builds the expected string with
+    DuckDB's own unicode ``chr()`` — a tokenizer-coverage, hex/dec
+    parse, UTF-16BE or pass-through bug hash-mismatches."""
+    from sqlbackuphistoryetl_spark.functions.htmlfns import (
+        decode_numeric_refs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.rpad(
+        F.substring(F.regexp_replace("text", r"[^ -~]|[&<>]", "?"), 1, 40),
+        40, " ",
+    )
+    dec_code = (F.ascii(F.substring(s, 1, 1)) % 32 + 192).cast("long")
+    hex_code = (F.ascii(F.substring(s, 2, 1)) % 16 + 945).cast("long")
+    fixture = F.concat(
+        s,
+        F.lit("&#"), dec_code.cast("string"), F.lit(";"),
+        F.lit("&#x"), F.hex(hex_code), F.lit(";"),
+        F.lit("&#zz;&#128512;&#55296;"),
+    )
+    out = decode_numeric_refs(fixture)
+    return docs.select(
+        "doc_id",
+        F.length(out).alias("n_chars"),
+        F.md5(out).alias("txt_md5"),
+    )
+
+
+HTML_NUMREF_SQL = r"""
+with s as (
+  select doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]|[&<>]', '?', 'g'),
+                     1, 40), 40, ' ') as s
+  from documents),
+e as (
+  select doc_id,
+         s || chr(ord(substr(s, 1, 1)) % 32 + 192)
+           || chr(ord(substr(s, 2, 1)) % 16 + 945)
+           || '&#zz;&#128512;&#55296;' as expected
+  from s)
+select doc_id,
+       cast(length(expected) as int) as n_chars,
+       md5(expected) as txt_md5
+from e
+"""
+
+_ORACLES["html_numeric_refs"] = HTML_NUMREF_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8204,6 +8263,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
     "bpe_byte_level": bpe_byte_level,
+    "html_numeric_refs": html_numeric_refs,
     "media_info_webm": media_info_webm,
     "pdf_tounicode_text": pdf_tounicode_text,
     "warc_html_prose": warc_html_prose,
@@ -8252,7 +8312,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
-    "scalar_path_surgery": scalar_path_surgery,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8287,6 +8346,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
+    "scalar_path_surgery": scalar_path_surgery,
     "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
@@ -8414,6 +8474,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "quality_model_score",
         "quality_rare_tokens",
         "rag_chunking",
+        "scalar_path_surgery",
         "semantic_decontam",
         "semdedup_prune",
         "sentence_split_stats",

@@ -171,6 +171,8 @@ EXTENDED = [
     "media_info_webm",
     # composite: WARC shards -> HTTP split -> html_to_text prose
     "warc_html_prose",
+    # JVM numeric character reference decoding (BMP, pass-through else)
+    "html_numeric_refs",
 ]
 
 

@@ -14,10 +14,12 @@ Pipeline (order is load-bearing):
 2. turn block-level closers and ``<br>`` into newlines (paragraph
    structure survives as line structure);
 3. strip every remaining tag to a space;
-4. decode the named entities that dominate real pages (&amp; LAST —
-   decoding it first would double-decode ``&amp;lt;``, the classic
-   entity bug); numeric character references are out of regexp reach
-   and left as-is (documented limitation — a full decoder is a UDF);
+4. decode numeric character references (``&#233;``/``&#x3B1;`` —
+   JVM-side via :func:`decode_numeric_refs`, r11) FIRST — a literal
+   ``&amp;#65;`` in the source must stay ``&#65;``, so the numeric
+   pass runs before any entity minting a bare ``&`` — then the named
+   entities that dominate real pages (&amp; LAST — decoding it first
+   would double-decode ``&amp;lt;``, the classic entity bug);
 5. normalize whitespace: runs of spaces/tabs to one space, spaces
    hugging newlines dropped, blank-line runs to one newline, trim.
 """
@@ -50,6 +52,7 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, _BLOCK_CLOSERS, "\n")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    t = decode_numeric_refs(t)  # before &amp;: keeps &amp;#65; literal
     for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
@@ -57,3 +60,48 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     # Spark's trim strips spaces only — newlines need the regexp form
     return F.regexp_replace(F.trim(t), r"^\n+|\n+$", "")
+
+
+#: a VALID numeric character reference: decimal or hex form
+_NUM_REF = r"&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
+
+#: tokenizer covering every character: a valid ref, or a maximal run
+#: that only swallows '&' when it does NOT start a valid ref
+_REF_TOKENS = rf"{_NUM_REF}|(?:[^&]|&(?!{_NUM_REF[1:]}))+"
+
+
+def decode_numeric_refs(col: Column | str) -> Column:
+    """``&#NNN;`` / ``&#xHH;`` numeric character references decoded to
+    their characters — pure JVM (r11; the module docstring's "out of
+    regexp reach" limitation retired): tokenize into (ref | run)
+    pieces with one ``regexp_extract_all``, map each ref through
+    hex → ``unhex`` → UTF-16BE ``decode``, rejoin with
+    ``array_join``. BMP only, on purpose: codepoints 1..65535
+    excluding the surrogate block decode; supplementary-plane refs
+    (emoji), surrogates, zero and malformed refs stay literal — a
+    visible non-decode, never a mojibake guess. (UTF-16BE of one BMP
+    char IS its 4-hex-digit codepoint, which is what makes this a
+    2-expression decode.)"""
+    t = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(t, F.lit(_REF_TOKENS), F.lit(0))
+
+    def _one(tok):
+        hexpart = F.regexp_extract(tok, r"^&#[xX]([0-9A-Fa-f]{1,6});$", 1)
+        decpart = F.regexp_extract(tok, r"^&#([0-9]{1,7});$", 1)
+        n = (
+            F.when(hexpart != "", F.conv(hexpart, 16, 10).cast("long"))
+            .when(decpart != "", decpart.cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+        )
+        bmp = (
+            n.isNotNull()
+            & (n >= 1)
+            & (n <= 0xFFFF)
+            & ~((n >= 0xD800) & (n <= 0xDFFF))
+        )
+        return F.when(
+            bmp,
+            F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")), "UTF-16BE"),
+        ).otherwise(tok)
+
+    return F.array_join(F.transform(toks, _one), "")

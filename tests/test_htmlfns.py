@@ -47,3 +47,39 @@ def test_whitespace_collapse(spark):
 
 def test_plain_text_passthrough(spark):
     assert _x(spark, "no markup here") == "no markup here"
+
+
+def test_numeric_refs_decode_bmp_only(spark):
+    """r11: &#NNN;/&#xHH; decode JVM-side for BMP codepoints; bogus,
+    surrogate, supplementary-plane and double-escaped refs stay
+    literal."""
+    from sqlbackuphistoryetl_spark.functions.htmlfns import (
+        decode_numeric_refs,
+    )
+
+    rows = [
+        (1, "caf&#233; &#x3B1;&#X3b2;"),
+        (2, "keep &#zz; &#128512; &#55296; &# ;"),
+        (3, "&#65;&#x42;c"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {r["id"]: r["o"]
+           for r in df.select(
+               "id", decode_numeric_refs("s").alias("o")).collect()}
+    assert out[1] == "café αβ"
+    assert out[2] == "keep &#zz; &#128512; &#55296; &# ;"
+    assert out[3] == "ABc"
+    assert out[4] is None
+
+
+def test_numeric_refs_inside_html_to_text(spark):
+    """Integration order: numeric pass BEFORE &amp; — a literal
+    &amp;#65; in source must surface as '&#65;', not 'A'."""
+    html = (
+        "<html><body><p>r&#233;sum&#x00E9; and &amp;#65; literal"
+        "</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    got = df.select(html_to_text("h").alias("t")).collect()[0]["t"]
+    assert got == "résumé and &#65; literal"
