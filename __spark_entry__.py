@@ -8251,6 +8251,65 @@ from e
 
 _ORACLES["html_numeric_refs"] = HTML_NUMREF_SQL
 
+
+_ROBOTS_A = (
+    "User-agent: GraftBot\nDisallow: /private\nAllow: /private/pub\n"
+    "Disallow: /tmp$\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"
+)
+_ROBOTS_B = "User-agent: *\nDisallow: /blocked*core\n"
+
+
+def robots_url_governance(spark, sf_dir):
+    """robots.txt URL governance (functions/robotsfns.py, RFC 9309,
+    r11): two fixed robots.txt files parse through the JVM fold
+    (group semantics, the specific GraftBot group shadowing the
+    host's ``*`` group), then every document mints one URL whose
+    doc_id % 6 arm exercises a distinct decision path — prefix
+    disallow, longest-match allow override, ``$`` end anchor (via a
+    fragment keeping URLs unique while the matched path stays
+    ``/tmp``), anchor miss, ``*`` wildcard disallow, and a host with
+    no robots at all (default allow). The oracle never parses
+    robots.txt: the six verdicts are closed-form in doc_id, so a
+    group-binding, agent-selection, wildcard/anchor translation or
+    precedence bug flips a verdict and hash-mismatches."""
+    from sqlbackuphistoryetl_spark.functions.robotsfns import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.range(2).select(
+        F.when(F.col("id") == 0, "a.example")
+        .otherwise("b.example").alias("host"),
+        F.when(F.col("id") == 0, F.lit(_ROBOTS_A))
+        .otherwise(F.lit(_ROBOTS_B)).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://a.example/private/s"), d))
+        .when(m == 1, F.concat(F.lit("https://a.example/private/pub/"), d))
+        .when(m == 2, F.concat(F.lit("https://a.example/tmp#"), d))
+        .when(m == 3, F.concat(F.lit("https://a.example/tmpfile"), d))
+        .when(m == 4, F.concat(F.lit("https://b.example/blocked/"), d,
+                               F.lit("/core")))
+        .otherwise(F.concat(F.lit("https://c.example/open/"), d))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    out = robots_allowed(urls, rules, "GraftBot")
+    return out.select("doc_id", "allowed")
+
+
+ROBOTS_SQL = """
+select doc_id,
+       case when doc_id % 6 in (0, 2, 4) then false else true end
+         as allowed
+from documents
+"""
+
+_ORACLES["robots_url_governance"] = ROBOTS_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8266,6 +8325,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_numeric_refs": html_numeric_refs,
     "media_info_webm": media_info_webm,
     "pdf_tounicode_text": pdf_tounicode_text,
+    "robots_url_governance": robots_url_governance,
     "warc_html_prose": warc_html_prose,
     "warc_ingest_stats": warc_ingest_stats,
     "sample_global_k": sample_global_k,
@@ -8311,7 +8371,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p4_watermark_overlap_window": p4_watermark_overlap_window,
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
-    "retention_filter_counts": retention_filter_counts,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8346,6 +8405,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
+    "retention_filter_counts": retention_filter_counts,
     "scalar_path_surgery": scalar_path_surgery,
     "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
@@ -8474,6 +8534,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "quality_model_score",
         "quality_rare_tokens",
         "rag_chunking",
+        "retention_filter_counts",
         "scalar_path_surgery",
         "semantic_decontam",
         "semdedup_prune",

@@ -173,6 +173,8 @@ EXTENDED = [
     "warc_html_prose",
     # JVM numeric character reference decoding (BMP, pass-through else)
     "html_numeric_refs",
+    # RFC 9309 robots.txt parse + longest-match URL governance join
+    "robots_url_governance",
 ]
 
 

@@ -1,0 +1,186 @@
+"""robots.txt parsing and URL crawl-governance (RFC 9309, r11).
+
+A crawl pipeline's FIRST filter isn't quality — it's permission:
+every fetched URL is subject to its host's robots.txt, and a curation
+pass that re-crawls or re-distributes disallowed paths is a policy
+bug. This module makes the Robots Exclusion Protocol a relational
+operation: parse each host's robots.txt ONCE into a rules relation,
+then govern any number of URLs with one join — no per-URL Python,
+no network, O(rules) broadcast state against 100 TB of URLs.
+
+Everything is JVM Column expressions:
+
+- :func:`parse_robots` — robots.txt text → one row per (host, agent,
+  rule_type, pattern). Group semantics per RFC 9309 §2.2: consecutive
+  ``User-agent`` lines form a group header; ``Allow``/``Disallow``
+  lines bind to EVERY agent of the current header; a later
+  ``User-agent`` after rules starts a new group. Comments (#…) strip,
+  unknown directives (Sitemap, Crawl-delay) and empty patterns are
+  ignored, keys are case-insensitive. The stateful line walk is one
+  ``F.aggregate`` fold over the split lines — the BPE merge-fold
+  pattern (extensions/bpe.py:_apply_merge), not a UDF.
+- :func:`effective_rules` — RFC group selection: a crawler obeys the
+  MOST SPECIFIC matching group only — if a host has rules for the
+  crawler's own product token, the ``*`` group is ignored entirely
+  for that host.
+- :func:`robots_allowed` — the governance join: URL path+query
+  against the host's effective rules, ``*`` wildcards and the ``$``
+  end anchor translated to one JVM ``LIKE`` per rule, longest-match
+  (octet length of the pattern) precedence with allow winning ties
+  (RFC 9309 §2.2.2), hosts without rules default-allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .urlfns import url_host
+
+_RULE_STRUCT = (
+    "array(named_struct('agent', '', 'rtype', '', 'pattern', ''))"
+)
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, rule_type, pattern) — one row per rule.
+
+    ``agent`` is lowercased (product tokens match case-insensitively),
+    ``rule_type`` is ``'allow'``/``'disallow'``, ``pattern`` is the
+    verbatim path pattern (may hold ``*`` and ``$``). The whole parse
+    is one fold over ``split(text, '\\n')`` carrying
+    (current header agents, in-header flag, emitted rules)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def step(acc, raw):
+        line = F.regexp_replace(raw, "#.*$", "")
+        key = F.lower(F.trim(F.regexp_extract(line, r"^([^:]*):", 1)))
+        val = F.trim(F.regexp_extract(line, r"^[^:]*:(.*)$", 1))
+        is_ua = (key == "user-agent") & (val != "")
+        is_rule = key.isin("allow", "disallow") & (val != "")
+        new_agents = F.when(
+            is_ua & acc["fresh"],
+            F.array_append(acc["agents"], F.lower(val)),
+        ).when(is_ua, F.array(F.lower(val))).otherwise(acc["agents"])
+        new_fresh = F.when(is_ua, F.lit(True)).when(
+            is_rule, F.lit(False)
+        ).otherwise(acc["fresh"])
+        minted = F.transform(
+            acc["agents"],
+            lambda a: F.struct(
+                a.alias("agent"),
+                key.alias("rtype"),
+                val.alias("pattern"),
+            ),
+        )
+        new_rules = F.when(
+            is_rule, F.concat(acc["rules"], minted)
+        ).otherwise(acc["rules"])
+        return F.struct(
+            new_agents.alias("agents"),
+            new_fresh.alias("fresh"),
+            new_rules.alias("rules"),
+        )
+
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("agents"),
+        F.lit(False).alias("fresh"),
+        F.expr(f"slice({_RULE_STRUCT}, 1, 0)").alias("rules"),
+    )
+    folded = robots.select(
+        F.col(host_col).alias("host"),
+        F.aggregate(lines, init, step)["rules"].alias("rules"),
+    )
+    return folded.select(
+        "host", F.explode("rules").alias("r")
+    ).select(
+        "host",
+        F.col("r.agent").alias("agent"),
+        F.col("r.rtype").alias("rule_type"),
+        F.col("r.pattern").alias("pattern"),
+    )
+
+
+def effective_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """The rules a crawler named ``agent`` actually obeys, per host:
+    the host's group for the agent's own (lowercased) product token if
+    one exists, else its ``*`` group — never both (RFC 9309 §2.2.1:
+    most specific group only)."""
+    a = agent.lower()
+    mine = rules.filter(F.col("agent").isin(a, "*"))
+    has_own = mine.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("has_own")
+    )
+    return (
+        mine.join(has_own, "host")
+        .filter(
+            ((F.col("has_own") == 1) & (F.col("agent") == a))
+            | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
+        )
+        .select("host", "rule_type", "pattern")
+    )
+
+
+def _like_pattern(pattern: Column) -> Column:
+    """RFC pattern → SQL LIKE pattern: escape LIKE metachars, ``*`` →
+    ``%``, a trailing ``$`` anchors (no trailing ``%``)."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """``urls`` with an ``allowed`` boolean per RFC 9309 §2.2.2:
+    among the host's effective rules whose pattern matches the URL's
+    path+query, the LONGEST pattern (octet length) wins; at equal
+    length allow beats disallow; no matching rule — or no robots.txt
+    for the host — is allow. One left join URL→rules (AQE broadcasts
+    the rules side while it fits — rules relations are small by
+    nature) + one URL-keyed aggregate."""
+    eff = effective_rules(rules, agent).withColumn(
+        "like_pat", _like_pattern(F.col("pattern"))
+    )
+    u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/]+(/[^#]*)", 1),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    joined = u.join(
+        eff, (u["__host"] == eff["host"])
+        & F.expr("__path like like_pat escape '\\\\'"),
+        "left",
+    )
+    verdict = joined.groupBy(url_col).agg(
+        F.max(
+            F.when(
+                F.col("rule_type").isNotNull(),
+                F.struct(
+                    F.length("pattern").alias("l"),
+                    (F.col("rule_type") == "allow").alias("a"),
+                ),
+            )
+        ).alias("best")
+    )
+    out = verdict.select(
+        url_col,
+        F.coalesce(F.col("best")["a"], F.lit(True)).alias("allowed"),
+    )
+    return urls.join(out, url_col)

@@ -1,0 +1,155 @@
+"""robots.txt parse + URL governance (RFC 9309, r11,
+functions/robotsfns.py): group semantics, agent selection,
+wildcard/$-anchor matching, longest-match precedence, default allow."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from sqlbackuphistoryetl_spark.functions.robotsfns import (
+    effective_rules,
+    parse_robots,
+    robots_allowed,
+)
+
+ROBOTS_A = """# host A: specific group for graftbot, broad * group
+User-agent: GraftBot
+Disallow: /private
+Allow: /private/pub
+Disallow: /tmp$
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: *
+User-agent: otherbot
+Disallow: /blocked*core
+Allow:
+Sitemap: https://b.example/sitemap.xml
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    return parse_robots(df)
+
+
+class TestParse:
+    def test_rules_explode_with_group_semantics(self, spark):
+        rows = {
+            (r["host"], r["agent"], r["rule_type"], r["pattern"])
+            for r in _rules(spark).collect()
+        }
+        assert ("a.example", "graftbot", "disallow", "/private") in rows
+        assert ("a.example", "graftbot", "allow", "/private/pub") in rows
+        assert ("a.example", "graftbot", "disallow", "/tmp$") in rows
+        assert ("a.example", "*", "disallow", "/") in rows
+        # stacked header: the rule binds to BOTH agents of the group
+        assert ("b.example", "*", "disallow", "/blocked*core") in rows
+        assert ("b.example", "otherbot", "disallow", "/blocked*core") in rows
+        # crawl-delay/sitemap/empty-pattern lines mint no rules
+        assert not any("sitemap" in r[2] for r in rows)
+        assert not any(r[3] == "" for r in rows)
+
+    def test_parse_is_jvm_only(self, spark):
+        df = spark.range(1).select(
+            F.lit("h").alias("host"),
+            F.lit("User-agent: *\nDisallow: /x").alias("robots_txt"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            parse_robots(df).explain("formatted")
+        plan = buf.getvalue()
+        assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestSelection:
+    def test_specific_group_shadows_star(self, spark):
+        eff = effective_rules(_rules(spark), "GraftBot")
+        by_host = {}
+        for r in eff.collect():
+            by_host.setdefault(r["host"], set()).add(r["pattern"])
+        # host A: only the graftbot group; the '*' Disallow: / ignored
+        assert by_host["a.example"] == {"/private", "/private/pub", "/tmp$"}
+        # host B: no graftbot group -> the '*' group applies
+        assert by_host["b.example"] == {"/blocked*core"}
+
+
+class TestGovernance:
+    def _allowed(self, spark, urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = robots_allowed(df, _rules(spark), "GraftBot")
+        return {r["url"]: r["allowed"] for r in out.collect()}
+
+    def test_longest_match_allow_wins(self, spark):
+        got = self._allowed(
+            spark,
+            [
+                "https://a.example/private/secret",
+                "https://a.example/private/pub/page",
+                "https://a.example/open/page",
+            ],
+        )
+        assert got["https://a.example/private/secret"] is False
+        # allow /private/pub is LONGER than disallow /private
+        assert got["https://a.example/private/pub/page"] is True
+        assert got["https://a.example/open/page"] is True
+
+    def test_dollar_anchor(self, spark):
+        got = self._allowed(
+            spark,
+            ["https://a.example/tmp", "https://a.example/tmpfile"],
+        )
+        assert got["https://a.example/tmp"] is False
+        assert got["https://a.example/tmpfile"] is True
+
+    def test_wildcard_and_unknown_host_default_allow(self, spark):
+        got = self._allowed(
+            spark,
+            [
+                "https://b.example/blocked/x/core",
+                "https://b.example/blocked",
+                "https://c.example/anything",
+                "https://a.example/",
+            ],
+        )
+        assert got["https://b.example/blocked/x/core"] is False
+        assert got["https://b.example/blocked"] is True  # * needs 'core'
+        assert got["https://c.example/anything"] is True  # no robots
+        # bare path: a.example graftbot group doesn't block '/'
+        assert got["https://a.example/"] is True
+
+    def test_query_matches_and_like_metachars_escaped(self, spark):
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("q.example",
+                  "User-agent: *\nDisallow: /s?mode=raw\n"
+                  "Disallow: /lit%x\nDisallow: /under_y$")],
+                "host string, robots_txt string",
+            )
+        )
+        df = spark.createDataFrame(
+            [("https://q.example/s?mode=raw&z=1",),
+             ("https://q.example/sXmode=raw",),
+             ("https://q.example/lit%xx",),
+             ("https://q.example/litAx",),
+             ("https://q.example/under_y",),
+             ("https://q.example/underXy",)],
+            "url string",
+        )
+        got = {r["url"]: r["allowed"]
+               for r in robots_allowed(df, rules, "bot").collect()}
+        assert got["https://q.example/s?mode=raw&z=1"] is False
+        assert got["https://q.example/sXmode=raw"] is True  # ? is literal
+        assert got["https://q.example/lit%xx"] is False
+        assert got["https://q.example/litAx"] is True  # % escaped
+        assert got["https://q.example/under_y"] is False
+        assert got["https://q.example/underXy"] is True  # _ escaped
