@@ -8310,6 +8310,100 @@ from documents
 
 _ORACLES["robots_url_governance"] = ROBOTS_SQL
 
+
+def crawl_frontier_batch(spark, sf_dir):
+    """Crawl-frontier composite (extensions/frontier.py, r11): every
+    document mints TWO crawl variants of one page (the
+    url_dedup_domain_stats fixture shape — uppercase host, :443,
+    tracking params, fragment vs. the clean form) with priority
+    doc_id % 13; the seen table holds every fourth page's canonical
+    form; per-host robots.txt disallows ``/p/4`` (path values 4 and
+    40-49); the politeness cap keeps the top 2 per registered domain.
+    The oracle recomputes the WHOLE composition — canonical string
+    closed-form (never normalizing), novelty and robots membership as
+    arithmetic predicates, the same (priority desc, url asc)
+    row_number — so a canonicalization, anti-join, governance,
+    domain-keying or cap bug changes the surviving set and
+    hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        crawl_frontier,
+    )
+    from sqlbackuphistoryetl_spark.functions.robotsfns import parse_robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+        (F.col("doc_id") % 13).alias("pri"),
+        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    path = F.concat(F.lit("/p/"), F.col("p"), F.lit("?a=1&b="), F.col("m"))
+    canon = F.concat(F.lit("https://"), host, path)
+    va = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443"),
+        F.concat(F.lit("/p/"), F.col("p")),
+        F.lit("?utm_source=x&b="), F.col("m"), F.lit("&a=1#f"),
+    )
+    discovered = d.select(
+        F.explode(F.array(va, canon)).alias("url"), F.col("pri")
+    )
+    seen = d.filter("is_seen").select(canon.alias("url"))
+    robots = (
+        d.select(host.alias("host")).distinct()
+        .withColumn(
+            "robots_txt", F.lit("User-agent: *\nDisallow: /p/4\n")
+        )
+    )
+    out = crawl_frontier(
+        discovered, seen, parse_robots(robots), "GraftBot",
+        per_domain_cap=2, priority_col="pri",
+    )
+    return out.select(
+        "url", "domain",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+FRONTIER_SQL = r"""
+with d as (
+  select doc_id % 7 as k,
+         cast(doc_id % 20 as varchar) as s,
+         cast(doc_id % 50 as varchar) as p,
+         cast(doc_id % 3 as varchar) as m,
+         doc_id % 13 as pri,
+         doc_id % 4 = 0 as is_seen
+  from documents),
+c as (
+  select ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m, pri, is_seen
+  from d),
+f as (
+  select 'https://www.site' || s || '.' || tld || '/p/' || p
+           || '?a=1&b=' || m as url,
+         'site' || s || '.' || tld as domain,
+         pri
+  from c
+  where not is_seen and p not like '4%'),
+ranked as (
+  select url, domain, pri,
+         row_number() over (partition by domain
+                            order by pri desc, url asc) as rank
+  from f)
+select url, domain, cast(pri as bigint) as priority,
+       cast(rank as int) as rank
+from ranked where rank <= 2
+"""
+
+_ORACLES["crawl_frontier_batch"] = FRONTIER_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8322,6 +8416,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r10) ---
     "bpe_byte_level": bpe_byte_level,
+    "crawl_frontier_batch": crawl_frontier_batch,
     "html_numeric_refs": html_numeric_refs,
     "media_info_webm": media_info_webm,
     "pdf_tounicode_text": pdf_tounicode_text,
@@ -8370,7 +8465,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_decimal_lsn_range": p3_decimal_lsn_range,
     "p4_watermark_overlap_window": p4_watermark_overlap_window,
     "p9_fallback_probe": p9_fallback_probe,
-    "quality_repetition": quality_repetition,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8404,6 +8498,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
+    "quality_repetition": quality_repetition,
     "rag_chunking": rag_chunking,
     "retention_filter_counts": retention_filter_counts,
     "scalar_path_surgery": scalar_path_surgery,
@@ -8533,6 +8628,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "q1_pricing_summary",
         "quality_model_score",
         "quality_rare_tokens",
+        "quality_repetition",
         "rag_chunking",
         "retention_filter_counts",
         "scalar_path_surgery",

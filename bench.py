@@ -175,6 +175,8 @@ EXTENDED = [
     "html_numeric_refs",
     # RFC 9309 robots.txt parse + longest-match URL governance join
     "robots_url_governance",
+    # frontier composite: canonicalize -> novelty -> robots -> cap
+    "crawl_frontier_batch",
 ]
 
 

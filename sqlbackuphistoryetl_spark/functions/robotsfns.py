@@ -184,3 +184,52 @@ def robots_allowed(
         F.coalesce(F.col("best")["a"], F.lit(True)).alias("allowed"),
     )
     return urls.join(out, url_col)
+
+
+# ------------------------------------------------------------- sitemaps
+
+#: XML predefined entities, decode order (amp last — the htmlfns rule)
+_XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _xml_unescape(col: Column) -> Column:
+    for ent, rep in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    text_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap XML → (host, loc, lastmod, priority, is_index) — one
+    row per ``<url>`` entry (or per child ``<sitemap>`` of an index
+    file, flagged so callers recurse the fetch). URL discovery is the
+    robots.txt counterpart: robots says where a crawler MAY go,
+    sitemaps say where the site WANTS it to go. Pure JVM: one
+    ``regexp_extract_all`` per entry block, per-field extracts inside,
+    XML predefined entities decoded (sitemap locs are XML-escaped —
+    ``&amp;`` in query strings is the rule, not the exception)."""
+    entry = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
+        F.lit(0),
+    )
+    ex = sitemaps.select(
+        F.col(host_col).alias("host"),
+        (F.instr(F.col(text_col), "<sitemapindex") > 0).alias("is_index"),
+        F.explode(entry).alias("e"),
+    )
+    loc = F.regexp_extract("e", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("e", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract("e", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    return ex.select(
+        "host",
+        _xml_unescape(loc).alias("loc"),
+        F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        F.nullif(prio, F.lit("")).cast("double").alias("priority"),
+        "is_index",
+    ).filter(F.col("loc") != "")

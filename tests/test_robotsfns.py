@@ -153,3 +153,37 @@ class TestGovernance:
         assert got["https://q.example/litAx"] is True  # % escaped
         assert got["https://q.example/under_y"] is False
         assert got["https://q.example/underXy"] is True  # _ escaped
+
+
+class TestSitemaps:
+    def test_urlset_and_index(self, spark):
+        from sqlbackuphistoryetl_spark.functions.robotsfns import (
+            sitemap_urls,
+        )
+
+        urlset = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> https://a.example/p?x=1&amp;y=2 </loc>"
+            "<lastmod>2025-01-03</lastmod><priority>0.8</priority></url>"
+            "<url><loc>https://a.example/q</loc></url>"
+            "<url><lastmod>2025-01-01</lastmod></url>"  # loc-less: dropped
+            "</urlset>"
+        )
+        index = (
+            "<sitemapindex><sitemap>"
+            "<loc>https://b.example/sitemap-1.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [("a.example", urlset), ("b.example", index)],
+            "host string, sitemap_xml string",
+        )
+        rows = sitemap_urls(df).collect()
+        by_loc = {r["loc"]: r for r in rows}
+        assert len(rows) == 3
+        # XML entity decoded, whitespace trimmed
+        e = by_loc["https://a.example/p?x=1&y=2"]
+        assert e["lastmod"] == "2025-01-03" and e["priority"] == 0.8
+        assert e["is_index"] is False
+        assert by_loc["https://a.example/q"]["lastmod"] is None
+        assert by_loc["https://b.example/sitemap-1.xml"]["is_index"] is True
