@@ -80,3 +80,47 @@ def test_default_priority_and_cap_validation(spark):
     assert out[0]["priority"] == 0 and out[0]["rank"] == 1
     with pytest.raises(ValueError):
         crawl_frontier(discovered, seen, _rules(spark), "bot", 0)
+
+
+def test_frontier_plan_shape(spark):
+    """Governance joins must ride the host equi-key (hash joins with
+    the LIKE as a join filter) — never a nested loop / cartesian —
+    and the whole frontier stays JVM-side."""
+    import contextlib
+    import io
+
+    # hosts must be DERIVED, not literal: a single constant host
+    # folds the equality into filters on both sides, leaving no join
+    # key and a (legitimate) nested loop — real rules relations have
+    # many hosts and must keep the hash join
+    host = F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+    rules = parse_robots(
+        spark.range(4).select(
+            host.alias("host"),
+            F.lit("User-agent: *\nDisallow: /private\n").alias("robots_txt"),
+        )
+    )
+    discovered = spark.range(100).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 4).cast("string"),
+            F.lit(".example/p"), F.col("id"),
+        ).alias("url"),
+        (F.col("id") % 5).alias("priority"),
+    )
+    seen = spark.range(10).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 4).cast("string"),
+            F.lit(".example/p"), F.col("id"),
+        ).alias("url")
+    )
+    out = crawl_frontier(
+        discovered, seen, rules, "bot", per_domain_cap=3,
+        priority_col="priority",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
