@@ -43,23 +43,29 @@ _RULE_STRUCT = (
 
 
 def parse_robots(
-    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    directives: tuple[str, ...] = ("allow", "disallow"),
 ) -> DataFrame:
     """(host, agent, rule_type, pattern) — one row per rule.
 
     ``agent`` is lowercased (product tokens match case-insensitively),
-    ``rule_type`` is ``'allow'``/``'disallow'``, ``pattern`` is the
-    verbatim path pattern (may hold ``*`` and ``$``). The whole parse
-    is one fold over ``split(text, '\\n')`` carrying
-    (current header agents, in-header flag, emitted rules)."""
+    ``rule_type`` is the (lowercased) directive name, ``pattern`` is
+    the verbatim value (a path pattern for allow/disallow; pass a
+    wider ``directives`` tuple to also mint e.g. ``crawl-delay`` rows
+    — :func:`robots_crawl_delay` does). The whole parse is one fold
+    over ``split(text, '\\n')`` carrying (current header agents,
+    in-header flag, emitted rules)."""
     lines = F.split(F.col(text_col), "\n")
+    dir_list = [d.lower() for d in directives]
 
     def step(acc, raw):
         line = F.regexp_replace(raw, "#.*$", "")
         key = F.lower(F.trim(F.regexp_extract(line, r"^([^:]*):", 1)))
         val = F.trim(F.regexp_extract(line, r"^[^:]*:(.*)$", 1))
         is_ua = (key == "user-agent") & (val != "")
-        is_rule = key.isin("allow", "disallow") & (val != "")
+        is_rule = key.isin(*dir_list) & (val != "")
         new_agents = F.when(
             is_ua & acc["fresh"],
             F.array_append(acc["agents"], F.lower(val)),
@@ -184,6 +190,41 @@ def robots_allowed(
         F.coalesce(F.col("best")["a"], F.lit(True)).alias("allowed"),
     )
     return urls.join(out, url_col)
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) — the effective group's Crawl-delay in
+    seconds, one row per host that declares one. Group selection is
+    the same most-specific rule as :func:`effective_rules`; multiple
+    declarations keep the MAX (the polite reading). Feed this into a
+    fetch scheduler next to :func:`~...extensions.frontier.crawl_frontier`'s
+    per-domain cap — the cap bounds batch SIZE, the delay bounds
+    RATE."""
+    rules = parse_robots(
+        robots, host_col, text_col,
+        directives=("allow", "disallow", "crawl-delay"),
+    )
+    a = agent.lower()
+    mine = rules.filter(F.col("agent").isin(a, "*"))
+    has_own = mine.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("has_own")
+    )
+    eff = mine.join(has_own, "host").filter(
+        ((F.col("has_own") == 1) & (F.col("agent") == a))
+        | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
+    )
+    return (
+        eff.filter(F.col("rule_type") == "crawl-delay")
+        .withColumn("delay", F.col("pattern").cast("double"))
+        .filter(F.col("delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
 
 
 # ------------------------------------------------------------- sitemaps

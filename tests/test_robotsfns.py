@@ -187,3 +187,25 @@ class TestSitemaps:
         assert e["is_index"] is False
         assert by_loc["https://a.example/q"]["lastmod"] is None
         assert by_loc["https://b.example/sitemap-1.xml"]["is_index"] is True
+
+
+def test_crawl_delay_effective_group(spark):
+    from sqlbackuphistoryetl_spark.functions.robotsfns import (
+        robots_crawl_delay,
+    )
+
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A),           # graftbot group: delay 10
+         ("b.example", ROBOTS_B),           # no delay anywhere
+         ("c.example",
+          "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 5\n"
+          "User-agent: graftbot\nDisallow: /x\n")],  # own group, no delay
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"]
+           for r in robots_crawl_delay(df, "GraftBot").collect()}
+    assert got == {"a.example": 10.0}
+    # a generic crawler obeys c.example's * group (max of the two)
+    got2 = {r["host"]: r["crawl_delay"]
+            for r in robots_crawl_delay(df, "otherbot").collect()}
+    assert got2["c.example"] == 5.0
