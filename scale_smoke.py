@@ -648,6 +648,43 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     timings["warc_read_20k"] = round(time.perf_counter() - t0, 2)
     shutil.rmtree(warc_dir, ignore_errors=True)
 
+    # r11: crawl frontier over n_docs discovered URLs (2 variants per
+    # page, 1000 hosts with robots.txt, 10% already seen, cap 8) —
+    # canonical dedup + anti-join + governance join + one domain window
+    from sqlbackuphistoryetl_spark.extensions.frontier import crawl_frontier
+    from sqlbackuphistoryetl_spark.functions.robotsfns import parse_robots
+
+    host = F.concat(
+        F.lit("www.h"), (F.col("id") % 1000).cast("string"), F.lit(".com")
+    )
+    page = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string")
+    )
+    dirty = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443/p/"),
+        F.col("id").cast("string"), F.lit("?utm_source=x#f"),
+    )
+    base = spark.range(0, n_docs // 2)
+    discovered = base.select(
+        F.explode(F.array(page, dirty)).alias("url"),
+        (F.col("id") % 17).alias("pri"),
+    )
+    seen = base.filter(F.col("id") % 10 == 0).select(page.alias("url"))
+    robots = (
+        spark.range(0, 1000)
+        .select(
+            F.concat(F.lit("www.h"), F.col("id").cast("string"),
+                     F.lit(".com")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /p/7\n").alias("robots_txt"),
+        )
+    )
+    t0 = time.perf_counter()
+    n_frontier = crawl_frontier(
+        discovered, seen, parse_robots(robots), "graftbot",
+        per_domain_cap=8, priority_col="pri",
+    ).count()
+    timings["crawl_frontier"] = round(time.perf_counter() - t0, 2)
+
     # media_info triage over the mixed 20k codec slice: header walks
     # only — per-payload cost must stay far below the decode stages
     t0 = time.perf_counter()
@@ -699,6 +736,7 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "wds_shards": len(shards),
         "wds_members": n_wds_members,
         "warc_responses": n_warc,
+        "frontier_selected": n_frontier,
         "media_known": n_media,
         "pdf_ok": n_pdf,
         "edit_pairs_d2": n_edit,
