@@ -8404,6 +8404,88 @@ from ranked where rank <= 2
 
 _ORACLES["crawl_frontier_batch"] = FRONTIER_SQL
 
+
+def wat_link_graph(spark, sf_dir):
+    """WAT metadata records — the third Common Crawl format next to
+    WARC/WET (sources/warc.py: wat_records / wat_html_metadata, r11):
+    each document's standard WAT envelope (nested hyphenated keys,
+    Head.Title, a Links array of 1 + doc_id % 4 outgoing URLs) is
+    built JVM-side with to_json, written as gzip-member ``metadata``
+    records, read back through the record walk, and parsed with ONE
+    from_json against the envelope subset DDL. The oracle never
+    touches JSON or WARC: title and the link list are closed-form in
+    doc_id, so an envelope-path, array-parse, record-type filter or
+    json round-trip bug hash-mismatches."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        read_warc_gz,
+        wat_html_metadata,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    links = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda i: F.struct(
+            F.concat(F.lit("https://l.example/"), d, F.lit("/"),
+                     i.cast("string")).alias("url")
+        ),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.struct(
+                                F.concat(F.lit("Doc "), d).alias("Title")
+                            ).alias("Head"),
+                            links.alias("Links"),
+                        ).alias("HTML-Metadata")
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata")
+            ).alias("Envelope")
+        )
+    )
+    recs = docs.select(
+        F.concat(F.lit("http://example.com/page/"),
+                 F.lpad(d, 9, "0")).alias("target_uri"),
+        F.lit("metadata").alias("warc_type"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(envelope, "UTF-8").alias("payload"),
+        F.lit("application/json").alias("content_type"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_wat_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(recs, path, records_per_shard=64)
+    out = wat_html_metadata(read_warc_gz(spark, path, fan_out=64))
+    return out.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "title",
+        F.size("links").alias("n_links"),
+        # try_: ANSI element_at throws on an empty array, and a parse
+        # regression surfacing as NULLs beats an aborted driver run
+        F.try_element_at("links", F.lit(1)).alias("first_link"),
+        F.try_element_at("links", F.lit(-1)).alias("last_link"),
+    )
+
+
+WAT_LINK_SQL = """
+select doc_id,
+       'Doc ' || doc_id as title,
+       cast(1 + doc_id % 4 as int) as n_links,
+       'https://l.example/' || doc_id || '/0' as first_link,
+       'https://l.example/' || doc_id || '/' || (doc_id % 4) as last_link
+from documents
+"""
+
+_ORACLES["wat_link_graph"] = WAT_LINK_SQL
+
 # Registry order is LOAD-BEARING: the driver checks the FIRST 50
 # entries only. From round 7 on the order is COMPUTED, not
 # hand-maintained: tools/rotation.py ranks gates never-green-first,
@@ -8423,6 +8505,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_url_governance": robots_url_governance,
     "warc_html_prose": warc_html_prose,
     "warc_ingest_stats": warc_ingest_stats,
+    "wat_link_graph": wat_link_graph,
     "sample_global_k": sample_global_k,
     "script_composition": script_composition,
     "temperature_lang_sample_a25": temperature_lang_sample_a25,
@@ -8464,7 +8547,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_top2_desc": o5_top2_desc,
     "p3_decimal_lsn_range": p3_decimal_lsn_range,
     "p4_watermark_overlap_window": p4_watermark_overlap_window,
-    "p9_fallback_probe": p9_fallback_probe,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8490,6 +8572,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_tiff_fingerprint": multimodal_tiff_fingerprint,
     "ngram_containment_capped": ngram_containment_capped,
+    "p9_fallback_probe": p9_fallback_probe,
     "packed_sequence_export": packed_sequence_export,
     "parquet_compact_roundtrip": parquet_compact_roundtrip,
     "pii_redaction": pii_redaction,
@@ -8620,6 +8703,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "multimodal_jpeg_progressive",
         "multimodal_tiff_fingerprint",
         "ngram_containment_capped",
+        "p9_fallback_probe",
         "packed_sequence_export",
         "parquet_compact_roundtrip",
         "pii_redaction",

@@ -177,6 +177,8 @@ EXTENDED = [
     "robots_url_governance",
     # frontier composite: canonicalize -> novelty -> robots -> cap
     "crawl_frontier_batch",
+    # WAT metadata records: envelope from_json, title + link graph
+    "wat_link_graph",
 ]
 
 

@@ -547,3 +547,58 @@ def read_warc_record(shard_path: str, offset: int, length: int):
             raise WARCError("indexed member does not frame a record")
         return headers, block
     raise WARCError("indexed member holds no record")
+
+
+# ------------------------------------------------------------ WAT records
+
+#: the standard WAT envelope subset a curation pass consumes: page
+#: title + outgoing links (the link graph is what WAT files EXIST for)
+WAT_HTML_DDL = (
+    "Envelope struct<`Payload-Metadata`: struct<"
+    "`HTTP-Response-Metadata`: struct<`HTML-Metadata`: struct<"
+    "Head: struct<Title: string>, "
+    "Links: array<struct<url: string>>>>>>"
+)
+
+
+def wat_records(df: DataFrame) -> DataFrame:
+    """``metadata`` records with a JSON payload as
+    ``(target_uri, warc_date, json)`` — the WAT third of the Common
+    Crawl trio (WARC = raw responses, WET = extracted text, WAT =
+    per-page metadata JSON). Pair with ``from_json`` /
+    ``get_json_object`` downstream; :func:`wat_html_metadata` covers
+    the standard HTML envelope."""
+    return df.filter(
+        (F.col("warc_type") == "metadata")
+        & F.col("payload").isNotNull()
+        & F.coalesce(F.col("content_type"), F.lit(""))
+         .startswith("application/json")
+    ).select(
+        "target_uri", "warc_date",
+        F.decode("payload", "UTF-8").alias("json"),
+    )
+
+
+def wat_html_metadata(df: DataFrame) -> DataFrame:
+    """WAT envelopes reduced to the fields link-graph and title
+    pipelines consume: ``(target_uri, warc_date, title, links)`` with
+    ``links`` an array of outgoing URLs. One ``from_json`` against
+    :data:`WAT_HTML_DDL` (hyphenated envelope keys and all) — fields
+    outside the subset are simply not parsed, which is the point:
+    schema-on-read keeps the scan cost at the consumed columns."""
+    html_md = (
+        "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
+        ".`HTML-Metadata`"
+    )
+    parsed = wat_records(df).withColumn(
+        "w", F.from_json("json", WAT_HTML_DDL)
+    )
+    return parsed.select(
+        "target_uri",
+        "warc_date",
+        F.col(f"{html_md}.Head.Title").alias("title"),
+        F.coalesce(
+            F.transform(F.col(f"{html_md}.Links"), lambda l: l["url"]),
+            F.expr("cast(array() as array<string>)"),
+        ).alias("links"),
+    )

@@ -278,3 +278,74 @@ class TestRandomAccessIndex:
                 == scan[(r["target_uri"], r["warc_type"])]
                 == r["record_id"]
             )
+
+
+class TestWAT:
+    def _wat_df(self, spark, n=6):
+        rows = []
+        for i in range(n):
+            uri = f"http://example.com/page/{i:04d}"
+            env = {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": f"Title {i}"},
+                                "Links": [
+                                    {"url": f"https://l.example/{i}/{j}"}
+                                    for j in range(1 + i % 3)
+                                ],
+                            }
+                        }
+                    }
+                }
+            }
+            import json as _json
+
+            rows.append(
+                (uri, "metadata", "2025-01-01T00:00:00Z",
+                 _json.dumps(env).encode(), None, "application/json")
+            )
+        return spark.createDataFrame(
+            rows,
+            "target_uri string, warc_type string, warc_date string, "
+            "payload binary, http_content_type string, content_type string",
+        )
+
+    def test_wat_round_trip_title_and_links(self, spark, tmp_path):
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            wat_html_metadata,
+            wat_records,
+        )
+
+        path = str(tmp_path / "wat")
+        write_warc(self._wat_df(spark), path, records_per_shard=4)
+        back = read_warc_gz(spark, path, fan_out=4)
+        # raw WAT json surfaces for ad-hoc get_json_object use
+        raw = wat_records(back)
+        assert raw.count() == 6
+        got = {r["target_uri"]: r
+               for r in wat_html_metadata(back).collect()}
+        r3 = got["http://example.com/page/0003"]
+        assert r3["title"] == "Title 3"
+        assert list(r3["links"]) == ["https://l.example/3/0"]
+        r5 = got["http://example.com/page/0005"]
+        assert list(r5["links"]) == [
+            "https://l.example/5/0", "https://l.example/5/1",
+            "https://l.example/5/2",
+        ]
+
+    def test_wat_tolerates_foreign_json(self, spark, tmp_path):
+        from sqlbackuphistoryetl_spark.sources.warc import wat_html_metadata
+
+        df = spark.createDataFrame(
+            [("http://a/x", "metadata", "2025-01-01T00:00:00Z",
+              b'{"some": "other schema"}', None, "application/json")],
+            "target_uri string, warc_type string, warc_date string, "
+            "payload binary, http_content_type string, content_type string",
+        )
+        path = str(tmp_path / "wat2")
+        write_warc(df, path, records_per_shard=4)
+        rows = wat_html_metadata(read_warc_gz(spark, path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["title"] is None and list(rows[0]["links"]) == []
