@@ -627,11 +627,16 @@ def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]]:
                     break
                 base_hex = d_m.group(1)
                 base = int(base_hex, 16)
-                # dst byte width, rounded up to whole UTF-16BE units
+                # dst byte width, rounded up to whole UTF-16BE units;
+                # a hostile bfrange whose dst overflows the declared
+                # width widens per-item so it degrades, never crashes
                 width = max(2, (len(base_hex) + 3) // 4 * 2)
                 for i in range(hi - lo + 1):
-                    b = (base + i).to_bytes(width, "big")
-                    mapping[lo + i] = b.decode("utf-16-be", "replace")
+                    v = base + i
+                    w = max(width, (v.bit_length() + 15) // 16 * 2)
+                    mapping[lo + i] = v.to_bytes(w, "big").decode(
+                        "utf-16-be", "replace"
+                    )
                 pos = d_m.end()
     return (code_len or 1), mapping
 

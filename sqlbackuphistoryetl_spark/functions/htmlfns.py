@@ -52,9 +52,14 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, _BLOCK_CLOSERS, "\n")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
-    t = decode_numeric_refs(t)  # before &amp;: keeps &amp;#65; literal
+    # numeric pass BEFORE &amp; keeps &amp;#65; literal; deferring the
+    # ampersand refs keeps &#38;lt; literal too (else the named pass
+    # would double-decode the minted '&lt;') — they decode LAST, the
+    # same ordering rule as &amp;
+    t = decode_numeric_refs(t, defer_amp=True)
     for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"&#(?:0*38|[xX]0*26);", "&")
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
@@ -70,7 +75,7 @@ _NUM_REF = r"&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
 _REF_TOKENS = rf"{_NUM_REF}|(?:[^&]|&(?!{_NUM_REF[1:]}))+"
 
 
-def decode_numeric_refs(col: Column | str) -> Column:
+def decode_numeric_refs(col: Column | str, defer_amp: bool = False) -> Column:
     """``&#NNN;`` / ``&#xHH;`` numeric character references decoded to
     their characters — pure JVM (r11; the module docstring's "out of
     regexp reach" limitation retired): tokenize into (ref | run)
@@ -81,7 +86,12 @@ def decode_numeric_refs(col: Column | str) -> Column:
     (emoji), surrogates, zero and malformed refs stay literal — a
     visible non-decode, never a mojibake guess. (UTF-16BE of one BMP
     char IS its 4-hex-digit codepoint, which is what makes this a
-    2-expression decode.)"""
+    2-expression decode.)
+
+    ``defer_amp=True`` leaves ``&#38;``/``&#x26;`` (the ampersand
+    itself) literal so a caller that runs a named-entity pass next can
+    decode them LAST — otherwise ``&#38;lt;`` would mint ``&lt;`` and
+    be double-decoded to ``<`` (see html_to_text)."""
     t = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(t, F.lit(_REF_TOKENS), F.lit(0))
 
@@ -99,6 +109,8 @@ def decode_numeric_refs(col: Column | str) -> Column:
             & (n <= 0xFFFF)
             & ~((n >= 0xD800) & (n <= 0xDFFF))
         )
+        if defer_amp:
+            bmp = bmp & (n != 38)
         return F.when(
             bmp,
             F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")), "UTF-16BE"),

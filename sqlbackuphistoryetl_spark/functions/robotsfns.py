@@ -113,19 +113,30 @@ def effective_rules(rules: DataFrame, agent: str) -> DataFrame:
     """The rules a crawler named ``agent`` actually obeys, per host:
     the host's group for the agent's own (lowercased) product token if
     one exists, else its ``*`` group — never both (RFC 9309 §2.2.1:
-    most specific group only)."""
-    a = agent.lower()
-    mine = rules.filter(F.col("agent").isin(a, "*"))
-    has_own = mine.groupBy("host").agg(
-        F.max((F.col("agent") == a).cast("int")).alias("has_own")
+    most specific group only). Matching is on the PRODUCT TOKEN: a
+    group declared ``User-agent: GraftBot/1.0`` matches crawler
+    ``GraftBot`` — both sides are compared on their first token with
+    any ``/version`` suffix stripped, case-insensitively (§2.2.1
+    matches the product token itself, not the whole line value)."""
+    return _effective_group(rules, agent).select(
+        "host", "rule_type", "pattern"
     )
-    return (
-        mine.join(has_own, "host")
-        .filter(
-            ((F.col("has_own") == 1) & (F.col("agent") == a))
-            | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
-        )
-        .select("host", "rule_type", "pattern")
+
+
+def _effective_group(rules: DataFrame, agent: str) -> DataFrame:
+    """Most-specific-group selection shared by :func:`effective_rules`
+    and :func:`robots_crawl_delay` (see the former's docstring for the
+    product-token matching rule)."""
+    a = agent.lower().split("/", 1)[0].strip()
+    grp_tok = F.regexp_extract(F.col("agent"), r"^\s*([^/\s]+)", 1)
+    own = grp_tok == a
+    mine = rules.filter(own | (F.col("agent") == "*"))
+    has_own = mine.groupBy("host").agg(
+        F.max(own.cast("int")).alias("has_own")
+    )
+    return mine.join(has_own, "host").filter(
+        ((F.col("has_own") == 1) & own)
+        | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
     )
 
 
@@ -209,15 +220,7 @@ def robots_crawl_delay(
         robots, host_col, text_col,
         directives=("allow", "disallow", "crawl-delay"),
     )
-    a = agent.lower()
-    mine = rules.filter(F.col("agent").isin(a, "*"))
-    has_own = mine.groupBy("host").agg(
-        F.max((F.col("agent") == a).cast("int")).alias("has_own")
-    )
-    eff = mine.join(has_own, "host").filter(
-        ((F.col("has_own") == 1) & (F.col("agent") == a))
-        | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
-    )
+    eff = _effective_group(rules, agent)
     return (
         eff.filter(F.col("rule_type") == "crawl-delay")
         .withColumn("delay", F.col("pattern").cast("double"))

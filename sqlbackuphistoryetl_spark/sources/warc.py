@@ -86,12 +86,22 @@ class WARCError(ValueError):
 # ---------------------------------------------------------------- reader
 
 
+def _hdr_str(raw: bytes) -> str:
+    """Header bytes → str: UTF-8 first (WARC 1.1 permits UTF-8 header
+    values, and write_warc emits them for IRI target URIs), latin-1
+    fallback so hostile bytes never throw."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _parse_headers(stream) -> dict | None:
     """Named headers up to the blank line; None on EOF mid-headers.
 
-    Lowercased keys, latin-1 values (WARC headers are ASCII; latin-1
-    never throws on hostile bytes). Obsolete line folding (leading
-    SP/HT continuation) is honored per RFC 822.
+    Lowercased keys; values decoded UTF-8-first with latin-1 fallback
+    (see _hdr_str). Obsolete line folding (leading SP/HT continuation)
+    is honored per RFC 822.
     """
     headers: dict[str, str] = {}
     last = None
@@ -102,13 +112,13 @@ def _parse_headers(stream) -> dict | None:
         if not line:
             return None
         if line[:1] in (b" ", b"\t") and last is not None:
-            headers[last] += " " + line.strip().decode("latin-1")
+            headers[last] += " " + _hdr_str(line.strip())
             continue
         key, sep, val = line.partition(b":")
         if not sep:
             return None  # not a header line: framing is broken
-        last = key.strip().decode("latin-1").lower()
-        headers[last] = val.strip().decode("latin-1")
+        last = _hdr_str(key.strip()).lower()
+        headers[last] = _hdr_str(val.strip())
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -346,7 +356,7 @@ def _record_bytes(r) -> bytes:
         http_ctype = getattr(r, "http_content_type", None) or "text/plain"
         block = (
             b"HTTP/1.1 200 OK\r\nContent-Type: "
-            + http_ctype.encode("latin-1")
+            + http_ctype.encode("utf-8")
             + b"\r\nContent-Length: "
             + str(len(payload)).encode()
             + b"\r\n\r\n"
@@ -367,15 +377,17 @@ def _record_bytes(r) -> bytes:
         f"WARC-Target-URI: {r.target_uri}\r\n"
         f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")  # WARC 1.1 headers may be UTF-8 (IRI target URIs)
     return head + block + b"\r\n\r\n"
 
 
 def _pack_warc_gz(pdf) -> bytes:
     out = io.BytesIO()
     for r in pdf.itertuples(index=False):
-        if r.payload is None or r.target_uri is None:
-            raise WARCError("write_warc rows need target_uri and payload")
+        if r.payload is None or r.target_uri is None or r.warc_date is None:
+            raise WARCError(
+                "write_warc rows need target_uri, warc_date, and payload"
+            )
         # one gzip member PER RECORD (the Common Crawl layout) so a
         # server-side reader can seek to any record; mtime=0 keeps
         # members byte-stable across runs

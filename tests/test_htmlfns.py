@@ -73,6 +73,28 @@ def test_numeric_refs_decode_bmp_only(spark):
     assert out[4] is None
 
 
+def test_numeric_amp_refs_do_not_double_decode(spark):
+    """r12 (ADVICE): '&#38;lt;' means the literal text '&lt;' — the
+    numeric pass must not mint an '&lt;' for the named pass to decode
+    again. The ampersand refs decode LAST (the &amp;-last rule),
+    including leading-zero and hex spellings."""
+    got = _x(
+        spark,
+        "<p>&#38;lt; &#x26;amp; &#038;gt; lone &#38; and &#X26;</p>",
+    )
+    assert got == "&lt; &amp; &gt; lone & and &"
+    # the standalone decoder (no named-entity pass follows) still
+    # decodes 38 by default
+    from sqlbackuphistoryetl_spark.functions.htmlfns import (
+        decode_numeric_refs,
+    )
+
+    df = spark.createDataFrame([("&#38;lt;",)], ["s"])
+    assert df.select(
+        decode_numeric_refs("s").alias("o")
+    ).collect()[0]["o"] == "&lt;"
+
+
 def test_numeric_refs_inside_html_to_text(spark):
     """Integration order: numeric pass BEFORE &amp; — a literal
     &amp;#65; in source must surface as '&#65;', not 'A'."""

@@ -195,6 +195,21 @@ class TestToUnicode:
         assert mp[0x61] == "A" and mp[0x63] == "C"
         assert mp[0x64] == "X" and mp[0x66] == "Z"
 
+    def test_overflowing_incrementing_bfrange_widens_not_crashes(self):
+        """r12 (ADVICE): a hostile bfrange whose dst overflows its
+        declared width (<00> <ff> <ffff>) must not escape as
+        OverflowError — the dst width widens so base+i always packs."""
+        cmap = (
+            b"begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"1 beginbfrange\n<00> <ff> <ffff>\nendbfrange\n"
+        )
+        code_len, mp = _parse_cmap(cmap)
+        assert code_len == 1
+        assert mp[0x00] == "￿"  # in-width entries keep 2 bytes
+        # past the declared width: widened to 2 UTF-16BE units
+        assert len(mp[0x01].encode("utf-16-be")) == 4
+        assert len(mp) == 256
+
     def test_two_byte_codes(self):
         cmap = (
             b"begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"

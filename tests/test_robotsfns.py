@@ -82,6 +82,33 @@ class TestSelection:
         # host B: no graftbot group -> the '*' group applies
         assert by_host["b.example"] == {"/blocked*core"}
 
+    def test_product_token_matching(self, spark):
+        """r12 (ADVICE): RFC 9309 §2.2.1 matches the PRODUCT TOKEN —
+        a group declared 'GraftBot/1.0' binds crawler 'GraftBot', and
+        a versioned crawler name binds the bare-token group; neither
+        silently falls back to '*'."""
+        df = spark.createDataFrame(
+            [
+                (
+                    "v.example",
+                    "User-agent: GraftBot/1.0\nDisallow: /own\n\n"
+                    "User-agent: *\nDisallow: /\n",
+                ),
+            ],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(df)
+        # versioned group, bare crawler token
+        eff = effective_rules(rules, "GraftBot")
+        pats = {r["pattern"] for r in eff.collect()}
+        assert pats == {"/own"}
+        # bare group (host A fixture), versioned crawler token
+        eff2 = effective_rules(_rules(spark), "GraftBot/2.3")
+        by_host = {}
+        for r in eff2.collect():
+            by_host.setdefault(r["host"], set()).add(r["pattern"])
+        assert by_host["a.example"] == {"/private", "/private/pub", "/tmp$"}
+
 
 class TestGovernance:
     def _allowed(self, spark, urls):

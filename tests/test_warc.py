@@ -201,7 +201,38 @@ def test_writer_rejects_null_payload(spark, tmp_path):
     )
     with pytest.raises(Exception) as ei:
         write_warc(df, str(tmp_path / "w"), records_per_shard=4)
-    assert "target_uri and payload" in str(ei.value)
+    assert "target_uri, warc_date, and payload" in str(ei.value)
+
+
+def test_writer_rejects_null_warc_date(spark, tmp_path):
+    """r12 (ADVICE): a NULL warc_date must raise WARCError, not
+    serialize as the literal string 'None'."""
+    df = spark.createDataFrame(
+        [("http://a/1", "conversion", None, b"x", None)],
+        "target_uri string, warc_type string, warc_date string, "
+        "payload binary, http_content_type string",
+    )
+    with pytest.raises(Exception) as ei:
+        write_warc(df, str(tmp_path / "w"), records_per_shard=4)
+    assert "warc_date" in str(ei.value)
+
+
+def test_iri_target_uri_roundtrips_utf8(spark, tmp_path):
+    """r12 (ADVICE): non-Latin-1 target URIs (IRIs are routine in
+    crawl data) write as UTF-8 headers (WARC 1.1) and read back
+    byte-identical — no UnicodeEncodeError in the packer task."""
+    iri = "http://例え.jp/パス/ファイル?q=café"
+    df = spark.createDataFrame(
+        [(iri, "conversion", "2025-01-01T00:00:00Z", b"body", None)],
+        "target_uri string, warc_type string, warc_date string, "
+        "payload binary, http_content_type string",
+    )
+    path = str(tmp_path / "w")
+    write_warc(df, path, records_per_shard=4)
+    rows = read_warc_gz(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["target_uri"] == iri
+    assert bytes(rows[0]["payload"]) == b"body"
 
 
 class TestRandomAccessIndex:
