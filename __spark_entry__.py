@@ -8252,6 +8252,150 @@ from e
 _ORACLES["html_numeric_refs"] = HTML_NUMREF_SQL
 
 
+#: stopword-dense, link-free, apostrophe-free second content block —
+#: long enough to clear min_chars on its own
+_MCE_FILLER = (
+    "Stopword-dense filler: this is the story of it all and we went "
+    "on with them to see what was there for everyone else around."
+)
+
+
+def main_content_extract(spark, sf_dir):
+    """jusText-style main-content extraction
+    (extensions/maincontent.py, r12 — Pomikálek 2011 block
+    classification as pure JVM array expressions): every document's
+    sanitized text becomes the article body of a page with PLANTED
+    boilerplate — a nav bar that is 100% link text, a too-short
+    ``<h1>``, a link-dense copyright footer, and a ``<script>`` whose
+    body contains a fake ``<p>`` block — plus a fixed stopword-dense
+    second paragraph. The extractor must keep exactly the two content
+    blocks, newline-joined, in order. The oracle builds the expected
+    prose closed-form from the document text (never parsing HTML), so
+    a segmentation, link-density, length-gate or join-order bug
+    hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.maincontent import (
+        main_content_extract,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = F.regexp_replace("text", r"[^ -~]|[&<>]", "?")
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About'
+            '</a> <a href="/c">Contact</a> <a href="/s">Shop</a></nav>'
+            "<h1>Hd</h1><p>"
+        ),
+        st,
+        F.lit(
+            "</p><p>" + _MCE_FILLER + "</p>"
+            '<div>(c) 2025 <a href="/p">Privacy</a> <a href="/t">Terms'
+            '</a> <a href="/i">Imprint</a></div>'
+            '<script>var q = "<p>soup</p>";</script></body></html>'
+        ),
+    )
+    out = main_content_extract(html)
+    return docs.select(
+        "doc_id",
+        F.length(out).alias("n_chars"),
+        F.md5(out).alias("txt_md5"),
+    )
+
+
+MAIN_CONTENT_SQL = rf"""
+with s as (
+  select doc_id,
+         regexp_replace(text, '[^ -~]|[&<>]', '?', 'g') as st
+  from documents),
+n as (
+  select doc_id, trim(regexp_replace(st, '\s+', ' ', 'g')) as nst
+  from s),
+e as (
+  select doc_id, nst || chr(10) || '{_MCE_FILLER}' as expected
+  from n)
+select doc_id,
+       cast(length(expected) as int) as n_chars,
+       md5(expected) as txt_md5
+from e
+"""
+
+_ORACLES["main_content_extract"] = MAIN_CONTENT_SQL
+
+
+def warc_main_content(spark, sf_dir):
+    """The warc_html_prose pipeline routed through the main-content
+    extractor (sources/warc.py: response_main_text, r12): the same
+    WARC write → shard read → HTTP split chain, but the page carries
+    a planted all-links nav, a short headline, and a link-dense
+    footer that ``html_to_text`` would keep and
+    ``main_content_extract`` must drop — only the document-text
+    paragraph survives. ONE closed-form oracle straight from the
+    document text, as in WARC_HTML_SQL."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        read_warc_gz,
+        response_main_text,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p{color:red}</style></head><body>"
+            '<nav><a href="/">Home</a> <a href="/x">More</a> '
+            '<a href="/y">Links</a></nav><h1>Head&nbsp;Line</h1><p>'
+        ),
+        safe,
+        F.lit(
+            '</p><script>var x="<p>sneaky</p>";</script>'
+            '<div>Tail &amp; more <a href="/p">Privacy</a> '
+            '<a href="/t">Terms</a> <a href="/i">Imprint</a></div>'
+            "</body></html>"
+        ),
+    )
+    recs = docs.select(
+        F.concat(
+            F.lit("http://example.com/main/"),
+            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        ).alias("target_uri"),
+        F.lit("response").alias("warc_type"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(html, "UTF-8").alias("payload"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_warc_main_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(recs, path, records_per_shard=64)
+    prose = response_main_text(read_warc_gz(spark, path, fan_out=64))
+    return prose.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("txt_md5"),
+    )
+
+
+WARC_MAIN_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[&<>]', ' ', 'g') as st
+  from documents),
+n as (
+  select doc_id, trim(regexp_replace(st, '\s+', ' ', 'g')) as txt
+  from s)
+select doc_id,
+       cast(200 as int) as http_status,
+       cast(length(txt) as int) as n_chars,
+       md5(txt) as txt_md5
+from n
+"""
+
+_ORACLES["warc_main_content"] = WARC_MAIN_SQL
+
+
 _ROBOTS_A = (
     "User-agent: GraftBot\nDisallow: /private\nAllow: /private/pub\n"
     "Disallow: /tmp$\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"
@@ -8497,6 +8641,8 @@ _ORACLES["wat_link_graph"] = WAT_LINK_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r11) ---
+    "main_content_extract": main_content_extract,
+    "warc_main_content": warc_main_content,
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
@@ -8545,8 +8691,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
-    "temperature_lang_sample": temperature_lang_sample,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8599,6 +8743,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "temperature_lang_sample": temperature_lang_sample,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -8730,6 +8876,8 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "stratified_sample_by_lang",
+        "temperature_lang_sample",
         "text_bpe_token_count",
         "text_quality_score",
         "text_token_count",

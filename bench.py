@@ -182,6 +182,10 @@ EXTENDED = [
     "crawl_frontier_batch",
     # WAT metadata records: envelope from_json, title + link graph
     "wat_link_graph",
+    # round-12: jusText-style block classification, pure JVM arrays
+    "main_content_extract",
+    # the WARC prose pipeline routed through main-content extraction
+    "warc_main_content",
 ]
 
 

@@ -52,19 +52,26 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, _BLOCK_CLOSERS, "\n")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
-    # numeric pass BEFORE &amp; keeps &amp;#65; literal; deferring the
-    # ampersand refs keeps &#38;lt; literal too (else the named pass
-    # would double-decode the minted '&lt;') — they decode LAST, the
-    # same ordering rule as &amp;
-    t = decode_numeric_refs(t, defer_amp=True)
-    for ent, rep in HTML_ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(rep))
-    t = F.regexp_replace(t, r"&#(?:0*38|[xX]0*26);", "&")
+    t = decode_entities(t)
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     # Spark's trim strips spaces only — newlines need the regexp form
     return F.regexp_replace(F.trim(t), r"^\n+|\n+$", "")
+
+
+def decode_entities(col: Column | str) -> Column:
+    """The full entity-decode chain shared by :func:`html_to_text`
+    and the main-content extractor: numeric refs FIRST (keeps
+    ``&amp;#65;`` literal) with the ampersand refs deferred, then the
+    named entities (``&amp;`` last), then the deferred
+    ``&#38;``/``&#x26;`` — so ``&#38;lt;`` stays the literal
+    ``&lt;`` instead of double-decoding to ``<``."""
+    t = F.col(col) if isinstance(col, str) else col
+    t = decode_numeric_refs(t, defer_amp=True)
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.regexp_replace(t, r"&#(?:0*38|[xX]0*26);", "&")
 
 
 #: a VALID numeric character reference: decimal or hex form

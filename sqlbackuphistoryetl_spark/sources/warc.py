@@ -342,6 +342,32 @@ def response_text(df: DataFrame) -> DataFrame:
     )
 
 
+def response_main_text(df: DataFrame, **thresholds) -> DataFrame:
+    """Like :func:`response_text` but routed through the
+    jusText-style main-content extractor
+    (extensions/maincontent.py, r12) instead of the keep-everything
+    ``html_to_text`` — nav bars, footer link soup and other
+    boilerplate BLOCKS are classified out per page before the prose
+    reaches any downstream quality signal. ``thresholds`` forward to
+    :func:`~..extensions.maincontent.main_content_extract`. Same
+    shape, still pure JVM past extraction."""
+    from ..extensions.maincontent import main_content_extract
+
+    html = df.filter(
+        (F.col("warc_type") == "response")
+        & F.col("payload").isNotNull()
+        & F.col("http_content_type").startswith("text/html")
+    )
+    return html.select(
+        "target_uri",
+        "warc_date",
+        "http_status",
+        main_content_extract(
+            F.decode("payload", "UTF-8"), **thresholds
+        ).alias("text"),
+    )
+
+
 # ----------------------------------------------------------------- writer
 
 _HTTP_ENVELOPE_TYPES = {"response"}
