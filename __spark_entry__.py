@@ -6474,6 +6474,146 @@ from documents d left join per_doc p on d.doc_id = p.doc_id
 """
 
 
+def unigram_fit_segment(spark, sf_dir):
+    """Unigram-LM TRAINING end-to-end (extensions/unigram.py:
+    unigram_fit, r12 — Kudo 2018 seed→EM→prune as hard-EM with
+    integer bit-costs): fit a vocab on the corpus itself (all single
+    chars + top-20 bigram substrings, one Viterbi-EM iteration, prune
+    to 12 multi pieces, costs = bit_length((total<<4)//count)), then
+    segment the corpus under the FITTED vocab. The oracle re-derives
+    the ENTIRE fit in SQL — substring seed counts, a recursive-CTE
+    Viterbi forward pass under seed costs, a second recursive
+    BACKTRACE walk re-extracting the best-path pieces (choose the
+    1-char arm iff it reproduces dp[j], the engine's shortest-piece
+    tie-break), expected-count pruning, add-one char smoothing, the
+    integer re-cost, and a THIRD recursion segmenting under the
+    refit costs — so a seed-selection, EM-count, prune-order,
+    smoothing or re-cost bug shifts the summed encoded DP values and
+    hash-mismatches. Every quantity is an integer end-to-end (no libm
+    in either engine or oracle)."""
+    from sqlbackuphistoryetl_spark.extensions.unigram import (
+        unigram_fit,
+        unigram_segment_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_fit(
+        docs,
+        seed_multi=20,
+        prune_to_multi=12,
+        n_iters=1,
+        max_piece_len=2,
+        word_pattern=r"[a-z]+",
+        lowercase=True,
+    )
+    seg = unigram_segment_corpus(
+        docs, vocab, word_pattern=r"[a-z]+", lowercase=True
+    )
+    return seg.select("doc_id", "n_tokens", "total_cost", "encoded_total")
+
+
+UNIGRAM_FIT_SQL = r"""
+with recursive
+wc as (
+  select word, count(*) as wcount
+  from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+        from documents)
+  group by word),
+cand as (
+  select piece, sum(wcount) as cnt
+  from (select substr(word, i, l) as piece, wcount
+        from wc,
+             unnest(generate_series(1, len(word))) as t(i),
+             unnest(generate_series(1, 2)) as u(l)
+        where i + l - 1 <= len(word))
+  group by piece),
+chars as (select piece, cnt from cand where len(piece) = 1),
+multi0 as (
+  select piece, cnt from cand where len(piece) = 2
+  order by cnt desc, piece limit 20),
+seed as (select * from chars union all select * from multi0),
+cost0 as (
+  select piece,
+         length(bin(((select sum(cnt) from seed) * 16) // cnt)) as cost
+  from seed),
+step1 as (
+  select word, wcount, 0 as j,
+         cast(0 as bigint) as d1, cast(null as bigint) as d2
+  from wc
+  union all
+  select s.word, s.wcount, s.j + 1,
+         least(
+           s.d1 + c1.cost * 1024 + 1,
+           coalesce(s.d2 + c2.cost * 1024 + 1, cast(1 as bigint) << 60)
+         ) as d1,
+         s.d1 as d2
+  from step1 s
+  left join cost0 c1 on c1.piece = substr(s.word, s.j + 1, 1)
+  left join cost0 c2 on s.j >= 1 and c2.piece = substr(s.word, s.j - 1 + 1, 2)
+  where s.j < len(s.word)),
+back as (
+  select word, wcount, len(word) as j, cast(null as varchar) as piece
+  from wc
+  union all
+  select b.word, b.wcount,
+         case when f1.d1 + c1.cost * 1024 + 1 = fj.d1
+              then b.j - 1 else b.j - 2 end as j,
+         case when f1.d1 + c1.cost * 1024 + 1 = fj.d1
+              then substr(b.word, b.j, 1)
+              else substr(b.word, b.j - 1, 2) end as piece
+  from back b
+  join step1 fj on fj.word = b.word and fj.j = b.j
+  join step1 f1 on f1.word = b.word and f1.j = b.j - 1
+  join cost0 c1 on c1.piece = substr(b.word, b.j, 1)
+  where b.j > 0),
+ecount as (
+  select piece, sum(wcount) as cnt from back
+  where piece is not null
+  group by piece),
+keep as (
+  select piece, cnt from ecount where len(piece) = 2
+  order by cnt desc, piece limit 12),
+m1 as (
+  select c.piece, greatest(coalesce(e.cnt, 0), 1) as cnt
+  from chars c left join ecount e on e.piece = c.piece
+  union all
+  select piece, cnt from keep),
+cost1 as (
+  select piece,
+         length(bin(((select sum(cnt) from m1) * 16) // cnt)) as cost
+  from m1),
+step2 as (
+  select word, 0 as j, cast(0 as bigint) as d1, cast(null as bigint) as d2
+  from wc
+  union all
+  select s.word, s.j + 1,
+         least(
+           s.d1 + c1.cost * 1024 + 1,
+           coalesce(s.d2 + c2.cost * 1024 + 1, cast(1 as bigint) << 60)
+         ) as d1,
+         s.d1 as d2
+  from step2 s
+  left join cost1 c1 on c1.piece = substr(s.word, s.j + 1, 1)
+  left join cost1 c2 on s.j >= 1 and c2.piece = substr(s.word, s.j - 1 + 1, 2)
+  where s.j < len(s.word)),
+term as (select word, d1 as enc from step2 where j = len(word)),
+docw as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+  from documents),
+per_doc as (
+  select d.doc_id,
+         sum(t.enc % 1024) as n_tokens,
+         sum(t.enc // 1024) as total_cost,
+         sum(t.enc) as encoded_total
+  from docw d join term t on t.word = d.word
+  group by d.doc_id)
+select doc.doc_id,
+       cast(coalesce(p.n_tokens, 0) as int) as n_tokens,
+       cast(coalesce(p.total_cost, 0) as bigint) as total_cost,
+       cast(coalesce(p.encoded_total, 0) as bigint) as encoded_total
+from documents doc left join per_doc p on doc.doc_id = p.doc_id
+"""
+
 WORDPIECE_GATE_VOCAB = [
     "th", "he", "an",
     "a", "t", "h", "e", "s", "o", "i", "n", "d",
@@ -7487,6 +7627,7 @@ _ORACLES: dict[str, str | None] = {
     "pdf_extract_text": PDF_EXTRACT_SQL,
     "pdf_scanned_images": PDF_SCANNED_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
+    "unigram_fit_segment": UNIGRAM_FIT_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
     "ivf_pq_search": IVF_PQ_SQL,
@@ -8642,6 +8783,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r11) ---
     "main_content_extract": main_content_extract,
+    "unigram_fit_segment": unigram_fit_segment,
     "warc_main_content": warc_main_content,
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
@@ -8690,7 +8832,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
-    "sequence_packing": sequence_packing,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8743,6 +8884,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "sequence_packing": sequence_packing,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "temperature_lang_sample": temperature_lang_sample,
     "text_bpe_token_count": text_bpe_token_count,
@@ -8876,6 +9018,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "sequence_packing",
         "stratified_sample_by_lang",
         "temperature_lang_sample",
         "text_bpe_token_count",

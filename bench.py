@@ -186,6 +186,8 @@ EXTENDED = [
     "main_content_extract",
     # the WARC prose pipeline routed through main-content extraction
     "warc_main_content",
+    # unigram-LM trainer: seed -> hard-EM -> prune -> segment
+    "unigram_fit_segment",
 ]
 
 
