@@ -4093,6 +4093,130 @@ from assigned a left join pruned p on a.vec_id = p.pid
 """
 
 
+def embed_hashed_text(spark, sf_dir):
+    """Feature-hashed n-gram text embeddings (extensions/similarity.py:
+    embed_hashed_text, r12 — Weinberger et al. 2009): unigrams+bigrams
+    hash to md5[0:8] mod 16 with a ±1 sign from the 9th md5 nibble,
+    signed integer counts per bucket, L2-normalized dense array. The
+    output explodes the vector to (doc_id, bucket, n_grams, val) rows
+    so each element value-checks individually; every element is a
+    single correctly-rounded divide of exact integers (signed count /
+    sqrt(integer sum of squares)), so the doubles are BIT-identical
+    between engines — a bucketing, sign, assembly-order or
+    normalization bug flips concrete cells."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embed_hashed_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_hashed_text(docs, dim=16)
+    return emb.select(
+        "doc_id", "n_grams", F.posexplode("embedding").alias("bucket", "val")
+    ).select("doc_id", F.col("bucket").cast("int").alias("bucket"),
+             "n_grams", "val")
+
+
+EMBED_HASHED_SQL = r"""
+with w as (select doc_id, regexp_extract_all(text, '\S+') as ws
+           from documents),
+g as (
+  select doc_id, unnest(ws) as gram from w
+  union all
+  select doc_id, ws[i] || ' ' || ws[i+1] as gram
+  from w, unnest(generate_series(1, len(ws)-1)) as t(i)),
+f as (
+  select doc_id,
+         ('0x' || substr(md5(gram),1,8))::bigint % 16 as bucket,
+         case when substr(md5(gram),9,1)
+                   in ('0','1','2','3','4','5','6','7')
+              then 1 else -1 end as s
+  from g),
+sp as (select doc_id, bucket, sum(s) as v, count(*) as n
+       from f group by 1, 2),
+agg as (select doc_id, sum(n) as n_grams, sum(v*v) as ss
+        from sp group by 1)
+select d.doc_id,
+       cast(t.i as int) as bucket,
+       cast(coalesce(a.n_grams, 0) as bigint) as n_grams,
+       case when coalesce(a.ss, 0) > 0
+            then coalesce(sp.v, 0)::double / sqrt(a.ss::double)
+            else 0.0 end as val
+from documents d
+cross join generate_series(0, 15) as t(i)
+left join agg a on a.doc_id = d.doc_id
+left join sp on sp.doc_id = d.doc_id and sp.bucket = t.i
+"""
+
+def semdedup_text_prune(spark, sf_dir):
+    """The text→vector bridge composed with SemDeDup end-to-end
+    (r12): raw document text → embed_hashed_text(dim=64) → the same
+    semdedup_prune chain the embeddings-fixture gate runs (strata
+    quantizer, argmax-cosine assignment, lower-id same-cell prune).
+    Threshold 0.90 sits in a measured empty band of the same-cell
+    cosine distribution (nearest pairs 0.857 / 0.952 at both driver
+    scales), so engine-vs-oracle float noise (~1e-15) can never flip
+    a verdict; exact assignment ties (duplicate texts minting
+    identical centroids in two cells) break on the shared
+    ``cell asc`` rule over bit-identical cosines."""
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embed_hashed_text,
+        semdedup_prune as _prune,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_hashed_text(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return _prune(emb, k_clusters=16, threshold=0.90)
+
+
+SEMDEDUP_TEXT_SQL = r"""
+with w as (select doc_id, regexp_extract_all(text, '\S+') as ws
+           from documents),
+g as (
+  select doc_id, unnest(ws) as gram from w
+  union all
+  select doc_id, ws[i] || ' ' || ws[i+1] as gram
+  from w, unnest(generate_series(1, len(ws)-1)) as t(i)),
+f as (
+  select doc_id,
+         ('0x' || substr(md5(gram),1,8))::bigint % 64 as bucket,
+         case when substr(md5(gram),9,1)
+                   in ('0','1','2','3','4','5','6','7')
+              then 1 else -1 end as s
+  from g),
+sp as (select doc_id, bucket, sum(s) as v from f group by 1, 2),
+agg as (select doc_id, sum(v*v) as ss from sp group by 1),
+dense as (
+  select a.doc_id,
+         list(coalesce(sp.v,0)::double / sqrt(a.ss::double)
+              order by t.i) as vec
+  from agg a
+  cross join generate_series(0, 63) as t(i)
+  left join sp on sp.doc_id = a.doc_id and sp.bucket = t.i
+  group by a.doc_id),
+cents as (
+  select cast(doc_id % 16 as int) as cell,
+         min_by(vec, md5(cast(doc_id as varchar))) as centroid
+  from dense group by 1),
+scored as (
+  select d.doc_id, d.vec, c.cell,
+         list_cosine_similarity(d.vec, c.centroid) as cos
+  from dense d cross join cents c),
+assigned as (
+  select doc_id, vec, cell from (
+    select *, row_number() over (partition by doc_id
+                                 order by cos desc, cell) as rn
+    from scored) where rn = 1),
+pruned as (
+  select distinct b.doc_id as pid
+  from assigned a join assigned b
+    on a.cell = b.cell and a.doc_id < b.doc_id
+  where list_cosine_similarity(a.vec, b.vec) >= 0.90)
+select a.doc_id as vec_id, a.cell, (p.pid is null) as keep
+from assigned a left join pruned p on a.doc_id = p.pid
+"""
+
 def fineweb_quality(spark, sf_dir):
     """The three FineWeb custom heuristics (Penedo et al. 2024 §3.6;
     functions/textfns.py:fineweb_quality_flags): line-punctuation
@@ -7597,6 +7721,8 @@ _ORACLES: dict[str, str | None] = {
     # re-score makes outputs equal the exact answer — see each docstring)
     "dup_window_spans": DUP_SPANS_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
+    "embed_hashed_text": EMBED_HASHED_SQL,
+    "semdedup_text_prune": SEMDEDUP_TEXT_SQL,
     "gopher_quality": GOPHER_SQL,
     "gopher_repetition": GOPHER_REPETITION_SQL,
     "ccnet_perplexity": CCNET_SQL,
@@ -8782,7 +8908,9 @@ _ORACLES["wat_link_graph"] = WAT_LINK_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r11) ---
+    "embed_hashed_text": embed_hashed_text,
     "main_content_extract": main_content_extract,
+    "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
     "warc_main_content": warc_main_content,
     "p9_fallback_probe": p9_fallback_probe,
@@ -8830,8 +8958,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
     "semantic_decontam": semantic_decontam,
-    "semdedup_prune": semdedup_prune,
-    "sentence_split_stats": sentence_split_stats,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -8884,6 +9010,8 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "semdedup_prune": semdedup_prune,
+    "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "temperature_lang_sample": temperature_lang_sample,
@@ -9018,6 +9146,8 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "semdedup_prune",
+        "sentence_split_stats",
         "sequence_packing",
         "stratified_sample_by_lang",
         "temperature_lang_sample",

@@ -188,6 +188,8 @@ EXTENDED = [
     "warc_main_content",
     # unigram-LM trainer: seed -> hard-EM -> prune -> segment
     "unigram_fit_segment",
+    # text -> feature-hashed vectors -> SemDeDup, end-to-end from text
+    "semdedup_text_prune",
 ]
 
 

@@ -1673,3 +1673,98 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+# -------------------------------------------------- text -> vector bridge
+
+
+def embed_hashed_text(
+    docs: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_pattern: str = r"\S+",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Deterministic feature-hashed n-gram embeddings (Weinberger et
+    al. 2009, "Feature Hashing for Large Scale Multitask Learning") —
+    the bridge that lets the WHOLE vector stack (semdedup_prune,
+    rp_lsh_topk, embedding_cross_contamination, ivf_*) run END-TO-END
+    from raw text with no external model: unigrams (+ bigrams) hash to
+    ``bucket = md5[0:8] mod dim`` with a ±1 sign from the 9th md5
+    nibble's top bit, signed counts accumulate per bucket (exact
+    integers), and the dense vector is the L2-normalized count array.
+
+    Returns ``(id_col, n_grams, embedding array<double>)`` — one row
+    per input doc; empty/NULL text gives ``n_grams = 0`` and the zero
+    vector (never NULL, never NaN). md5 (not xxhash64) so ANY engine
+    reproduces the buckets; the signed-sum-then-single-divide shape
+    keeps every element a correctly-rounded function of exact integers
+    (no float accumulation order anywhere), so two engines produce
+    bit-identical vectors.
+
+    Scale shape: gram explosion is map-side; one shuffle on
+    (id, bucket) for the signed counts, one on id for assembly — both
+    key-parallel, no Python, no driver state. The dense array is
+    ``dim`` doubles per doc; keep dim at the hundreds for dedup
+    bridging (hash collisions are the accepted trade of the method).
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    words = F.regexp_extract_all(F.col(text_col), F.lit(word_pattern), F.lit(0))
+    toks = docs.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    w = F.col("__w")
+    grams = w
+    if include_bigrams:
+        tail = F.greatest(F.size(w) - 1, F.lit(0))
+        bigrams = F.transform(
+            F.arrays_zip(
+                F.slice(w, 1, tail).alias("a"), F.slice(w, 2, tail).alias("b")
+            ),
+            lambda p: F.concat_ws(" ", p["a"], p["b"]),
+        )
+        grams = F.concat(w, bigrams)
+    h = F.md5("gram")
+    sparse = (
+        toks.select("__id", F.explode(grams).alias("gram"))
+        .select(
+            "__id",
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                F.lit(int(dim)),
+            ).alias("bucket"),
+            F.when(
+                F.substring(h, 9, 1).isin(*"01234567"), F.lit(1)
+            ).otherwise(F.lit(-1)).alias("sign"),
+        )
+        .groupBy("__id", "bucket")
+        .agg(F.sum("sign").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    assembled = sparse.groupBy("__id").agg(
+        F.sum("n").alias("n_grams"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("m"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    m, ss = F.col("m"), F.col("ss")
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.when(
+            ss > 0,
+            F.coalesce(m[i.cast("long")], F.lit(0)).cast("double")
+            / F.sqrt(ss.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(assembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce(
+                dense,
+                F.array_repeat(F.lit(0.0), int(dim)),
+            ).alias("embedding"),
+        )
+    )
