@@ -8816,6 +8816,103 @@ from ranked where rank <= 2
 _ORACLES["crawl_frontier_batch"] = FRONTIER_SQL
 
 
+def frontier_fetch_waves(spark, sf_dir):
+    """Crawl-delay rate scheduling on the frontier batch
+    (extensions/frontier.py: schedule_fetch_waves, r12): the exact
+    crawl_frontier_batch fixture, with each host's robots.txt now
+    declaring ``Crawl-delay: k+1`` (k = the tld index, so the delay is
+    closed-form in doc_id) — every selected URL gets
+    ``fetch_offset_s = (rank−1) × delay`` from the REAL robots parse
+    (effective-group selection included). The oracle recomputes the
+    frontier composition arithmetically as FRONTIER_SQL does and the
+    wave directly from k, so a delay-parse, group-selection, join-key
+    or wave-arithmetic bug shifts concrete offsets and
+    hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        crawl_frontier,
+        schedule_fetch_waves,
+    )
+    from sqlbackuphistoryetl_spark.functions.robotsfns import parse_robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+        (F.col("doc_id") % 13).alias("pri"),
+        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    path = F.concat(F.lit("/p/"), F.col("p"), F.lit("?a=1&b="), F.col("m"))
+    canon = F.concat(F.lit("https://"), host, path)
+    discovered = d.select(canon.alias("url"), F.col("pri"))
+    seen = d.filter("is_seen").select(canon.alias("url"))
+    robots = (
+        d.select(host.alias("host"), F.col("k")).distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p/4\nCrawl-delay: "),
+                (F.col("k") + 1).cast("string"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    batch = crawl_frontier(
+        discovered, seen, parse_robots(robots), "GraftBot",
+        per_domain_cap=2, priority_col="pri",
+    )
+    out = schedule_fetch_waves(batch, robots, "GraftBot")
+    return out.select(
+        "url", "host",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("crawl_delay").cast("double").alias("crawl_delay"),
+        F.col("fetch_offset_s").cast("double").alias("fetch_offset_s"),
+    )
+
+
+FETCH_WAVES_SQL = r"""
+with d as (
+  select doc_id % 7 as k,
+         cast(doc_id % 20 as varchar) as s,
+         cast(doc_id % 50 as varchar) as p,
+         cast(doc_id % 3 as varchar) as m,
+         doc_id % 13 as pri,
+         doc_id % 4 = 0 as is_seen
+  from documents),
+c as (
+  select k, ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m, pri, is_seen
+  from d),
+f as (
+  select 'https://www.site' || s || '.' || tld || '/p/' || p
+           || '?a=1&b=' || m as url,
+         'www.site' || s || '.' || tld as host,
+         'site' || s || '.' || tld as domain,
+         k, pri
+  from c
+  where not is_seen and p not like '4%'),
+ranked as (
+  select url, host, domain, k, pri,
+         row_number() over (partition by domain
+                            order by pri desc, url asc) as rank
+  from f)
+select url, host, cast(pri as bigint) as priority,
+       cast(rank as int) as rank,
+       cast(k + 1 as double) as crawl_delay,
+       cast(rank - 1 as double) * cast(k + 1 as double) as fetch_offset_s
+from ranked where rank <= 2
+"""
+
+_ORACLES["frontier_fetch_waves"] = FETCH_WAVES_SQL
+
+
 def wat_link_graph(spark, sf_dir):
     """WAT metadata records — the third Common Crawl format next to
     WARC/WET (sources/warc.py: wat_records / wat_html_metadata, r11):
@@ -8909,6 +9006,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r11) ---
     "embed_hashed_text": embed_hashed_text,
+    "frontier_fetch_waves": frontier_fetch_waves,
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
@@ -8957,7 +9055,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
-    "semantic_decontam": semantic_decontam,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9010,6 +9107,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
     "sequence_packing": sequence_packing,
@@ -9146,6 +9244,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "semantic_decontam",
         "semdedup_prune",
         "sentence_split_stats",
         "sequence_packing",

@@ -190,6 +190,8 @@ EXTENDED = [
     "unigram_fit_segment",
     # text -> feature-hashed vectors -> SemDeDup, end-to-end from text
     "semdedup_text_prune",
+    # frontier + Crawl-delay rate scheduling (fetch waves per host)
+    "frontier_fetch_waves",
 ]
 
 

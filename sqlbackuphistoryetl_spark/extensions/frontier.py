@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.robotsfns import robots_allowed
+from ..functions.robotsfns import robots_allowed, robots_crawl_delay
 from ..functions.urlfns import normalize_url, registered_domain, url_host
 
 
@@ -81,4 +81,49 @@ def crawl_frontier(
     )
     return ranked.filter(F.col("rank") <= int(per_domain_cap)).select(
         "url", "domain", "priority", "rank"
+    )
+
+
+def schedule_fetch_waves(
+    batch: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """RATE politeness on top of :func:`crawl_frontier`'s SIZE cap
+    (r12): each selected URL gets a fetch wave offset from its host's
+    effective Crawl-delay — ``fetch_offset_s = (rank − 1) × delay``,
+    so a fetcher that dispatches each URL at ``batch_start +
+    fetch_offset_s`` never hits one host faster than its declared
+    delay (``default_delay`` where the host declares none).
+
+    ``batch`` is :func:`crawl_frontier` output; ``robots`` is the raw
+    ``(host, robots_txt)`` table — the delay parse is
+    :func:`~..functions.robotsfns.robots_crawl_delay` (same
+    effective-group selection as governance). The frontier's existing
+    per-DOMAIN rank drives the arithmetic, so this adds NO new window
+    or shuffle — just one broadcast join against the host-keyed delay
+    table (delay relations are robots-sized, small by nature). A
+    multi-host domain spaces each host's fetches at least ``delay``
+    apart (rank gaps only stretch the spacing — conservative, never
+    impolite).
+
+    Adds ``(host, crawl_delay, fetch_offset_s)``; the offset is one
+    exact integer-times-double multiply, engine-reproducible.
+    """
+    delays = robots_crawl_delay(robots, agent, host_col, text_col)
+    b = batch.withColumn("host", url_host(F.col("url")))
+    joined = b.join(F.broadcast(delays), "host", "left")
+    delay = F.coalesce(
+        F.col("crawl_delay"), F.lit(float(default_delay))
+    )
+    return joined.select(
+        *batch.columns,
+        "host",
+        delay.alias("crawl_delay"),
+        ((F.col("rank") - 1).cast("double") * delay).alias(
+            "fetch_offset_s"
+        ),
     )

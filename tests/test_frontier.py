@@ -124,3 +124,84 @@ def test_frontier_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_fetch_waves_respect_crawl_delay(spark):
+    """r12: schedule_fetch_waves composes robots_crawl_delay into the
+    frontier batch — (rank-1) x effective delay per host, default
+    where no delay is declared, one broadcast join, no new window."""
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        schedule_fetch_waves,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: bot\nCrawl-delay: 10\nDisallow: /x\n\n"
+             "User-agent: *\nCrawl-delay: 99\n"),
+            ("b.example", "User-agent: *\nDisallow: /y\n"),  # no delay
+        ],
+        "host string, robots_txt string",
+    )
+    discovered = spark.createDataFrame(
+        [("https://a.example/p1", 9), ("https://a.example/p2", 5),
+         ("https://a.example/p3", 3), ("https://b.example/q1", 1),
+         ("https://b.example/q2", 0)],
+        "url string, priority long",
+    )
+    seen = spark.createDataFrame([], "url string")
+    batch = crawl_frontier(
+        discovered, seen, parse_robots(robots), "bot",
+        per_domain_cap=5, priority_col="priority",
+    )
+    out = schedule_fetch_waves(batch, robots, "bot", default_delay=2.0)
+    rows = {r["url"]: r for r in out.collect()}
+    # a.example: bot group's delay (10), not the * group's 99
+    assert rows["https://a.example/p1"]["crawl_delay"] == 10.0
+    assert rows["https://a.example/p1"]["fetch_offset_s"] == 0.0
+    assert rows["https://a.example/p2"]["fetch_offset_s"] == 10.0
+    assert rows["https://a.example/p3"]["fetch_offset_s"] == 20.0
+    # b.example declares none: the default applies
+    assert rows["https://b.example/q1"]["crawl_delay"] == 2.0
+    assert rows["https://b.example/q2"]["fetch_offset_s"] == 2.0
+    assert rows["https://a.example/p1"]["host"] == "a.example"
+    # frontier columns survive untouched
+    assert rows["https://a.example/p1"]["rank"] == 1
+
+
+def test_fetch_waves_plan_broadcasts_delays(spark):
+    """The delay join must be a broadcast hash join on the host key —
+    no extra exchange beyond the frontier's own."""
+    import contextlib
+    import io
+
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        schedule_fetch_waves,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 3\n")],
+        "host string, robots_txt string",
+    )
+    discovered = spark.createDataFrame(
+        [(f"https://a.example/p{i}", i) for i in range(4)],
+        "url string, priority long",
+    )
+    seen = spark.createDataFrame([], "url string")
+    batch = crawl_frontier(
+        discovered, seen, parse_robots(robots), "bot",
+        per_domain_cap=9, priority_col="priority",
+    )
+    out = schedule_fetch_waves(batch, robots, "bot")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    # exactly one window (the frontier's own per-domain rank)
+    assert plan.count("Window") >= 1
+    # no Python execution nodes (the scan labels mention Python RDDs
+    # for createDataFrame inputs; those aren't exec-time Python)
+    assert "BatchEval" not in plan and "ArrowEval" not in plan
+    assert "InPandas" not in plan
