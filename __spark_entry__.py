@@ -8913,6 +8913,69 @@ from ranked where rank <= 2
 _ORACLES["frontier_fetch_waves"] = FETCH_WAVES_SQL
 
 
+def warc_cdx_lookup(spark, sf_dir):
+    """The CDX random-access serving path under the oracle bar
+    (sources/warc.py: warc_cdx_index + read_warc_by_index, r12):
+    write member-per-record shards from the documents, build the CDX
+    index (one map-side pass), FILTER the index to the doc_id%5==2
+    sample, then range-read ONLY those members back as a distributed
+    point-read job — the 100 TB serving pattern where bytes moved =
+    selected records. The oracle computes the sample's
+    (doc_id, n_chars, payload md5) straight from the document text,
+    so an offset/length framing, member-boundary, inflate or
+    selection bug serves wrong bytes and hash-mismatches."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        read_warc_by_index,
+        warc_cdx_index,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = F.regexp_replace("text", r"[^ -~]", "?")
+    recs = docs.select(
+        F.concat(
+            F.lit("http://example.com/cdx/"),
+            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        ).alias("target_uri"),
+        F.lit("conversion").alias("warc_type"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(st, "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("http_content_type"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_warc_cdx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(recs, path, records_per_shard=64)
+    idx = warc_cdx_index(spark, path, fan_out=64)
+    sample = idx.filter(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long") % 5 == 2
+    )
+    served = read_warc_by_index(sample.repartition(64, "shard"), path)
+    return served.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.length(F.decode("payload", "UTF-8")).alias("n_chars"),
+        F.md5(F.decode("payload", "UTF-8")).alias("txt_md5"),
+    )
+
+
+CDX_LOOKUP_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[^ -~]', '?', 'g') as st
+  from documents
+  where doc_id % 5 = 2)
+select doc_id,
+       cast(length(st) as int) as n_chars,
+       md5(st) as txt_md5
+from s
+"""
+
+_ORACLES["warc_cdx_lookup"] = CDX_LOOKUP_SQL
+
+
 def wat_link_graph(spark, sf_dir):
     """WAT metadata records — the third Common Crawl format next to
     WARC/WET (sources/warc.py: wat_records / wat_html_metadata, r11):
@@ -9010,6 +9073,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
+    "warc_cdx_lookup": warc_cdx_lookup,
     "warc_main_content": warc_main_content,
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
@@ -9054,7 +9118,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
-    "rag_chunking": rag_chunking,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9107,6 +9170,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "rag_chunking": rag_chunking,
     "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
     "sentence_split_stats": sentence_split_stats,
@@ -9244,6 +9308,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "rag_chunking",
         "semantic_decontam",
         "semdedup_prune",
         "sentence_split_stats",

@@ -192,6 +192,8 @@ EXTENDED = [
     "semdedup_text_prune",
     # frontier + Crawl-delay rate scheduling (fetch waves per host)
     "frontier_fetch_waves",
+    # CDX index -> filtered distributed range reads (the serving path)
+    "warc_cdx_lookup",
 ]
 
 

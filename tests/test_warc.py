@@ -311,6 +311,35 @@ class TestRandomAccessIndex:
             )
 
 
+    def test_distributed_point_reads(self, spark, tmp_path):
+        """r12: read_warc_by_index serves a FILTERED index selection
+        as a distributed batch of range reads — payloads byte-match
+        the full scan, and unselected records are never read."""
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_by_index,
+            warc_cdx_index,
+        )
+
+        path = str(tmp_path / "warc")
+        write_warc(_fixture_df(spark, 8), path, records_per_shard=5)
+        scan = {
+            (r["target_uri"], r["warc_type"]): bytes(r["payload"])
+            for r in read_warc_gz(spark, path).collect()
+        }
+        idx = warc_cdx_index(spark, path).filter(
+            F.col("warc_type") == "conversion"
+        )
+        served = read_warc_by_index(idx, path).collect()
+        assert len(served) == 8
+        for r in served:
+            assert r["warc_type"] == "conversion"
+            assert bytes(r["payload"]) == scan[
+                (r["target_uri"], "conversion")
+            ]
+            assert r["warc_date"] == "2025-01-01T00:00:00Z"
+            assert r["record_id"].startswith("<urn:md5:")
+
+
 class TestWAT:
     def _wat_df(self, spark, n=6):
         rows = []
