@@ -7838,6 +7838,49 @@ from documents
 _ORACLES["jsonl_roundtrip_ingest"] = JSONL_ROUNDTRIP_SQL
 
 
+def jsonl_zst_roundtrip(spark, sf_dir):
+    """``.zst`` interchange round trip (extensions/zstd_codec.py, RFC
+    8878, r12): documents → sharded ``shard-*.jsonl.zst`` export
+    (raw-block zstd frames — conformant files any real zstd tool
+    reads; entropy-coded blocks are the gated half, see the module
+    doc + COVERAGE.md r12 decision) → schema-enforced FAILFAST
+    re-ingest (one shard per task, frame walk in the task, JVM
+    from_json). The oracle reads the ORIGINAL parquet — equality
+    proves frame framing, block boundaries, JSON escaping and shard
+    partitioning all round-trip losslessly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sqlbackuphistoryetl_spark.extensions.zstd_codec import (
+        read_jsonl_zst,
+        write_jsonl_zst,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _JSONL_ZST_CACHE:
+        path = tempfile.mkdtemp(prefix="jsonl_zst_corpus_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_jsonl_zst(docs, path, "doc_id", records_per_shard=200)
+        _JSONL_ZST_CACHE[sf_dir] = path
+    back = read_jsonl_zst(
+        spark,
+        _JSONL_ZST_CACHE[sf_dir],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+        fan_out=64,
+    )
+    return back.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+_JSONL_ZST_CACHE: dict[str, str] = {}
+
+_ORACLES["jsonl_zst_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
 def skew_salted_agg(spark, sf_dir):
     """Two-stage skew-safe aggregation (operators/skew.py: salted_agg):
     stage 1 aggregates on (user_id, salt) so a hot key fans out across
@@ -9216,6 +9259,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "html_numeric_refs": html_numeric_refs,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
+    "jsonl_zst_roundtrip": jsonl_zst_roundtrip,
     "label_centroid_stats": label_centroid_stats,
     "media_info_webm": media_info_webm,
     "minhash_index_compact": minhash_index_compact,

@@ -1,0 +1,268 @@
+"""Zstandard frame container — the raw/RLE-block subset (RFC 8878,
+r12).
+
+Common Crawl's CDX indexes and a growing share of public corpora ship
+``.zst`` (jsonl.zst, warc.zst). No ``zstandard`` module is installed
+here and Python 3.11's stdlib has none, so FULLY-compressed frames are
+env-blocked the same way delta-spark is. But RFC 8878's FRAME layer is
+trivial, and two of its three block types carry no entropy coding at
+all:
+
+- **Raw blocks** (type 0): verbatim bytes. A frame of raw blocks is a
+  VALID zstd file — every conformant decoder (the zstd CLI, any
+  language binding) reads what :func:`zstd_compress_raw` writes, so
+  ``.jsonl.zst`` interchange OUT of this engine works today.
+- **RLE blocks** (type 1): one byte × regenerated size — decoded here
+  for compatibility with encoders that emit them.
+- **Compressed blocks** (type 2: FSE/Huffman sequences) raise
+  :class:`UnsupportedZstd` — the gated decode. The entropy layer is
+  NOT implemented on purpose: a self-written FSE/Huffman decoder has
+  the same unverifiable-table problem as arithmetic JPEG (the
+  COVERAGE.md r10 decision template) — there is no in-container
+  reference implementation to verify 4 KB of interleaved
+  state-machine tables against, and a wrong table corrupts silently
+  rather than failing loudly. The decision record lives in
+  COVERAGE.md r12.
+
+Also handled: skippable frames (magic 0x184D2A5x — skipped per spec),
+multi-frame concatenation, single-segment and windowed headers, all
+four Frame_Content_Size widths, dictionary-ID fields (present ⇒
+:class:`UnsupportedZstd`, we hold no dictionaries), and the optional
+content checksum (xxhash64-low32 — SKIPPED, not verified: no xxhash
+in-container; framing errors still surface as length mismatches).
+
+Spark usage mirrors the gzip path: shard-sized blobs through
+``binaryFile`` + ``mapInPandas`` (one shard per task), the same
+budget doctrine as every other codec here.
+"""
+
+from __future__ import annotations
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+#: writer block size: RFC 8878 Block_Maximum_Size is min(window,
+#: 128 KiB); single-segment frames use the content size as window, so
+#: 128 KiB is always legal
+_RAW_BLOCK = 128 * 1024
+
+#: decode budget — a frame claiming to inflate past this is hostile
+MAX_DECODE_BYTES = 256 * 1024 * 1024
+
+
+class ZstdError(ValueError):
+    """Malformed zstd frame (bad magic, truncated block, reserved
+    block type, header arithmetic off the end)."""
+
+
+class UnsupportedZstd(NotImplementedError):
+    """Valid zstd, but a form this codec gates: compressed
+    (FSE/Huffman) blocks or dictionary-keyed frames. See the module
+    docstring for the verifiability decision."""
+
+
+def is_zstd(payload: bytes | None) -> bool:
+    """Frame sniff: standard or skippable magic."""
+    if payload is None or len(payload) < 4:
+        return False
+    if payload[:4] == ZSTD_MAGIC:
+        return True
+    m = int.from_bytes(payload[:4], "little")
+    return _SKIPPABLE_LO <= m <= _SKIPPABLE_HI
+
+
+def zstd_compress_raw(data: bytes) -> bytes:
+    """``data`` as one single-segment zstd frame of raw blocks — no
+    compression, but a fully conformant frame any zstd decoder reads.
+    This is the write half of ``.zst`` interchange: correctness and
+    container compatibility now, entropy coding delegated to the
+    consumer's real zstd when ratio matters."""
+    n = len(data)
+    # single-segment: no window descriptor, FCS always present
+    if n < 256:
+        fhd, fcs = 0x20, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
+    else:
+        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    out = [ZSTD_MAGIC, bytes([fhd]), fcs]
+    if n == 0:
+        out.append((1).to_bytes(3, "little"))  # last=1, type=0, size=0
+        return b"".join(out)
+    for pos in range(0, n, _RAW_BLOCK):
+        chunk = data[pos : pos + _RAW_BLOCK]
+        last = 1 if pos + _RAW_BLOCK >= n else 0
+        header = last | (0 << 1) | (len(chunk) << 3)
+        out.append(header.to_bytes(3, "little"))
+        out.append(chunk)
+    return b"".join(out)
+
+
+def _frame_header(blob: bytes, p: int) -> tuple[int, bool]:
+    """Parse one standard frame header starting AFTER the magic;
+    returns (offset of first block, checksum_flag)."""
+    if p >= len(blob):
+        raise ZstdError("truncated frame header descriptor")
+    fhd = blob[p]
+    p += 1
+    if fhd & 0x08:
+        raise ZstdError("reserved frame-header bit set")
+    single = bool(fhd & 0x20)
+    if not single:
+        p += 1  # window descriptor
+    did_len = (0, 1, 2, 4)[fhd & 0x03]
+    if did_len:
+        raise UnsupportedZstd(
+            "dictionary-keyed frame (no dictionaries held)"
+        )
+    fcs_flag = fhd >> 6
+    fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    p += fcs_len
+    if p > len(blob):
+        raise ZstdError("frame header runs past the payload")
+    return p, bool(fhd & 0x04)
+
+
+def zstd_decompress(blob: bytes, budget: int = MAX_DECODE_BYTES) -> bytes:
+    """Decode concatenated zstd frames holding raw/RLE blocks; skip
+    skippable frames; gate compressed blocks (:class:`UnsupportedZstd`)
+    and reject malformed framing (:class:`ZstdError`). The content
+    checksum, when present, is length-checked and skipped (module
+    doc)."""
+    out: list[bytes] = []
+    total = 0
+    p, n = 0, len(blob)
+    while p < n:
+        if n - p < 4:
+            raise ZstdError("trailing bytes shorter than a frame magic")
+        magic = int.from_bytes(blob[p : p + 4], "little")
+        p += 4
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if n - p < 4:
+                raise ZstdError("truncated skippable-frame size")
+            size = int.from_bytes(blob[p : p + 4], "little")
+            p += 4 + size
+            if p > n:
+                raise ZstdError("skippable frame runs past the payload")
+            continue
+        if blob[p - 4 : p] != ZSTD_MAGIC:
+            raise ZstdError("bad zstd magic")
+        p, checksum = _frame_header(blob, p)
+        while True:
+            if n - p < 3:
+                raise ZstdError("truncated block header")
+            h = int.from_bytes(blob[p : p + 3], "little")
+            p += 3
+            last, btype, size = h & 1, (h >> 1) & 3, h >> 3
+            if btype == 3:
+                raise ZstdError("reserved block type")
+            if btype == 2:
+                raise UnsupportedZstd(
+                    "compressed (FSE/Huffman) block — entropy decode "
+                    "is gated; see module doc"
+                )
+            if btype == 0:
+                if p + size > n:
+                    raise ZstdError("raw block runs past the payload")
+                total += size
+                if total > budget:
+                    raise ZstdError("frame inflates past the budget")
+                out.append(blob[p : p + size])
+                p += size
+            else:  # RLE
+                if p + 1 > n:
+                    raise ZstdError("truncated RLE block")
+                total += size
+                if total > budget:
+                    raise ZstdError("frame inflates past the budget")
+                out.append(blob[p : p + 1] * size)
+                p += 1
+            if last:
+                break
+        if checksum:
+            if n - p < 4:
+                raise ZstdError("truncated content checksum")
+            p += 4  # xxhash64-low32: skipped, not verified
+    return b"".join(out)
+
+
+# ------------------------------------------------------- jsonl.zst I/O
+
+
+def write_jsonl_zst(
+    df,
+    path: str,
+    order_col: str,
+    records_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """Write the frame as ``shard-NNNNNN.jsonl.zst`` files — one JSON
+    line per row (``to_json`` over ALL columns), shards of exactly
+    ``records_per_shard`` rows in stable ``order_col`` order, each
+    shard one raw-block zstd frame (:func:`zstd_compress_raw` — any
+    real zstd tool reads these). Rides the shared ordinal shard
+    machinery (webdataset._write_shards): one range shuffle, one
+    packer task per shard, atomic rename publish. Eager; returns the
+    per-shard summary rows."""
+    from pyspark.sql import functions as F
+
+    from .webdataset import _write_shards
+
+    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    shaped = df.select(
+        F.lpad(F.col(order_col).cast("string"), 20, "0").alias("key"),
+        F.lit("json").alias("ext"),
+        line.alias("line"),
+    )
+
+    def _pack(pdf) -> bytes:
+        text = "\n".join(pdf["line"]) + "\n" if len(pdf) else ""
+        return zstd_compress_raw(text.encode("utf-8"))
+
+    return _write_shards(
+        shaped, path, records_per_shard, num_partitions, _pack,
+        ".jsonl.zst",
+    )
+
+
+def read_jsonl_zst(
+    spark,
+    path: str,
+    schema,
+    glob: str = "*.jsonl.zst",
+    fan_out: int | None = None,
+):
+    """Read ``*.jsonl.zst`` shards with a DECLARED schema (no
+    inference — the read_jsonl_corpus contract): one shard per task
+    through ``binaryFile``, frame-decode in the task
+    (:func:`zstd_decompress` — raw/RLE frames; compressed blocks
+    raise, see module doc), then a JVM ``from_json`` in FAILFAST
+    mode. Python touches only the container walk; parsing is
+    Catalyst."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    if fan_out is not None:
+        files = files.repartition(fan_out)
+
+    def _inflate(it):
+        import pandas as pd
+
+        for pdf in it:
+            lines: list[str] = []
+            for blob in pdf["content"]:
+                text = zstd_decompress(bytes(blob)).decode("utf-8")
+                lines.extend(l for l in text.split("\n") if l)
+            yield pd.DataFrame({"line": pd.Series(lines, dtype="object")})
+
+    lines = files.mapInPandas(_inflate, "line string")
+    parsed = lines.select(
+        F.from_json("line", schema, {"mode": "FAILFAST"}).alias("r")
+    )
+    return parsed.select("r.*")
