@@ -9113,6 +9113,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # greens by (round, name); latest recorded round: r11) ---
     "embed_hashed_text": embed_hashed_text,
     "frontier_fetch_waves": frontier_fetch_waves,
+    "jsonl_zst_roundtrip": jsonl_zst_roundtrip,
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
@@ -9160,7 +9161,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_search": pq_adc_search,
     "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
-    "quality_rare_tokens": quality_rare_tokens,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9213,6 +9213,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
     "semantic_decontam": semantic_decontam,
     "semdedup_prune": semdedup_prune,
@@ -9259,7 +9260,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "html_numeric_refs": html_numeric_refs,
     "jsonl_roundtrip_ingest": jsonl_roundtrip_ingest,
-    "jsonl_zst_roundtrip": jsonl_zst_roundtrip,
     "label_centroid_stats": label_centroid_stats,
     "media_info_webm": media_info_webm,
     "minhash_index_compact": minhash_index_compact,
@@ -9352,6 +9352,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "quality_rare_tokens",
         "rag_chunking",
         "semantic_decontam",
         "semdedup_prune",

@@ -194,6 +194,8 @@ EXTENDED = [
     "frontier_fetch_waves",
     # CDX index -> filtered distributed range reads (the serving path)
     "warc_cdx_lookup",
+    # sharded .jsonl.zst export + FAILFAST re-ingest (RFC 8878 frames)
+    "jsonl_zst_roundtrip",
 ]
 
 
