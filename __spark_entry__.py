@@ -4157,17 +4157,31 @@ def semdedup_text_prune(spark, sf_dir):
     scales), so engine-vs-oracle float noise (~1e-15) can never flip
     a verdict; exact assignment ties (duplicate texts minting
     identical centroids in two cells) break on the shared
-    ``cell asc`` rule over bit-identical cosines."""
+    ``cell asc`` rule over bit-identical cosines.
+
+    k follows the published SemDeDup sizing rule — clusters stay
+    ~300 docs so the intra-cell pair stage is linear-ish in the
+    corpus, not quadratic: k = max(16, n // 312). At BOTH oracle
+    scales this resolves to the margin-verified k = 16 (the oracle's
+    literal); at bench sf0.1 it gives k = 160 (the r12 bench measured
+    k=16 at 50k docs costing ~78M pair cosines / 31.7 s — the exact
+    failure mode the paper's sizing rule exists to prevent)."""
     from sqlbackuphistoryetl_spark.extensions.similarity import (
         embed_hashed_text,
         semdedup_prune as _prune,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    k = max(16, docs.count() // 312)
     emb = embed_hashed_text(docs, dim=64).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
-    return _prune(emb, k_clusters=16, threshold=0.90)
+    # pin the embedded vectors: semdedup's centroid election +
+    # assignment + BOTH sides of the intra-cell pair join would
+    # otherwise re-run the gram explosion 4x (measured 27.5 s -> 12 s
+    # at sf0.1)
+    emb = emb.localCheckpoint(eager=True)
+    return _prune(emb, k_clusters=k, threshold=0.90)
 
 
 SEMDEDUP_TEXT_SQL = r"""
@@ -6636,7 +6650,10 @@ def unigram_fit_segment(spark, sf_dir):
     return seg.select("doc_id", "n_tokens", "total_cost", "encoded_total")
 
 
-UNIGRAM_FIT_SQL = r"""
+#: shared CTE prefix: seed counts → Viterbi → backtrace → prune →
+#: refit costs (cost1) — unigram_fit_segment appends the second
+#: segmentation pass, unigram_fit_vocab reads cost1 directly
+_UNIGRAM_FIT_CTES = r"""
 with recursive
 wc as (
   select word, count(*) as wcount
@@ -6705,7 +6722,9 @@ m1 as (
 cost1 as (
   select piece,
          length(bin(((select sum(cnt) from m1) * 16) // cnt)) as cost
-  from m1),
+  from m1)"""
+
+UNIGRAM_FIT_SQL = _UNIGRAM_FIT_CTES + r""",
 step2 as (
   select word, 0 as j, cast(0 as bigint) as d1, cast(null as bigint) as d2
   from wc
@@ -6737,6 +6756,38 @@ select doc.doc_id,
        cast(coalesce(p.encoded_total, 0) as bigint) as encoded_total
 from documents doc left join per_doc p on doc.doc_id = p.doc_id
 """
+
+def unigram_fit_vocab(spark, sf_dir):
+    """The unigram trainer's learned MODEL pinned directly (r12,
+    extensions/unigram.py: unigram_fit — same fixture and parameters
+    as unigram_fit_segment): the fitted vocabulary surfaces as
+    (piece, cost) rows, so the oracle's replay of the fit (seed
+    counts, Viterbi + backtrace E-step, prune, add-one smoothing,
+    integer bit-cost M-step) is compared piece-by-piece instead of
+    through downstream segmentations — a pruning-order or smoothing
+    bug that happens not to move any segmentation still
+    hash-mismatches here."""
+    from sqlbackuphistoryetl_spark.extensions.unigram import unigram_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_fit(
+        docs,
+        seed_multi=20,
+        prune_to_multi=12,
+        n_iters=1,
+        max_piece_len=2,
+        word_pattern=r"[a-z]+",
+        lowercase=True,
+    )
+    return spark.createDataFrame(
+        sorted(vocab.items()), "piece string, cost int"
+    )
+
+
+UNIGRAM_VOCAB_SQL = _UNIGRAM_FIT_CTES + """
+select piece, cast(cost as int) as cost from cost1
+"""
+
 
 WORDPIECE_GATE_VOCAB = [
     "th", "he", "an",
@@ -7754,6 +7805,7 @@ _ORACLES: dict[str, str | None] = {
     "pdf_scanned_images": PDF_SCANNED_SQL,
     "wordpiece_segment_fixed": WORDPIECE_SQL,
     "unigram_fit_segment": UNIGRAM_FIT_SQL,
+    "unigram_fit_vocab": UNIGRAM_VOCAB_SQL,
     "unigram_segment_viterbi": UNIGRAM_SQL,
     "pq_adc_search": PQ_ADC_SQL,
     "ivf_pq_search": IVF_PQ_SQL,
@@ -9117,6 +9169,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
+    "unigram_fit_vocab": unigram_fit_vocab,
     "warc_cdx_lookup": warc_cdx_lookup,
     "warc_main_content": warc_main_content,
     "p9_fallback_probe": p9_fallback_probe,
@@ -9160,7 +9213,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": pmi_collocations_gate,
     "pq_adc_search": pq_adc_search,
     "q1_pricing_summary": q1_pricing_summary,
-    "quality_model_score": quality_model_score,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9213,6 +9265,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
     "semantic_decontam": semantic_decontam,
@@ -9352,6 +9405,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "quality_model_score",
         "quality_rare_tokens",
         "rag_chunking",
         "semantic_decontam",

@@ -124,66 +124,90 @@ def _frame_header(blob: bytes, p: int) -> tuple[int, bool]:
     return p, bool(fhd & 0x04)
 
 
+def _decode_frame(
+    blob: bytes, p: int, budget: int
+) -> tuple[int, bytes | None]:
+    """Decode ONE frame starting at ``p``; returns (position after the
+    frame, decoded bytes — None for a skippable frame)."""
+    n = len(blob)
+    if n - p < 4:
+        raise ZstdError("trailing bytes shorter than a frame magic")
+    magic = int.from_bytes(blob[p : p + 4], "little")
+    p += 4
+    if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+        if n - p < 4:
+            raise ZstdError("truncated skippable-frame size")
+        size = int.from_bytes(blob[p : p + 4], "little")
+        p += 4 + size
+        if p > n:
+            raise ZstdError("skippable frame runs past the payload")
+        return p, None
+    if blob[p - 4 : p] != ZSTD_MAGIC:
+        raise ZstdError("bad zstd magic")
+    p, checksum = _frame_header(blob, p)
+    out: list[bytes] = []
+    total = 0
+    while True:
+        if n - p < 3:
+            raise ZstdError("truncated block header")
+        h = int.from_bytes(blob[p : p + 3], "little")
+        p += 3
+        last, btype, size = h & 1, (h >> 1) & 3, h >> 3
+        if btype == 3:
+            raise ZstdError("reserved block type")
+        if btype == 2:
+            raise UnsupportedZstd(
+                "compressed (FSE/Huffman) block — entropy decode "
+                "is gated; see module doc"
+            )
+        total += size
+        if total > budget:
+            raise ZstdError("frame inflates past the budget")
+        if btype == 0:
+            if p + size > n:
+                raise ZstdError("raw block runs past the payload")
+            out.append(blob[p : p + size])
+            p += size
+        else:  # RLE
+            if p + 1 > n:
+                raise ZstdError("truncated RLE block")
+            out.append(blob[p : p + 1] * size)
+            p += 1
+        if last:
+            break
+    if checksum:
+        if n - p < 4:
+            raise ZstdError("truncated content checksum")
+        p += 4  # xxhash64-low32: skipped, not verified
+    return p, b"".join(out)
+
+
+def iter_zstd_frames(blob: bytes, budget: int = MAX_DECODE_BYTES):
+    """(offset, length, decompressed bytes) per STANDARD frame of a
+    concatenated stream — the zstd analog of ``iter_gzip_members``,
+    and the boundary walk a frame-per-record ``.warc.zst`` layout
+    needs for random access. Skippable frames advance the walk but
+    are not yielded."""
+    p, n = 0, len(blob)
+    while p < n:
+        start = p
+        p, data = _decode_frame(blob, p, budget)
+        if data is not None:
+            yield start, p - start, data
+
+
 def zstd_decompress(blob: bytes, budget: int = MAX_DECODE_BYTES) -> bytes:
     """Decode concatenated zstd frames holding raw/RLE blocks; skip
     skippable frames; gate compressed blocks (:class:`UnsupportedZstd`)
     and reject malformed framing (:class:`ZstdError`). The content
     checksum, when present, is length-checked and skipped (module
-    doc)."""
+    doc). ``budget`` bounds the inflated size PER FRAME."""
     out: list[bytes] = []
-    total = 0
     p, n = 0, len(blob)
     while p < n:
-        if n - p < 4:
-            raise ZstdError("trailing bytes shorter than a frame magic")
-        magic = int.from_bytes(blob[p : p + 4], "little")
-        p += 4
-        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
-            if n - p < 4:
-                raise ZstdError("truncated skippable-frame size")
-            size = int.from_bytes(blob[p : p + 4], "little")
-            p += 4 + size
-            if p > n:
-                raise ZstdError("skippable frame runs past the payload")
-            continue
-        if blob[p - 4 : p] != ZSTD_MAGIC:
-            raise ZstdError("bad zstd magic")
-        p, checksum = _frame_header(blob, p)
-        while True:
-            if n - p < 3:
-                raise ZstdError("truncated block header")
-            h = int.from_bytes(blob[p : p + 3], "little")
-            p += 3
-            last, btype, size = h & 1, (h >> 1) & 3, h >> 3
-            if btype == 3:
-                raise ZstdError("reserved block type")
-            if btype == 2:
-                raise UnsupportedZstd(
-                    "compressed (FSE/Huffman) block — entropy decode "
-                    "is gated; see module doc"
-                )
-            if btype == 0:
-                if p + size > n:
-                    raise ZstdError("raw block runs past the payload")
-                total += size
-                if total > budget:
-                    raise ZstdError("frame inflates past the budget")
-                out.append(blob[p : p + size])
-                p += size
-            else:  # RLE
-                if p + 1 > n:
-                    raise ZstdError("truncated RLE block")
-                total += size
-                if total > budget:
-                    raise ZstdError("frame inflates past the budget")
-                out.append(blob[p : p + 1] * size)
-                p += 1
-            if last:
-                break
-        if checksum:
-            if n - p < 4:
-                raise ZstdError("truncated content checksum")
-            p += 4  # xxhash64-low32: skipped, not verified
+        p, data = _decode_frame(blob, p, budget)
+        if data is not None:
+            out.append(data)
     return b"".join(out)
 
 

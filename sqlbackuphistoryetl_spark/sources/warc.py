@@ -407,6 +407,21 @@ def _record_bytes(r) -> bytes:
     return head + block + b"\r\n\r\n"
 
 
+def _pack_warc_zst(pdf) -> bytes:
+    from ..extensions.zstd_codec import zstd_compress_raw
+
+    out = io.BytesIO()
+    for r in pdf.itertuples(index=False):
+        if r.payload is None or r.target_uri is None or r.warc_date is None:
+            raise WARCError(
+                "write_warc rows need target_uri, warc_date, and payload"
+            )
+        # one zstd FRAME per record — the .warc.zst analog of the
+        # member-per-record gzip layout, same random-access property
+        out.write(zstd_compress_raw(_record_bytes(r)))
+    return out.getvalue()
+
+
 def _pack_warc_gz(pdf) -> bytes:
     out = io.BytesIO()
     for r in pdf.itertuples(index=False):
@@ -447,6 +462,44 @@ def write_warc(
         shaped, path, records_per_shard, num_partitions,
         _pack_warc_gz, ".warc.gz",
     )
+
+
+def write_warc_zst(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int,
+    num_partitions: int | None = None,
+) -> list:
+    """:func:`write_warc` with zstd containers: ``shard-NNNNNN.warc.zst``
+    files, one raw-block zstd FRAME per record
+    (extensions/zstd_codec.py — conformant frames any real zstd
+    reads), preserving the random-access property the gzip layout has
+    (:func:`warc_cdx_index` indexes both)."""
+    key = F.col("target_uri").alias("key")
+    ext = F.col("warc_type").alias("ext")
+    passthrough = [
+        c for c in df.columns if c not in ("target_uri", "warc_type")
+    ]
+    shaped = df.select(key, ext, "target_uri", "warc_type", *passthrough)
+    return _write_shards(
+        shaped, path, records_per_shard, num_partitions,
+        _pack_warc_zst, ".warc.zst",
+    )
+
+
+def read_warc_zst(
+    spark: SparkSession, path: str, fan_out: int | None = None,
+    glob: str = "*.warc.zst",
+) -> DataFrame:
+    """Scan ``*.warc.zst`` shards (concatenated zstd frames — the
+    raw/RLE-block subset this engine reads; see the zstd_codec module
+    doc for the entropy-layer gate) into :data:`WARC_SCHEMA`."""
+    from ..extensions.zstd_codec import zstd_decompress
+
+    def _open(blob: bytes):
+        return io.BytesIO(zstd_decompress(blob))
+
+    return _read_warc_files(spark, path, glob, _open, fan_out)
 
 
 # -------------------------------------------------- random-access index
@@ -523,7 +576,13 @@ def warc_cdx_index(
     layer range-reads exactly those bytes). Works on shards this
     module wrote AND on external member-per-record archives; persist
     the result as parquet and join on target_uri to serve. One
-    map-side pass, no shuffle."""
+    map-side pass, no shuffle.
+
+    Container dispatch is by file suffix (r12): ``.zst`` shards walk
+    zstd FRAMES (extensions/zstd_codec.py: iter_zstd_frames — the
+    frame-per-record ``.warc.zst`` layout), everything else walks
+    gzip members; pass ``glob='*.warc.zst'`` to index a zstd
+    archive."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -538,13 +597,18 @@ def warc_cdx_index(
     def _walk(it):
         import pandas as pd
 
+        from ..extensions.zstd_codec import iter_zstd_frames
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 shard = os.path.basename(r.path)
-                for off, length, data in iter_gzip_members(
-                    bytes(r.content)
-                ):
+                walker = (
+                    iter_zstd_frames
+                    if shard.endswith(".zst")
+                    else iter_gzip_members
+                )
+                for off, length, data in walker(bytes(r.content)):
                     for headers, _block, _over in iter_warc_records(
                         io.BytesIO(data)
                     ):
@@ -575,11 +639,17 @@ def read_warc_record(shard_path: str, offset: int, length: int):
     bytes at ``offset``, inflate the single gzip member, parse the
     record. Returns (headers dict, block bytes or None). This is the
     point-lookup half of :func:`warc_cdx_index` — on an object store
-    the same (offset, length) pair becomes an HTTP Range request."""
+    the same (offset, length) pair becomes an HTTP Range request.
+    Container dispatch by suffix, as in the index build."""
     with open(shard_path, "rb") as fh:
         fh.seek(offset)
         member = fh.read(length)
-    blob = gzip.decompress(member)
+    if shard_path.endswith(".zst"):
+        from ..extensions.zstd_codec import zstd_decompress
+
+        blob = zstd_decompress(member)
+    else:
+        blob = gzip.decompress(member)
     for headers, block, _over in iter_warc_records(io.BytesIO(blob)):
         if headers is None:
             raise WARCError("indexed member does not frame a record")

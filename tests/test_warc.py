@@ -340,6 +340,60 @@ class TestRandomAccessIndex:
             assert r["record_id"].startswith("<urn:md5:")
 
 
+class TestWarcZst:
+    def test_round_trip_and_cdx(self, spark, tmp_path):
+        """r12: .warc.zst shards (one raw-block zstd frame per record)
+        round-trip, index, and point-read exactly like the gzip
+        layout — container dispatch by suffix."""
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_by_index,
+            read_warc_zst,
+            warc_cdx_index,
+            write_warc_zst,
+        )
+
+        path = str(tmp_path / "warczst")
+        df = _fixture_df(spark, 6)
+        summary = write_warc_zst(df, path, records_per_shard=4)
+        assert sum(r["n_samples"] for r in summary) == 6
+        back = read_warc_zst(spark, path, fan_out=4)
+        rows = back.collect()
+        assert len(rows) == 12
+        by = {(r["target_uri"], r["warc_type"]): r for r in rows}
+        r0 = by[("http://example.com/doc/0000", "response")]
+        assert r0["http_status"] == 200
+        assert bytes(by[("http://example.com/doc/0003", "conversion")]
+                     ["payload"]) == b"body 3"
+        # CDX over zstd frames + distributed point reads
+        idx = warc_cdx_index(spark, path, glob="*.warc.zst")
+        served = read_warc_by_index(
+            idx.filter(F.col("warc_type") == "conversion"), path
+        ).collect()
+        assert len(served) == 6
+        scan = {r["target_uri"]: bytes(r["payload"])
+                for r in rows if r["warc_type"] == "conversion"}
+        for s in served:
+            assert bytes(s["payload"]) == scan[s["target_uri"]]
+
+    def test_zst_and_gz_scans_agree(self, spark, tmp_path):
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_zst,
+            write_warc_zst,
+        )
+
+        df = _fixture_df(spark, 5)
+        gz, zst = str(tmp_path / "gz"), str(tmp_path / "zst")
+        write_warc(df, gz, records_per_shard=3)
+        write_warc_zst(df, zst, records_per_shard=3)
+        a = {(r["target_uri"], r["warc_type"]): (r["record_id"],
+             bytes(r["payload"]))
+             for r in read_warc_gz(spark, gz).collect()}
+        b = {(r["target_uri"], r["warc_type"]): (r["record_id"],
+             bytes(r["payload"]))
+             for r in read_warc_zst(spark, zst).collect()}
+        assert a == b
+
+
 class TestWAT:
     def _wat_df(self, spark, n=6):
         rows = []

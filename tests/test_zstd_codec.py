@@ -109,6 +109,25 @@ class TestDecoder:
             zstd_decompress(frame, budget=99)
 
 
+class TestFrameIter:
+    def test_offsets_and_lengths(self):
+        from sqlbackuphistoryetl_spark.extensions.zstd_codec import (
+            iter_zstd_frames,
+        )
+
+        f1, f2 = zstd_compress_raw(b"alpha"), zstd_compress_raw(b"bravo!")
+        skip = b"\x50\x2a\x4d\x18" + (3).to_bytes(4, "little") + b"xyz"
+        blob = f1 + skip + f2
+        got = list(iter_zstd_frames(blob))
+        assert got[0] == (0, len(f1), b"alpha")
+        # the skippable frame advances the walk but is not yielded
+        assert got[1] == (len(f1) + len(skip), len(f2), b"bravo!")
+        assert len(got) == 2
+        # range-read property: the (offset, length) slice re-decodes
+        off, ln, data = got[1]
+        assert zstd_decompress(blob[off : off + ln]) == data
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=4096))
 def test_fuzz_roundtrip(data):
