@@ -8683,6 +8683,68 @@ from e
 _ORACLES["main_content_extract"] = MAIN_CONTENT_SQL
 
 
+def main_content_context(spark, sf_dir):
+    """The jusText context-sensitive second pass (r12,
+    extensions/maincontent.py: main_content_extract(context=True)):
+    the planted-boilerplate fixture gains a short ``<h2>Chapter N</h2>``
+    heading (N = doc_id%10 — 9 chars, link-free: NEAR-good) adjacent
+    to the document-text paragraph. The base pass drops it; the
+    context pass must promote exactly it — while the nav (link-dense),
+    the footer (link-dense, despite sitting next to a good block) and
+    the 2-char ``<h1>`` stay out. The oracle builds the expected prose
+    closed-form, so a neighbor-indexing, promotion-chaining or
+    near-good-criteria bug changes the output and hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.maincontent import (
+        main_content_extract,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = F.regexp_replace("text", r"[^ -~]|[&<>]", "?")
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About'
+            '</a> <a href="/c">Contact</a> <a href="/s">Shop</a></nav>'
+            "<h1>Hd</h1><h2>Chapter "
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</h2><p>"),
+        st,
+        F.lit(
+            "</p><p>" + _MCE_FILLER + "</p>"
+            '<div>(c) 2025 <a href="/p">Privacy</a> <a href="/t">Terms'
+            '</a> <a href="/i">Imprint</a></div></body></html>'
+        ),
+    )
+    out = main_content_extract(html, context=True)
+    return docs.select(
+        "doc_id",
+        F.length(out).alias("n_chars"),
+        F.md5(out).alias("txt_md5"),
+    )
+
+
+MAIN_CONTEXT_SQL = rf"""
+with s as (
+  select doc_id,
+         regexp_replace(text, '[^ -~]|[&<>]', '?', 'g') as st
+  from documents),
+n as (
+  select doc_id, trim(regexp_replace(st, '\s+', ' ', 'g')) as nst
+  from s),
+e as (
+  select doc_id,
+         'Chapter ' || cast(doc_id % 10 as varchar) || chr(10)
+           || nst || chr(10) || '{_MCE_FILLER}' as expected
+  from n)
+select doc_id,
+       cast(length(expected) as int) as n_chars,
+       md5(expected) as txt_md5
+from e
+"""
+
+_ORACLES["main_content_context"] = MAIN_CONTEXT_SQL
+
+
 def warc_main_content(spark, sf_dir):
     """The warc_html_prose pipeline routed through the main-content
     extractor (sources/warc.py: response_main_text, r12): the same
@@ -9166,6 +9228,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_hashed_text": embed_hashed_text,
     "frontier_fetch_waves": frontier_fetch_waves,
     "jsonl_zst_roundtrip": jsonl_zst_roundtrip,
+    "main_content_context": main_content_context,
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
     "unigram_fit_segment": unigram_fit_segment,
@@ -9212,7 +9275,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "pmi_collocations": pmi_collocations_gate,
     "pq_adc_search": pq_adc_search,
-    "q1_pricing_summary": q1_pricing_summary,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9265,6 +9327,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
     "rag_chunking": rag_chunking,
@@ -9405,6 +9468,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "q1_pricing_summary",
         "quality_model_score",
         "quality_rare_tokens",
         "rag_chunking",

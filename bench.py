@@ -196,6 +196,8 @@ EXTENDED = [
     "warc_cdx_lookup",
     # sharded .jsonl.zst export + FAILFAST re-ingest (RFC 8878 frames)
     "jsonl_zst_roundtrip",
+    # jusText context pass: near-good promotion next to good blocks
+    "main_content_context",
 ]
 
 

@@ -25,10 +25,13 @@ a block is CONTENT iff
 
 All thresholds compare as integer cross-multiplications (the Gopher
 flags doctrine) so there is no float round-trip to disagree with an
-oracle. jusText's context-sensitive second pass (short "near-good"
-blocks promoted when they neighbor good ones) is intentionally not
-implemented: it trades determinism-auditable block independence for
-a marginal recall gain — documented as a known delta.
+oracle. jusText's context-sensitive second pass is available as
+``context=True`` (r12): a NEAR-GOOD block — one failing only the
+length or stopword gate while keeping an acceptable link density and
+at least ``near_min_chars`` characters (headings, short lead-ins) —
+is promoted iff an adjacent block classified good on its own merits.
+One extra array pass, still deterministic and JVM-only; off by
+default so the base classification stays independently auditable.
 
 Everything is built-in Column expressions over ONE ``F.split`` +
 ``F.transform``/``F.filter`` array pipeline — no UDF, no Python, no
@@ -133,17 +136,62 @@ def main_content_extract(
     min_chars: int = 25,
     max_link_density: float = 0.30,
     min_stop_density: float = 0.0,
+    context: bool = False,
+    near_min_chars: int = 8,
 ) -> Column:
     """The page's main content as newline-joined prose: classify
     blocks (see :func:`main_content_blocks`), keep the content ones,
     entity-decode the result with :func:`html_to_text`'s exact chain.
     Returns the empty string when no block qualifies — a visible
     "this page is all chrome" verdict, never NULL-on-non-NULL-input.
+
+    ``context=True`` runs jusText's context-sensitive second pass
+    (module doc): a near-good block — link density within the bar,
+    at least ``near_min_chars`` chars, failing only length/stopword —
+    joins the output iff an adjacent block is good ON ITS OWN MERITS
+    (promotion doesn't chain: one array pass, deterministic).
     """
     blocks = main_content_blocks(
         col, min_chars, max_link_density, min_stop_density
     )
-    kept = F.filter(blocks, lambda b: b["is_content"])
+    if not context:
+        kept = F.filter(blocks, lambda b: b["is_content"])
+    else:
+        ml = int(round(max_link_density * 1000))
+
+        def _near(b: Column) -> Column:
+            return (
+                ~b["is_content"]
+                & (b["n_chars"] >= F.lit(near_min_chars))
+                & (b["link_chars"] * 1000 <= b["n_chars"] * F.lit(ml))
+            )
+
+        def _good_at(i: Column) -> Column:
+            # off either end -> false (index 0 is invalid even for
+            # try_element_at, so gate it explicitly)
+            return F.coalesce(
+                F.when(
+                    i >= 1, F.try_element_at(blocks, i)["is_content"]
+                ),
+                F.lit(False),
+            )
+
+        idx = F.sequence(F.lit(1), F.size(blocks))
+        kept_flags = F.transform(
+            idx,
+            lambda i: F.element_at(blocks, i)["is_content"]
+            | (
+                _near(F.element_at(blocks, i))
+                & (_good_at(i - 1) | _good_at(i + 1))
+            ),
+        )
+        kept = F.filter(
+            F.zip_with(
+                blocks, kept_flags,
+                lambda b, keep: F.when(keep, b),
+            ),
+            lambda b: b.isNotNull(),
+        )
     joined = F.array_join(
         F.transform(kept, lambda b: b["text"]), "\n"
     )

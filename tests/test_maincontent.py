@@ -134,3 +134,57 @@ def test_plan_is_jvm_only(spark):
         out.explain(True)
     plan = buf.getvalue()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_context_pass_promotes_near_good_neighbors(spark):
+    """r12: context=True promotes short link-clean blocks (headings,
+    lead-ins) that sit NEXT to a good block; isolated shorts and
+    link-dense shorts stay out, and promotion does not chain."""
+    html = (
+        "<h2>Chapter One</h2>"
+        "<p>This long paragraph is unquestionably real content with "
+        "plenty of prose to clear every base threshold.</p>"
+        "<h3>Lost heading</h3>"
+        '<div><a href="/x">nav</a></div>'
+        "<h4>Stranded</h4>"
+        '<div><a href="/y">more nav</a></div>'
+    )
+    base = _extract(spark, html)
+    assert base.startswith("This long paragraph")
+    assert "Chapter" not in base
+    got = _extract(spark, html, context=True)
+    # the heading BEFORE the article is promoted...
+    assert got == (
+        "Chapter One\n"
+        "This long paragraph is unquestionably real content with "
+        "plenty of prose to clear every base threshold.\n"
+        "Lost heading"
+    )
+    # ...and 'Lost heading' (adjacent after) too, but 'Stranded'
+    # (neighbors: two link-soup divs) is not — promotion doesn't
+    # chain through promoted blocks
+    assert "Stranded" not in got
+
+
+def test_context_pass_respects_link_density_and_near_min(spark):
+    html = (
+        "<p>A base-good paragraph with enough running text to pass "
+        "all of the standard thresholds comfortably.</p>"
+        '<div>all <a href="/l">link</a> here</div>'
+        "<h6>ok</h6>"
+    )
+    got = _extract(spark, html, context=True)
+    # link-dense neighbor not promoted; 'ok' is below near_min_chars
+    assert got == (
+        "A base-good paragraph with enough running text to pass all "
+        "of the standard thresholds comfortably."
+    )
+    # lowering near_min_chars promotes the 2-char heading... but 'ok'
+    # neighbors the link div, NOT the good block -> still out
+    got2 = _extract(spark, html, context=True, near_min_chars=2)
+    assert "ok" not in got2
+
+
+def test_context_pass_noop_on_all_chrome(spark):
+    html = '<nav><a href="/">Home</a></nav><h5>Short</h5>'
+    assert _extract(spark, html, context=True) == ""
