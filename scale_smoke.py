@@ -685,6 +685,87 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
     ).count()
     timings["crawl_frontier"] = round(time.perf_counter() - t0, 2)
 
+    # r12: main-content extraction over n_docs synthetic pages — nav +
+    # article + link-dense footer per page; the classification is one
+    # map-side array pipeline, so wall should track the scan
+    from sqlbackuphistoryetl_spark.extensions.maincontent import (
+        main_content_extract,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<nav><a href="/">Home</a> <a href="/a">About</a> '
+                  '<a href="/c">Contact</a></nav><h2>Chapter '),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</h2><p>"),
+            F.col("text"),
+            F.lit('</p><div>(c) <a href="/p">Privacy</a> '
+                  '<a href="/t">Terms</a> <a href="/i">Imprint</a>'
+                  "</div>"),
+        ).alias("html"),
+    )
+    t0 = time.perf_counter()
+    n_main = (
+        pages.select(
+            main_content_extract("html", context=True).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .count()
+    )
+    timings["main_content_extract"] = round(time.perf_counter() - t0, 2)
+
+    # r12: unigram-LM trainer at corpus scale — distinct-word-bounded
+    # E-step, vocab-sized everything else: wall should be corpus-flat
+    from sqlbackuphistoryetl_spark.extensions.unigram import unigram_fit
+
+    t0 = time.perf_counter()
+    # default \S+ words: the synthetic vocab is w0..w999, so pieces
+    # learn over the digit tails (the [a-z]+ gate pattern would
+    # degenerate to a single 'w' token here)
+    uni_vocab = unigram_fit(
+        docs, seed_multi=40, prune_to_multi=24, n_iters=1,
+    )
+    timings["unigram_fit"] = round(time.perf_counter() - t0, 2)
+
+    # r12: text -> feature-hashed vectors -> SemDeDup end-to-end, the
+    # published k ~ n/312 cell sizing
+    from sqlbackuphistoryetl_spark.extensions.similarity import (
+        embed_hashed_text,
+        semdedup_prune,
+    )
+
+    t0 = time.perf_counter()
+    hv = embed_hashed_text(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    n_semtext = (
+        semdedup_prune(
+            hv, k_clusters=max(16, n_docs // 312), threshold=0.90
+        )
+        .filter(~F.col("keep"))
+        .count()
+    )
+    timings["semdedup_text"] = round(time.perf_counter() - t0, 2)
+
+    # r12: .jsonl.zst interchange over a 20k slice (raw-block frames)
+    from sqlbackuphistoryetl_spark.extensions.zstd_codec import (
+        read_jsonl_zst,
+        write_jsonl_zst,
+    )
+
+    zst_dir = tempfile.mkdtemp(prefix="scale_smoke_zst_")
+    slice20 = docs.filter(F.col("doc_id") < 20_000)
+    t0 = time.perf_counter()
+    write_jsonl_zst(slice20, zst_dir, "doc_id", records_per_shard=256)
+    timings["jsonl_zst_write_20k"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_zst = read_jsonl_zst(
+        spark, zst_dir, "doc_id long, text string", fan_out=64
+    ).count()
+    timings["jsonl_zst_read_20k"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(zst_dir, ignore_errors=True)
+
     # media_info triage over the mixed 20k codec slice: header walks
     # only — per-payload cost must stay far below the decode stages
     t0 = time.perf_counter()
@@ -737,6 +818,10 @@ def doc_pipeline_smoke(spark, n_docs: int, timings: dict) -> dict:
         "wds_members": n_wds_members,
         "warc_responses": n_warc,
         "frontier_selected": n_frontier,
+        "main_content_pages": n_main,
+        "unigram_vocab": len(uni_vocab),
+        "semdedup_text_pruned": n_semtext,
+        "jsonl_zst_rows": n_zst,
         "media_known": n_media,
         "pdf_ok": n_pdf,
         "edit_pairs_d2": n_edit,

@@ -156,9 +156,21 @@ def main_content_extract(
     )
     if not context:
         kept = F.filter(blocks, lambda b: b["is_content"])
-    else:
-        ml = int(round(max_link_density * 1000))
+        joined = F.array_join(
+            F.transform(kept, lambda b: b["text"]), "\n"
+        )
+        return decode_entities(joined)
 
+    ml = int(round(max_link_density * 1000))
+
+    # LET-BINDING: higher-order lambdas don't get subexpression
+    # elimination, and the neighbor logic references the blocks array
+    # five times — inlined, the whole classification pipeline would
+    # re-evaluate per reference (measured 6x wall in the 200k scale
+    # smoke). Binding the array as a one-element transform's lambda
+    # variable evaluates it ONCE; every reference below is to the
+    # bound value.
+    def _ctx(bs: Column) -> Column:
         def _near(b: Column) -> Column:
             return (
                 ~b["is_content"]
@@ -171,28 +183,30 @@ def main_content_extract(
             # try_element_at, so gate it explicitly)
             return F.coalesce(
                 F.when(
-                    i >= 1, F.try_element_at(blocks, i)["is_content"]
+                    i >= 1, F.try_element_at(bs, i)["is_content"]
                 ),
                 F.lit(False),
             )
 
-        idx = F.sequence(F.lit(1), F.size(blocks))
+        idx = F.sequence(F.lit(1), F.size(bs))
         kept_flags = F.transform(
             idx,
-            lambda i: F.element_at(blocks, i)["is_content"]
+            lambda i: F.element_at(bs, i)["is_content"]
             | (
-                _near(F.element_at(blocks, i))
+                _near(F.element_at(bs, i))
                 & (_good_at(i - 1) | _good_at(i + 1))
             ),
         )
         kept = F.filter(
             F.zip_with(
-                blocks, kept_flags,
+                bs, kept_flags,
                 lambda b, keep: F.when(keep, b),
             ),
             lambda b: b.isNotNull(),
         )
-    joined = F.array_join(
-        F.transform(kept, lambda b: b["text"]), "\n"
-    )
+        return F.array_join(
+            F.transform(kept, lambda b: b["text"]), "\n"
+        )
+
+    joined = F.element_at(F.transform(F.array(blocks), _ctx), 1)
     return decode_entities(joined)
