@@ -8820,6 +8820,116 @@ from n
 _ORACLES["warc_main_content"] = WARC_MAIN_SQL
 
 
+def web_curation_e2e(spark, sf_dir):
+    """Crawl-archive → training-corpus in ONE job (r12 flagship
+    composite): WARC shards (member-per-record write, with a planted
+    DUPLICATE page under a high-id URI for every doc_id%9==5) →
+    response_main_text(context=True) (nav/footer classified out, the
+    constant near-good "Overview Section" heading promoted) → an
+    integer quality gate (extracted length ≥ 150 — splits the corpus
+    ~83/17) → exact-dedup keep-min-id on md5(text) (collapses the
+    planted duplicates). The oracle computes the surviving corpus
+    closed-form from the document text: an extraction, promotion,
+    quality-threshold, dedup-keeper or stage-ordering bug changes
+    the survivor set and hash-mismatches."""
+    import os
+    import shutil
+
+    from sqlbackuphistoryetl_spark.sources.warc import (
+        read_warc_gz,
+        response_main_text,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
+    html = F.concat(
+        F.lit(
+            "<html><body>"
+            '<nav><a href="/">Home</a> <a href="/x">More</a> '
+            '<a href="/y">Links</a></nav>'
+            "<h2>Overview Section</h2><p>"
+        ),
+        safe,
+        F.lit(
+            '</p><div>(c) 2025 <a href="/p">Privacy</a> '
+            '<a href="/t">Terms</a> <a href="/i">Imprint</a></div>'
+            "</body></html>"
+        ),
+    )
+
+    def _rec(idc):
+        return docs.select(
+            F.concat(
+                F.lit("http://example.com/cur/"),
+                F.lpad(idc.cast("string"), 9, "0"),
+            ).alias("target_uri"),
+            F.lit("response").alias("warc_type"),
+            F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+            F.encode(html, "UTF-8").alias("payload"),
+            F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        )
+
+    recs = _rec(F.col("doc_id")).unionByName(
+        docs.filter(F.col("doc_id") % 9 == 5)
+        .select(F.col("doc_id"), html.alias("h"))
+        .select(
+            F.concat(
+                F.lit("http://example.com/cur/"),
+                F.lpad((F.col("doc_id") + 1000000).cast("string"), 9, "0"),
+            ).alias("target_uri"),
+            F.lit("response").alias("warc_type"),
+            F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+            F.encode(F.col("h"), "UTF-8").alias("payload"),
+            F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        )
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_web_cur_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc(recs, path, records_per_shard=64)
+    prose = response_main_text(
+        read_warc_gz(spark, path, fan_out=64), context=True
+    )
+    ext = prose.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("text"),
+    )
+    q = ext.filter(F.length("text") >= 150)
+    from pyspark.sql import Window as _W
+
+    d = q.withColumn("txt_md5", F.md5("text")).withColumn(
+        "keeper", F.min("doc_id").over(_W.partitionBy("txt_md5"))
+    )
+    return d.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        "txt_md5",
+    )
+
+
+WEB_CURATION_SQL = r"""
+with s as (
+  select doc_id, regexp_replace(text, '[&<>]', ' ', 'g') as st
+  from documents),
+n as (
+  select doc_id,
+         'Overview Section' || chr(10)
+           || trim(regexp_replace(st, '\s+', ' ', 'g')) as txt
+  from s)
+select doc_id,
+       cast(len(regexp_extract_all(txt, '\S+')) as int) as n_tokens,
+       cast(length(txt) as int) as n_chars,
+       md5(txt) as txt_md5
+from n
+where length(txt) >= 150
+"""
+
+_ORACLES["web_curation_e2e"] = WEB_CURATION_SQL
+
+
 _ROBOTS_A = (
     "User-agent: GraftBot\nDisallow: /private\nAllow: /private/pub\n"
     "Disallow: /tmp$\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"
@@ -9235,6 +9345,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_fit_vocab": unigram_fit_vocab,
     "warc_cdx_lookup": warc_cdx_lookup,
     "warc_main_content": warc_main_content,
+    "web_curation_e2e": web_curation_e2e,
     "p9_fallback_probe": p9_fallback_probe,
     "quality_repetition": quality_repetition,
     "retention_filter_counts": retention_filter_counts,
@@ -9274,7 +9385,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_roundtrip": parquet_compact_roundtrip,
     "pii_redaction": pii_redaction,
     "pmi_collocations": pmi_collocations_gate,
-    "pq_adc_search": pq_adc_search,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9327,6 +9437,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "pq_adc_search": pq_adc_search,
     "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
     "quality_rare_tokens": quality_rare_tokens,
@@ -9468,6 +9579,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "pq_adc_search",
         "q1_pricing_summary",
         "quality_model_score",
         "quality_rare_tokens",

@@ -198,6 +198,8 @@ EXTENDED = [
     "jsonl_zst_roundtrip",
     # jusText context pass: near-good promotion next to good blocks
     "main_content_context",
+    # flagship composite: WARC -> main content -> quality -> dedup
+    "web_curation_e2e",
 ]
 
 
