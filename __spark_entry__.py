@@ -9180,6 +9180,94 @@ from ranked where rank <= 2
 _ORACLES["frontier_fetch_waves"] = FETCH_WAVES_SQL
 
 
+def sitemap_parse(spark, sf_dir):
+    """Sitemap XML parsing under the oracle bar (r12,
+    functions/robotsfns.py: sitemap_urls — previously test-covered
+    only): every document contributes one ``<url>`` entry (loc with
+    an XML-escaped ``&amp;`` in its query string, a lastmod date and
+    a one-digit priority, all closed-form in doc_id) to its host's
+    sitemap, assembled per host in deterministic doc_id order; the
+    parser must explode the urlset back into one row per entry with
+    the entities unescaped and priority parsed. The oracle mints each
+    row directly from doc_id — an entry-regex, field-extract,
+    unescape or cast bug mismatches."""
+    from sqlbackuphistoryetl_spark.functions.robotsfns import sitemap_urls
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+        (F.col("doc_id") % 27 + 1).alias("day"),
+        (F.col("doc_id") % 10).cast("string").alias("pr"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/p/"), F.col("p"),
+        F.lit("?a=1&amp;b="), F.col("m"),
+        F.lit("</loc>\n<lastmod>2025-01-"),
+        F.lpad(F.col("day").cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), F.col("pr"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        d.select(host.alias("host"), F.col("doc_id"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    out = sitemap_urls(sitemaps)
+    return out.select(
+        "host", "loc",
+        F.col("lastmod"),
+        F.col("priority").cast("double").alias("priority"),
+    )
+
+
+SITEMAP_SQL = r"""
+with d as (
+  select doc_id,
+         doc_id % 7 as k,
+         cast(doc_id % 20 as varchar) as s,
+         cast(doc_id % 50 as varchar) as p,
+         cast(doc_id % 3 as varchar) as m,
+         doc_id % 27 + 1 as day,
+         cast(doc_id % 10 as varchar) as pr
+  from documents),
+c as (
+  select ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m, day, pr
+  from d)
+select 'www.site' || s || '.' || tld as host,
+       'https://www.site' || s || '.' || tld || '/p/' || p
+         || '?a=1&b=' || m as loc,
+       '2025-01-' || lpad(cast(day as varchar), 2, '0') as lastmod,
+       cast('0.' || pr as double) as priority
+from c
+"""
+
+_ORACLES["sitemap_parse"] = SITEMAP_SQL
+
+
 def warc_cdx_lookup(spark, sf_dir):
     """The CDX random-access serving path under the oracle bar
     (sources/warc.py: warc_cdx_index + read_warc_by_index, r12):
@@ -9341,6 +9429,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_context": main_content_context,
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
+    "sitemap_parse": sitemap_parse,
     "unigram_fit_segment": unigram_fit_segment,
     "unigram_fit_vocab": unigram_fit_vocab,
     "warc_cdx_lookup": warc_cdx_lookup,
@@ -9384,7 +9473,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequence_export": packed_sequence_export,
     "parquet_compact_roundtrip": parquet_compact_roundtrip,
     "pii_redaction": pii_redaction,
-    "pmi_collocations": pmi_collocations_gate,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9437,6 +9525,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "pmi_collocations": pmi_collocations_gate,
     "pq_adc_search": pq_adc_search,
     "q1_pricing_summary": q1_pricing_summary,
     "quality_model_score": quality_model_score,
@@ -9579,6 +9668,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "pmi_collocations",
         "pq_adc_search",
         "q1_pricing_summary",
         "quality_model_score",

@@ -200,6 +200,8 @@ EXTENDED = [
     "main_content_context",
     # flagship composite: WARC -> main content -> quality -> dedup
     "web_curation_e2e",
+    # sitemap XML urlset parse (XML-escaped locs, lastmod, priority)
+    "sitemap_parse",
 ]
 
 
