@@ -9268,6 +9268,129 @@ from c
 _ORACLES["sitemap_parse"] = SITEMAP_SQL
 
 
+def sitemap_frontier(spark, sf_dir):
+    """Discovery-side composite (r12): per-host sitemap XML → parsed
+    urlset (sitemap_urls — XML-unescaped locs, priorities) → the
+    crawl frontier (novelty anti-join against seen, robots
+    governance, per-domain politeness cap), with the sitemap
+    priority driving the within-domain ranking
+    (round(priority × 10) — the round() kills any 0.x-double ulp).
+    The oracle recomputes the surviving batch arithmetically with an
+    explicit DISTINCT over the minted URLs (collision partners mint
+    identical (url, pri) rows here, so the dedup semantics are exact
+    by construction, not by fixture luck) — a parse, unescape,
+    priority-scale, anti-join, governance or cap bug changes the
+    batch and hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        crawl_frontier,
+    )
+    from sqlbackuphistoryetl_spark.functions.robotsfns import (
+        parse_robots,
+        sitemap_urls,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+        (F.col("doc_id") % 10).cast("string").alias("pr"),
+        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    loc = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
+        F.lit("?a=1&amp;b="), F.col("m"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><priority>0."),
+        F.col("pr"), F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        d.select(host.alias("host"), F.col("doc_id"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    discovered = sitemap_urls(sitemaps).select(
+        F.col("loc").alias("url"),
+        F.round(F.col("priority") * 10).cast("long").alias("pri"),
+    )
+    canon = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
+        F.lit("?a=1&b="), F.col("m"),
+    )
+    seen = d.filter("is_seen").select(canon.alias("url"))
+    robots = (
+        d.select(host.alias("host")).distinct()
+        .withColumn(
+            "robots_txt", F.lit("User-agent: *\nDisallow: /p/4\n")
+        )
+    )
+    out = crawl_frontier(
+        discovered, seen, parse_robots(robots), "GraftBot",
+        per_domain_cap=2, priority_col="pri",
+    )
+    return out.select(
+        "url", "domain",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SITEMAP_FRONTIER_SQL = r"""
+with d as (
+  select doc_id % 7 as k,
+         cast(doc_id % 20 as varchar) as s,
+         cast(doc_id % 50 as varchar) as p,
+         cast(doc_id % 3 as varchar) as m,
+         doc_id % 10 as pri,
+         doc_id % 4 = 0 as is_seen
+  from documents),
+c as (
+  select ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m, pri, is_seen
+  from d),
+f as (
+  select distinct
+         'https://www.site' || s || '.' || tld || '/p/' || p
+           || '?a=1&b=' || m as url,
+         'site' || s || '.' || tld as domain,
+         pri
+  from c
+  where not is_seen and p not like '4%'),
+ranked as (
+  select url, domain, pri,
+         row_number() over (partition by domain
+                            order by pri desc, url asc) as rank
+  from f)
+select url, domain, cast(pri as bigint) as priority,
+       cast(rank as int) as rank
+from ranked where rank <= 2
+"""
+
+_ORACLES["sitemap_frontier"] = SITEMAP_FRONTIER_SQL
+
+
 def warc_cdx_lookup(spark, sf_dir):
     """The CDX random-access serving path under the oracle bar
     (sources/warc.py: warc_cdx_index + read_warc_by_index, r12):
@@ -9429,6 +9552,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_context": main_content_context,
     "main_content_extract": main_content_extract,
     "semdedup_text_prune": semdedup_text_prune,
+    "sitemap_frontier": sitemap_frontier,
     "sitemap_parse": sitemap_parse,
     "unigram_fit_segment": unigram_fit_segment,
     "unigram_fit_vocab": unigram_fit_vocab,
@@ -9472,7 +9596,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_capped": ngram_containment_capped,
     "packed_sequence_export": packed_sequence_export,
     "parquet_compact_roundtrip": parquet_compact_roundtrip,
-    "pii_redaction": pii_redaction,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9525,6 +9648,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": ngram_containment,
     "pdf_extract_text": pdf_extract_text,
     "pdf_scanned_images": pdf_scanned_images,
+    "pii_redaction": pii_redaction,
     "pmi_collocations": pmi_collocations_gate,
     "pq_adc_search": pq_adc_search,
     "q1_pricing_summary": q1_pricing_summary,
@@ -9668,6 +9792,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "ngram_containment",
         "pdf_extract_text",
         "pdf_scanned_images",
+        "pii_redaction",
         "pmi_collocations",
         "pq_adc_search",
         "q1_pricing_summary",

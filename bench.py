@@ -202,6 +202,8 @@ EXTENDED = [
     "web_curation_e2e",
     # sitemap XML urlset parse (XML-escaped locs, lastmod, priority)
     "sitemap_parse",
+    # discovery composite: sitemaps -> parsed locs -> frontier batch
+    "sitemap_frontier",
 ]
 
 
