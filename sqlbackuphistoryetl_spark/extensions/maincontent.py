@@ -188,7 +188,12 @@ def main_content_extract(
                 F.lit(False),
             )
 
-        idx = F.sequence(F.lit(1), F.size(bs))
+        # F.sequence(1, 0) is the DESCENDING [1, 0], not empty — an
+        # empty block array (all-chrome / blank page) must map to an
+        # empty index array or element_at(bs, 1) throws at runtime.
+        idx = F.when(
+            F.size(bs) > 0, F.sequence(F.lit(1), F.size(bs))
+        ).otherwise(F.array().cast("array<int>"))
         kept_flags = F.transform(
             idx,
             lambda i: F.element_at(bs, i)["is_content"]

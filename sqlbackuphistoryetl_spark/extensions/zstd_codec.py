@@ -72,6 +72,19 @@ def is_zstd(payload: bytes | None) -> bool:
     return _SKIPPABLE_LO <= m <= _SKIPPABLE_HI
 
 
+def _fcs_header(n: int) -> tuple[int, bytes]:
+    """(frame-header descriptor, FCS bytes) for a single-segment frame
+    of content size ``n`` — all four RFC 8878 fcs_flag widths,
+    including the 8-byte form for n >= 2**32 (r13; was OverflowError)."""
+    if n < 256:
+        return 0x20, n.to_bytes(1, "little")
+    if n < 65536 + 256:
+        return 0x60, (n - 256).to_bytes(2, "little")
+    if n < 2**32:
+        return 0xA0, n.to_bytes(4, "little")
+    return 0xE0, n.to_bytes(8, "little")
+
+
 def zstd_compress_raw(data: bytes) -> bytes:
     """``data`` as one single-segment zstd frame of raw blocks — no
     compression, but a fully conformant frame any zstd decoder reads.
@@ -79,13 +92,7 @@ def zstd_compress_raw(data: bytes) -> bytes:
     container compatibility now, entropy coding delegated to the
     consumer's real zstd when ratio matters."""
     n = len(data)
-    # single-segment: no window descriptor, FCS always present
-    if n < 256:
-        fhd, fcs = 0x20, n.to_bytes(1, "little")
-    elif n < 65536 + 256:
-        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
-    else:
-        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    fhd, fcs = _fcs_header(n)
     out = [ZSTD_MAGIC, bytes([fhd]), fcs]
     if n == 0:
         out.append((1).to_bytes(3, "little"))  # last=1, type=0, size=0

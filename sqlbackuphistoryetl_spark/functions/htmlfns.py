@@ -62,16 +62,26 @@ def html_to_text(col: Column | str) -> Column:
 
 def decode_entities(col: Column | str) -> Column:
     """The full entity-decode chain shared by :func:`html_to_text`
-    and the main-content extractor: numeric refs FIRST (keeps
-    ``&amp;#65;`` literal) with the ampersand refs deferred, then the
-    named entities (``&amp;`` last), then the deferred
-    ``&#38;``/``&#x26;`` — so ``&#38;lt;`` stays the literal
-    ``&lt;`` instead of double-decoding to ``<``."""
+    and the main-content extractor — a SINGLE left-to-right tokenizer
+    pass over (named-entity | numeric-ref | run) tokens (r13; the
+    r12 multi-pass chain was order-dependent: it kept ``&#38;lt;``
+    literal but double-decoded the mirror ``&amp;#38;`` — the named
+    pass minted ``&#38;`` from ``&amp;`` and the deferred final
+    regexp then decoded it to ``&``). One pass never re-scans minted
+    output, so BOTH directions stay single-decoded: ``&amp;lt;`` →
+    ``&lt;``, ``&#38;lt;`` → ``&lt;``, ``&amp;#65;`` → ``&#65;``,
+    ``&amp;#38;`` → ``&#38;``."""
     t = F.col(col) if isinstance(col, str) else col
-    t = decode_numeric_refs(t, defer_amp=True)
-    for ent, rep in HTML_ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(rep))
-    return F.regexp_replace(t, r"&#(?:0*38|[xX]0*26);", "&")
+    toks = F.regexp_extract_all(t, F.lit(_ENT_TOKENS), F.lit(0))
+
+    def _one(tok):
+        named = None
+        for ent, rep in HTML_ENTITIES:
+            cond = tok == ent
+            named = F.when(cond, F.lit(rep)) if named is None else named.when(cond, F.lit(rep))
+        return named.otherwise(_decode_numeric_tok(tok))
+
+    return F.array_join(F.transform(toks, _one), "")
 
 
 #: a VALID numeric character reference: decimal or hex form
@@ -80,6 +90,17 @@ _NUM_REF = r"&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
 #: tokenizer covering every character: a valid ref, or a maximal run
 #: that only swallows '&' when it does NOT start a valid ref
 _REF_TOKENS = rf"{_NUM_REF}|(?:[^&]|&(?!{_NUM_REF[1:]}))+"
+
+#: a named entity decode_entities handles (&#39; in HTML_ENTITIES is
+#: numeric-form and already covered by _NUM_REF)
+_NAMED_REF = r"&(?:nbsp|lt|gt|quot|apos|amp);"
+
+#: decode_entities tokenizer: named ref | numeric ref | a maximal run
+#: whose '&'s start neither kind of ref
+_ENT_TOKENS = (
+    rf"{_NAMED_REF}|{_NUM_REF}"
+    rf"|(?:[^&]|&(?!{_NAMED_REF[1:]}|{_NUM_REF[1:]}))+"
+)
 
 
 def decode_numeric_refs(col: Column | str, defer_amp: bool = False) -> Column:
@@ -101,26 +122,32 @@ def decode_numeric_refs(col: Column | str, defer_amp: bool = False) -> Column:
     be double-decoded to ``<`` (see html_to_text)."""
     t = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(t, F.lit(_REF_TOKENS), F.lit(0))
+    return F.array_join(
+        F.transform(toks, lambda tok: _decode_numeric_tok(tok, defer_amp)),
+        "",
+    )
 
-    def _one(tok):
-        hexpart = F.regexp_extract(tok, r"^&#[xX]([0-9A-Fa-f]{1,6});$", 1)
-        decpart = F.regexp_extract(tok, r"^&#([0-9]{1,7});$", 1)
-        n = (
-            F.when(hexpart != "", F.conv(hexpart, 16, 10).cast("long"))
-            .when(decpart != "", decpart.cast("long"))
-            .otherwise(F.lit(None).cast("long"))
-        )
-        bmp = (
-            n.isNotNull()
-            & (n >= 1)
-            & (n <= 0xFFFF)
-            & ~((n >= 0xD800) & (n <= 0xDFFF))
-        )
-        if defer_amp:
-            bmp = bmp & (n != 38)
-        return F.when(
-            bmp,
-            F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")), "UTF-16BE"),
-        ).otherwise(tok)
 
-    return F.array_join(F.transform(toks, _one), "")
+def _decode_numeric_tok(tok: Column, defer_amp: bool = False) -> Column:
+    """One tokenizer token → its decoded character if it is a
+    decodable numeric ref, else the token verbatim (shared by
+    :func:`decode_numeric_refs` and :func:`decode_entities`)."""
+    hexpart = F.regexp_extract(tok, r"^&#[xX]([0-9A-Fa-f]{1,6});$", 1)
+    decpart = F.regexp_extract(tok, r"^&#([0-9]{1,7});$", 1)
+    n = (
+        F.when(hexpart != "", F.conv(hexpart, 16, 10).cast("long"))
+        .when(decpart != "", decpart.cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    bmp = (
+        n.isNotNull()
+        & (n >= 1)
+        & (n <= 0xFFFF)
+        & ~((n >= 0xD800) & (n <= 0xDFFF))
+    )
+    if defer_amp:
+        bmp = bmp & (n != 38)
+    return F.when(
+        bmp,
+        F.decode(F.unhex(F.lpad(F.hex(n), 4, "0")), "UTF-16BE"),
+    ).otherwise(tok)

@@ -657,10 +657,15 @@ def read_warc_record(shard_path: str, offset: int, length: int):
     raise WARCError("indexed member holds no record")
 
 
-#: what read_warc_by_index serves per index row
+#: what read_warc_by_index serves per index row. ``payload`` carries
+#: the same bytes as WARC_SCHEMA's payload: for ``response`` records
+#: the HTTP envelope is split off (and chunked bodies de-chunked)
+#: into http_status / http_content_type, exactly like the full scan —
+#: code written against read_warc output consumes served rows as-is.
 CDX_SERVE_SCHEMA = (
     "shard string, offset long, record_id string, warc_type string, "
-    "target_uri string, warc_date string, payload binary"
+    "target_uri string, warc_date string, http_status int, "
+    "http_content_type string, payload binary"
 )
 
 
@@ -683,7 +688,7 @@ def read_warc_by_index(index: DataFrame, base_path: str) -> DataFrame:
 
         cols = [
             "shard", "offset", "record_id", "warc_type", "target_uri",
-            "warc_date", "payload",
+            "warc_date", "http_status", "http_content_type", "payload",
         ]
         for pdf in it:
             rows = []
@@ -693,15 +698,26 @@ def read_warc_by_index(index: DataFrame, base_path: str) -> DataFrame:
                     int(r.offset),
                     int(r.length),
                 )
+                wtype = headers.get("warc-type", "")
+                ctype = headers.get("content-type")
+                status, http_ctype, payload = None, None, block
+                if (
+                    block is not None
+                    and wtype == "response"
+                    and (ctype or "").startswith("application/http")
+                ):
+                    status, http_ctype, payload = _split_http(block)
                 rows.append(
                     (
                         r.shard,
                         int(r.offset),
                         headers.get("warc-record-id"),
-                        headers.get("warc-type", ""),
+                        wtype,
                         headers.get("warc-target-uri"),
                         headers.get("warc-date"),
-                        block,
+                        status,
+                        http_ctype,
+                        payload,
                     )
                 )
             yield pd.DataFrame(

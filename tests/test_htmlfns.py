@@ -105,3 +105,29 @@ def test_numeric_refs_inside_html_to_text(spark):
     df = spark.createDataFrame([(1, html)], "id long, h string")
     got = df.select(html_to_text("h").alias("t")).collect()[0]["t"]
     assert got == "résumé and &#65; literal"
+
+
+def test_amp_numeric_mirror_single_decode(spark):
+    """r13 (ADVICE): the mirror of the r12 case — '&amp;#38;' means
+    the literal text '&#38;' (one decode of the &amp;). The r12
+    multi-pass chain minted '&#38;' in the named pass and the
+    deferred final regexp decoded it again to '&'. The single-pass
+    tokenizer decodes each source token exactly once."""
+    cases = {
+        "&amp;#38;": "&#38;",
+        "&amp;#x26;": "&#x26;",
+        "&amp;#38;lt;": "&#38;lt;",
+        "&amp;amp;": "&amp;",
+        # and the r12 direction still holds
+        "&#38;lt;": "&lt;",
+        "&amp;lt;": "&lt;",
+        "&amp;#65;": "&#65;",
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    from sqlbackuphistoryetl_spark.functions.htmlfns import decode_entities
+
+    got = {
+        r["s"]: r["o"]
+        for r in df.select("s", decode_entities("s").alias("o")).collect()
+    }
+    assert got == cases

@@ -188,3 +188,16 @@ def test_context_pass_respects_link_density_and_near_min(spark):
 def test_context_pass_noop_on_all_chrome(spark):
     html = '<nav><a href="/">Home</a></nav><h5>Short</h5>'
     assert _extract(spark, html, context=True) == ""
+
+
+def test_context_pass_empty_block_array(spark):
+    """r13 (ADVICE): pages whose filtered block array is EMPTY —
+    '<p></p>', '', whitespace — crashed context=True at runtime:
+    sequence(1, size=0) is the descending [1, 0] and element_at then
+    threw. Must return '' like the context=False path, not explode."""
+    degenerate = ["<p></p>", "", "   \n\t  ", "<div><span></span></div>"]
+    df = spark.createDataFrame([(h,) for h in degenerate], ["h"])
+    rows = df.select(
+        main_content_extract("h", context=True).alias("t")
+    ).collect()
+    assert [r["t"] for r in rows] == [""] * len(degenerate)

@@ -339,6 +339,34 @@ class TestRandomAccessIndex:
             assert r["warc_date"] == "2025-01-01T00:00:00Z"
             assert r["record_id"].startswith("<urn:md5:")
 
+    def test_served_response_payload_matches_scan(self, spark, tmp_path):
+        """r13 (ADVICE): serving a RESPONSE record must de-envelope
+        (and expose http_status / http_content_type) exactly like the
+        full scan — same column name, same bytes. The r12 serve path
+        emitted the raw block (HTTP envelope included) as 'payload'."""
+        from sqlbackuphistoryetl_spark.sources.warc import (
+            read_warc_by_index,
+            warc_cdx_index,
+        )
+
+        path = str(tmp_path / "warc")
+        write_warc(_fixture_df(spark, 4), path, records_per_shard=5)
+        scan = {
+            (r["target_uri"], r["warc_type"]): r
+            for r in read_warc_gz(spark, path).collect()
+        }
+        idx = warc_cdx_index(spark, path).filter(
+            F.col("warc_type") == "response"
+        )
+        served = read_warc_by_index(idx, path).collect()
+        assert len(served) == 4
+        for r in served:
+            full = scan[(r["target_uri"], "response")]
+            assert bytes(r["payload"]) == bytes(full["payload"])
+            assert not bytes(r["payload"]).startswith(b"HTTP/")
+            assert r["http_status"] == full["http_status"] == 200
+            assert r["http_content_type"] == full["http_content_type"]
+
 
 class TestWarcZst:
     def test_round_trip_and_cdx(self, spark, tmp_path):

@@ -160,3 +160,33 @@ class TestJsonlZst:
         rows = {r["doc_id"]: r for r in back.collect()}
         assert len(rows) == 23
         assert rows[7]["text"] == "text 7 é" and rows[7]["grp"] == 1
+
+
+class TestFcsWidths:
+    def test_all_four_fcs_arms(self):
+        """r13 (ADVICE): n >= 2**32 must take RFC 8878 fcs_flag=3
+        (8-byte FCS, fhd 0xE0) instead of raising OverflowError."""
+        from sqlbackuphistoryetl_spark.extensions.zstd_codec import _fcs_header
+
+        assert _fcs_header(0) == (0x20, b"\x00")
+        assert _fcs_header(255) == (0x20, b"\xff")
+        assert _fcs_header(256) == (0x60, b"\x00\x00")
+        assert _fcs_header(65536 + 255) == (0x60, b"\xff\xff")
+        assert _fcs_header(65536 + 256) == (0xA0, (65536 + 256).to_bytes(4, "little"))
+        assert _fcs_header(2**32 - 1) == (0xA0, b"\xff\xff\xff\xff")
+        assert _fcs_header(2**32) == (0xE0, (2**32).to_bytes(8, "little"))
+        assert _fcs_header(2**33 + 7) == (0xE0, (2**33 + 7).to_bytes(8, "little"))
+
+    def test_8byte_fcs_header_parses(self):
+        """The decoder's own _frame_header walks an fcs_flag=3 header."""
+        from sqlbackuphistoryetl_spark.extensions.zstd_codec import (
+            ZSTD_MAGIC,
+            _fcs_header,
+            _frame_header,
+        )
+
+        fhd, fcs = _fcs_header(2**32)
+        blob = ZSTD_MAGIC + bytes([fhd]) + fcs + b"\x01\x00\x00"
+        p, checksum = _frame_header(blob, len(ZSTD_MAGIC))
+        assert p == len(ZSTD_MAGIC) + 1 + 8
+        assert checksum is False
