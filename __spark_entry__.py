@@ -8930,6 +8930,131 @@ where length(txt) >= 150
 _ORACLES["web_curation_e2e"] = WEB_CURATION_SQL
 
 
+#: warc_charset_decode's declared-label cycle: (label as written in
+#: the page/header, canonical JVM charset the detector must report).
+#: Mixed case on purpose — normalization is under test.
+_CHARSET_GATE_LABELS = [
+    ("UTF-8", "UTF-8"),
+    ("ISO-8859-1", "windows-1252"),
+    ("Latin2", "ISO-8859-2"),
+    ("latin9", "ISO-8859-15"),
+    ("windows-1250", "windows-1250"),
+    ("cp1251", "windows-1251"),
+    ("iso-8859-9", "windows-1254"),
+    ("Windows-1256", "windows-1256"),
+    ("KOI8-R", "KOI8-R"),
+    ("Shift_JIS", "windows-31j"),
+    ("EUC-JP", "EUC-JP"),
+    ("GB2312", "GB18030"),
+    ("Big5", "Big5"),
+    ("euc-kr", "EUC-KR"),
+    ("TIS-620", "x-windows-874"),
+]
+
+
+def warc_charset_decode(spark, sf_dir):
+    """Charset-aware payload decode (functions/charsetfns.py, r13):
+    every document becomes an ASCII-sanitized page whose charset is
+    declared one of four ways by ``doc_id % 4`` — (0) Content-Type
+    header param, (1) ``<meta charset>`` prescan, (2) header + a
+    CONFLICTING meta (header must win), (3) UTF-8 BOM + a conflicting
+    header (BOM must win, and the decoded text must have the BOM
+    STRIPPED) — with the declared label cycling through all 15
+    single-/multi-byte dispatch arms (mixed-case and aliased spellings,
+    so normalization is under test; ASCII bodies decode identically
+    under every arm by construction — byte==char doctrine; non-ASCII
+    round-trips live in tests/test_charsetfns.py). Output is the
+    detected canonical charset plus length/md5 of the decoded text;
+    the oracle rebuilds page, winning charset and hash closed-form
+    from doc_id, so a precedence, alias, sniff-regex, BOM-strip or
+    dispatch bug mismatches."""
+    from sqlbackuphistoryetl_spark.functions.charsetfns import (
+        charset_of,
+        decode_payload,
+        ensure_charset_confs,
+    )
+
+    ensure_charset_confs(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = F.regexp_replace("text", r"[^ -~]", "?")
+    mode = F.col("doc_id") % 4
+    li = (F.expr("doc_id div 4") % len(_CHARSET_GATE_LABELS)).cast("int")
+    label = F.element_at(
+        F.array(*[F.lit(l) for l, _c in _CHARSET_GATE_LABELS]), li + 1
+    )
+    canon = F.element_at(
+        F.array(*[F.lit(c) for _l, c in _CHARSET_GATE_LABELS]), li + 1
+    )
+    head = (
+        F.when(mode == 1, F.concat(F.lit('<head><meta charset="'), label,
+                                   F.lit('"></head>')))
+        .when(mode == 2, F.lit('<head><meta charset="utf-8"></head>'))
+        .otherwise(F.lit("<head></head>"))
+    )
+    page = F.concat(
+        F.lit("<html>"), head, F.lit("<body><p>"), st,
+        F.lit("</p></body></html>"),
+    )
+    ct = (
+        F.when(mode == 1, F.lit("text/html"))
+        .when(mode == 3, F.lit("text/html; charset=windows-1251"))
+        .otherwise(F.concat(F.lit("text/html; charset="), label))
+    )
+    payload = F.when(
+        mode == 3, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(page, "UTF-8"))
+    ).otherwise(F.encode(page, "UTF-8"))
+    d = docs.select(
+        "doc_id",
+        charset_of(ct, payload).alias("charset"),
+        decode_payload(payload, ct).alias("txt"),
+    )
+    return d.select(
+        "doc_id",
+        "charset",
+        F.length("txt").alias("n_chars"),
+        F.md5("txt").alias("txt_md5"),
+    )
+
+
+_CHARSET_GATE_CASE = " ".join(
+    f"when {i} then '{lab}'" for i, (lab, _c) in enumerate(_CHARSET_GATE_LABELS)
+)
+_CHARSET_GATE_CANON = " ".join(
+    f"when {i} then '{can}'" for i, (_l, can) in enumerate(_CHARSET_GATE_LABELS)
+)
+
+WARC_CHARSET_SQL = rf"""
+with s as (
+  select doc_id,
+         doc_id % 4 as mode,
+         cast((doc_id // 4) % {len(_CHARSET_GATE_LABELS)} as int) as li,
+         regexp_replace(text, '[^ -~]', '?', 'g') as st
+  from documents),
+lab as (
+  select doc_id, mode, st,
+         case li {_CHARSET_GATE_CASE} end as label,
+         case li {_CHARSET_GATE_CANON} end as canon
+  from s),
+page as (
+  select doc_id, mode, canon,
+         '<html>' ||
+         case when mode = 1
+              then '<head><meta charset="' || label || '"></head>'
+              when mode = 2
+              then '<head><meta charset="utf-8"></head>'
+              else '<head></head>' end ||
+         '<body><p>' || st || '</p></body></html>' as txt
+  from lab)
+select doc_id,
+       case when mode = 3 then 'UTF-8' else canon end as charset,
+       cast(length(txt) as int) as n_chars,
+       md5(txt) as txt_md5
+from page
+"""
+
+_ORACLES["warc_charset_decode"] = WARC_CHARSET_SQL
+
+
 _ROBOTS_A = (
     "User-agent: GraftBot\nDisallow: /private\nAllow: /private/pub\n"
     "Disallow: /tmp$\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"
@@ -9546,6 +9671,7 @@ _ORACLES["wat_link_graph"] = WAT_LINK_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r12) ---
+    "warc_charset_decode": warc_charset_decode,
     "pii_redaction": pii_redaction,
     "pmi_collocations": pmi_collocations_gate,
     "pq_adc_search": pq_adc_search,
@@ -9595,7 +9721,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_one": dedup_keep_one,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9612,6 +9737,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_ngram": contamination_ngram,
     "corpus_version_diff": corpus_version_diff,
     "crawl_frontier_batch": crawl_frontier_batch,
+    "dedup_simhash": dedup_simhash,
     "dedup_source_matrix": dedup_source_matrix,
     "doc_fingerprint": doc_fingerprint,
     "domain_cap_topn": domain_cap_topn,
@@ -9756,6 +9882,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "contamination_ngram",
         "corpus_version_diff",
         "crawl_frontier_batch",
+        "dedup_simhash",
         "dedup_source_matrix",
         "doc_fingerprint",
         "domain_cap_topn",

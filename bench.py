@@ -204,6 +204,8 @@ EXTENDED = [
     "sitemap_parse",
     # discovery composite: sitemaps -> parsed locs -> frontier batch
     "sitemap_frontier",
+    # round-13: BOM/header/meta charset detection + JVM decode dispatch
+    "warc_charset_decode",
 ]
 
 

@@ -55,6 +55,7 @@ from pyspark.sql.types import (
 )
 
 from ..extensions.webdataset import MAX_MEMBER_BYTES, _write_shards
+from ..functions.charsetfns import decode_payload, ensure_charset_confs
 from ..functions.htmlfns import html_to_text
 
 #: reader output: one row per WARC record, long form
@@ -317,11 +318,17 @@ def read_wet_gz(
 
 def wet_text(df: DataFrame) -> DataFrame:
     """``conversion`` records as ``(target_uri, warc_date, text)`` —
-    the WET payload IS the extracted text (UTF-8)."""
+    the WET payload is the extracted text: UTF-8 by spec, but a
+    record-level Content-Type charset param or BOM is honored
+    (functions/charsetfns.py, r13), and malformed bytes decode to
+    U+FFFD instead of failing the task."""
+    ensure_charset_confs(df.sparkSession)
     return df.filter(
         (F.col("warc_type") == "conversion") & F.col("payload").isNotNull()
     ).select(
-        "target_uri", "warc_date", F.decode("payload", "UTF-8").alias("text")
+        "target_uri",
+        "warc_date",
+        decode_payload("payload", "content_type").alias("text"),
     )
 
 
@@ -329,6 +336,7 @@ def response_text(df: DataFrame) -> DataFrame:
     """HTML ``response`` records reduced to prose
     ``(target_uri, warc_date, http_status, text)`` via the pure-JVM
     ``html_to_text`` chain — no Python past extraction."""
+    ensure_charset_confs(df.sparkSession)
     html = df.filter(
         (F.col("warc_type") == "response")
         & F.col("payload").isNotNull()
@@ -338,7 +346,9 @@ def response_text(df: DataFrame) -> DataFrame:
         "target_uri",
         "warc_date",
         "http_status",
-        html_to_text(F.decode("payload", "UTF-8")).alias("text"),
+        html_to_text(
+            decode_payload("payload", "http_content_type")
+        ).alias("text"),
     )
 
 
@@ -353,6 +363,7 @@ def response_main_text(df: DataFrame, **thresholds) -> DataFrame:
     shape, still pure JVM past extraction."""
     from ..extensions.maincontent import main_content_extract
 
+    ensure_charset_confs(df.sparkSession)
     html = df.filter(
         (F.col("warc_type") == "response")
         & F.col("payload").isNotNull()
@@ -363,7 +374,7 @@ def response_main_text(df: DataFrame, **thresholds) -> DataFrame:
         "warc_date",
         "http_status",
         main_content_extract(
-            F.decode("payload", "UTF-8"), **thresholds
+            decode_payload("payload", "http_content_type"), **thresholds
         ).alias("text"),
     )
 
@@ -749,6 +760,7 @@ def wat_records(df: DataFrame) -> DataFrame:
     per-page metadata JSON). Pair with ``from_json`` /
     ``get_json_object`` downstream; :func:`wat_html_metadata` covers
     the standard HTML envelope."""
+    ensure_charset_confs(df.sparkSession)  # malformed bytes → U+FFFD
     return df.filter(
         (F.col("warc_type") == "metadata")
         & F.col("payload").isNotNull()
