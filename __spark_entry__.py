@@ -9516,6 +9516,166 @@ from ranked where rank <= 2
 _ORACLES["sitemap_frontier"] = SITEMAP_FRONTIER_SQL
 
 
+def sitemap_index_frontier(spark, sf_dir):
+    """Nested-discovery + scheduling composite (r13, closing the
+    crawl loop): per-host ``<sitemapindex>`` files list two child
+    sitemap URLs; the children that were actually fetched (hosts own
+    a child only if some doc hashed into it — an index loc with no
+    fetched body contributes nothing, like a 404'd sitemap) parse in
+    a second wave (functions/robotsfns.py: sitemap_index_expand),
+    the leaf URLs run the SAME frontier pipeline sitemap_frontier
+    pins (novelty anti-join, robots governance, per-domain cap 2),
+    and the surviving batch is rate-scheduled with
+    schedule_fetch_waves — per-host Crawl-delay ``s+1`` seconds, so
+    ``fetch_offset_s = (rank−1)×(s+1)`` exactly. The oracle replays
+    BOTH discovery levels and the wave arithmetic closed-form: an
+    index-parse, child-join, second-parse, frontier or spacing bug
+    hash-mismatches."""
+    from sqlbackuphistoryetl_spark.extensions.frontier import (
+        crawl_frontier,
+        schedule_fetch_waves,
+    )
+    from sqlbackuphistoryetl_spark.functions.robotsfns import (
+        parse_robots,
+        sitemap_index_expand,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("k"),
+        (F.col("doc_id") % 20).cast("string").alias("s"),
+        (F.col("doc_id") % 50).cast("string").alias("p"),
+        (F.col("doc_id") % 3).cast("string").alias("m"),
+        (F.col("doc_id") % 10).cast("string").alias("pr"),
+        (F.col("doc_id") % 2).cast("string").alias("c"),
+        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
+        (F.col("k") + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
+    loc = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
+        F.lit("?a=1&amp;b="), F.col("m"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><priority>0."),
+        F.col("pr"), F.lit("</priority></url>"),
+    )
+    child_url = F.concat(
+        F.lit("https://"), host, F.lit("/sm-"), F.col("c"), F.lit(".xml")
+    )
+    # the fetched second wave: one urlset per (host, child) that OWNS
+    # at least one entry
+    fetched = (
+        d.select(
+            child_url.alias("url"), F.col("doc_id"), entry.alias("e")
+        )
+        .groupBy("url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    # the first wave: every host's index lists BOTH child locs,
+    # whether or not that child was ever fetched
+    indexes = d.select(host.alias("host")).distinct().select(
+        "host",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            F.col("host"), F.lit("/sm-0.xml</loc></sitemap>"),
+            F.lit("<sitemap><loc>https://"),
+            F.col("host"), F.lit("/sm-1.xml</loc></sitemap>"),
+            F.lit("</sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    leaves = sitemap_index_expand(indexes, fetched).filter(
+        ~F.col("is_index")
+    )
+    discovered = leaves.select(
+        F.col("loc").alias("url"),
+        F.round(F.col("priority") * 10).cast("long").alias("pri"),
+    )
+    canon = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
+        F.lit("?a=1&b="), F.col("m"),
+    )
+    seen = d.filter("is_seen").select(canon.alias("url"))
+    robots = (
+        d.select(host.alias("host"), F.col("s")).distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p/4\nCrawl-delay: "),
+                (F.col("s").cast("int") + 1).cast("string"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    batch = crawl_frontier(
+        discovered, seen, parse_robots(robots), "GraftBot",
+        per_domain_cap=2, priority_col="pri",
+    )
+    waves = schedule_fetch_waves(batch, robots, "GraftBot")
+    return waves.select(
+        "url", "domain",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("crawl_delay").cast("long").alias("delay_s"),
+        F.col("fetch_offset_s").cast("long").alias("offset_s"),
+    )
+
+
+SITEMAP_INDEX_FRONTIER_SQL = r"""
+with d as (
+  select doc_id % 7 as k,
+         cast(doc_id % 20 as varchar) as s,
+         cast(doc_id % 50 as varchar) as p,
+         cast(doc_id % 3 as varchar) as m,
+         doc_id % 10 as pri,
+         doc_id % 4 = 0 as is_seen
+  from documents),
+c as (
+  select ['com','co.uk','org','com.au','net','io','de'][k + 1] as tld,
+         s, p, m, pri, is_seen
+  from d),
+f as (
+  select distinct
+         'https://www.site' || s || '.' || tld || '/p/' || p
+           || '?a=1&b=' || m as url,
+         'site' || s || '.' || tld as domain,
+         cast(s as int) + 1 as delay_s,
+         pri
+  from c
+  where not is_seen and p not like '4%'),
+ranked as (
+  select url, domain, delay_s, pri,
+         row_number() over (partition by domain
+                            order by pri desc, url asc) as rank
+  from f)
+select url, domain, cast(pri as bigint) as priority,
+       cast(rank as int) as rank,
+       cast(delay_s as bigint) as delay_s,
+       cast((rank - 1) * delay_s as bigint) as offset_s
+from ranked where rank <= 2
+"""
+
+_ORACLES["sitemap_index_frontier"] = SITEMAP_INDEX_FRONTIER_SQL
+
+
 def warc_cdx_lookup(spark, sf_dir):
     """The CDX random-access serving path under the oracle bar
     (sources/warc.py: warc_cdx_index + read_warc_by_index, r12):
@@ -9671,6 +9831,7 @@ _ORACLES["wat_link_graph"] = WAT_LINK_SQL
 _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (never-green gates first, then stalest
     # greens by (round, name); latest recorded round: r12) ---
+    "sitemap_index_frontier": sitemap_index_frontier,
     "warc_charset_decode": warc_charset_decode,
     "pii_redaction": pii_redaction,
     "pmi_collocations": pmi_collocations_gate,
@@ -9720,7 +9881,6 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_keep_one": dedup_keep_one,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     # ---------------------------------------------------------------
     # Parked behind the 50-slot window: first the ROTATION_DEFERRED
     # overflow (rotates into the next window), then the fresh greens.
@@ -9737,6 +9897,7 @@ _FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_ngram": contamination_ngram,
     "corpus_version_diff": corpus_version_diff,
     "crawl_frontier_batch": crawl_frontier_batch,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_source_matrix": dedup_source_matrix,
     "doc_fingerprint": doc_fingerprint,
@@ -9882,6 +10043,7 @@ ROTATION_DEFERRED: frozenset[str] = frozenset(
         "contamination_ngram",
         "corpus_version_diff",
         "crawl_frontier_batch",
+        "dedup_ngram_jaccard",
         "dedup_simhash",
         "dedup_source_matrix",
         "doc_fingerprint",

@@ -206,6 +206,8 @@ EXTENDED = [
     "sitemap_frontier",
     # round-13: BOM/header/meta charset detection + JVM decode dispatch
     "warc_charset_decode",
+    # round-13: sitemapindex -> child sitemaps -> frontier -> fetch waves
+    "sitemap_index_frontier",
 ]
 
 

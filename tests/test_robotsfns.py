@@ -215,6 +215,57 @@ class TestSitemaps:
         assert by_loc["https://a.example/q"]["lastmod"] is None
         assert by_loc["https://b.example/sitemap-1.xml"]["is_index"] is True
 
+    def test_index_expand_two_waves(self, spark):
+        """r13: index → child sitemaps → leaf URLs, one join."""
+        from sqlbackuphistoryetl_spark.functions.robotsfns import (
+            sitemap_index_expand,
+        )
+
+        index = (
+            "<sitemapindex>"
+            "<sitemap><loc>https://b.example/sm-1.xml</loc></sitemap>"
+            "<sitemap><loc>https://b.example/sm-2.xml</loc></sitemap>"
+            "<sitemap><loc>https://b.example/sm-404.xml</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        urlset = (
+            "<urlset><url><loc>https://a.example/top</loc>"
+            "<priority>0.9</priority></url></urlset>"
+        )
+        sitemaps = spark.createDataFrame(
+            [("a.example", urlset), ("b.example", index)],
+            "host string, sitemap_xml string",
+        )
+        fetched = spark.createDataFrame(
+            [
+                (
+                    "https://b.example/sm-1.xml",
+                    "<urlset><url><loc>https://b.example/p1&amp;x</loc>"
+                    "<priority>0.5</priority></url>"
+                    "<url><loc>https://b.example/p2</loc></url></urlset>",
+                ),
+                (
+                    "https://b.example/sm-2.xml",
+                    # spec violation: a nested index — surfaces flagged
+                    "<sitemapindex><sitemap>"
+                    "<loc>https://b.example/sm-deep.xml</loc>"
+                    "</sitemap></sitemapindex>",
+                ),
+            ],
+            "url string, sitemap_xml string",
+        )
+        rows = sitemap_index_expand(sitemaps, fetched).collect()
+        by_loc = {r["loc"]: r for r in rows}
+        assert len(rows) == 4
+        top = by_loc["https://a.example/top"]
+        assert top["level"] == 1 and not top["is_index"]
+        p1 = by_loc["https://b.example/p1&x"]
+        assert p1["level"] == 2 and p1["priority"] == 0.5
+        assert by_loc["https://b.example/p2"]["host"] == "b.example"
+        deep = by_loc["https://b.example/sm-deep.xml"]
+        assert deep["level"] == 2 and deep["is_index"]
+        # sm-404.xml was never fetched: contributes nothing, no error
+
 
 def test_crawl_delay_effective_group(spark):
     from sqlbackuphistoryetl_spark.functions.robotsfns import (
