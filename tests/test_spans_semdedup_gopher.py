@@ -232,6 +232,71 @@ class TestSemDeDup:
         pruned = semdedup_prune(df, k_clusters=2, threshold=0.99)
         assert pruned.count() == 4
 
+    def test_numpy_pair_backend_matches_jvm(self, spark):
+        """r13 optimization: the vectorized per-cell gram-matrix prune
+        (pair_backend='numpy', the default) must produce exactly the
+        (vec_id, cell, keep) set of the original JVM pair join — on
+        numeric ids, string ids (UTF-8-byte `<` order), near-threshold
+        cosines, and singleton cells."""
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [0.99, 0.1, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.98, 0.2],
+            [0.0, 0.0, 1.0],
+            [1.0, 0.05, 0.0],
+            [0.7, 0.7, 0.14],
+        ]
+        num = self._emb(spark, vecs)
+        for k, tau in [(2, 0.9), (3, 0.5), (1, 0.99)]:
+            jvm = {
+                (r["vec_id"], r["cell"], r["keep"])
+                for r in semdedup_prune(
+                    num, k_clusters=k, threshold=tau, pair_backend="jvm"
+                ).collect()
+            }
+            npy = {
+                (r["vec_id"], r["cell"], r["keep"])
+                for r in semdedup_prune(
+                    num, k_clusters=k, threshold=tau, pair_backend="numpy"
+                ).collect()
+            }
+            assert jvm == npy, (k, tau)
+        # string ids through the md5 stratifier + byte-order `<`
+        sdf = spark.createDataFrame(
+            list(zip(["u-b", "u-a", "u-c", "u-d"], vecs[:4])),
+            "vec_id string, embedding array<float>",
+        )
+        jvm = {
+            (r["vec_id"], r["cell"], r["keep"])
+            for r in semdedup_prune(
+                sdf, k_clusters=2, threshold=0.9, pair_backend="jvm"
+            ).collect()
+        }
+        npy = {
+            (r["vec_id"], r["cell"], r["keep"])
+            for r in semdedup_prune(
+                sdf, k_clusters=2, threshold=0.9, pair_backend="numpy"
+            ).collect()
+        }
+        assert jvm == npy
+
+    def test_numpy_pair_backend_zero_norm_raises(self, spark):
+        """ANSI parity: the JVM join raises DIVIDE_BY_ZERO on a
+        zero-norm vector; the numpy backend must fail too, not mint a
+        NaN keep verdict."""
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+            semdedup_prune(
+                df,
+                threshold=0.5,
+                centroids=[(0, [1.0, 0.0])],
+                pair_backend="numpy",
+            ).collect()
+
 
 class TestGopherFlags:
     def _flags(self, spark, text):
