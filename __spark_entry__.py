@@ -8896,13 +8896,24 @@ def web_curation_e2e(spark, sf_dir):
          .alias("doc_id"),
         F.col("text"),
     )
-    q = ext.filter(F.length("text") >= 150)
     from pyspark.sql import Window as _W
 
-    d = q.withColumn("txt_md5", F.md5("text")).withColumn(
+    # The length gate rides AFTER the dedup window (r13): filtering
+    # `ext` directly inlines the whole main-content expression into a
+    # pre-exchange Filter (Catalyst pushes predicates through
+    # projections by substitution), evaluating the 45 KB extraction
+    # tree TWICE per record — paired measurement 4.69 s → 3.37 s for
+    # the gate (plan filter bytes 44938 → 324). Placement is
+    # equivalent because an md5 group is text-homogeneous, hence
+    # length-homogeneous: every member passes or fails together, so
+    # the keeper election is unchanged. A predicate on a
+    # non-partition column cannot be pushed back through the window.
+    d = ext.withColumn("txt_md5", F.md5("text")).withColumn(
         "keeper", F.min("doc_id").over(_W.partitionBy("txt_md5"))
     )
-    return d.filter(F.col("doc_id") == F.col("keeper")).select(
+    return d.filter(
+        (F.col("doc_id") == F.col("keeper")) & (F.length("text") >= 150)
+    ).select(
         "doc_id",
         F.size(F.split("text", r"\s+")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
@@ -9154,8 +9165,11 @@ def crawl_frontier_batch(spark, sf_dir):
         F.concat(F.lit("/p/"), F.col("p")),
         F.lit("?utm_source=x&b="), F.col("m"), F.lit("&a=1#f"),
     )
+    # explode_outer ≡ explode on a literal 2-element array; avoids the
+    # InferFiltersFromGenerate size()>0 filter that would inline both
+    # URL concat trees a second time (r13; see dedup.py posting note)
     discovered = d.select(
-        F.explode(F.array(va, canon)).alias("url"), F.col("pri")
+        F.explode_outer(F.array(va, canon)).alias("url"), F.col("pri")
     )
     seen = d.filter("is_seen").select(canon.alias("url"))
     robots = (

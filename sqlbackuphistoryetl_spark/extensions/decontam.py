@@ -72,7 +72,11 @@ def contamination_overlap(
     train_grams = _gram_arrays(train, text_col, id_col, n)
     bench_grams = (
         _gram_arrays(bench, text_col, id_col, n)
-        .select(F.explode("_grams").alias("gram"))
+        # outer + isNotNull ≡ explode (elements never null): dodges
+        # the InferFiltersFromGenerate size(_grams)>0 double-eval of
+        # the gram build (r13; see dedup.py posting note)
+        .select(F.explode_outer("_grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

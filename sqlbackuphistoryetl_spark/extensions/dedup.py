@@ -364,10 +364,17 @@ def ngram_jaccard_all_pairs(
     # real 100 TB scale, stage it to a temp table instead). Lifetime is
     # generation-scoped via cachereg (next call releases this one).
     cachereg.begin("ngram_jaccard")
+    # explode_outer, NOT explode: _gram_sets arrays are non-empty by
+    # construction (the otherwise-branch mints a 1-element array), so
+    # output is identical — but plain explode triggers
+    # InferFiltersFromGenerate, whose `size(grams) > 0` filter inlines
+    # the WHOLE tokenize+transform gram expression below the _spread
+    # exchange (double-evaluated on the raw scan's 1-2 partitions):
+    # measured 3.6 s → 0.16 s for this posting build at sf0.1 (r13).
     posting = cachereg.persist(
         "ngram_jaccard",
         _gram_sets(_spread(df, id_col), text_col, id_col, n)
-        .select("_gid", F.explode("grams").alias("gram")),
+        .select("_gid", F.explode_outer("grams").alias("gram")),
     )
 
     # Per-gram document frequency — ONE partially-aggregated (map-side
@@ -530,10 +537,12 @@ def ngram_containment_pairs(
     smoke's 62 s → ~17 s cut, r5 verdict task 2).
     """
     cachereg.begin("ngram_containment")
+    # explode_outer: identical output (non-empty arrays) and no
+    # InferFiltersFromGenerate double-eval — see the jaccard twin.
     posting = cachereg.persist(
         "ngram_containment",
         _gram_sets(_spread(df, id_col), text_col, id_col, n)
-        .select("_gid", F.explode("grams").alias("gram")),
+        .select("_gid", F.explode_outer("grams").alias("gram")),
     )
     sizes = cachereg.persist(
         "ngram_containment",

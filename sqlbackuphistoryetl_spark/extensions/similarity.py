@@ -1831,8 +1831,13 @@ def embed_hashed_text(
         )
         grams = F.concat(w, bigrams)
     h = F.md5("gram")
+    # explode_outer + isNotNull ≡ explode here (elements are never
+    # null), minus InferFiltersFromGenerate's size(grams)>0 filter,
+    # which would re-evaluate the tokenizer+bigram build a second time
+    # below the exchange (the r13 posting-build lesson, dedup.py).
     sparse = (
-        toks.select("__id", F.explode(grams).alias("gram"))
+        toks.select("__id", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .select(
             "__id",
             F.pmod(

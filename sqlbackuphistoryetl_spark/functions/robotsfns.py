@@ -99,9 +99,14 @@ def parse_robots(
         F.col(host_col).alias("host"),
         F.aggregate(lines, init, step)["rules"].alias("rules"),
     )
+    # explode_outer + isNotNull ≡ explode (rule structs are never
+    # null; rule-less hosts died in explode before, die at the filter
+    # now) — plain explode's InferFiltersFromGenerate filter would
+    # re-evaluate the whole line-fold aggregate a second time below
+    # the scan (r13; see dedup.py posting note).
     return folded.select(
-        "host", F.explode("rules").alias("r")
-    ).select(
+        "host", F.explode_outer("rules").alias("r")
+    ).filter(F.col("r").isNotNull()).select(
         "host",
         F.col("r.agent").alias("agent"),
         F.col("r.rtype").alias("rule_type"),
@@ -262,10 +267,14 @@ def sitemap_urls(
         F.col(text_col), F.lit(r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
         F.lit(0),
     )
+    # explode_outer: a no-entry sitemap's null row dies at the
+    # loc != '' filter below, so output is identical — and no
+    # InferFiltersFromGenerate filter re-running the entry-block
+    # regexp below the scan (r13; see dedup.py posting note).
     ex = sitemaps.select(
         F.col(host_col).alias("host"),
         (F.instr(F.col(text_col), "<sitemapindex") > 0).alias("is_index"),
-        F.explode(entry).alias("e"),
+        F.explode_outer(entry).alias("e"),
     )
     loc = F.regexp_extract("e", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
     lastmod = F.regexp_extract("e", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)

@@ -473,15 +473,31 @@ def test_gopher_flags_single_pass_no_shuffle(spark):
     assert "codegen id" in plan  # the projection compiles into codegen
 
 
-def test_gopher_repetition_bounded_shuffles_no_python(spark):
-    """The repetition half shuffles exactly where the algorithm needs
-    it — gram-frequency election and coverage resolution — with no
-    Python and no cartesian anywhere. Exchange count is pinned as an
-    upper bound so a regression into a join cascade (one shuffle per
-    n-gram order) fails loudly."""
+def test_gopher_repetition_pandas_backend_single_stage(spark):
+    """r13: the default (pandas) backend is ONE mapInPandas stage —
+    per-document stats need no gram shuffle at all. The only Exchange
+    allowed is the small-corpus spread of the raw text; a second one
+    means a shuffle of derived rows regressed in."""
     from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
 
-    plan = _explain(gopher_repetition(_docs(spark), pin_counted=False))
+    plan = _explain(gopher_repetition(_docs(spark)))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_gopher_repetition_bounded_shuffles_no_python(spark):
+    """The repetition half's JVM backend shuffles exactly where the
+    algorithm needs it — gram-frequency election and coverage
+    resolution — with no Python and no cartesian anywhere. Exchange
+    count is pinned as an upper bound so a regression into a join
+    cascade (one shuffle per n-gram order) fails loudly."""
+    from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
+
+    plan = _explain(
+        gopher_repetition(_docs(spark), pin_counted=False, backend="jvm")
+    )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -510,7 +526,9 @@ def test_gopher_repetition_election_is_aggregate_not_window(spark):
     gram row inside the shuffle."""
     from sqlbackuphistoryetl_spark.functions.textfns import gopher_repetition
 
-    plan = _explain(gopher_repetition(_docs(spark), pin_counted=False))
+    plan = _explain(
+        gopher_repetition(_docs(spark), pin_counted=False, backend="jvm")
+    )
     # the only window functions allowed are the lead() gram builders;
     # a count() window here would mean the election regressed from the
     # hash aggregate back to a sorting window

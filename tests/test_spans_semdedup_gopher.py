@@ -444,6 +444,40 @@ class TestGopherRepetition:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_pandas_backend_matches_jvm(self, spark):
+        """r13 optimization: the per-document mapInPandas backend (the
+        default) must match the JVM gram-election plan column-for-
+        column — including ASCII-\\s tokenization parity (U+00A0 is a
+        WORD char to Java's default \\S), blank-line paragraph algebra,
+        overlapping coverage, and the ANSI null-text row (null base
+        stats, zero-coalesced top/rep masses, null flags)."""
+        from sqlbackuphistoryetl_spark.functions.textfns import (
+            gopher_repetition,
+        )
+
+        df = _docs(
+            spark,
+            [
+                (1, "a b\na b\nc d"),
+                (2, "foo bar foo bar foo bar baz"),
+                (3, "v w x y z v w x y z tail end here"),
+                (4, "a a a a a a a"),
+                (5, ""),
+                (6, "p q r\n\np q r\n\nx y"),
+                (7, "nbsp joined nbsp joined plain text"),
+                (8, None),
+            ],
+        )
+        jvm = {
+            tuple(r)
+            for r in gopher_repetition(df, backend="jvm").collect()
+        }
+        pnd = {
+            tuple(r)
+            for r in gopher_repetition(df, backend="pandas").collect()
+        }
+        assert jvm == pnd
+
 
 class TestEditDistanceJoin:
     def _lev(self, a, b):
