@@ -34,6 +34,53 @@ from pyspark.sql import functions as F
 from sqlbackuphistoryetl_spark.extensions import cachereg
 
 
+#: below this many (directed) edges the transitive closure runs as a
+#: driver-side union-find over one collect of the edge list instead of
+#: the iterative join loop. 2M edges of two longs is a few tens of MB —
+#: broadcast-scale, the same driver budget a small join side gets —
+#: while the loop's floor is O(diameter) Spark jobs (join + checkpoint +
+#: convergence collect each round), which dominates wall time whenever
+#: the duplicate graph is small. Near-dup graphs at curation scale are
+#: usually ABOVE this and take the loop; override per session with
+#: spark.sqlbackuphistoryetl.cc.driverMaxEdges (0 disables the
+#: fallback entirely).
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_components(edge_rows) -> dict:
+    """Union-find with min-id labels over collected (src, dst) rows —
+    the exact fixpoint hash-min propagation converges to. Python str
+    comparison is code-point order, which equals Spark's UTF-8 binary
+    order for every Unicode string, so min() agrees across engines for
+    string ids as well as numeric ones."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    return {node: comp_min[find(node)] for node in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -53,6 +100,14 @@ def connected_components(
     silently drop them) and if the loop hits ``max_iter`` without
     converging (labels would be an under-propagated prefix — wrong
     answer, not a degraded one).
+
+    Scale dispatch (r13): one aggregate over the persisted edge frame
+    counts edges (and nulls) first; at or below
+    ``spark.sqlbackuphistoryetl.cc.driverMaxEdges`` (default
+    ``_CC_DRIVER_MAX_EDGES``) the closure is a driver union-find over
+    one collect — identical labels, two jobs total instead of
+    O(diameter) join+checkpoint+collect rounds. Above it, the loop
+    runs exactly as before.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -65,10 +120,46 @@ def connected_components(
     # the next connected_components() call (generation-scoped).
     cachereg.begin("concomp")
     edges = cachereg.persist("concomp", edges)
-    if edges.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+    # one job: materialize the cache, count edges, surface null ids
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("src").isNull() | F.col("dst").isNull()).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    if (stats["bad"] or 0) > 0:
         raise ValueError(
             f"connected_components: null ids in pairs ({id_a}/{id_b}) — "
             "min-label propagation would silently drop them"
+        )
+    spark = pairs.sparkSession
+    try:
+        driver_max = int(
+            spark.conf.get(
+                "spark.sqlbackuphistoryetl.cc.driverMaxEdges",
+                str(_CC_DRIVER_MAX_EDGES),
+            )
+        )
+    except ValueError:
+        driver_max = _CC_DRIVER_MAX_EDGES
+    if 0 < stats["n"] <= driver_max:
+        labels = _driver_components(edges.collect())
+        node_type = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("comp", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema
+        )
+    if stats["n"] == 0:
+        # empty edge frame: no nodes, preserve the (node, comp) shape
+        return edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("comp")
         )
 
     # Per-round label frames go through localCheckpoint, NOT persist:

@@ -31,6 +31,22 @@ def _comp_map(df):
     return {r["node"]: r["comp"] for r in df.collect()}
 
 
+class _loop_only:
+    """Force the distributed hash-min loop by disabling the r13
+    driver union-find fallback for the duration of the block."""
+
+    KEY = "spark.sqlbackuphistoryetl.cc.driverMaxEdges"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.spark.conf.set(self.KEY, "0")
+
+    def __exit__(self, *exc):
+        self.spark.conf.unset(self.KEY)
+
+
 class TestConnectedComponents:
     def test_two_components(self, spark):
         got = _comp_map(
@@ -41,7 +57,8 @@ class TestConnectedComponents:
     def test_long_chain_converges(self, spark):
         # min label must propagate 10 hops — exercises the iteration
         chain = [(i, i + 1) for i in range(10)]
-        got = _comp_map(connected_components(_pairs(spark, chain)))
+        with _loop_only(spark):
+            got = _comp_map(connected_components(_pairs(spark, chain)))
         assert got == {i: 0 for i in range(11)}
 
     def test_edge_direction_irrelevant(self, spark):
@@ -56,8 +73,38 @@ class TestConnectedComponents:
 
     def test_max_iter_raises(self, spark):
         chain = [(i, i + 1) for i in range(6)]
-        with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(_pairs(spark, chain), max_iter=2)
+        with _loop_only(spark):
+            with pytest.raises(RuntimeError, match="did not converge"):
+                connected_components(_pairs(spark, chain), max_iter=2)
+
+    def test_driver_fallback_matches_loop(self, spark):
+        # r13: the small-graph driver union-find must produce exactly
+        # the loop's labels — long ids, string ids (UTF-8 order),
+        # chains, stars, and disjoint singles
+        cases = [
+            [(1, 2), (2, 3), (3, 4), (10, 11)],
+            [(i, i + 1) for i in range(10)],
+            [(7, 1), (7, 2), (7, 3), (9, 8)],
+        ]
+        for edges in cases:
+            fast = _comp_map(connected_components(_pairs(spark, edges)))
+            with _loop_only(spark):
+                slow = _comp_map(connected_components(_pairs(spark, edges)))
+            assert fast == slow
+        sp = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("Z", "é")], "id_a string, id_b string"
+        )
+        fast = _comp_map(connected_components(sp))
+        with _loop_only(spark):
+            slow = _comp_map(connected_components(sp))
+        assert fast == slow == {"a": "a", "b": "a", "c": "a", "Z": "Z", "é": "Z"}
+
+    def test_driver_fallback_rejects_null_ids(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, None)], "id_a long, id_b long"
+        )
+        with pytest.raises(ValueError, match="null ids"):
+            connected_components(pairs)
 
     def test_dedup_representatives(self, spark):
         docs = spark.createDataFrame(
