@@ -53,6 +53,19 @@ ORDER_PIT = "1995-06-01 00:00:00"   # orders point-in-time for U1
 SHIP_CUT = "1998-09-02 00:00:00"    # TPC-H Q1 cutoff
 
 
+def _fan(spark: SparkSession) -> int:
+    """Fan-out for Python-bound (mapInPandas/codec) stages: one task
+    wave at the session's core count. Replaces the old hard-coded 64
+    (r13): every Python-stage task pays a fixed runner handshake
+    (~11 ms/partition measured on a trivial mapInPandas), so at
+    local[32] 64 partitions was two waves of pure overhead, and at the
+    driver's lower-core scaling runs proportionally worse. Tracks
+    $SPARK_GRAFT_CPUS via defaultParallelism, so the same gate code
+    sizes itself to any cluster. Results are partitioning-independent
+    (per-row codecs, keyed aggregates, file-scoped walks)."""
+    return spark.sparkContext.defaultParallelism
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped with two physical ts encodings over
@@ -2077,7 +2090,7 @@ def multimodal_metadata(spark, sf_dir):
     hash-mismatch."""
     from sqlbackuphistoryetl_spark.extensions.multimodal import extract_payload_metadata
 
-    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    docs = _t(spark, sf_dir, "documents").repartition(_fan(spark), "doc_id")
     payloads = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload"),
         F.lit("text/plain").alias("content_type"),
@@ -2304,7 +2317,7 @@ def pdf_extract_text(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -2386,7 +2399,7 @@ def pdf_scanned_images(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5022,7 +5035,7 @@ def multimodal_dhash_fingerprint(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5098,7 +5111,7 @@ def multimodal_jpeg_fingerprint(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5176,7 +5189,7 @@ def multimodal_jpeg_progressive(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5259,7 +5272,7 @@ def multimodal_gif_fingerprint(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
     gray_palette = bytes(b for g in range(256) for b in (g, g, g))
 
@@ -5339,7 +5352,7 @@ def multimodal_gif_animation(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
     gray_palette = bytes(b for g in range(256) for b in (g, g, g))
 
@@ -5427,7 +5440,7 @@ def multimodal_ccitt_fax(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5513,7 +5526,7 @@ def multimodal_tiff_fingerprint(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5607,7 +5620,7 @@ def webdataset_roundtrip(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     write_webdataset(members, path, samples_per_shard=16)
     samples = group_samples(
-        read_webdataset(spark, path, fan_out=64), ["txt", "lang"]
+        read_webdataset(spark, path, fan_out=_fan(spark)), ["txt", "lang"]
     )
     return samples.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -5647,7 +5660,7 @@ def multimodal_avi_frames(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5730,7 +5743,7 @@ def multimodal_mjpeg_frames(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")  # Python-bound codec stage
+        .repartition(_fan(spark), "doc_id")  # Python-bound codec stage
     )
 
     def _mk(it):
@@ -5805,7 +5818,7 @@ def multimodal_audiofp_fingerprint(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5885,7 +5898,7 @@ def multimodal_audio_quality(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -5971,7 +5984,7 @@ def multimodal_flac_audio(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -6063,7 +6076,7 @@ def image_exif_triage(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
     base_jpeg = encode_jpeg(bytes(64), 8, 8, 1)
 
@@ -6895,7 +6908,7 @@ def media_info_mixed(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
     gray_palette = bytes(b for g in range(16) for b in (g, g, g))
 
@@ -6978,7 +6991,7 @@ def media_info_mp4(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7063,7 +7076,7 @@ def multimodal_jpeg_12bit(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7131,7 +7144,7 @@ def media_info_web(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7241,7 +7254,7 @@ def multimodal_g711_audio(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7329,7 +7342,7 @@ def multimodal_adpcm_audio(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7440,7 +7453,7 @@ def multimodal_image_quality(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -7920,7 +7933,7 @@ def jsonl_zst_roundtrip(spark, sf_dir):
         _JSONL_ZST_CACHE[sf_dir],
         "doc_id long, text string, lang string, source string, "
         "n_chars long",
-        fan_out=64,
+        fan_out=_fan(spark),
     )
     return back.select(
         "doc_id", "lang", "source", "n_chars",
@@ -8185,7 +8198,7 @@ def warc_ingest_stats(spark, sf_dir):
     path = f"/tmp/spark_graft_warc_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(resp.unionByName(conv), path, records_per_shard=64)
-    back = read_warc_gz(spark, path, fan_out=64)
+    back = read_warc_gz(spark, path, fan_out=_fan(spark))
     return back.filter(F.col("warc_type") != MALFORMED).select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
          .alias("doc_id"),
@@ -8232,7 +8245,7 @@ def pdf_tounicode_text(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -8406,7 +8419,7 @@ def media_info_webm(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(64, "doc_id")
+        .repartition(_fan(spark), "doc_id")
     )
 
     def _mk(it):
@@ -8518,7 +8531,7 @@ def warc_html_prose(spark, sf_dir):
     path = f"/tmp/spark_graft_warc_html_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
-    prose = response_text(read_warc_gz(spark, path, fan_out=64))
+    prose = response_text(read_warc_gz(spark, path, fan_out=_fan(spark)))
     return prose.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
          .alias("doc_id"),
@@ -8793,7 +8806,7 @@ def warc_main_content(spark, sf_dir):
     path = f"/tmp/spark_graft_warc_main_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
-    prose = response_main_text(read_warc_gz(spark, path, fan_out=64))
+    prose = response_main_text(read_warc_gz(spark, path, fan_out=_fan(spark)))
     return prose.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
          .alias("doc_id"),
@@ -8889,7 +8902,7 @@ def web_curation_e2e(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
     prose = response_main_text(
-        read_warc_gz(spark, path, fan_out=64), context=True
+        read_warc_gz(spark, path, fan_out=_fan(spark)), context=True
     )
     ext = prose.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
@@ -9726,11 +9739,11 @@ def warc_cdx_lookup(spark, sf_dir):
     path = f"/tmp/spark_graft_warc_cdx_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
-    idx = warc_cdx_index(spark, path, fan_out=64)
+    idx = warc_cdx_index(spark, path, fan_out=_fan(spark))
     sample = idx.filter(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long") % 5 == 2
     )
-    served = read_warc_by_index(sample.repartition(64, "shard"), path)
+    served = read_warc_by_index(sample.repartition(_fan(spark), "shard"), path)
     return served.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
          .alias("doc_id"),
@@ -9810,7 +9823,7 @@ def wat_link_graph(spark, sf_dir):
     path = f"/tmp/spark_graft_wat_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
-    out = wat_html_metadata(read_warc_gz(spark, path, fan_out=64))
+    out = wat_html_metadata(read_warc_gz(spark, path, fan_out=_fan(spark)))
     return out.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
          .alias("doc_id"),

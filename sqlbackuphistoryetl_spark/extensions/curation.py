@@ -160,7 +160,7 @@ def compression_ratio(
     return (
         df.select(id_col, text_col)
         # Python-bound stage: explicit fan-out (the r8 trap; guard-tested)
-        .repartition(64, id_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .mapInPandas(_batches, schema)
     )
 

@@ -1603,7 +1603,7 @@ def pq_encode(
 
     return (
         emb.select(id_col, vec_col)
-        .repartition(64, id_col)
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col)
         .mapInPandas(_batches, f"{id_col} long, codes array<int>")
     )
 
@@ -1713,7 +1713,7 @@ def ivf_pq_encode(
 
     return (
         emb.select(id_col, vec_col)
-        .repartition(64, id_col)
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col)
         .mapInPandas(_batches, f"{id_col} long, cell int, codes array<int>")
     )
 

@@ -130,7 +130,9 @@ def unigram_segment_corpus(
         exploded.select("word")
         .distinct()
         # Python-bound stage: explicit fan-out (guard-tested)
-        .repartition(64, "word")
+        .repartition(
+            exploded.sparkSession.sparkContext.defaultParallelism, "word"
+        )
         .mapInPandas(
             _seg, "word string, toks array<string>, wcost long, wenc long"
         )
@@ -271,7 +273,9 @@ def _estep_piece_counts(
             yield pd.DataFrame({"piece": out_piece, "cnt": out_cnt})
 
     return (
-        words.repartition(64, "word")
+        words.repartition(
+            words.sparkSession.sparkContext.defaultParallelism, "word"
+        )
         .mapInPandas(_seg, "piece string, cnt long")
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))

@@ -112,7 +112,7 @@ def wordpiece_segment_corpus(
         # (often tiny) distinct shuffle can't serialize the tokenizer
         # through one Arrow worker (the r8 single-partition trap; the
         # driver-contract guard test asserts this for every gate)
-        .repartition(64, "word")
+        .repartition(exploded.sparkSession.sparkContext.defaultParallelism, "word")
         .mapInPandas(_tok, "word string, toks array<string>")
     )
     assembled = exploded.join(seg, "word").groupBy(id_col).agg(
