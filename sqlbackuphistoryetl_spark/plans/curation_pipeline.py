@@ -137,9 +137,15 @@ def curate_corpus(
 
     # 5./6. volume shaping
     if per_source_cap is not None:
+        # third pin (r13): everything after the cap (split count, span
+        # count, and the caller's materialization of the returned docs)
+        # otherwise re-runs token-count + trim + the cap window from the
+        # boilerplate checkpoint once per consumer — three recomputes of
+        # two aggregation barriers for a frame this stage already holds
         docs = _mark(
             "source_cap",
             cap_per_group(docs, source_col, per_source_cap, ["-n_tok", id_col]),
+            pin=True,
         )
     if temperature_target is not None:
         docs = _mark(
