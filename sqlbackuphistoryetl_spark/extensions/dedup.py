@@ -19,9 +19,6 @@ width (num_hashes longs) so shuffle rows are small and dense.
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,9 +83,11 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(_shingle_array(text_col, shingle_len)).alias("_shingle"),
     ).select("_id", F.xxhash64("_shingle").alias("_sh"))
+    # num_hashes aggregates as parsed SQL strings — py4j round-trip
+    # economy (see simhash_signatures); identical expression trees.
     sigs = shingled.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"_h{seed}")
+            F.expr(f"min(xxhash64({seed}, _sh))").alias(f"_h{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -752,35 +751,35 @@ def simhash_signatures(
             ).alias("_tok"),
         ).select("_id", F.xxhash64("_tok").alias("_h"))
     groups = bits // _PER_LONG
+    # The packed-counter aggregates and the final bit-vote projection are
+    # 64-term expression trees; building them one Column method call at a
+    # time cost ~10k py4j round-trips (~3.5 s of driver time PER QUERY
+    # CONSTRUCTION, measured r13). Each is now ONE SQL string handed to
+    # F.expr — a single round-trip and parse producing the IDENTICAL
+    # expression tree (optimized plan verified byte-equal modulo expr
+    # ids, results bit-identical; the Column form is what these strings
+    # transliterate).
     aggs = [
-        F.sum(
-            reduce(
-                add,
-                [
-                    F.shiftleft(
-                        F.shiftright(F.col("_h"), j * _PER_LONG + m).bitwiseAND(F.lit(1)),
-                        _COUNTER_BITS * m,
-                    )
-                    for m in range(_PER_LONG)
-                ],
+        F.expr(
+            "sum("
+            + " + ".join(
+                f"shiftleft(shiftright(_h, {j * _PER_LONG + m}) & 1, {_COUNTER_BITS * m})"
+                for m in range(_PER_LONG)
             )
+            + ")"
         ).alias(f"_g{j}")
         for j in range(groups)
     ]
     sums = tokens.groupBy("_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
-    counter_mask = F.lit((1 << _COUNTER_BITS) - 1)
-    packed = reduce(
-        Column.bitwiseOR,
-        [
-            F.when(
-                F.shiftright(F.col(f"_g{j}"), _COUNTER_BITS * m).bitwiseAND(counter_mask)
-                * 2
-                > F.col("_n"),
-                F.shiftleft(F.lit(1).cast("long"), j * _PER_LONG + m),
-            ).otherwise(F.lit(0).cast("long"))
+    counter_mask = (1 << _COUNTER_BITS) - 1
+    packed = F.expr(
+        " | ".join(
+            f"(CASE WHEN (shiftright(_g{j}, {_COUNTER_BITS * m}) & {counter_mask})"
+            f" * 2 > _n THEN shiftleft(CAST(1 AS BIGINT), {j * _PER_LONG + m})"
+            f" ELSE CAST(0 AS BIGINT) END)"
             for j in range(groups)
             for m in range(_PER_LONG)
-        ],
+        )
     )
     return sums.select("_id", packed.alias("simhash"))
 
@@ -810,23 +809,21 @@ def simhash_buckets(
     sigs = simhash_signatures(df, text_col, id_col, bits, ngram_n=ngram_n)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    # bands unrolled statically — shiftright's shift amount must be a
-    # Python int, not a Column
+    # bands unrolled statically (shiftright's shift amount must be a
+    # Python int, not a Column) — as ONE parsed SQL string, not n_bands
+    # Column-built structs (py4j round-trip economy, see
+    # simhash_signatures)
     banded = sigs.select(
         "_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"struct({b} AS band,"
+                f" shiftright(simhash, {b * band_bits}) & {mask} AS bucket)"
+                for b in range(n_bands)
             )
+            + "))"
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bucket")
     # Same barrier as the MinHash band join: both self-join sides consume
