@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.exprcache import column_memo
 from ..functions.htmlfns import decode_entities
 
 #: tags that open or close a visual block — the segmentation points.
@@ -73,6 +74,7 @@ def _strip_inline(seg: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+@column_memo
 def main_content_blocks(
     col: Column | str,
     min_chars: int = 25,
@@ -131,6 +133,7 @@ def main_content_blocks(
     return F.filter(blocks, lambda b: b["n_chars"] > 0)
 
 
+@column_memo
 def main_content_extract(
     col: Column | str,
     min_chars: int = 25,

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
+from sqlbackuphistoryetl_spark.functions.exprcache import column_memo
+
 #: runtime SQL confs the charset dispatch needs (see module doc)
 DECODE_CONFS = {
     "spark.sql.legacy.javaCharsets": "true",
@@ -241,6 +243,7 @@ def decode_with(payload: Column | str, charset: Column) -> Column:
     return F.regexp_replace(out, "^\ufeff", "")
 
 
+@column_memo
 def decode_payload(
     payload: Column | str,
     content_type: Column | str | None = None,
@@ -248,6 +251,10 @@ def decode_payload(
 ) -> Column:
     """Charset-aware decode of a crawl payload: detect with
     :func:`charset_of`, decode with :func:`decode_with`. The drop-in
-    replacement for ``F.decode(payload, "UTF-8")`` on crawl pages."""
+    replacement for ``F.decode(payload, "UTF-8")`` on crawl pages.
+
+    ``column_memo``: the dispatch-arm chain costs ~1 s / ~1300 py4j
+    round-trips to construct (r13) and is rebuilt by every crawl-text
+    consumer — memoized per process, see exprcache."""
     p = F.col(payload) if isinstance(payload, str) else payload
     return decode_with(p, charset_of(content_type, p, sniff_bytes))

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from sqlbackuphistoryetl_spark.functions.exprcache import column_memo
+
 #: named entities decoded (value order is the decode order; &amp; last)
 HTML_ENTITIES = (
     ("&nbsp;", " "),
@@ -44,6 +46,7 @@ HTML_ENTITIES = (
 _BLOCK_CLOSERS = r"(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote|/section|/article)\s*>"
 
 
+@column_memo
 def html_to_text(col: Column | str) -> Column:
     """Markup-stripped prose of an HTML document (see module doc)."""
     t = F.col(col) if isinstance(col, str) else col
@@ -60,6 +63,7 @@ def html_to_text(col: Column | str) -> Column:
     return F.regexp_replace(F.trim(t), r"^\n+|\n+$", "")
 
 
+@column_memo
 def decode_entities(col: Column | str) -> Column:
     """The full entity-decode chain shared by :func:`html_to_text`
     and the main-content extractor — a SINGLE left-to-right tokenizer
@@ -103,6 +107,7 @@ _ENT_TOKENS = (
 )
 
 
+@column_memo
 def decode_numeric_refs(col: Column | str, defer_amp: bool = False) -> Column:
     """``&#NNN;`` / ``&#xHH;`` numeric character references decoded to
     their characters — pure JVM (r11; the module docstring's "out of
