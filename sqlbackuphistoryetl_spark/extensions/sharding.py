@@ -67,8 +67,11 @@ def global_ordinals(
         offsets[pid] = acc
         acc += counts[pid]
     if offsets:
-        off_map = F.create_map(
-            *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+        # one parsed literal map, not 2·p F.lit round-trips (r13)
+        off_map = F.expr(
+            "map("
+            + ", ".join(f"{int(pid)}, {int(off)}" for pid, off in offsets.items())
+            + ")"
         )
         offset = F.coalesce(off_map[F.col("_pid")], F.lit(0))
     else:

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from sqlbackuphistoryetl_spark.functions.exprcache import column_memo
+
 #: query parameters that identify a crawl/campaign, not a resource
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term",
@@ -51,6 +53,7 @@ TWO_LEVEL_SUFFIXES = (
 )
 
 
+@column_memo
 def normalize_url(url: Column | str) -> Column:
     """Canonical URL form as a single codegen expression chain.
 
@@ -97,6 +100,7 @@ def normalize_url(url: Column | str) -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), host, port, path, query))
 
 
+@column_memo
 def url_host(url: Column | str) -> Column:
     """Lowercase host of an absolute URL ('' when there is no scheme)."""
     u = F.trim(url) if isinstance(url, str) else F.trim(url)
@@ -105,6 +109,7 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+@column_memo
 def registered_domain(
     host: Column | str,
     two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
