@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprcache import column_memo
+
 #: end-of-word marker — rides as an ordinary symbol so merges can cross
 #: into it (learning e.g. ("e", "</w>") → "e</w>", the reference's way
 #: of giving word-final subwords their own identity).
@@ -207,16 +209,27 @@ def segment_vocab(
     out = vocab
     k = int(rounds_per_checkpoint)
     for start in range(0, len(merges), k):
-        block = merges[start : start + k]
-        syms = F.col("syms")
-        for lhs, rhs in block:
-            syms = _apply_merge(syms, lhs, rhs, lhs + rhs)
+        block = tuple((lhs, rhs) for lhs, rhs in merges[start : start + k])
+        syms = _merge_block_column(block)
         out = out.select(
             *[syms.alias("syms") if c == "syms" else F.col(c) for c in out.columns]
         )
         if len(block) == k:
             out = out.localCheckpoint(eager=True)
     return out
+
+
+@column_memo
+def _merge_block_column(block: tuple[tuple[str, str], ...]):
+    """One checkpoint block's composed merge folds as a pure Column of
+    ``syms`` — ~180 py4j round-trips per merge rule to build, and the
+    same learned merges are re-applied by every consumer in a query
+    (fit → encode → decode roundtrips), so the composed tree is
+    memoized process-wide (r13; exprcache doc)."""
+    syms = F.col("syms")
+    for lhs, rhs in block:
+        syms = _apply_merge(syms, lhs, rhs, lhs + rhs)
+    return syms
 
 
 def bpe_segment_corpus(

@@ -83,16 +83,20 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(_shingle_array(text_col, shingle_len)).alias("_shingle"),
     ).select("_id", F.xxhash64("_shingle").alias("_sh"))
-    # num_hashes aggregates as parsed SQL strings — py4j round-trip
-    # economy (see simhash_signatures); identical expression trees.
-    sigs = shingled.groupBy("_id").agg(
-        *[
-            F.expr(f"min(xxhash64({seed}, _sh))").alias(f"_h{seed}")
-            for seed in range(num_hashes)
-        ]
-    )
-    return sigs.select(
-        "_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig")
+    # ALL num_hashes minima as ONE parsed SQL string — py4j round-trip
+    # economy (see simhash_signatures). array(min(...), ...) in a
+    # single agg Column splits into the same per-seed min aggregate
+    # functions with the array built in the aggregate's result
+    # projection — one plan node fewer than the agg-then-select form,
+    # same aggregation, same values.
+    return shingled.groupBy("_id").agg(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"min(xxhash64({seed}, _sh))" for seed in range(num_hashes)
+            )
+            + ")"
+        ).alias("sig")
     )
 
 

@@ -52,8 +52,12 @@ def _prefix_offsets(ranged: DataFrame, weight_col: str) -> Column:
         acc += sums[pid] or 0
     if not offsets:
         return F.lit(0).cast("long")
-    off_map = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    # one parsed literal map, not 2·p F.lit round-trips (r13; same as
+    # sharding.global_ordinals — pids and offsets are exact ints)
+    off_map = F.expr(
+        "map("
+        + ", ".join(f"{int(pid)}, {int(off)}" for pid, off in offsets.items())
+        + ")"
     )
     return F.coalesce(off_map[F.col("_pid")], F.lit(0)).cast("long")
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprcache import column_memo
 from .urlfns import url_host
 
 _RULE_STRUCT = (
@@ -42,23 +43,14 @@ _RULE_STRUCT = (
 )
 
 
-def parse_robots(
-    robots: DataFrame,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
-    directives: tuple[str, ...] = ("allow", "disallow"),
-) -> DataFrame:
-    """(host, agent, rule_type, pattern) — one row per rule.
-
-    ``agent`` is lowercased (product tokens match case-insensitively),
-    ``rule_type`` is the (lowercased) directive name, ``pattern`` is
-    the verbatim value (a path pattern for allow/disallow; pass a
-    wider ``directives`` tuple to also mint e.g. ``crawl-delay`` rows
-    — :func:`robots_crawl_delay` does). The whole parse is one fold
-    over ``split(text, '\\n')`` carrying (current header agents,
-    in-header flag, emitted rules)."""
+@column_memo
+def _rules_column(text_col: str, dir_list: tuple[str, ...]) -> Column:
+    """The :func:`parse_robots` line-walk fold as a pure Column of
+    ``text_col`` — ~600 py4j round-trips per construction and rebuilt
+    by EVERY frontier/governance consumer (twice per composite: once
+    for rules, once inside robots_crawl_delay), so it is memoized
+    process-wide like the crawl-text builders (r13; exprcache doc)."""
     lines = F.split(F.col(text_col), "\n")
-    dir_list = [d.lower() for d in directives]
 
     def step(acc, raw):
         line = F.regexp_replace(raw, "#.*$", "")
@@ -95,9 +87,28 @@ def parse_robots(
         F.lit(False).alias("fresh"),
         F.expr(f"slice({_RULE_STRUCT}, 1, 0)").alias("rules"),
     )
+    return F.aggregate(lines, init, step)["rules"]
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    directives: tuple[str, ...] = ("allow", "disallow"),
+) -> DataFrame:
+    """(host, agent, rule_type, pattern) — one row per rule.
+
+    ``agent`` is lowercased (product tokens match case-insensitively),
+    ``rule_type`` is the (lowercased) directive name, ``pattern`` is
+    the verbatim value (a path pattern for allow/disallow; pass a
+    wider ``directives`` tuple to also mint e.g. ``crawl-delay`` rows
+    — :func:`robots_crawl_delay` does). The whole parse is one fold
+    over ``split(text, '\\n')`` carrying (current header agents,
+    in-header flag, emitted rules)."""
+    dir_list = tuple(d.lower() for d in directives)
     folded = robots.select(
         F.col(host_col).alias("host"),
-        F.aggregate(lines, init, step)["rules"].alias("rules"),
+        _rules_column(text_col, dir_list).alias("rules"),
     )
     # explode_outer + isNotNull ≡ explode (rule structs are never
     # null; rule-less hosts died in explode before, die at the filter
