@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sqlbackuphistoryetl_spark.extensions import cachereg
+from sqlbackuphistoryetl_spark.functions.exprcache import column_memo
 
 
 def _dot(a, b):
@@ -1806,6 +1807,39 @@ def ivf_pq_topk(
 # -------------------------------------------------- text -> vector bridge
 
 
+@column_memo
+def _embed_grams_column(include_bigrams: bool):
+    """Unigram(+bigram) gram array over the bound token array ``__w``
+    — pure in the bigram flag; memoized (r13 construction economy;
+    exprcache doc)."""
+    w = F.col("__w")
+    if not include_bigrams:
+        return w
+    tail = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(w, 1, tail).alias("a"), F.slice(w, 2, tail).alias("b")
+        ),
+        lambda p: F.concat_ws(" ", p["a"], p["b"]),
+    )
+    return F.concat(w, bigrams)
+
+
+@column_memo
+def _embed_dense_column(dim: int):
+    """Bucket map ``m`` + sum-of-squares ``ss`` → L2-normalized dense
+    vector — pure in ``dim``; memoized."""
+    m, ss = F.col("m"), F.col("ss")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            ss > 0,
+            F.coalesce(m[i.cast("long")], F.lit(0)).cast("double")
+            / F.sqrt(ss.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def embed_hashed_text(
     docs: DataFrame,
     dim: int = 256,
@@ -1841,17 +1875,7 @@ def embed_hashed_text(
         raise ValueError("dim must be >= 2")
     words = F.regexp_extract_all(F.col(text_col), F.lit(word_pattern), F.lit(0))
     toks = docs.select(F.col(id_col).alias("__id"), words.alias("__w"))
-    w = F.col("__w")
-    grams = w
-    if include_bigrams:
-        tail = F.greatest(F.size(w) - 1, F.lit(0))
-        bigrams = F.transform(
-            F.arrays_zip(
-                F.slice(w, 1, tail).alias("a"), F.slice(w, 2, tail).alias("b")
-            ),
-            lambda p: F.concat_ws(" ", p["a"], p["b"]),
-        )
-        grams = F.concat(w, bigrams)
+    grams = _embed_grams_column(include_bigrams)
     h = F.md5("gram")
     # explode_outer + isNotNull ≡ explode here (elements are never
     # null), minus InferFiltersFromGenerate's size(grams)>0 filter,
@@ -1880,15 +1904,7 @@ def embed_hashed_text(
         ).alias("m"),
         F.sum(F.col("v") * F.col("v")).alias("ss"),
     )
-    m, ss = F.col("m"), F.col("ss")
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
-        lambda i: F.when(
-            ss > 0,
-            F.coalesce(m[i.cast("long")], F.lit(0)).cast("double")
-            / F.sqrt(ss.cast("double")),
-        ).otherwise(F.lit(0.0)),
-    )
+    dense = _embed_dense_column(int(dim))
     return (
         docs.select(F.col(id_col).alias("__id"))
         .join(assembled, "__id", "left")

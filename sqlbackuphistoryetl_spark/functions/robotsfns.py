@@ -156,9 +156,11 @@ def _effective_group(rules: DataFrame, agent: str) -> DataFrame:
     )
 
 
+@column_memo
 def _like_pattern(pattern: Column) -> Column:
     """RFC pattern → SQL LIKE pattern: escape LIKE metachars, ``*`` →
-    ``%``, a trailing ``$`` anchors (no trailing ``%``)."""
+    ``%``, a trailing ``$`` anchors (no trailing ``%``). Memoized (the
+    governance consumers all call it on ``col("pattern")``)."""
     anchored = pattern.endswith("$")
     body = F.when(
         anchored, F.substring(pattern, 1, F.length(pattern) - 1)
@@ -168,6 +170,34 @@ def _like_pattern(pattern: Column) -> Column:
     esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
     esc = F.replace(esc, F.lit("*"), F.lit("%"))
     return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
+@column_memo
+def _path_column(url_col: str) -> Column:
+    """URL → path+query (``/`` when absent) — the governance join's
+    probe key, pure in the column name (memoized like the fold)."""
+    return F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/]+(/[^#]*)", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+
+
+@column_memo
+def _best_rule_column() -> Column:
+    """The §2.2.2 precedence aggregate: max (pattern octet length,
+    allow-beats-disallow) struct over matching rules."""
+    return F.max(
+        F.when(
+            F.col("rule_type").isNotNull(),
+            F.struct(
+                F.length("pattern").alias("l"),
+                (F.col("rule_type") == "allow").alias("a"),
+            ),
+        )
+    ).alias("best")
 
 
 def robots_allowed(
@@ -187,31 +217,14 @@ def robots_allowed(
         "like_pat", _like_pattern(F.col("pattern"))
     )
     u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
-        "__path",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/]+(/[^#]*)", 1),
-                F.lit(""),
-            ),
-            F.lit("/"),
-        ),
+        "__path", _path_column(url_col)
     )
     joined = u.join(
         eff, (u["__host"] == eff["host"])
         & F.expr("__path like like_pat escape '\\\\'"),
         "left",
     )
-    verdict = joined.groupBy(url_col).agg(
-        F.max(
-            F.when(
-                F.col("rule_type").isNotNull(),
-                F.struct(
-                    F.length("pattern").alias("l"),
-                    (F.col("rule_type") == "allow").alias("a"),
-                ),
-            )
-        ).alias("best")
-    )
+    verdict = joined.groupBy(url_col).agg(_best_rule_column())
     out = verdict.select(
         url_col,
         F.coalesce(F.col("best")["a"], F.lit(True)).alias("allowed"),
@@ -261,6 +274,26 @@ def _xml_unescape(col: Column) -> Column:
     return col
 
 
+@column_memo
+def _entry_blocks_column(text_col: str) -> Column:
+    """All ``<url>``/``<sitemap>`` entry blocks of one sitemap document
+    (pure in the column name; memoized — rebuilt by both discovery
+    composites and twice per index expansion)."""
+    return F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
+        F.lit(0),
+    )
+
+
+@column_memo
+def _entry_loc_column() -> Column:
+    """XML-unescaped ``<loc>`` of one exploded entry block ``e``."""
+    return _xml_unescape(
+        F.regexp_extract("e", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    )
+
+
 def sitemap_urls(
     sitemaps: DataFrame,
     host_col: str = "host",
@@ -274,10 +307,6 @@ def sitemap_urls(
     ``regexp_extract_all`` per entry block, per-field extracts inside,
     XML predefined entities decoded (sitemap locs are XML-escaped —
     ``&amp;`` in query strings is the rule, not the exception)."""
-    entry = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
-        F.lit(0),
-    )
     # explode_outer: a no-entry sitemap's null row dies at the
     # loc != '' filter below, so output is identical — and no
     # InferFiltersFromGenerate filter re-running the entry-block
@@ -285,14 +314,13 @@ def sitemap_urls(
     ex = sitemaps.select(
         F.col(host_col).alias("host"),
         (F.instr(F.col(text_col), "<sitemapindex") > 0).alias("is_index"),
-        F.explode_outer(entry).alias("e"),
+        F.explode_outer(_entry_blocks_column(text_col)).alias("e"),
     )
-    loc = F.regexp_extract("e", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
     lastmod = F.regexp_extract("e", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
     prio = F.regexp_extract("e", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
     return ex.select(
         "host",
-        _xml_unescape(loc).alias("loc"),
+        _entry_loc_column().alias("loc"),
         F.nullif(lastmod, F.lit("")).alias("lastmod"),
         F.nullif(prio, F.lit("")).cast("double").alias("priority"),
         "is_index",
