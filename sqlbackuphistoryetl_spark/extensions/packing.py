@@ -75,7 +75,11 @@ def global_cumsum(
     The ranged frame is persisted for the call's generation so the
     offset job and the output see the same sampled range boundaries.
     """
-    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from sqlbackuphistoryetl_spark.extensions.sharding import (
+        _adaptive_partitions,
+    )
+
+    p = _adaptive_partitions(df, num_partitions)
     cachereg.begin("global_cumsum")
     ranged = cachereg.persist(
         "global_cumsum",

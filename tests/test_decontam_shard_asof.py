@@ -125,6 +125,49 @@ def test_global_ordinals_empty_input(spark):
     assert out.count() == 0
 
 
+def test_adaptive_partitions_narrow_small_cap_large(spark):
+    """Derived sort width (r13): confidently small inputs narrow below
+    defaultParallelism, explicit counts pass through, and unknown/huge
+    estimates keep the full width."""
+    from sqlbackuphistoryetl_spark.extensions.sharding import (
+        _adaptive_partitions,
+    )
+
+    cap = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 100).select(F.col("id"))
+    assert _adaptive_partitions(small, None) < max(cap, 2)
+    assert _adaptive_partitions(small, None) >= 1
+    assert _adaptive_partitions(small, 7) == 7
+    # a checkpointed frame carries its TRUE size -> still narrows
+    ckpt = spark.range(0, 10).localCheckpoint(eager=True)
+    assert _adaptive_partitions(ckpt, None) >= 1
+    # a huge estimate keeps the full width (the 100 TB direction)
+    big_est = spark.range(0, 1 << 40).select(F.col("id"))
+    assert _adaptive_partitions(big_est, None) == cap
+
+
+def test_global_ordinals_width_invariant(spark):
+    """ordinal/shard are rank-in-total-order values — identical for any
+    range-sort width (the derived-width change can never move them)."""
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 5).alias("grp")
+    ).repartition(11)
+    base = {
+        r["id"]: (r["ordinal"], r["shard"])
+        for r in global_ordinals(
+            df, ["grp", "id"], shard_size=37, num_partitions=1
+        ).collect()
+    }
+    for p in (None, 3, 16):
+        got = {
+            r["id"]: (r["ordinal"], r["shard"])
+            for r in global_ordinals(
+                df, ["grp", "id"], shard_size=37, num_partitions=p
+            ).collect()
+        }
+        assert got == base
+
+
 # ---------------------------------------------------------------- decontam
 
 
