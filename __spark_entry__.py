@@ -9085,6 +9085,20 @@ _ROBOTS_A = (
 )
 _ROBOTS_B = "User-agent: *\nDisallow: /blocked*core\n"
 
+# Shared crawl-fixture builders as parsed SQL strings (r14, guide §7.3):
+# the five frontier/sitemap composites each rebuilt these Column trees
+# per call (~1.5-2k py4j round-trips per query construction); each
+# string parses to the identical element_at/concat/CAST tree the
+# Column chains produced.
+_CRAWL_TLD_SQL = (
+    "element_at(array('com', 'co.uk', 'org', 'com.au', 'net', 'io', 'de'), "
+    "CAST(k + 1 AS INT))"
+)
+_CRAWL_HOST_SQL = f"concat('www.site', s, '.', {_CRAWL_TLD_SQL})"
+_CRAWL_CANON_SQL = (
+    f"concat('https://', {_CRAWL_HOST_SQL}, '/p/', p, '?a=1&b=', m)"
+)
+
 
 def robots_url_governance(spark, sf_dir):
     """robots.txt URL governance (functions/robotsfns.py, RFC 9309,
@@ -9112,16 +9126,20 @@ def robots_url_governance(spark, sf_dir):
     )
     rules = parse_robots(robots)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 6
-    url = (
-        F.when(m == 0, F.concat(F.lit("https://a.example/private/s"), d))
-        .when(m == 1, F.concat(F.lit("https://a.example/private/pub/"), d))
-        .when(m == 2, F.concat(F.lit("https://a.example/tmp#"), d))
-        .when(m == 3, F.concat(F.lit("https://a.example/tmpfile"), d))
-        .when(m == 4, F.concat(F.lit("https://b.example/blocked/"), d,
-                               F.lit("/core")))
-        .otherwise(F.concat(F.lit("https://c.example/open/"), d))
+    # one parsed CASE expr — the F.when chain was ~60 py4j round-trips
+    # per construction (r14, guide §7.3); same CaseWhen/Concat/Cast tree
+    url = F.expr(
+        "CASE WHEN doc_id % 6 = 0"
+        " THEN concat('https://a.example/private/s', CAST(doc_id AS STRING))"
+        " WHEN doc_id % 6 = 1"
+        " THEN concat('https://a.example/private/pub/', CAST(doc_id AS STRING))"
+        " WHEN doc_id % 6 = 2"
+        " THEN concat('https://a.example/tmp#', CAST(doc_id AS STRING))"
+        " WHEN doc_id % 6 = 3"
+        " THEN concat('https://a.example/tmpfile', CAST(doc_id AS STRING))"
+        " WHEN doc_id % 6 = 4"
+        " THEN concat('https://b.example/blocked/', CAST(doc_id AS STRING), '/core')"
+        " ELSE concat('https://c.example/open/', CAST(doc_id AS STRING)) END"
     )
     urls = docs.select("doc_id", url.alias("url"))
     out = robots_allowed(urls, rules, "GraftBot")
@@ -9157,26 +9175,25 @@ def crawl_frontier_batch(spark, sf_dir):
     )
     from sqlbackuphistoryetl_spark.functions.robotsfns import parse_robots
 
-    d = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 7).alias("k"),
-        (F.col("doc_id") % 20).cast("string").alias("s"),
-        (F.col("doc_id") % 50).cast("string").alias("p"),
-        (F.col("doc_id") % 3).cast("string").alias("m"),
-        (F.col("doc_id") % 13).alias("pri"),
-        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 7 AS k",
+        "CAST(doc_id % 20 AS STRING) AS s",
+        "CAST(doc_id % 50 AS STRING) AS p",
+        "CAST(doc_id % 3 AS STRING) AS m",
+        "doc_id % 13 AS pri",
+        "doc_id % 4 = 0 AS is_seen",
     )
-    tld = F.element_at(
-        F.array(*[F.lit(t) for t in
-                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
-        (F.col("k") + 1).cast("int"),
+    # canon is nested via concat(https://host, concat(/p/...)) in the
+    # original Column build — concat flattening happens identically in
+    # the optimizer either way; here the plain form is used and the
+    # variant URL keeps its inner concat nesting verbatim
+    canon = F.expr(
+        f"concat('https://', {_CRAWL_HOST_SQL}, "
+        "concat('/p/', p, '?a=1&b=', m))"
     )
-    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
-    path = F.concat(F.lit("/p/"), F.col("p"), F.lit("?a=1&b="), F.col("m"))
-    canon = F.concat(F.lit("https://"), host, path)
-    va = F.concat(
-        F.lit("HTTPS://"), F.upper(host), F.lit(":443"),
-        F.concat(F.lit("/p/"), F.col("p")),
-        F.lit("?utm_source=x&b="), F.col("m"), F.lit("&a=1#f"),
+    va = F.expr(
+        f"concat('HTTPS://', upper({_CRAWL_HOST_SQL}), ':443', "
+        "concat('/p/', p), '?utm_source=x&b=', m, '&a=1#f')"
     )
     # explode_outer ≡ explode on a literal 2-element array; avoids the
     # InferFiltersFromGenerate size()>0 filter that would inline both
@@ -9186,7 +9203,7 @@ def crawl_frontier_batch(spark, sf_dir):
     )
     seen = d.filter("is_seen").select(canon.alias("url"))
     robots = (
-        d.select(host.alias("host")).distinct()
+        d.selectExpr(f"{_CRAWL_HOST_SQL} AS host").distinct()
         .withColumn(
             "robots_txt", F.lit("User-agent: *\nDisallow: /p/4\n")
         )
@@ -9195,10 +9212,10 @@ def crawl_frontier_batch(spark, sf_dir):
         discovered, seen, parse_robots(robots), "GraftBot",
         per_domain_cap=2, priority_col="pri",
     )
-    return out.select(
+    return out.selectExpr(
         "url", "domain",
-        F.col("priority").cast("long").alias("priority"),
-        F.col("rank").cast("int").alias("rank"),
+        "CAST(priority AS LONG) AS priority",
+        "CAST(rank AS INT) AS rank",
     )
 
 
@@ -9253,33 +9270,26 @@ def frontier_fetch_waves(spark, sf_dir):
     )
     from sqlbackuphistoryetl_spark.functions.robotsfns import parse_robots
 
-    d = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 7).alias("k"),
-        (F.col("doc_id") % 20).cast("string").alias("s"),
-        (F.col("doc_id") % 50).cast("string").alias("p"),
-        (F.col("doc_id") % 3).cast("string").alias("m"),
-        (F.col("doc_id") % 13).alias("pri"),
-        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 7 AS k",
+        "CAST(doc_id % 20 AS STRING) AS s",
+        "CAST(doc_id % 50 AS STRING) AS p",
+        "CAST(doc_id % 3 AS STRING) AS m",
+        "doc_id % 13 AS pri",
+        "doc_id % 4 = 0 AS is_seen",
     )
-    tld = F.element_at(
-        F.array(*[F.lit(t) for t in
-                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
-        (F.col("k") + 1).cast("int"),
+    canon = F.expr(
+        f"concat('https://', {_CRAWL_HOST_SQL}, "
+        "concat('/p/', p, '?a=1&b=', m))"
     )
-    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
-    path = F.concat(F.lit("/p/"), F.col("p"), F.lit("?a=1&b="), F.col("m"))
-    canon = F.concat(F.lit("https://"), host, path)
     discovered = d.select(canon.alias("url"), F.col("pri"))
     seen = d.filter("is_seen").select(canon.alias("url"))
     robots = (
-        d.select(host.alias("host"), F.col("k")).distinct()
-        .select(
+        d.selectExpr(f"{_CRAWL_HOST_SQL} AS host", "k").distinct()
+        .selectExpr(
             "host",
-            F.concat(
-                F.lit("User-agent: *\nDisallow: /p/4\nCrawl-delay: "),
-                (F.col("k") + 1).cast("string"),
-                F.lit("\n"),
-            ).alias("robots_txt"),
+            "concat('User-agent: *\\nDisallow: /p/4\\nCrawl-delay: ', "
+            "CAST(k + 1 AS STRING), '\\n') AS robots_txt",
         )
     )
     batch = crawl_frontier(
@@ -9287,12 +9297,12 @@ def frontier_fetch_waves(spark, sf_dir):
         per_domain_cap=2, priority_col="pri",
     )
     out = schedule_fetch_waves(batch, robots, "GraftBot")
-    return out.select(
+    return out.selectExpr(
         "url", "host",
-        F.col("priority").cast("long").alias("priority"),
-        F.col("rank").cast("int").alias("rank"),
-        F.col("crawl_delay").cast("double").alias("crawl_delay"),
-        F.col("fetch_offset_s").cast("double").alias("fetch_offset_s"),
+        "CAST(priority AS LONG) AS priority",
+        "CAST(rank AS INT) AS rank",
+        "CAST(crawl_delay AS DOUBLE) AS crawl_delay",
+        "CAST(fetch_offset_s AS DOUBLE) AS fetch_offset_s",
     )
 
 
@@ -9345,28 +9355,21 @@ def sitemap_parse(spark, sf_dir):
     unescape or cast bug mismatches."""
     from sqlbackuphistoryetl_spark.functions.robotsfns import sitemap_urls
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        (F.col("doc_id") % 7).alias("k"),
-        (F.col("doc_id") % 20).cast("string").alias("s"),
-        (F.col("doc_id") % 50).cast("string").alias("p"),
-        (F.col("doc_id") % 3).cast("string").alias("m"),
-        (F.col("doc_id") % 27 + 1).alias("day"),
-        (F.col("doc_id") % 10).cast("string").alias("pr"),
+        "doc_id % 7 AS k",
+        "CAST(doc_id % 20 AS STRING) AS s",
+        "CAST(doc_id % 50 AS STRING) AS p",
+        "CAST(doc_id % 3 AS STRING) AS m",
+        "doc_id % 27 + 1 AS day",
+        "CAST(doc_id % 10 AS STRING) AS pr",
     )
-    tld = F.element_at(
-        F.array(*[F.lit(t) for t in
-                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
-        (F.col("k") + 1).cast("int"),
-    )
-    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
-    entry = F.concat(
-        F.lit("<url><loc>https://"), host, F.lit("/p/"), F.col("p"),
-        F.lit("?a=1&amp;b="), F.col("m"),
-        F.lit("</loc>\n<lastmod>2025-01-"),
-        F.lpad(F.col("day").cast("string"), 2, "0"),
-        F.lit("</lastmod><priority>0."), F.col("pr"),
-        F.lit("</priority></url>"),
+    host = F.expr(_CRAWL_HOST_SQL)
+    entry = F.expr(
+        f"concat('<url><loc>https://', {_CRAWL_HOST_SQL}, '/p/', p, "
+        "'?a=1&amp;b=', m, '</loc>\\n<lastmod>2025-01-', "
+        "lpad(CAST(day AS STRING), 2, '0'), '</lastmod><priority>0.', "
+        "pr, '</priority></url>')"
     )
     sitemaps = (
         d.select(host.alias("host"), F.col("doc_id"), entry.alias("e"))
@@ -9441,28 +9444,20 @@ def sitemap_frontier(spark, sf_dir):
         sitemap_urls,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        (F.col("doc_id") % 7).alias("k"),
-        (F.col("doc_id") % 20).cast("string").alias("s"),
-        (F.col("doc_id") % 50).cast("string").alias("p"),
-        (F.col("doc_id") % 3).cast("string").alias("m"),
-        (F.col("doc_id") % 10).cast("string").alias("pr"),
-        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+        "doc_id % 7 AS k",
+        "CAST(doc_id % 20 AS STRING) AS s",
+        "CAST(doc_id % 50 AS STRING) AS p",
+        "CAST(doc_id % 3 AS STRING) AS m",
+        "CAST(doc_id % 10 AS STRING) AS pr",
+        "doc_id % 4 = 0 AS is_seen",
     )
-    tld = F.element_at(
-        F.array(*[F.lit(t) for t in
-                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
-        (F.col("k") + 1).cast("int"),
-    )
-    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
-    loc = F.concat(
-        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
-        F.lit("?a=1&amp;b="), F.col("m"),
-    )
-    entry = F.concat(
-        F.lit("<url><loc>"), loc, F.lit("</loc><priority>0."),
-        F.col("pr"), F.lit("</priority></url>"),
+    host = F.expr(_CRAWL_HOST_SQL)
+    entry = F.expr(
+        f"concat('<url><loc>', concat('https://', {_CRAWL_HOST_SQL}, "
+        "'/p/', p, '?a=1&amp;b=', m), '</loc><priority>0.', pr, "
+        "'</priority></url>')"
     )
     sitemaps = (
         d.select(host.alias("host"), F.col("doc_id"), entry.alias("e"))
@@ -9483,9 +9478,9 @@ def sitemap_frontier(spark, sf_dir):
             ).alias("sitemap_xml"),
         )
     )
-    discovered = sitemap_urls(sitemaps).select(
-        F.col("loc").alias("url"),
-        F.round(F.col("priority") * 10).cast("long").alias("pri"),
+    discovered = sitemap_urls(sitemaps).selectExpr(
+        "loc AS url",
+        "CAST(round(priority * 10) AS LONG) AS pri",
     )
     canon = F.concat(
         F.lit("https://"), host, F.lit("/p/"), F.col("p"),
@@ -9502,10 +9497,10 @@ def sitemap_frontier(spark, sf_dir):
         discovered, seen, parse_robots(robots), "GraftBot",
         per_domain_cap=2, priority_col="pri",
     )
-    return out.select(
+    return out.selectExpr(
         "url", "domain",
-        F.col("priority").cast("long").alias("priority"),
-        F.col("rank").cast("int").alias("rank"),
+        "CAST(priority AS LONG) AS priority",
+        "CAST(rank AS INT) AS rank",
     )
 
 
@@ -9567,32 +9562,24 @@ def sitemap_index_frontier(spark, sf_dir):
         sitemap_index_expand,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        (F.col("doc_id") % 7).alias("k"),
-        (F.col("doc_id") % 20).cast("string").alias("s"),
-        (F.col("doc_id") % 50).cast("string").alias("p"),
-        (F.col("doc_id") % 3).cast("string").alias("m"),
-        (F.col("doc_id") % 10).cast("string").alias("pr"),
-        (F.col("doc_id") % 2).cast("string").alias("c"),
-        (F.col("doc_id") % 4 == 0).alias("is_seen"),
+        "doc_id % 7 AS k",
+        "CAST(doc_id % 20 AS STRING) AS s",
+        "CAST(doc_id % 50 AS STRING) AS p",
+        "CAST(doc_id % 3 AS STRING) AS m",
+        "CAST(doc_id % 10 AS STRING) AS pr",
+        "CAST(doc_id % 2 AS STRING) AS c",
+        "doc_id % 4 = 0 AS is_seen",
     )
-    tld = F.element_at(
-        F.array(*[F.lit(t) for t in
-                  ("com", "co.uk", "org", "com.au", "net", "io", "de")]),
-        (F.col("k") + 1).cast("int"),
+    host = F.expr(_CRAWL_HOST_SQL)
+    entry = F.expr(
+        f"concat('<url><loc>', concat('https://', {_CRAWL_HOST_SQL}, "
+        "'/p/', p, '?a=1&amp;b=', m), '</loc><priority>0.', pr, "
+        "'</priority></url>')"
     )
-    host = F.concat(F.lit("www.site"), F.col("s"), F.lit("."), tld)
-    loc = F.concat(
-        F.lit("https://"), host, F.lit("/p/"), F.col("p"),
-        F.lit("?a=1&amp;b="), F.col("m"),
-    )
-    entry = F.concat(
-        F.lit("<url><loc>"), loc, F.lit("</loc><priority>0."),
-        F.col("pr"), F.lit("</priority></url>"),
-    )
-    child_url = F.concat(
-        F.lit("https://"), host, F.lit("/sm-"), F.col("c"), F.lit(".xml")
+    child_url = F.expr(
+        f"concat('https://', {_CRAWL_HOST_SQL}, '/sm-', c, '.xml')"
     )
     # the fetched second wave: one urlset per (host, child) that OWNS
     # at least one entry
@@ -9632,9 +9619,9 @@ def sitemap_index_frontier(spark, sf_dir):
     leaves = sitemap_index_expand(indexes, fetched).filter(
         ~F.col("is_index")
     )
-    discovered = leaves.select(
-        F.col("loc").alias("url"),
-        F.round(F.col("priority") * 10).cast("long").alias("pri"),
+    discovered = leaves.selectExpr(
+        "loc AS url",
+        "CAST(round(priority * 10) AS LONG) AS pri",
     )
     canon = F.concat(
         F.lit("https://"), host, F.lit("/p/"), F.col("p"),
@@ -9643,13 +9630,10 @@ def sitemap_index_frontier(spark, sf_dir):
     seen = d.filter("is_seen").select(canon.alias("url"))
     robots = (
         d.select(host.alias("host"), F.col("s")).distinct()
-        .select(
+        .selectExpr(
             "host",
-            F.concat(
-                F.lit("User-agent: *\nDisallow: /p/4\nCrawl-delay: "),
-                (F.col("s").cast("int") + 1).cast("string"),
-                F.lit("\n"),
-            ).alias("robots_txt"),
+            "concat('User-agent: *\\nDisallow: /p/4\\nCrawl-delay: ', "
+            "CAST(CAST(s AS INT) + 1 AS STRING), '\\n') AS robots_txt",
         )
     )
     batch = crawl_frontier(
@@ -9657,12 +9641,12 @@ def sitemap_index_frontier(spark, sf_dir):
         per_domain_cap=2, priority_col="pri",
     )
     waves = schedule_fetch_waves(batch, robots, "GraftBot")
-    return waves.select(
+    return waves.selectExpr(
         "url", "domain",
-        F.col("priority").cast("long").alias("priority"),
-        F.col("rank").cast("int").alias("rank"),
-        F.col("crawl_delay").cast("long").alias("delay_s"),
-        F.col("fetch_offset_s").cast("long").alias("offset_s"),
+        "CAST(priority AS LONG) AS priority",
+        "CAST(rank AS INT) AS rank",
+        "CAST(crawl_delay AS LONG) AS delay_s",
+        "CAST(fetch_offset_s AS LONG) AS offset_s",
     )
 
 

@@ -17,6 +17,7 @@ bucket occupancy; skewed buckets are split by AQE.
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -27,12 +28,39 @@ from sqlbackuphistoryetl_spark.extensions import cachereg
 from sqlbackuphistoryetl_spark.functions.exprcache import column_memo
 
 
+#: bare-identifier test for the expr-string fast paths below: a column
+#: that *prints* as a plain attribute name can be embedded in a parsed
+#: SQL string verbatim (the parse yields the same UnresolvedAttribute)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_ref(c) -> str | None:
+    """SQL text for a column argument when it is (or prints as) a plain
+    identifier; None for compound expressions, which keep the Column
+    build. Every internal call site passes a bare ``F.col(name)``."""
+    name = c if isinstance(c, str) else c._jc.toString()
+    return name if _IDENT.match(name) else None
+
+
 def _dot(a, b):
     # cast BEFORE multiplying: float32 elements widen exactly to double,
     # so the products (and therefore cosines) are bit-comparable with
     # any engine that computes in double — a float32 multiply followed
     # by a cast bakes in ~1e-7 relative error that can flip a rounded
     # 6dp digit at the oracle compare.
+    #
+    # Construction fast path (r14, guide §7.3): ONE parsed SQL string
+    # instead of ~175 py4j round-trips of higher-order-function Column
+    # calls. The parse yields the identical ArrayAggregate/ZipWith tree
+    # (0.0D is the double literal F.lit(0.0) embeds; CAST is the same
+    # Cast node) — plan-pinned by tests/test_plans_physical.py.
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra and rb:
+        return F.expr(
+            f"aggregate(zip_with({ra}, {rb}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,6 +69,13 @@ def _dot(a, b):
 
 
 def _norm(v):
+    r = _sql_ref(v)
+    if r:
+        return F.expr(
+            f"sqrt(aggregate(transform({r}, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+            "(a, x) -> a + x))"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x.cast("double") * x.cast("double")),
@@ -252,20 +287,26 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # one parsed expr per pivot column / one for the fused sum instead
+    # of per-list Column chains (r14, guide §7.3): CASE WHEN is the
+    # exact CaseWhen node F.when builds; 1.0D/{k}D are the double
+    # literals F.lit embeds; the + chain keeps the same left-assoc
+    # fold order (doubles are not associative — the determinism
+    # contract above pins argument order).
     merged = u.groupBy(id_col).agg(
         *[
-            F.max(F.when(F.col("_list") == i, F.col("_rank"))).alias(
+            F.expr(f"max(CASE WHEN _list = {i} THEN _rank END)").alias(
                 f"rank_{i}"
             )
             for i in range(1, len(rankings) + 1)
         ]
     )
-    score = None
-    for i in range(1, len(rankings) + 1):
-        term = F.coalesce(
-            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+    score = F.expr(
+        " + ".join(
+            f"coalesce(1.0D / ({float(k)}D + rank_{i}), 0.0D)"
+            for i in range(1, len(rankings) + 1)
         )
-        score = term if score is None else score + term
+    )
     out = merged.withColumn("rrf", score)
     if topn is not None:
         out = out.orderBy(F.col("rrf").desc(), id_col).limit(int(topn))
@@ -379,24 +420,23 @@ def rp_lsh_topk(
             _norm(F.col(vec_col)).alias(n_alias),
             sketch_fn(F.col(vec_col)).alias("sketch"),
         )
-        # bands unrolled statically — shiftright needs an int shift amount
+        # bands unrolled statically — shiftright needs an int shift
+        # amount. ONE parsed SQL string for the whole band array (r14,
+        # guide §7.3): the per-band F.struct/F.shiftright listcomp was
+        # ~5k py4j round-trips per construction (the bulk of
+        # ann_lsh_topk's serial driver cost); named_struct/shiftright/&
+        # parse to the identical CreateNamedStruct/ShiftRight/BitwiseAnd
+        # nodes with the same int literals.
+        bands_sql = "array(" + ", ".join(
+            f"named_struct('band', {b}, 'bucket', "
+            f"shiftright(sketch, {b * band_bits}) & {mask})"
+            for b in range(n_bands)
+        ) + ")"
         return sk.select(
             id_alias,
             vec_alias,
             n_alias,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright("sketch", b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(F.expr(bands_sql)).alias("bb"),
         ).select(id_alias, vec_alias, n_alias, "bb.band", "bb.bucket")
 
     if queries is corpus:

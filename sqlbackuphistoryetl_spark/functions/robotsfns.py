@@ -114,14 +114,18 @@ def parse_robots(
     # null; rule-less hosts died in explode before, die at the filter
     # now) — plain explode's InferFiltersFromGenerate filter would
     # re-evaluate the whole line-fold aggregate a second time below
-    # the scan (r13; see dedup.py posting note).
-    return folded.select(
-        "host", F.explode_outer("rules").alias("r")
-    ).filter(F.col("r").isNotNull()).select(
-        "host",
-        F.col("r.agent").alias("agent"),
-        F.col("r.rtype").alias("rule_type"),
-        F.col("r.pattern").alias("pattern"),
+    # the scan (r13; see dedup.py posting note). The unpack rides
+    # selectExpr/SQL-string filters — one parse each instead of
+    # per-field Column chains (r14, guide §7.3).
+    return (
+        folded.select("host", F.explode_outer("rules").alias("r"))
+        .filter("r IS NOT NULL")
+        .selectExpr(
+            "host",
+            "r.agent AS agent",
+            "r.rtype AS rule_type",
+            "r.pattern AS pattern",
+        )
     )
 
 
@@ -142,25 +146,29 @@ def effective_rules(rules: DataFrame, agent: str) -> DataFrame:
 def _effective_group(rules: DataFrame, agent: str) -> DataFrame:
     """Most-specific-group selection shared by :func:`effective_rules`
     and :func:`robots_crawl_delay` (see the former's docstring for the
-    product-token matching rule)."""
-    a = agent.lower().split("/", 1)[0].strip()
-    grp_tok = F.regexp_extract(F.col("agent"), r"^\s*([^/\s]+)", 1)
-    own = grp_tok == a
-    mine = rules.filter(own | (F.col("agent") == "*"))
+    product-token matching rule). SQL-string predicates — one parse
+    each (r14, guide §7.3); ``own_sql`` transliterates the exact
+    regexp_extract/EqualTo tree the Column build produced."""
+    a = agent.lower().split("/", 1)[0].strip().replace("'", "''")
+    own_sql = r"regexp_extract(agent, '^\\s*([^/\\s]+)', 1) = " + f"'{a}'"
+    mine = rules.filter(f"({own_sql}) OR agent = '*'")
     has_own = mine.groupBy("host").agg(
-        F.max(own.cast("int")).alias("has_own")
+        F.expr(f"max(CAST(({own_sql}) AS INT))").alias("has_own")
     )
     return mine.join(has_own, "host").filter(
-        ((F.col("has_own") == 1) & own)
-        | ((F.col("has_own") == 0) & (F.col("agent") == "*"))
+        f"(has_own = 1 AND ({own_sql})) OR (has_own = 0 AND agent = '*')"
     )
 
 
 @column_memo
-def _like_pattern(pattern: Column) -> Column:
+def _like_pattern(pattern_col: str) -> Column:
     """RFC pattern → SQL LIKE pattern: escape LIKE metachars, ``*`` →
-    ``%``, a trailing ``$`` anchors (no trailing ``%``). Memoized (the
-    governance consumers all call it on ``col("pattern")``)."""
+    ``%``, a trailing ``$`` anchors (no trailing ``%``). Takes the
+    column NAME, not a Column: the memo key is then a scalar, so a
+    plan-bound column from one DataFrame can never be replayed into
+    another plan (r13 advice — ``toString()`` drops dataset binding,
+    making Column-keyed memoization of possibly-bound inputs unsound)."""
+    pattern = F.col(pattern_col)
     anchored = pattern.endswith("$")
     body = F.when(
         anchored, F.substring(pattern, 1, F.length(pattern) - 1)
@@ -214,7 +222,7 @@ def robots_allowed(
     the rules side while it fits — rules relations are small by
     nature) + one URL-keyed aggregate."""
     eff = effective_rules(rules, agent).withColumn(
-        "like_pat", _like_pattern(F.col("pattern"))
+        "like_pat", _like_pattern("pattern")
     )
     u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path", _path_column(url_col)
@@ -316,15 +324,19 @@ def sitemap_urls(
         (F.instr(F.col(text_col), "<sitemapindex") > 0).alias("is_index"),
         F.explode_outer(_entry_blocks_column(text_col)).alias("e"),
     )
-    lastmod = F.regexp_extract("e", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
-    prio = F.regexp_extract("e", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    # one parsed expr per field (r14, guide §7.3): nullif/regexp_extract
+    # /CAST transliterate the exact Column trees these replaced
     return ex.select(
         "host",
         _entry_loc_column().alias("loc"),
-        F.nullif(lastmod, F.lit("")).alias("lastmod"),
-        F.nullif(prio, F.lit("")).cast("double").alias("priority"),
+        F.expr(
+            r"nullif(regexp_extract(e, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')"
+        ).alias("lastmod"),
+        F.expr(
+            r"CAST(nullif(regexp_extract(e, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE)"
+        ).alias("priority"),
         "is_index",
-    ).filter(F.col("loc") != "")
+    ).filter("loc != ''")
 
 
 def sitemap_index_expand(

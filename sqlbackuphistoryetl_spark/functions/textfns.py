@@ -11,6 +11,8 @@ each returns a Column usable in any select/agg.
 
 from __future__ import annotations
 
+import re
+
 from functools import reduce
 from operator import add
 
@@ -633,13 +635,28 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda s: s != ""
-    )
+    # parsed SQL strings instead of per-call Column chains (r14, guide
+    # §7.3 construction cost): identical trees — filter/split/lower are
+    # the same functions, IN (…) is the In node s.isin builds, and the
+    # string literals are embedded verbatim (terms are [a-z0-9]+ runs,
+    # so no quoting hazard; anything else never matches the tokenizer).
+    if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", text_col):
+        toks_sql = (
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), s -> s != '')"
+        )
+        in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        dl = F.expr(f"size({toks_sql})")
+        qtoks = F.expr(f"filter({toks_sql}, s -> s IN ({in_list}))")
+    else:  # non-identifier column name: keep the Column build
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda s: s != "",
+        )
+        dl, qtoks = F.size(toks), F.filter(toks, lambda s: s.isin(terms))
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.size(toks).alias("_dl"),
-        F.filter(toks, lambda s: s.isin(terms)).alias("_qtoks"),
+        dl.alias("_dl"),
+        qtoks.alias("_qtoks"),
     )
     # avgdl as one division of an EXACT integer sum (never an
     # incremental mean) — the repo-wide determinism rule: doubles only
@@ -655,25 +672,21 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df_t"))
+    # one parsed expr each (r14): {x}D literals are Double.parseDouble
+    # of Python's shortest round-trip repr — the exact doubles F.lit
+    # embedded — and the operator tree transliterates 1:1.
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("_n") - F.col("df_t") + F.lit(0.5))
-                / (F.col("df_t") + F.lit(0.5))
-            ),
+            F.expr("ln(1.0D + (_n - df_t + 0.5D) / (df_t + 0.5D))"),
         )
         .withColumn(
             "_contrib",
-            F.col("_idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            F.expr(
+                f"_idf * (tf * {k1 + 1.0!r}D) / (tf + {float(k1)!r}D * "
+                f"({1.0 - b!r}D + {float(b)!r}D * _dl / _avgdl))"
             ),
         )
     )
@@ -690,8 +703,8 @@ def bm25_scores(
         )
         .select(
             "_id",
-            F.aggregate(
-                "_cs", F.lit(0.0), lambda acc, x: acc + x["_contrib"]
+            F.expr(
+                "aggregate(_cs, 0.0D, (acc, x) -> acc + x._contrib)"
             ).alias("bm25"),
             F.size("_cs").alias("n_matched_terms"),
         )
