@@ -42,10 +42,12 @@ correctness contract is reference-implementation parity instead.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exprcache import column_memo
+from ..functions.exprcache import column_memo_lru
 
 #: end-of-word marker — rides as an ordinary symbol so merges can cross
 #: into it (learning e.g. ("e", "</w>") → "e</w>", the reference's way
@@ -67,15 +69,24 @@ def initial_vocab(
     ``syms`` = the word's characters plus the end marker; every later
     fit/segment job is bounded by the number of DISTINCT words.
     """
-    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    # parsed exprs (r14, guide §7.3) — identical regexp/concat trees;
+    # the end marker is escaped as a SQL string literal. Falls back to
+    # the Column build for a non-identifier text column.
+    if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", text_col):
+        words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    else:
+        words = F.regexp_extract_all(
+            F.col(text_col), F.lit(r"\S+"), F.lit(0)
+        )
+    if end_marker == END:  # custom markers (e.g. "\x00w") keep F.lit
+        syms = F.expr(f"concat(split(word, ''), array('{END}'))")
+    else:
+        syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(end_marker)))
     return (
         docs.select(F.explode(words).alias("word"))
         .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
-        .withColumn(
-            "syms",
-            F.concat(F.split(F.col("word"), ""), F.array(F.lit(end_marker))),
-        )
+        .agg(F.expr("CAST(count(1) AS BIGINT)").alias("count"))
+        .withColumn("syms", syms)
     )
 
 
@@ -219,13 +230,15 @@ def segment_vocab(
     return out
 
 
-@column_memo
+@column_memo_lru(maxsize=64)
 def _merge_block_column(block: tuple[tuple[str, str], ...]):
     """One checkpoint block's composed merge folds as a pure Column of
     ``syms`` — ~180 py4j round-trips per merge rule to build, and the
     same learned merges are re-applied by every consumer in a query
     (fit → encode → decode roundtrips), so the composed tree is
-    memoized process-wide (r13; exprcache doc)."""
+    memoized. The merges are DATA-DERIVED (a fitted vocabulary), so
+    the memo is a bounded LRU, not the never-evicting process dict
+    (r13 advice: unbounded growth across fits)."""
     syms = F.col("syms")
     for lhs, rhs in block:
         syms = _apply_merge(syms, lhs, rhs, lhs + rhs)
@@ -303,14 +316,18 @@ def _vocab_table_from_seg(
     """Dense ids over an already-segmented vocab frame — merge products
     first in merge order, surviving initial symbols lexicographically
     after."""
+    # NOT IN as one parsed predicate (r14, guide §7.3): same In node
+    # the isin chain built; product strings are data-derived, so they
+    # are escaped as SQL literals and never memoized (r13 advice).
+    if merge_products:
+        in_list = ", ".join("'" + _sql_str(p) + "'" for p in merge_products)
+        keep = f"NOT (token IN ({in_list}))"
+    else:
+        keep = "true"
     leftovers = (
         seg.select(F.explode("syms").alias("token"))
         .distinct()
-        .filter(
-            ~F.col("token").isin(merge_products)
-            if merge_products
-            else F.lit(True)
-        )
+        .filter(keep)
     )
     base = spark.createDataFrame(
         [(t, i) for i, t in enumerate(merge_products)],
@@ -321,8 +338,10 @@ def _vocab_table_from_seg(
     # surviving INITIAL symbols only (≈ alphabet size), not the corpus
     extra = leftovers.withColumn(
         "token_id",
-        F.row_number().over(Window.orderBy("token")).cast("long")
-        + F.lit(n_base - 1),
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY token) AS LONG) + "
+            f"{n_base - 1}"
+        ),
     )
     return base.unionByName(extra.select("token", "token_id"))
 
@@ -456,47 +475,52 @@ def bpe_decode_corpus(
     # NON-NEGATIVE ids (Spark resolves a negative array index from the
     # END, which would silently decode a corrupt id to the wrong token
     # instead of raising; try_element_at(0) throws outright).
+    # density stats + both lookup structures in ONE single-row
+    # aggregate, each field a parsed expr (r14, guide §7.3 — this
+    # block was ~1.1k py4j round-trips per decode construction);
+    # the SQL transliterates the exact former Column trees.
     id2tok = vocab_tbl.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count_distinct("token_id").alias("__nd"),
-        F.min("token_id").alias("__mn"),
-        F.max("token_id").alias("__mx"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("token_id", "token"))),
-            lambda s: s["token"],
+        F.expr("count(1)").alias("__n"),
+        F.expr("count(DISTINCT token_id)").alias("__nd"),
+        F.expr("min(token_id)").alias("__mn"),
+        F.expr("max(token_id)").alias("__mx"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(token_id, token))), "
+            "s -> s.token)"
         ).alias("__arr"),
-        F.map_from_entries(
-            F.collect_list(F.struct("token_id", "token"))
+        F.expr(
+            "map_from_entries(collect_list(struct(token_id, token)))"
         ).alias("__map"),
     )
-    dense = (
-        (F.col("__n") > 0)
-        & (F.col("__nd") == F.col("__n"))
-        & (F.col("__mn") == 0)
-        & (F.col("__mx") == F.col("__n") - 1)
-    )
+    _DENSE_SQL = "(__n > 0) AND (__nd = __n) AND (__mn = 0) AND (__mx = __n - 1)"
 
-    def _lookup(i):
+    def _lookup_sql(i: str) -> str:
         # the bounds guard also keeps the int cast safe under ANSI: an
         # id beyond the vocab (or a 10^12 corrupt id) must surface as
-        # NULL → raise_error, never as a cast-overflow exception
-        return F.when(
-            dense,
-            F.when(
-                (i >= 0) & (i <= F.col("__mx")),
-                F.try_element_at("__arr", (i + 1).cast("int")),
-            ),
-        ).otherwise(F.try_element_at("__map", i))
+        # NULL -> raise_error, never as a cast-overflow exception
+        return (
+            f"CASE WHEN {_DENSE_SQL} THEN "
+            f"(CASE WHEN ({i} >= 0) AND ({i} <= __mx) "
+            f"THEN try_element_at(__arr, CAST({i} + 1 AS INT)) END) "
+            f"ELSE try_element_at(__map, {i}) END"
+        )
 
     # materialize the translated array ONCE in its own projection —
     # referencing the transform twice (null guard + concat) would
     # re-run every lookup
+    ids_ref = (
+        ids_col
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", ids_col)
+        else f"`{ids_col}`"
+    )
     translated = (
         enc.join(F.broadcast(id2tok))
         .select(
             id_col,
             F.col(ids_col).alias("__ids"),
-            F.transform(F.col(ids_col), _lookup).alias("__toks"),
+            F.expr(
+                f"transform({ids_ref}, i -> {_lookup_sql('i')})"
+            ).alias("__toks"),
         )
     )
     toks = F.col("__toks")
@@ -636,10 +660,32 @@ def bytes_to_unicode() -> list[str]:
     return table
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal body for one mapped byte symbol
+    (' doubled, backslash escaped — the only two metachars with
+    escapedStringLiterals=false)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def _byte_syms(word) -> "F.Column":
     """UTF-8 bytes of a string column as an array of mapped one-char
     symbols — pure JVM: encode → hex → 2-char groups → a 256-entry
-    literal-array lookup. No Python in the path."""
+    literal-array lookup. No Python in the path.
+
+    Built as ONE parsed expr (r14, guide §7.3): the 256 F.lit calls
+    were ~3.1k py4j round-trips per construction; the SQL array of
+    string literals parses to the identical CreateArray tree. Falls
+    back to the Column build when ``word`` is a compound expression."""
+    ref = word if isinstance(word, str) else word._jc.toString()
+    if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", ref):
+        table_sql = "array(" + ", ".join(
+            "'" + _sql_str(c) + "'" for c in bytes_to_unicode()
+        ) + ")"
+        return F.expr(
+            f"transform(regexp_extract_all(hex(encode({ref}, 'UTF-8')), "
+            f"'..', 0), h -> element_at({table_sql}, "
+            "CAST(conv(h, 16, 10) AS INT) + 1))"
+        )
     table = F.array(*[F.lit(c) for c in bytes_to_unicode()])
     hx = F.hex(F.encode(word, "UTF-8"))
     return F.transform(

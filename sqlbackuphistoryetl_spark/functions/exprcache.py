@@ -65,3 +65,36 @@ def column_memo(fn: Callable[..., Column]) -> Callable[..., Column]:
         return hit
 
     return wrapper
+
+
+def column_memo_lru(maxsize: int = 64) -> Callable:
+    """Bounded variant for builders keyed on DATA-DERIVED scalars
+    (e.g. a fitted vocabulary's merge rules): the process-wide
+    :func:`column_memo` dict never evicts, so every distinct fitted
+    input would pin its composed expression tree on the driver forever
+    (r13 advice). An LRU of ``maxsize`` trees keeps the within-query
+    and steady-state reuse while bounding driver memory."""
+
+    def deco(fn: Callable[..., Column]) -> Callable[..., Column]:
+        from collections import OrderedDict
+
+        lru: "OrderedDict[tuple, Column]" = OrderedDict()
+
+        @functools.wraps(fn)
+        def wrapper(*args: Any, **kwargs: Any) -> Column:
+            try:
+                key = (_key_part(args), _key_part(tuple(sorted(kwargs.items()))))
+            except TypeError:
+                return fn(*args, **kwargs)
+            hit = lru.get(key)
+            if hit is None:
+                hit = lru[key] = fn(*args, **kwargs)
+                if len(lru) > maxsize:
+                    lru.popitem(last=False)
+            else:
+                lru.move_to_end(key)
+            return hit
+
+        return wrapper
+
+    return deco
