@@ -75,11 +75,11 @@ def global_cumsum(
     The ranged frame is persisted for the call's generation so the
     offset job and the output see the same sampled range boundaries.
     """
-    from sqlbackuphistoryetl_spark.extensions.sharding import (
-        _adaptive_partitions,
+    from sqlbackuphistoryetl_spark.extensions.partitioning import (
+        adaptive_partitions,
     )
 
-    p = _adaptive_partitions(df, num_partitions)
+    p = adaptive_partitions(df, num_partitions)
     cachereg.begin("global_cumsum")
     ranged = cachereg.persist(
         "global_cumsum",

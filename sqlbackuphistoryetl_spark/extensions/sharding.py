@@ -34,37 +34,13 @@ from pyspark.sql import functions as F
 from sqlbackuphistoryetl_spark.extensions import cachereg
 
 
-#: target bytes per range partition when deriving the sort width from
-#: the input's optimizer size estimate (conf-overridable)
-_TARGET_BYTES_CONF = "spark.sqlbackuphistoryetl.ordinals.targetPartitionBytes"
-_TARGET_BYTES_DEFAULT = 32 * 1024 * 1024
-
-
-def _adaptive_partitions(df: DataFrame, num_partitions: int | None) -> int:
-    """Range-sort width: caller's explicit count, else derived from the
-    input's optimizer size estimate, capped at defaultParallelism.
-
-    Ordinals/prefix sums are rank-in-total-order quantities — identical
-    for ANY partition count — so the width is pure execution shape. A
-    fixed defaultParallelism pays p-task sampling + count jobs even for
-    a model-sized key set (guide §2: derive partitioning from input
-    size, don't tune a constant for one host). Narrowing happens ONLY
-    on a confidently small estimate (est < target × cap): plans with
-    unknown stats report huge sizes and keep the full width, so a bad
-    estimate can only cost parallelism on provably small inputs, never
-    serialize a 100 TB sort."""
-    spark = df.sparkSession
-    cap = spark.sparkContext.defaultParallelism
-    if num_partitions:
-        return num_partitions
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        target = int(spark.conf.get(_TARGET_BYTES_CONF, str(_TARGET_BYTES_DEFAULT)))
-    except Exception:  # pragma: no cover — stats estimate unavailable
-        return cap
-    if target > 0 and est < target * cap:
-        return max(1, min(cap, -(-est // target)))
-    return cap
+# the shared width policy lives in extensions/partitioning.py (r14:
+# promoted from this module's leading-underscore helper per r13 advice;
+# packing.global_cumsum imports the same public function). The alias
+# keeps the documented test surface stable.
+from sqlbackuphistoryetl_spark.extensions.partitioning import (  # noqa: E402
+    adaptive_partitions as _adaptive_partitions,
+)
 
 
 def global_ordinals(
