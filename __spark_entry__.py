@@ -8177,35 +8177,34 @@ def warc_ingest_stats(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    uri = F.concat(
-        F.lit("http://example.com/doc/"),
-        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
-    ).alias("target_uri")
-    date = F.lit("2025-01-01T00:00:00Z").alias("warc_date")
-    resp = docs.select(
-        uri, F.lit("response").alias("warc_type"), date,
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("text/plain").alias("http_content_type"),
+    # parsed exprs (r14, guide §7.3): identical concat/lpad/encode trees
+    uri_sql = (
+        "concat('http://example.com/doc/', "
+        "lpad(CAST(doc_id AS STRING), 9, '0')) AS target_uri"
     )
-    conv = docs.select(
-        uri, F.lit("conversion").alias("warc_type"), date,
-        F.encode(
-            F.concat(F.col("lang"), F.lit("\n"), F.col("text")), "UTF-8"
-        ).alias("payload"),
-        F.lit(None).cast("string").alias("http_content_type"),
+    resp = docs.selectExpr(
+        uri_sql, "'response' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        "encode(text, 'UTF-8') AS payload",
+        "'text/plain' AS http_content_type",
+    )
+    conv = docs.selectExpr(
+        uri_sql, "'conversion' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        "encode(concat(lang, '\\n', text), 'UTF-8') AS payload",
+        "CAST(NULL AS STRING) AS http_content_type",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/spark_graft_warc_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(resp.unionByName(conv), path, records_per_shard=64)
     back = read_warc_gz(spark, path, fan_out=_fan(spark))
-    return back.filter(F.col("warc_type") != MALFORMED).select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
+    return back.filter(F.col("warc_type") != MALFORMED).selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
         "warc_type",
-        F.col("http_status").cast("int").alias("http_status"),
-        F.length("payload").cast("int").alias("body_bytes"),
-        F.md5("payload").alias("body_md5"),
+        "CAST(http_status AS INT) AS http_status",
+        "CAST(length(payload) AS INT) AS body_bytes",
+        "md5(payload) AS body_md5",
     )
 
 
@@ -8505,39 +8504,34 @@ def warc_html_prose(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
-    html = F.concat(
-        F.lit(
-            '<html><head><style>p{color:red}</style></head><body>'
-            "<h1>Head&nbsp;Line</h1><p>"
-        ),
-        safe,
-        F.lit(
-            '</p><script>var x="<p>sneaky</p>";</script>'
-            "<div>Tail &amp; more</div></body></html>"
-        ),
+    # parsed exprs (r14, guide §7.3): identical regexp/concat/encode
+    # trees to the former Column chains; the HTML scaffold strings ride
+    # as SQL literals (no quote/backslash content beyond the escaped ")
+    html_sql = (
+        "concat('<html><head><style>p{color:red}</style></head><body>"
+        "<h1>Head&nbsp;Line</h1><p>', "
+        "regexp_replace(text, '[&<>]', ' '), "
+        "'</p><script>var x=\"<p>sneaky</p>\";</script>"
+        "<div>Tail &amp; more</div></body></html>')"
     )
-    recs = docs.select(
-        F.concat(
-            F.lit("http://example.com/page/"),
-            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
-        ).alias("target_uri"),
-        F.lit("response").alias("warc_type"),
-        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-        F.encode(html, "UTF-8").alias("payload"),
-        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    recs = docs.selectExpr(
+        "concat('http://example.com/page/', "
+        "lpad(CAST(doc_id AS STRING), 9, '0')) AS target_uri",
+        "'response' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        f"encode({html_sql}, 'UTF-8') AS payload",
+        "'text/html; charset=utf-8' AS http_content_type",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/spark_graft_warc_html_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
     prose = response_text(read_warc_gz(spark, path, fan_out=_fan(spark)))
-    return prose.select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
-        F.col("http_status").cast("int").alias("http_status"),
-        F.length("text").alias("n_chars"),
-        F.md5("text").alias("txt_md5"),
+    return prose.selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
+        "CAST(http_status AS INT) AS http_status",
+        "length(text) AS n_chars",
+        "md5(text) AS txt_md5",
     )
 
 
@@ -8777,42 +8771,36 @@ def warc_main_content(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
-    html = F.concat(
-        F.lit(
-            "<html><head><style>p{color:red}</style></head><body>"
-            '<nav><a href="/">Home</a> <a href="/x">More</a> '
-            '<a href="/y">Links</a></nav><h1>Head&nbsp;Line</h1><p>'
-        ),
-        safe,
-        F.lit(
-            '</p><script>var x="<p>sneaky</p>";</script>'
-            '<div>Tail &amp; more <a href="/p">Privacy</a> '
-            '<a href="/t">Terms</a> <a href="/i">Imprint</a></div>'
-            "</body></html>"
-        ),
+    # parsed exprs (r14, guide §7.3): identical trees, scaffold strings
+    # as SQL literals
+    html_sql = (
+        "concat('<html><head><style>p{color:red}</style></head><body>"
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">More</a> "
+        "<a href=\"/y\">Links</a></nav><h1>Head&nbsp;Line</h1><p>', "
+        "regexp_replace(text, '[&<>]', ' '), "
+        "'</p><script>var x=\"<p>sneaky</p>\";</script>"
+        "<div>Tail &amp; more <a href=\"/p\">Privacy</a> "
+        "<a href=\"/t\">Terms</a> <a href=\"/i\">Imprint</a></div>"
+        "</body></html>')"
     )
-    recs = docs.select(
-        F.concat(
-            F.lit("http://example.com/main/"),
-            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
-        ).alias("target_uri"),
-        F.lit("response").alias("warc_type"),
-        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-        F.encode(html, "UTF-8").alias("payload"),
-        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    recs = docs.selectExpr(
+        "concat('http://example.com/main/', "
+        "lpad(CAST(doc_id AS STRING), 9, '0')) AS target_uri",
+        "'response' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        f"encode({html_sql}, 'UTF-8') AS payload",
+        "'text/html; charset=utf-8' AS http_content_type",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/spark_graft_warc_main_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
     prose = response_main_text(read_warc_gz(spark, path, fan_out=_fan(spark)))
-    return prose.select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
-        F.col("http_status").cast("int").alias("http_status"),
-        F.length("text").alias("n_chars"),
-        F.md5("text").alias("txt_md5"),
+    return prose.selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
+        "CAST(http_status AS INT) AS http_status",
+        "length(text) AS n_chars",
+        "md5(text) AS txt_md5",
     )
 
 
@@ -8855,46 +8843,38 @@ def web_curation_e2e(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    safe = F.regexp_replace(F.col("text"), r"[&<>]", " ")
-    html = F.concat(
-        F.lit(
-            "<html><body>"
-            '<nav><a href="/">Home</a> <a href="/x">More</a> '
-            '<a href="/y">Links</a></nav>'
-            "<h2>Overview Section</h2><p>"
-        ),
-        safe,
-        F.lit(
-            '</p><div>(c) 2025 <a href="/p">Privacy</a> '
-            '<a href="/t">Terms</a> <a href="/i">Imprint</a></div>'
-            "</body></html>"
-        ),
+    # parsed exprs (r14, guide §7.3): identical concat/encode trees
+    html_sql = (
+        "concat('<html><body>"
+        '<nav><a href="/">Home</a> <a href="/x">More</a> '
+        '<a href="/y">Links</a></nav>'
+        "<h2>Overview Section</h2><p>', "
+        "regexp_replace(text, '[&<>]', ' '), "
+        "'</p><div>(c) 2025 <a href=\"/p\">Privacy</a> "
+        '<a href="/t">Terms</a> <a href="/i">Imprint</a></div>'
+        "</body></html>')"
     )
 
-    def _rec(idc):
-        return docs.select(
-            F.concat(
-                F.lit("http://example.com/cur/"),
-                F.lpad(idc.cast("string"), 9, "0"),
-            ).alias("target_uri"),
-            F.lit("response").alias("warc_type"),
-            F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-            F.encode(html, "UTF-8").alias("payload"),
-            F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    def _rec(id_sql):
+        return docs.selectExpr(
+            "concat('http://example.com/cur/', "
+            f"lpad(CAST({id_sql} AS STRING), 9, '0')) AS target_uri",
+            "'response' AS warc_type",
+            "'2025-01-01T00:00:00Z' AS warc_date",
+            f"encode({html_sql}, 'UTF-8') AS payload",
+            "'text/html; charset=utf-8' AS http_content_type",
         )
 
-    recs = _rec(F.col("doc_id")).unionByName(
-        docs.filter(F.col("doc_id") % 9 == 5)
-        .select(F.col("doc_id"), html.alias("h"))
-        .select(
-            F.concat(
-                F.lit("http://example.com/cur/"),
-                F.lpad((F.col("doc_id") + 1000000).cast("string"), 9, "0"),
-            ).alias("target_uri"),
-            F.lit("response").alias("warc_type"),
-            F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-            F.encode(F.col("h"), "UTF-8").alias("payload"),
-            F.lit("text/html; charset=utf-8").alias("http_content_type"),
+    recs = _rec("doc_id").unionByName(
+        docs.filter("doc_id % 9 = 5")
+        .select(F.col("doc_id"), F.expr(html_sql).alias("h"))
+        .selectExpr(
+            "concat('http://example.com/cur/', "
+            "lpad(CAST(doc_id + 1000000 AS STRING), 9, '0')) AS target_uri",
+            "'response' AS warc_type",
+            "'2025-01-01T00:00:00Z' AS warc_date",
+            "encode(h, 'UTF-8') AS payload",
+            "'text/html; charset=utf-8' AS http_content_type",
         )
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -8904,10 +8884,9 @@ def web_curation_e2e(spark, sf_dir):
     prose = response_main_text(
         read_warc_gz(spark, path, fan_out=_fan(spark)), context=True
     )
-    ext = prose.select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
-        F.col("text"),
+    ext = prose.selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
+        "text",
     )
     from pyspark.sql import Window as _W
 
@@ -9708,16 +9687,13 @@ def warc_cdx_lookup(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    st = F.regexp_replace("text", r"[^ -~]", "?")
-    recs = docs.select(
-        F.concat(
-            F.lit("http://example.com/cdx/"),
-            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
-        ).alias("target_uri"),
-        F.lit("conversion").alias("warc_type"),
-        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-        F.encode(st, "UTF-8").alias("payload"),
-        F.lit(None).cast("string").alias("http_content_type"),
+    recs = docs.selectExpr(
+        "concat('http://example.com/cdx/', "
+        "lpad(CAST(doc_id AS STRING), 9, '0')) AS target_uri",
+        "'conversion' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        "encode(regexp_replace(text, '[^ -~]', '?'), 'UTF-8') AS payload",
+        "CAST(NULL AS STRING) AS http_content_type",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/spark_graft_warc_cdx_{tag}"
@@ -9725,14 +9701,13 @@ def warc_cdx_lookup(spark, sf_dir):
     write_warc(recs, path, records_per_shard=64)
     idx = warc_cdx_index(spark, path, fan_out=_fan(spark))
     sample = idx.filter(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long") % 5 == 2
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) % 5 = 2"
     )
     served = read_warc_by_index(sample.repartition(_fan(spark), "shard"), path)
-    return served.select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
-        F.length(F.decode("payload", "UTF-8")).alias("n_chars"),
-        F.md5(F.decode("payload", "UTF-8")).alias("txt_md5"),
+    return served.selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
+        "length(decode(payload, 'UTF-8')) AS n_chars",
+        "md5(decode(payload, 'UTF-8')) AS txt_md5",
     )
 
 
@@ -9771,52 +9746,42 @@ def wat_link_graph(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id").cast("string")
-    links = F.transform(
-        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
-        lambda i: F.struct(
-            F.concat(F.lit("https://l.example/"), d, F.lit("/"),
-                     i.cast("string")).alias("url")
-        ),
+    # one parsed expr for the whole WAT envelope (r14, guide §7.3):
+    # named_struct carries the same field names the alias chain minted,
+    # so to_json output is byte-identical
+    envelope_sql = (
+        "to_json(named_struct('Envelope', named_struct("
+        "'Payload-Metadata', named_struct("
+        "'HTTP-Response-Metadata', named_struct("
+        "'HTML-Metadata', named_struct("
+        "'Head', named_struct('Title', "
+        "concat('Doc ', CAST(doc_id AS STRING))), "
+        "'Links', transform(sequence(0, CAST(doc_id % 4 AS INT)), "
+        "i -> named_struct('url', concat('https://l.example/', "
+        "CAST(doc_id AS STRING), '/', CAST(i AS STRING))))"
+        "))))))"
     )
-    envelope = F.to_json(
-        F.struct(
-            F.struct(
-                F.struct(
-                    F.struct(
-                        F.struct(
-                            F.struct(
-                                F.concat(F.lit("Doc "), d).alias("Title")
-                            ).alias("Head"),
-                            links.alias("Links"),
-                        ).alias("HTML-Metadata")
-                    ).alias("HTTP-Response-Metadata")
-                ).alias("Payload-Metadata")
-            ).alias("Envelope")
-        )
-    )
-    recs = docs.select(
-        F.concat(F.lit("http://example.com/page/"),
-                 F.lpad(d, 9, "0")).alias("target_uri"),
-        F.lit("metadata").alias("warc_type"),
-        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
-        F.encode(envelope, "UTF-8").alias("payload"),
-        F.lit("application/json").alias("content_type"),
+    recs = docs.selectExpr(
+        "concat('http://example.com/page/', "
+        "lpad(CAST(doc_id AS STRING), 9, '0')) AS target_uri",
+        "'metadata' AS warc_type",
+        "'2025-01-01T00:00:00Z' AS warc_date",
+        f"encode({envelope_sql}, 'UTF-8') AS payload",
+        "'application/json' AS content_type",
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/spark_graft_wat_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     write_warc(recs, path, records_per_shard=64)
     out = wat_html_metadata(read_warc_gz(spark, path, fan_out=_fan(spark)))
-    return out.select(
-        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
-         .alias("doc_id"),
+    # try_: ANSI element_at throws on an empty array, and a parse
+    # regression surfacing as NULLs beats an aborted driver run
+    return out.selectExpr(
+        r"CAST(regexp_extract(target_uri, '(\\d+)$', 1) AS LONG) AS doc_id",
         "title",
-        F.size("links").alias("n_links"),
-        # try_: ANSI element_at throws on an empty array, and a parse
-        # regression surfacing as NULLs beats an aborted driver run
-        F.try_element_at("links", F.lit(1)).alias("first_link"),
-        F.try_element_at("links", F.lit(-1)).alias("last_link"),
+        "size(links) AS n_links",
+        "try_element_at(links, 1) AS first_link",
+        "try_element_at(links, -1) AS last_link",
     )
 
 
