@@ -1238,10 +1238,17 @@ def edit_distance_join(
         F.length(text_col).cast("int").alias("__len"),
     )
 
-    def _bound(i, L):  # segment i of a length-L string: [start, start+slen)
-        start = F.floor(i * L / F.lit(float(parts))).cast("int")
-        nxt = F.floor((i + 1) * L / F.lit(float(parts))).cast("int")
-        return start, nxt - start
+    # segment bounds as SQL strings (r14, guide §7.3): the former
+    # per-call Column chains (plus a 5-deep withColumn chain below,
+    # each re-analyzing the accumulated plan) were ~2.5k py4j
+    # round-trips per construction; the parsed trees are identical
+    # (floor/Divide by the same double literal, CAST AS INT).
+    fp = repr(float(parts))
+
+    def _bound_sql(i: str, L: str) -> tuple[str, str]:
+        start = f"CAST(floor({i} * {L} / {fp}D) AS INT)"
+        nxt = f"CAST(floor(({i} + 1) * {L} / {fp}D) AS INT)"
+        return start, f"({nxt} - {start})"
 
     seggable = strs.filter(F.col("__len") >= parts)
     segs = seggable.select(
@@ -1249,10 +1256,10 @@ def edit_distance_join(
         F.col("__len").alias("L"),
         F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
     )
-    s_start, s_len = _bound(F.col("i"), F.col("L"))
-    segs = segs.select(
-        F.col("__id").alias("sid"), "L", "i",
-        F.col("__t").substr(s_start + 1, s_len).alias("seg"),
+    s_start, s_len = _bound_sql("i", "L")
+    segs = segs.selectExpr(
+        "__id AS sid", "L", "i",
+        f"substring(__t, {s_start} + 1, {s_len}) AS seg",
     )
 
     probes = (
@@ -1260,14 +1267,14 @@ def edit_distance_join(
             "__id", "__t", "__len",
             F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("o"),
         )
-        .withColumn("L", F.col("__len") + F.col("o"))
-        .filter(F.col("L") >= parts)
+        .selectExpr("__id", "__t", "__len", "__len + o AS L")
+        .filter(f"L >= {parts}")
         .select(
             "__id", "__t", "__len", "L",
             F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
         )
     )
-    p_start, p_len = _bound(F.col("i"), F.col("L"))
+    p_start, p_len = _bound_sql("i", "L")
     # multi-match-aware substring selection (the paper's Lemma 3; r6
     # verdict task 3): with Δ = |probe| − |indexed|, segment i (0-based)
     # of the indexed string can only match the probe at
@@ -1276,34 +1283,25 @@ def edit_distance_join(
     # can absorb and the suffix shift by the last d−i. Per-probe key
     # count drops from (2d+1)(d+1)(2d+1) = O(d³) to O(d²) (~4.5× fewer
     # at d=3), fuzz-verified 100% recall vs the ±d window.
-    delta = F.col("__len") - F.col("L")
     probes = (
-        probes.withColumn("p", p_start)
-        .withColumn("slen", p_len)
-        .withColumn(
-            "qlo",
-            F.greatest(
-                F.lit(0),
-                F.col("p") - F.col("i"),
-                F.col("p") + delta - (F.lit(d) - F.col("i")),
-            ),
+        probes.selectExpr(
+            "__id", "__t", "__len", "L", "i",
+            f"{p_start} AS p",
+            f"{p_len} AS slen",
         )
-        .withColumn(
-            "qhi",
-            F.least(
-                F.col("__len") - F.col("slen"),
-                F.col("p") + F.col("i"),
-                F.col("p") + delta + (F.lit(d) - F.col("i")),
-            ),
+        .selectExpr(
+            "__id", "__t", "__len", "L", "i", "p", "slen",
+            f"greatest(0, p - i, p + (__len - L) - ({d} - i)) AS qlo",
+            f"least(__len - slen, p + i, p + (__len - L) + ({d} - i)) AS qhi",
         )
-        .filter(F.col("qhi") >= F.col("qlo"))
+        .filter("qhi >= qlo")
         .select(
             "__id", "__t", "L", "i", "slen",
-            F.explode(F.sequence(F.col("qlo"), F.col("qhi"))).alias("q"),
+            F.explode(F.expr("sequence(qlo, qhi)")).alias("q"),
         )
-        .select(
-            F.col("__id").alias("pid"), "L", "i",
-            F.col("__t").substr(F.col("q") + 1, F.col("slen")).alias("seg"),
+        .selectExpr(
+            "__id AS pid", "L", "i",
+            "substring(__t, q + 1, slen) AS seg",
         )
     )
 

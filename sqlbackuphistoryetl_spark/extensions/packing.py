@@ -30,6 +30,8 @@ before a 100 TB corpus runs out, so double quotients are wrong here.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,23 +125,30 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     b = int(seq_len)
     c = global_cumsum(df, token_col, order_cols, num_partitions)
-    c = c.filter(F.col(token_col) > 0).withColumn(
-        "cum_start", F.col("cum_end") - F.col(token_col).cast("long")
+    # span arithmetic as parsed exprs over one select each instead of a
+    # withColumn chain re-analyzing the accumulated plan per column
+    # (r14, guide §7.3); identical div/greatest/least integer trees.
+    tok = (
+        token_col
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", token_col)
+        else f"`{token_col}`"
     )
-    first_seq = F.expr(f"cum_start div {b}")
-    last_seq = F.expr(f"(cum_end - 1) div {b}")
-    out = c.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
-    return (
-        out.withColumn(
-            "tok_begin",
-            F.greatest(F.lit(0).cast("long"), F.col("seq_id") * b - F.col("cum_start")),
-        )
-        .withColumn(
-            "tok_end",
-            F.least(F.col("cum_end"), (F.col("seq_id") + 1) * b) - F.col("cum_start"),
-        )
-        .withColumn("slice_tokens", F.col("tok_end") - F.col("tok_begin"))
-        .drop("cum_start", "cum_end")
+    c = c.filter(F.col(token_col) > 0).withColumn(
+        "cum_start", F.expr(f"cum_end - CAST({tok} AS LONG)")
+    )
+    out = c.withColumn(
+        "seq_id",
+        F.explode(F.expr(f"sequence(cum_start div {b}, (cum_end - 1) div {b})")),
+    )
+    passthrough = [col for col in out.columns if col not in
+                   ("cum_start", "cum_end", "seq_id")]
+    return out.selectExpr(
+        *passthrough,
+        "seq_id",
+        f"greatest(CAST(0 AS LONG), seq_id * {b} - cum_start) AS tok_begin",
+        f"least(cum_end, (seq_id + 1) * {b}) - cum_start AS tok_end",
+        f"(least(cum_end, (seq_id + 1) * {b}) - cum_start) - "
+        f"greatest(CAST(0 AS LONG), seq_id * {b} - cum_start) AS slice_tokens",
     )
 
 
