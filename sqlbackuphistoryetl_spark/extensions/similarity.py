@@ -1322,6 +1322,18 @@ def strata_centroids(
     )
 
 
+#: per-cell row cap before the gram matrix goes BLOCKED (r14, VERDICT
+#: guard): a full n×n double matrix at the default 20k cap is ≤3.2 GB —
+#: the documented worker-memory line. Cells above the cap compute the
+#: same verdicts in cap×cap blocks (memory bounded by the same 3.2 GB,
+#: work unchanged), so a skewed or mis-sized cell degrades to
+#: slower-but-exact instead of OOMing the Python worker (§5). Cells
+#: KNOWN to be huge should pick ``pair_backend="jvm"``, which
+#: distributes the pair work (AQE skew-join splits hot cells).
+_SEMDEDUP_CELL_CAP_CONF = "spark.sqlbackuphistoryetl.semdedup.maxCellRows"
+_SEMDEDUP_CELL_CAP_DEFAULT = 20000
+
+
 def _semdedup_pair_prune_numpy(
     corpus: DataFrame,
     cell_col,
@@ -1338,6 +1350,10 @@ def _semdedup_pair_prune_numpy(
     — ``<`` on ids matches Spark's comparator (numeric order; strings
     compare as UTF-8 bytes, which is UTF8String order). Duplicate ids
     never prune each other (strict ``<``), same as the join form.
+
+    Cells larger than ``_SEMDEDUP_CELL_CAP_CONF`` rows compute the same
+    verdicts block-by-block (see the conf docstring) — worker memory is
+    bounded by cap² regardless of cell size.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -1354,6 +1370,14 @@ def _semdedup_pair_prune_numpy(
         ]
     )
     thr = float(threshold)
+    cap = max(
+        1,
+        int(
+            corpus.sparkSession.conf.get(
+                _SEMDEDUP_CELL_CAP_CONF, str(_SEMDEDUP_CELL_CAP_DEFAULT)
+            )
+        ),
+    )
 
     def _prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1382,9 +1406,27 @@ def _semdedup_pair_prune_numpy(
             raise ArithmeticError(
                 "semdedup_prune: zero-norm vector (division by zero)"
             )
-        cos = (x @ x.T) / np.outer(norms, norms)
-        hit = (cos >= thr) & (rank[:, None] < rank[None, :])
-        out["keep"] = ~hit.any(axis=0)
+        if n <= cap:
+            cos = (x @ x.T) / np.outer(norms, norms)
+            hit = (cos >= thr) & (rank[:, None] < rank[None, :])
+            out["keep"] = ~hit.any(axis=0)
+            return out
+        # blocked form: identical comparisons, ≤ cap² matrix at a time
+        hit_any = np.zeros(n, dtype=bool)
+        for j0 in range(0, n, cap):
+            j1 = min(j0 + cap, n)
+            hj = np.zeros(j1 - j0, dtype=bool)
+            for i0 in range(0, n, cap):
+                i1 = min(i0 + cap, n)
+                cos = (x[i0:i1] @ x[j0:j1].T) / np.outer(
+                    norms[i0:i1], norms[j0:j1]
+                )
+                hj |= (
+                    (cos >= thr)
+                    & (rank[i0:i1][:, None] < rank[j0:j1][None, :])
+                ).any(axis=0)
+            hit_any[j0:j1] = hj
+        out["keep"] = ~hit_any
         return out
 
     return assigned.groupBy("cell").applyInPandas(_prune_cell, schema)

@@ -281,6 +281,40 @@ class TestSemDeDup:
         }
         assert jvm == npy
 
+    def test_numpy_pair_backend_blocked_matches_full(self, spark):
+        """r14 cell-size guard: cells above the maxCellRows cap compute
+        verdicts in cap×cap blocks. A cap of 2 forces the blocked path
+        over every multi-row cell; verdicts must equal both the full
+        gram matrix's and the JVM join's, across the cap boundary."""
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [0.99, 0.1, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.98, 0.2],
+            [0.0, 0.0, 1.0],
+            [1.0, 0.05, 0.0],
+            [0.7, 0.7, 0.14],
+        ]
+        num = self._emb(spark, vecs)
+        conf = "spark.sqlbackuphistoryetl.semdedup.maxCellRows"
+
+        def run(backend):
+            return {
+                (r["vec_id"], r["cell"], r["keep"])
+                for r in semdedup_prune(
+                    num, k_clusters=2, threshold=0.5, pair_backend=backend
+                ).collect()
+            }
+
+        full = run("numpy")
+        jvm = run("jvm")
+        spark.conf.set(conf, "2")
+        try:
+            blocked = run("numpy")
+        finally:
+            spark.conf.unset(conf)
+        assert blocked == full == jvm
+
     def test_numpy_pair_backend_zero_norm_raises(self, spark):
         """ANSI parity: the JVM join raises DIVIDE_BY_ZERO on a
         zero-norm vector; the numpy backend must fail too, not mint a
