@@ -239,42 +239,42 @@ def dsir_logweights(
     tgtg = _hashed_gram_buckets(target, n_buckets, text_col, id_col)
     # one gram pass per corpus (r6 advice): the bucket tables are
     # <= n_buckets rows, so pin THEM and derive the scalar totals as
-    # tiny sums over them — rawg is then evaluated once here (for cq)
-    # and once in the final per-doc join, never a third time for a
-    # count(); tgtg exactly once
-    cq = (
-        rawg.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cq"))
+    # tiny sums over them — rawg is then evaluated once here and once
+    # in the final per-doc join, never a third time for a count().
+    # r14: BOTH corpora count through ONE source-tagged aggregation —
+    # one checkpoint barrier + one scalar collect instead of two of
+    # each (guide §2.1/§5: same shuffled bytes, half the eager jobs
+    # serializing the driver). cq/cp per bucket are unchanged (rows
+    # never mix across the tag), and a target-only bucket's cp rides
+    # as 0 exactly where the old left join produced coalesce(NULL,0).
+    both = rawg.select("bucket", F.lit(1).alias("_s")).unionByName(
+        tgtg.select("bucket", F.lit(0).alias("_s"))
+    )
+    cnt = (
+        both.groupBy("bucket")
+        .agg(
+            F.expr("sum(CASE WHEN _s = 1 THEN 1 ELSE 0 END)").alias("cq"),
+            F.expr("sum(CASE WHEN _s = 0 THEN 1 ELSE 0 END)").alias("cp"),
+        )
         .localCheckpoint(eager=True)
     )
-    cp = (
-        tgtg.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cp"))
-        .localCheckpoint(eager=True)
-    )
-    tq = cq.agg(F.sum("cq")).collect()[0][0] or 0
-    tp = cp.agg(F.sum("cp")).collect()[0][0] or 0
+    tot = cnt.agg(F.sum("cq"), F.sum("cp")).collect()[0]
+    tq, tp = tot[0] or 0, tot[1] or 0
     # identical expression shape to the oracle: two double divisions,
     # one ln, one round — on exact integer inputs
     b = float(n_buckets)
-    delta = (
-        cq.join(cp, "bucket", "left")
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
-                        / F.lit(float(tp) + b)
-                    )
-                    / ((F.col("cq") + F.lit(1.0)) / F.lit(float(tq) + b))
-                )
-                * F.lit(1_000_000.0),
-                0,
+    delta = cnt.filter(F.col("cq") >= 1).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("cp") + F.lit(1.0)) / F.lit(float(tp) + b))
+                / ((F.col("cq") + F.lit(1.0)) / F.lit(float(tq) + b))
             )
-            .cast("long")
-            .alias("du"),
+            * F.lit(1_000_000.0),
+            0,
         )
+        .cast("long")
+        .alias("du"),
     )
     return (
         rawg.join(F.broadcast(delta), "bucket")
