@@ -19,6 +19,8 @@ width (num_hashes longs) so shuffle rows are small and dense.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +40,15 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
 
 def _shingle_array(text_col: str, k: int):
     """Distinct k-char shingles as an array column — sequence+substring
-    (whole-stage codegen; no UDF, no explode)."""
+    (whole-stage codegen; no UDF, no explode). One parsed expr (r14,
+    guide §7.3) when the column name is a plain identifier; identical
+    sequence/substring tree either way."""
+    if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", text_col):
+        return F.expr(
+            f"array_distinct(transform(sequence(1, greatest(1, "
+            f"length({text_col}) - {k - 1})), "
+            f"i -> substring({text_col}, i, {k})))"
+        )
     n_pos = F.greatest(F.lit(1), F.length(text_col) - F.lit(k - 1))
     return F.array_distinct(
         F.transform(
@@ -103,23 +113,17 @@ def minhash_signatures(
 def _band_entries(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(_id, sig, band, bucket) LSH band rows for a signature frame."""
     rows_per_band = num_hashes // bands
+    # one parsed expr (r14, guide §7.3): identical transform/struct/
+    # xxhash64 tree to the former per-band Column chain
+    bb = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, 'bucket', xxhash64(concat_ws(',', "
+        f"transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"h -> CAST(h AS STRING))))))"
+    )
     return sigs.select(
-        "_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string"))
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "_id", "sig", F.explode(bb).alias("bb")
+    ).selectExpr("_id", "sig", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def minhash_lsh_candidates(
@@ -152,22 +156,13 @@ def minhash_lsh_candidates(
     pairs = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+            F.expr("l.band = r.band AND l.bucket = r.bucket AND l._id < r._id"),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: a == b),
-                        lambda x: x,
-                    )
-                ).cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
+        .selectExpr(
+            "l._id AS id_a",
+            "r._id AS id_b",
+            "CAST(size(filter(zip_with(l.sig, r.sig, (a, b) -> a = b), "
+            f"x -> x)) AS DOUBLE) / {float(num_hashes)!r}D AS est_jaccard",
         )
         # est_jaccard filter BEFORE the pair dedup: the signature
         # agreement count is computed map-side on the join output, so
@@ -229,13 +224,11 @@ def shingle_jaccard_verify(
     return (
         pairs.join(a, pairs["id_a"] == F.col("sa._sid"))
         .join(b, pairs["id_b"] == F.col("sb._sid"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-                / F.size(F.array_union("sa.sh", "sb.sh"))
-            ).alias("jaccard"),
+            "CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+            " / size(array_union(sa.sh, sb.sh)) AS jaccard",
         )
     )
 
@@ -274,13 +267,11 @@ def ngram_jaccard_verify(
     return (
         pairs.join(a, pairs["id_a"] == F.col("ga._gid"))
         .join(b, pairs["id_b"] == F.col("gb._gid"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("ga.grams", "gb.grams")).cast("double")
-                / F.size(F.array_union("ga.grams", "gb.grams"))
-            ).alias("jaccard"),
+            "CAST(size(array_intersect(ga.grams, gb.grams)) AS DOUBLE)"
+            " / size(array_union(ga.grams, gb.grams)) AS jaccard",
         )
     )
 
@@ -294,20 +285,22 @@ def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     element (no CSE), so inlining ``split(...)`` there re-splits the
     whole string once per gram position — O(len²) per doc. Multiple
     non-cheap references also stop CollapseProject from re-inlining."""
+    tref = (
+        text_col
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", text_col)
+        else f"`{text_col}`"
+    )
     toks = df.select(
         F.col(id_col).alias("_gid"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+        F.expr(rf"split(trim(lower({tref})), '\\s+')").alias("_toks"),
     )
-    tokens = F.col("_toks")
-    n_tok = F.size(tokens)
-    grams = F.array_distinct(
-        F.when(
-            n_tok >= n,
-            F.transform(
-                F.sequence(F.lit(0), n_tok - n),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    # one parsed expr (r14, guide §7.3): identical CASE/transform/
+    # concat_ws tree to the former Column chain
+    grams = F.expr(
+        f"array_distinct(CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', _toks)) END)"
     )
     return toks.select("_gid", grams.alias("grams"))
 
